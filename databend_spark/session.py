@@ -1,0 +1,196 @@
+"""SessionContext — the engine's public API (bendpy-equivalent).
+
+Reference: the Python embedding ``src/bendpy/src/context.rs`` exposes a
+``SessionContext`` with ``sql()``, ``register_parquet()`` etc.; the internal
+DataFrame builder lives at
+``src/query/sql/src/planner/dataframe.rs:47-402`` (select/filter/aggregate/
+limit/sort/join).  Here the convergence IR is Catalyst's LogicalPlan: every
+entry point produces a Spark ``DataFrame`` and Catalyst/Tungsten/AQE do
+optimization + execution.
+
+Scale notes (100 TB design):
+  * AQE on: runtime coalescing, skew-join splitting, broadcast demotion.
+  * CBO + join reorder on: histogram-grade stats once tables are ANALYZEd.
+  * shuffle partitions default to a cluster-appropriate count via
+    ``SPARK_GRAFT_CPUS`` locally; on a real cluster this would be
+    ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` driven.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
+
+_DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "databend_spark") -> SparkSession:
+    """Warm, correctly-configured local session.
+
+    Config mirrors what we'd set cluster-side: AQE, CBO, UTC, Arrow.
+    """
+    cpus = _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata stores events.ts as parquet TIMESTAMP(NANOS) which
+        # Spark has no native type for; read as long and convert at register
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES
+) -> None:
+    """Register the driver's parquet tables as temp views.
+
+    Equivalent of the reference's stage/catalog attach
+    (``src/query/sql/src/planner/binder/stage_location.rs``): scans are
+    plain ``spark.read.parquet`` so Catalyst gets parquet filter pushdown,
+    column pruning and row-group min/max skipping for free
+    (reference analog: ``storages/fuse/src/pruning/fuse_pruner.rs:88``).
+    """
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            load_table(spark, path).createOrReplaceTempView(t)
+
+
+def load_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, normalizing nanosecond timestamps.
+
+    Parquet TIMESTAMP(NANOS) has no Spark type; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` those columns arrive as
+    bigint nanos — convert to microsecond timestamps (truncation matches
+    DuckDB's ns→us behavior)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    try:
+        arrow_schema = pq.read_schema(path)
+    except Exception:
+        return df
+    ns_cols = {
+        f.name
+        for f in arrow_schema
+        if str(f.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]")
+    }
+    if not ns_cols:
+        return df
+    return df.select(
+        *[
+            F.expr(f"timestamp_micros({c} DIV 1000)").alias(c) if c in ns_cols else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+class SessionContext:
+    """bendpy-style facade over SparkSession.
+
+    >>> ctx = SessionContext()
+    >>> ctx.register_parquet("lineitem", ".../lineitem.parquet")
+    >>> ctx.sql("SELECT count(*) FROM lineitem").show()
+    """
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self._copy_history: dict[str, set[str]] = {}
+
+    # -- catalog -----------------------------------------------------------
+    def register_parquet(self, name: str, path: str) -> DataFrame:
+        df = self.spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_csv(self, name: str, path: str, **options) -> DataFrame:
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", "true")
+        df = self.spark.read.options(**options).csv(path)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_json(self, name: str, path: str, schema=None, **options) -> DataFrame:
+        reader = self.spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.json(path)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_orc(self, name: str, path: str) -> DataFrame:
+        df = self.spark.read.orc(path)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_view(self, name: str, df: DataFrame) -> DataFrame:
+        df.createOrReplaceTempView(name)
+        return df
+
+    def tables(self) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables()]
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    # -- SQL ---------------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL. Databend-dialect constructs are rewritten first
+        (see ``databend_spark.sqlgen``); the Spark-compatible core goes
+        straight to Catalyst."""
+        from databend_spark.sqlgen import rewrite_databend_sql
+
+        return self.spark.sql(rewrite_databend_sql(query))
+
+    # -- COPY INTO (reference: plans/copy_into_table.rs) --------------------
+    def copy_into(
+        self, table: str, paths: list[str], fmt: str = "parquet", **options
+    ) -> int:
+        """Bulk load with file-history dedup, like the reference's COPY
+        (``src/query/service/src/physical_plans/physical_copy_into_table.rs``
+        lists stage files and dedups against copy history). Returns number
+        of files actually loaded."""
+        seen = self._copy_history.setdefault(table, set())
+        fresh = [p for p in paths if p not in seen]
+        if not fresh:
+            return 0
+        reader = self.spark.read.options(**options)
+        df = getattr(reader, fmt)(fresh)
+        if table in self.tables():
+            df.write.insertInto(table)
+        else:
+            df.write.saveAsTable(table)
+        seen.update(fresh)
+        return len(fresh)

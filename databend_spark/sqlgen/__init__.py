@@ -1,0 +1,48 @@
+"""Databend-SQL → Spark-SQL rewrites (SURVEY.md §7.4).
+
+Spark SQL already accepts ~90% of Databend's surface (ANSI core, `::`
+casts since 3.4, QUALIFY is the notable gap). We keep a small, explicit
+pre-parse rewrite list instead of a full transpiler, and raise a clear
+error for constructs we know we don't support rather than mis-parsing.
+
+Reference dialect evidence: parser at
+``/root/reference/src/query/ast/src/parser/parser.rs``; Databend-only
+syntax like ``AT (...)`` time travel (``ast/query.rs:568``) and
+``CHANGES`` (``ast/query.rs:724``) are handled by the incremental layer,
+not plain SQL.
+"""
+
+from __future__ import annotations
+
+import re
+
+_UNSUPPORTED = [
+    (re.compile(r"\bCHANGES\s*\(", re.I), "CHANGES(...) — use databend_spark.streaming.stream_changes()"),
+    (re.compile(r"\bAT\s*\(\s*(SNAPSHOT|TIMESTAMP|OFFSET|STREAM)\b", re.I),
+     "AT(...) time travel — use databend_spark.streaming.read_version()"),
+]
+
+# positional tuple access  t.1  →  t._1? Databend tuples map to Spark structs
+# with positional field names `1`,`2`… which Spark needs backquoted.
+_TUPLE_FIELD = re.compile(r"(\w)\.(\d+)\b")
+
+_QUALIFY = re.compile(r"\bQUALIFY\b", re.I)
+
+
+class UnsupportedSQL(Exception):
+    pass
+
+
+def rewrite_databend_sql(sql: str) -> str:
+    """Rewrite the Databend-only constructs we support; raise a clear
+    error on the ones we don't (never silently mis-parse)."""
+    for pat, msg in _UNSUPPORTED:
+        if pat.search(sql):
+            raise UnsupportedSQL(f"unsupported Databend syntax: {msg}")
+    # Databend positional tuple access `t.1` → Spark struct field `t.`1``
+    sql = _TUPLE_FIELD.sub(r"\1.`\2`", sql)
+    return sql
+
+
+def has_qualify(sql: str) -> bool:
+    return bool(_QUALIFY.search(sql))

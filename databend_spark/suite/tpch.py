@@ -1,0 +1,332 @@
+"""TPC-H query suite, adapted to the driver's testdata schema.
+
+Reference runs TPC-H 22 as its primary bench+correctness corpus
+(``/root/reference/benchmark/tpch/queries/``,
+``tests/sqllogictests/suites/tpch/queries.test``, DuckDB oracle at
+``suites/tpch/validate_duckdb.py``). The driver's tables are a trimmed
+TPC-H (no partsupp; no comment/phone/shipmode/commit-receipt dates;
+money columns are DOUBLE; dates are TIMESTAMP) so queries needing
+missing columns are adapted while keeping their operator shape
+(join graph, agg structure, subquery pattern).
+
+Exercises (SURVEY.md §2): multi-way joins, partial→final agg, scalar &
+correlated subqueries, EXISTS/NOT EXISTS (semi/anti), IN, CTE, TopN,
+HAVING, CASE, LEFT JOIN, decimal arithmetic.
+"""
+
+from databend_spark.suite.base import sql_query
+
+
+def dec(col: str, p: int = 12) -> str:
+    """Exact money arithmetic: cast the raw DOUBLE to decimal before any
+    SUM so aggregation is order-independent and bit-identical across
+    engines (see base.py)."""
+    return f"CAST({col} AS DECIMAL({p},2))"
+
+
+QTY = dec("l_quantity")
+PRICE = dec("l_extendedprice")
+DISC = "CAST(l_discount AS DECIMAL(4,2))"
+TAX = "CAST(l_tax AS DECIMAL(4,2))"
+REVENUE = f"{PRICE} * (1 - {DISC})"
+
+# --- Q1: pricing summary — full-table agg, 8 aggregates -------------------
+sql_query(
+    "tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum({QTY}) AS DOUBLE)                      AS sum_qty,
+           CAST(sum({PRICE}) AS DOUBLE)                    AS sum_base_price,
+           CAST(sum({REVENUE}) AS DOUBLE)                  AS sum_disc_price,
+           CAST(sum({REVENUE} * (1 + {TAX})) AS DOUBLE)    AS sum_charge,
+           CAST(CAST(sum({QTY}) AS DOUBLE) / count(*) AS DOUBLE)   AS avg_qty,
+           CAST(CAST(sum({PRICE}) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
+           CAST(CAST(sum({DISC}) AS DOUBLE) / count(*) AS DOUBLE)  AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+# --- Q3: shipping priority — 3-way join + TopN ----------------------------
+sql_query(
+    "tpch_q3",
+    f"""
+    SELECT l_orderkey,
+           CAST(sum({REVENUE}) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE)      AS o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+
+# --- Q4: order priority — EXISTS (left-semi join) -------------------------
+# (adapted: no commit/receipt dates → "any line shipped after order date")
+sql_query(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+
+# --- Q5: local supplier volume — 6-way join -------------------------------
+sql_query(
+    "tpch_q5",
+    f"""
+    SELECT n_name, CAST(sum({REVENUE}) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+
+# --- Q6: forecasting revenue change — scan+filter+agg ----------------------
+sql_query(
+    "tpch_q6",
+    f"""
+    SELECT CAST(sum({PRICE} * {DISC}) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+
+# --- Q7: volume shipping — join + year extraction + OR of nation pairs ----
+sql_query(
+    "tpch_q7",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               {REVENUE} AS volume
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1998-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+
+# --- Q8: national market share — conditional agg ratio --------------------
+sql_query(
+    "tpch_q8",
+    f"""
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+                / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               {REVENUE} AS volume,
+               n2.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND s_nationkey = n2.n_nationkey
+          AND r_name = 'AMERICA'
+          AND p_type = 'STANDARD'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+
+# --- Q9: product type profit (adapted: no partsupp/supplycost) ------------
+sql_query(
+    "tpch_q9",
+    f"""
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               {REVENUE} AS amount
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+
+# --- Q10: returned item reporting — join + TopN by revenue -----------------
+sql_query(
+    "tpch_q10",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(sum({REVENUE}) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+# --- Q12 (adapted to returnflag): conditional counts -----------------------
+sql_query(
+    "tpch_q12",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+
+# --- Q13: customer order-count distribution — LEFT JOIN + double group -----
+sql_query(
+    "tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+
+# --- Q14: promotion effect — join + conditional ratio ----------------------
+sql_query(
+    "tpch_q14",
+    f"""
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {REVENUE} ELSE 0 END) AS DOUBLE)
+                / CAST(sum({REVENUE}) AS DOUBLE) AS DOUBLE) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+
+# --- Q15: top supplier — CTE + scalar subquery over it ----------------------
+sql_query(
+    "tpch_q15",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum({REVENUE}) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+
+# --- Q17: small-quantity-order revenue — correlated scalar subquery --------
+sql_query(
+    "tpch_q17",
+    f"""
+    SELECT CAST(CAST(sum({PRICE}) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#11'
+      AND l_quantity < (
+          SELECT CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / (5.0 * count(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+
+# --- Q18: large-volume customers — IN + HAVING over agg subquery -----------
+sql_query(
+    "tpch_q18",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum({QTY}) AS DOUBLE) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250
+          )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+
+# --- Q19: discounted revenue — disjunctive multi-predicate join -------------
+sql_query(
+    "tpch_q19",
+    f"""
+    SELECT CAST(sum({REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+            AND l_quantity >= 1 AND l_quantity <= 21)
+        OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 25
+            AND l_quantity >= 10 AND l_quantity <= 30)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+            AND l_quantity >= 20 AND l_quantity <= 40))
+    """,
+)
+
+# --- Q22: global sales opportunity — NOT EXISTS (anti join) + avg subquery -
+sql_query(
+    "tpch_q22",
+    """
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM (
+        SELECT c_nationkey AS cntrycode, c_acctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+          AND c_acctbal > (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+              FROM customer
+              WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+          )
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+    ) custsale
+    GROUP BY cntrycode
+    """,
+)
