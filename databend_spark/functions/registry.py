@@ -1,0 +1,339 @@
+"""Databend function-name registry → Spark equivalents.
+
+The reference registers ~320 base scalar names plus ~100 aliases
+(``/root/reference/src/query/functions/src/scalars/mod.rs:56``; golden
+inventory ``functions/tests/it/scalars/testdata/function_list.txt``).
+Spark's ``pyspark.sql.functions`` covers most semantics under different
+names; this module provides
+
+  * ``RENAME``: pure name substitutions (signature-compatible) — usable
+    both from Python and as SQL-text rewrites;
+  * ``COMPOSED``: Databend functions Spark lacks as a single built-in,
+    expressed as Column compositions (JVM-side, codegen'd — never Python
+    row UDFs);
+  * ``databend_fn(name)``: resolve either kind to a callable.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- pure renames: databend name -> spark SQL function name ----------------
+# (sources: function_list.txt aliases block; scalars/{string,timestamp,…})
+RENAME: dict[str, str] = {
+    # type conversion
+    "to_string": "cast_to_string",  # handled in COMPOSED (needs type arg)
+    "to_varchar": "cast_to_string",
+    "to_text": "cast_to_string",
+    # string
+    "char_length": "length",
+    "character_length": "length",
+    "lcase": "lower",
+    "ucase": "upper",
+    "mid": "substring",
+    "substr": "substring",
+    "position": "instr",
+    "locate": "instr",
+    "strpos": "instr",
+    "str_to_map": "str_to_map",
+    "regexp_substr": "regexp_extract",
+    "rlike": "rlike",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "ord": "ascii",
+    "insert": "overlay",
+    # math
+    "ceiling": "ceil",
+    "power": "pow",
+    "truncate": "trunc",
+    "rand": "rand",
+    "mod": "mod",
+    "crc32": "crc32",
+    # date/time
+    "to_datetime": "to_timestamp",
+    "to_day_of_week": "dayofweek",
+    "to_day_of_month": "dayofmonth",
+    "to_day_of_year": "dayofyear",
+    "to_hour": "hour",
+    "to_minute": "minute",
+    "to_second": "second",
+    "to_year": "year",
+    "to_month": "month",
+    "to_quarter": "quarter",
+    "to_week_of_year": "weekofyear",
+    "date_format": "date_format",
+    "str_to_date": "to_date",
+    "date_diff": "datediff",
+    "subtract_days": "date_sub",
+    "add_days": "date_add",
+    # aggregates (Databend name -> Spark agg)
+    "uniq": "approx_count_distinct",
+    "count_distinct": "count_distinct",
+    "group_concat": "listagg",
+    "listagg": "listagg",
+    "string_agg": "listagg",
+    "array_agg": "collect_list",
+    "any": "any_value",
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "stddev": "stddev_pop",  # Databend stddev defaults to population
+    "std": "stddev_pop",
+    # json / variant
+    "json_extract_path_text": "get_json_object",
+    "parse_json": "parse_json_variant",  # COMPOSED
+    "object_keys": "json_object_keys",
+    "json_to_string": "to_json",
+    # array
+    "array_length": "size",
+    "len": "size",
+    "contains": "array_contains",
+    "array_indexof": "array_position",
+    "unnest": "explode",
+    "flatten": "flatten",
+    "range": "sequence",
+    # hash
+    "siphash64": "xxhash64",  # same role (fast 64-bit); not bit-compatible
+    "city64withseed": "xxhash64",
+    "sha": "sha1",
+    "sha1": "sha1",
+    "sha2": "sha2",
+    "blake3": "sha2",  # stand-in, not bit-compatible
+}
+
+
+def _if_combinator(agg: Callable[..., Column]) -> Callable[..., Column]:
+    """Databend's `_if` aggregate combinator (aggregates/adaptors/):
+    agg_if(x, cond) → agg(CASE WHEN cond THEN x END)."""
+
+    def combined(col: Column, cond: Column) -> Column:
+        return agg(F.when(cond, col))
+
+    return combined
+
+
+# --- composed: databend fn without a 1:1 spark builtin ---------------------
+COMPOSED: dict[str, Callable[..., Column]] = {
+    # conversions with Databend semantics
+    "to_string": lambda c: c.cast("string"),
+    "to_int8": lambda c: c.cast("tinyint"),
+    "to_int16": lambda c: c.cast("smallint"),
+    "to_int32": lambda c: c.cast("int"),
+    "to_int64": lambda c: c.cast("bigint"),
+    # unsigned widening (SURVEY §1.2: u64 → decimal(20,0))
+    "to_uint8": lambda c: c.cast("smallint"),
+    "to_uint16": lambda c: c.cast("int"),
+    "to_uint32": lambda c: c.cast("bigint"),
+    "to_uint64": lambda c: c.cast("decimal(20,0)"),
+    "to_float32": lambda c: c.cast("float"),
+    "to_float64": lambda c: c.cast("double"),
+    "to_boolean": lambda c: c.cast("boolean"),
+    "to_date": lambda c: F.to_date(c),
+    "to_yyyymmdd": lambda c: F.date_format(c, "yyyyMMdd").cast("int"),
+    "to_yyyymm": lambda c: F.date_format(c, "yyyyMM").cast("int"),
+    "to_yyyymmddhhmmss": lambda c: F.date_format(c, "yyyyMMddHHmmss").cast("bigint"),
+    "to_unix_timestamp": lambda c: F.unix_timestamp(c),
+    "to_start_of_month": lambda c: F.trunc(c, "month"),
+    "to_start_of_quarter": lambda c: F.trunc(c, "quarter"),
+    "to_start_of_year": lambda c: F.trunc(c, "year"),
+    "to_start_of_week": lambda c: F.trunc(c, "week"),
+    "to_start_of_day": lambda c: F.date_trunc("day", c),
+    "to_start_of_hour": lambda c: F.date_trunc("hour", c),
+    "to_start_of_minute": lambda c: F.date_trunc("minute", c),
+    "between_days": lambda a, b: F.datediff(b, a),
+    "today": lambda: F.current_date(),
+    "yesterday": lambda: F.date_sub(F.current_date(), 1),
+    "tomorrow": lambda: F.date_add(F.current_date(), 1),
+    "now": lambda: F.current_timestamp(),
+    # null handling / control
+    "ifnull": lambda a, b: F.coalesce(a, b),
+    "nvl": lambda a, b: F.coalesce(a, b),
+    "nvl2": lambda a, b, c: F.when(a.isNotNull(), b).otherwise(c),
+    "is_null": lambda c: c.isNull(),
+    "is_not_null": lambda c: c.isNotNull(),
+    "div0": lambda a, b: F.when(b == 0, F.lit(0.0)).otherwise(a / b),
+    "divnull": lambda a, b: a / F.nullif(b, F.lit(0)),
+    "is_true": lambda c: c.isNotNull() & c.cast("boolean"),
+    # string
+    "to_lowercase": lambda c: F.lower(c),
+    "to_uppercase": lambda c: F.upper(c),
+    "string_to_array": lambda c, sep: F.split(c, re.escape(" ") if sep is None else sep),
+    "quote": lambda c: F.concat(F.lit("'"), F.regexp_replace(c, "'", "\\\\'"), F.lit("'")),
+    "left_pad": lambda c, n, p: F.lpad(c, n, p),
+    "right_pad": lambda c, n, p: F.rpad(c, n, p),
+    "bit_length": lambda c: F.octet_length(c) * 8,
+    # variant stand-ins (Databend Variant ≈ JSON string + accessors)
+    "parse_json_variant": lambda c: c,  # JSON kept as string; accessors below
+    "json_get_string": lambda c, path: F.get_json_object(c, path),
+    "get_string": lambda c, k: F.get_json_object(c, F.concat(F.lit("$."), k)),
+    # aggregates: _if combinators for the common cases
+    "count_if_agg": _if_combinator(F.count),
+    "sum_if": _if_combinator(F.sum),
+    "avg_if": _if_combinator(F.avg),
+    "min_if": _if_combinator(F.min),
+    "max_if": _if_combinator(F.max),
+}
+
+
+def databend_fn(name: str) -> Callable[..., Column]:
+    """Resolve a Databend function name to a Spark-callable."""
+    lname = name.lower()
+    if lname in COMPOSED:
+        return COMPOSED[lname]
+    target = RENAME.get(lname, lname)
+    if target in COMPOSED:
+        return COMPOSED[target]
+    if hasattr(F, target):
+        return getattr(F, target)
+    raise KeyError(f"unknown/unsupported Databend function: {name}")
+
+
+# --- SQL macros: Databend fn → Spark SQL expression template ----------------
+# Used by sqlgen for functions that need expression rewrites (not just a
+# rename). {0},{1}… are the call's top-level arguments.
+SQL_MACROS: dict[str, str] = {
+    "to_string": "CAST({0} AS STRING)",
+    "to_varchar": "CAST({0} AS STRING)",
+    "to_text": "CAST({0} AS STRING)",
+    "to_int8": "CAST({0} AS TINYINT)",
+    "to_int16": "CAST({0} AS SMALLINT)",
+    "to_int32": "CAST({0} AS INT)",
+    "to_int64": "CAST({0} AS BIGINT)",
+    "to_uint64": "CAST({0} AS DECIMAL(20,0))",
+    "to_float32": "CAST({0} AS FLOAT)",
+    "to_float64": "CAST({0} AS DOUBLE)",
+    "to_boolean": "CAST({0} AS BOOLEAN)",
+    "to_yyyymmdd": "CAST(date_format({0}, 'yyyyMMdd') AS INT)",
+    "to_yyyymm": "CAST(date_format({0}, 'yyyyMM') AS INT)",
+    "to_yyyymmddhhmmss": "CAST(date_format({0}, 'yyyyMMddHHmmss') AS BIGINT)",
+    "to_start_of_month": "trunc({0}, 'month')",
+    "to_start_of_quarter": "trunc({0}, 'quarter')",
+    "to_start_of_year": "trunc({0}, 'year')",
+    "to_start_of_week": "trunc({0}, 'week')",
+    "to_start_of_day": "date_trunc('day', {0})",
+    "to_start_of_hour": "date_trunc('hour', {0})",
+    "to_start_of_minute": "date_trunc('minute', {0})",
+    "between_days": "datediff({1}, {0})",
+    "ifnull": "coalesce({0}, {1})",
+    "nvl": "coalesce({0}, {1})",
+    "nvl2": "CASE WHEN {0} IS NOT NULL THEN {1} ELSE {2} END",
+    "div0": "CASE WHEN {1} = 0 THEN 0.0 ELSE {0} / {1} END",
+    "divnull": "{0} / nullif({1}, 0)",
+    "is_null": "({0} IS NULL)",
+    "is_not_null": "({0} IS NOT NULL)",
+    "to_lowercase": "lower({0})",
+    "to_uppercase": "upper({0})",
+    "bit_length": "octet_length({0}) * 8",
+    "json_get_string": "get_json_object({0}, {1})",
+    "sum_if": "sum(CASE WHEN {1} THEN {0} END)",
+    "avg_if": "avg(CASE WHEN {1} THEN {0} END)",
+    "min_if": "min(CASE WHEN {1} THEN {0} END)",
+    "max_if": "max(CASE WHEN {1} THEN {0} END)",
+    "count_if": "count(CASE WHEN {0} THEN 1 END)",
+}
+
+_MACRO_CALL_RE = re.compile(
+    r"\b(" + "|".join(sorted(SQL_MACROS, key=len, reverse=True)) + r")\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _split_top_level_args(s: str, start: int) -> tuple[list[str], int] | None:
+    """Parse a balanced argument list beginning just after '(' at `start`.
+    Returns (args, index_after_close_paren) or None if unbalanced."""
+    depth = 1
+    args: list[str] = []
+    cur: list[str] = []
+    i = start
+    in_str: str | None = None
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                tail = "".join(cur).strip()
+                if tail or args:
+                    args.append(tail)
+                return args, i + 1
+            cur.append(ch)
+        elif ch == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    return None
+
+
+def expand_sql_macros(sql: str) -> str:
+    """Expand Databend-only functions into Spark SQL expressions.
+    Handles nesting by iterating to fixpoint (bounded)."""
+    for _ in range(10):
+        m = _MACRO_CALL_RE.search(sql)
+        if not m:
+            return sql
+        out: list[str] = []
+        pos = 0
+        changed = False
+        while True:
+            m = _MACRO_CALL_RE.search(sql, pos)
+            if not m:
+                out.append(sql[pos:])
+                break
+            parsed = _split_top_level_args(sql, m.end())
+            if parsed is None:
+                out.append(sql[pos : m.end()])
+                pos = m.end()
+                continue
+            args, after = parsed
+            template = SQL_MACROS[m.group(1).lower()]
+            try:
+                expansion = template.format(*args)
+            except IndexError:
+                out.append(sql[pos:after])
+                pos = after
+                continue
+            out.append(sql[pos : m.start()])
+            out.append(expansion)
+            pos = after
+            changed = True
+        sql = "".join(out)
+        if not changed:
+            return sql
+    return sql
+
+
+# --- SQL-text rename pass (used by sqlgen for the dialect surface) ----------
+_SQL_SAFE_RENAMES = {
+    k: v
+    for k, v in RENAME.items()
+    if v not in ("cast_to_string", "parse_json_variant") and k != v
+}
+_SQL_RENAME_RE = re.compile(
+    r"\b(" + "|".join(sorted(_SQL_SAFE_RENAMES, key=len, reverse=True)) + r")\s*\(",
+    re.IGNORECASE,
+)
+
+
+def rewrite_function_names(sql: str) -> str:
+    """Rewrite Databend function names to Spark names inside SQL text."""
+
+    def sub(m: re.Match) -> str:
+        return _SQL_SAFE_RENAMES[m.group(1).lower()] + "("
+
+    return _SQL_RENAME_RE.sub(sub, sql)

@@ -33,15 +33,45 @@ class UnsupportedSQL(Exception):
     pass
 
 
+_STRING_LIT = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask_strings(sql: str) -> tuple[str, list[str]]:
+    """Replace string literals with placeholders so regex rewrites never
+    touch literal content."""
+    literals: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    return _STRING_LIT.sub(stash, sql), literals
+
+
+def _unmask_strings(sql: str, literals: list[str]) -> str:
+    for i, lit in enumerate(literals):
+        sql = sql.replace(f"\x00{i}\x00", lit)
+    return sql
+
+
 def rewrite_databend_sql(sql: str) -> str:
     """Rewrite the Databend-only constructs we support; raise a clear
     error on the ones we don't (never silently mis-parse)."""
+    masked, literals = _mask_strings(sql)
     for pat, msg in _UNSUPPORTED:
-        if pat.search(sql):
+        if pat.search(masked):
             raise UnsupportedSQL(f"unsupported Databend syntax: {msg}")
     # Databend positional tuple access `t.1` → Spark struct field `t.`1``
-    sql = _TUPLE_FIELD.sub(r"\1.`\2`", sql)
-    return sql
+    masked = _TUPLE_FIELD.sub(r"\1.`\2`", masked)
+    # Databend function aliases → Spark names + expression macros
+    from databend_spark.functions.registry import (
+        expand_sql_macros,
+        rewrite_function_names,
+    )
+
+    masked = rewrite_function_names(masked)
+    masked = expand_sql_macros(masked)
+    return _unmask_strings(masked, literals)
 
 
 def has_qualify(sql: str) -> bool:

@@ -1,0 +1,85 @@
+"""Unit tests for custom operators (asof join, recursive CTE)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_asof_join_backward(spark):
+    from databend_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        "k int, ts int, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 20, 200.0), (2, 30, 300.0)],
+        "k int, ts int, payload double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["payload"]
+    )
+    got = {(r.k, r.ts): r.payload for r in out.collect()}
+    # k=1 ts=10 → right ts=5; k=1 ts=20 → right ts=20 (at-or-before);
+    # k=2 ts=15 → no right ≤ 15 → null; k=3 → no right rows → null
+    assert got == {(1, 10): 100.0, (1, 20): 200.0, (2, 15): None, (3, 5): None}
+
+
+def test_asof_join_forward(spark):
+    from databend_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame([(1, 10, "a")], "k int, ts int, v string")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 12, 2.0), (1, 30, 3.0)], "k int, ts int, p double"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["p"], direction="forward",
+    )
+    assert out.collect()[0].p == 2.0
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check vs pandas.merge_asof on a bigger random-ish frame."""
+    from databend_spark.operators.asof_join import asof_join
+
+    ldata = [(i % 7, (i * 37) % 1000, f"l{i}") for i in range(300)]
+    rdata = [(i % 7, (i * 61) % 1000, float(i)) for i in range(100)]
+    left = spark.createDataFrame(ldata, "k int, ts int, v string")
+    right = spark.createDataFrame(rdata, "k int, ts int, p double")
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["p"]
+    ).toPandas().sort_values(["k", "ts", "v"]).reset_index(drop=True)
+
+    lp = pd.DataFrame(ldata, columns=["k", "ts", "v"]).sort_values("ts")
+    rp = pd.DataFrame(rdata, columns=["k", "ts", "p"]).sort_values("ts")
+    # break right-side ties deterministically like the window (last wins)
+    expected = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    expected = expected.sort_values(["k", "ts", "v"]).reset_index(drop=True)
+    assert list(out["p"].fillna(-1)) == list(expected["p"].fillna(-1))
+
+
+def test_recursive_cte_fixpoint(spark):
+    from databend_spark.operators.recursive_cte import recursive_cte
+
+    anchor = spark.createDataFrame([(1,)], "n int")
+    out = recursive_cte(
+        anchor, lambda df: df.filter(F.col("n") < 10).select((F.col("n") + 1).alias("n"))
+    )
+    assert sorted(r.n for r in out.collect()) == list(range(1, 11))
+
+
+def test_recursive_cte_distinct_terminates_on_cycle(spark):
+    from databend_spark.operators.recursive_cte import recursive_cte
+
+    # graph with a cycle: 1→2→3→1 ; reachability from 1 must terminate
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src int, dst int")
+    anchor = spark.createDataFrame([(1,)], "node int")
+
+    def step(frontier):
+        return (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+        )
+
+    out = recursive_cte(anchor, step, distinct=True, max_iterations=10)
+    assert sorted(r.node for r in out.collect()) == [1, 2, 3]

@@ -66,6 +66,12 @@ def main():
     qs, oracles = queries(), oracle_sql()
 
     n_pass = n_fail = n_rowsonly = 0
+    report: list[str] = []
+
+    def emit(line: str):
+        print(line, flush=True)
+        report.append(line)
+
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
@@ -75,11 +81,11 @@ def main():
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
+            emit(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            emit(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
             continue
         try:
@@ -87,7 +93,7 @@ def main():
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
+            emit(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
         ok = True
@@ -105,12 +111,15 @@ def main():
                 diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
                 msgs.append(f"values differ, first diffs: {diff}")
         if ok:
-            print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            emit(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
         else:
-            print(f"FAIL  {name}: {'; '.join(msgs)}")
+            emit(f"FAIL  {name}: {'; '.join(msgs)}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    print("\n===RESULTS===")
+    for line in report:
+        print(line)
+    print(f"{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     sys.exit(1 if n_fail else 0)
 
 
