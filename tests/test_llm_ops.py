@@ -1,0 +1,100 @@
+"""Quality checks for the LLM-pipeline operators: LSH recall vs exact
+baselines, simhash sanity, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from databend_spark.session import register_tables
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _tables(spark, sf_dir):
+    register_tables(spark, sf_dir)
+
+
+def test_minhash_lsh_full_recall_on_testdata(spark):
+    """On the driver corpus, LSH candidates must cover every true pair at
+    Jaccard ≥ 0.8 (this is what licenses the exact-jaccard oracle for
+    llm_dedup_minhash_lsh)."""
+    from databend_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = spark.table("documents")
+    exact = {
+        (r.da, r.db) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.da, r.db)
+        for r in minhash_lsh_pairs(docs, verify_threshold=0.8).collect()
+    }
+    assert exact, "test corpus should contain near-dup pairs"
+    assert lsh == exact
+
+
+def test_lsh_ann_recall(spark):
+    """LSH ANN top-5 recall floor vs brute force. This corpus is
+    near-uniform (top-1 cosine ≈ 0.4) — the hardest case for hyperplane
+    LSH — so the floor is modest; clustered corpora score far higher."""
+    from databend_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in lsh_ann_topk(q, emb, k=5).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.3, f"LSH ANN recall collapsed: {recall:.2f}"
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    """Docs that are true near-dups (Jaccard ≥ 0.8) should appear in the
+    simhash candidate set (Hamming ≤ 3 on 63 bits) for mostly-identical
+    token multisets."""
+    from databend_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
+
+    docs = spark.table("documents")
+    exact_ids = {
+        (r.da, r.db)
+        for r in ngram_jaccard_pairs(docs, threshold=0.95).collect()
+    }
+    sim = {(r.da, r.db) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    # identical-token docs hash identically → hamming 0
+    missing = exact_ids - sim
+    assert len(missing) <= len(exact_ids) * 0.2, f"simhash missed {missing}"
+
+
+def test_multimodal_decode_features(spark):
+    from databend_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_features,
+        decode_image,
+    )
+
+    docs = spark.table("documents").limit(20)
+    out = decode_features(attach_binary_payload(docs)).collect()
+    assert len(out) == 20
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for r in out:
+        raw = texts[r.doc_id].encode()
+        assert r.n_bytes == len(raw)
+        assert r.first_byte == raw[0]
+        assert r.byte_sum == sum(raw)
+        assert 1 <= r.width <= 1920 and 1 <= r.height <= 1080
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00")
+
+
+def test_exact_dedup_hash_grouping(spark):
+    from databend_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "c"), (6, "c")],
+        "id long, payload string",
+    )
+    got = {
+        (r.keeper_id, r.n_copies)
+        for r in exact_dedup(df, ["payload"], "id").collect()
+    }
+    assert got == {(1, 2), (4, 3)}
