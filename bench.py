@@ -1,0 +1,91 @@
+"""BENCH harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): warm session, AQE on, each query fully
+materialized through the noop sink (no driver-side row transfer), best
+of N_ITER runs per query. DuckDB baseline for the same queries is
+recorded by tools/bench_duckdb.py into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITER", "2"))
+
+# headline set: TPC-H relational core + the heavy LLM-pipeline operators
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "window_topk_per_group",
+    "grouping_rollup",
+    "agg_count_distinct",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_minhash_lsh",
+    "llm_ann_brute_topk",
+    "llm_text_quality",
+    "ev_sessionize",
+    "ev_funnel",
+]
+
+
+def main() -> None:
+    from databend_spark.session import get_spark
+    from databend_spark.suite import queries
+
+    spark = get_spark("bench")
+    qs = queries()
+
+    # warm-up: JVM + parquet footers + codegen paths
+    qs["tpch_q1"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(N_ITER):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

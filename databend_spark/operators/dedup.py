@@ -89,6 +89,9 @@ def ngram_jaccard_pairs(
             ex.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
         )
         ex = ex.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    # the exploded shingle stream feeds both join sides (and sizes derive
+    # from the same scan) — persist so tokenize+shingle runs once, not 3×
+    ex = ex.persist()
     a = ex.select(F.col("doc").alias("da"), "sh")
     b = ex.select(F.col("doc").alias("db"), "sh")
     inter = (
@@ -154,19 +157,24 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    banded = sigs.select(
-        "doc",
-        "shingles",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc", "shingles", "bb.band", "bb.bh")
+    banded = (
+        sigs.select(
+            "doc",
+            "shingles",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select("doc", "shingles", "bb.band", "bb.bh")
+        # both join sides read this — persist so minhash computes once
+        .persist()
+    )
     a = banded.select(
         F.col("doc").alias("da"), F.col("shingles").alias("sha"), "band", "bh"
     )

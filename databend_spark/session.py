@@ -70,10 +70,15 @@ def get_spark(app_name: str = "databend_spark") -> SparkSession:
     return spark
 
 
+# view-name → sf_dir currently registered, per SparkSession — avoids
+# re-reading 10 parquet footers on every suite-query call
+_REGISTERED: dict[tuple[int, str], str] = {}
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES
 ) -> None:
-    """Register the driver's parquet tables as temp views.
+    """Register the driver's parquet tables as temp views (memoized).
 
     Equivalent of the reference's stage/catalog attach
     (``src/query/sql/src/planner/binder/stage_location.rs``): scans are
@@ -81,10 +86,14 @@ def register_tables(
     column pruning and row-group min/max skipping for free
     (reference analog: ``storages/fuse/src/pruning/fuse_pruner.rs:88``).
     """
+    sid = id(spark)
     for t in tables:
+        if _REGISTERED.get((sid, t)) == sf_dir:
+            continue
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             load_table(spark, path).createOrReplaceTempView(t)
+            _REGISTERED[(sid, t)] = sf_dir
 
 
 def load_table(spark: SparkSession, path: str) -> DataFrame:
