@@ -1,0 +1,92 @@
+"""Plan-shape regression tests — the properties that matter at 100 TB.
+
+Mirrors the reference's EXPLAIN/join_order sqllogictests: instead of
+golden text we assert the structural facts (pushdown, pruning,
+broadcast, codegen, partial agg, TopN fusion) so Catalyst upgrades don't
+silently regress scale behavior.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from databend_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_partial_aggregation,
+    assert_pushed_filters,
+    assert_read_schema_only,
+    assert_top_n,
+    assert_whole_stage_codegen,
+)
+from databend_spark.session import register_tables
+from databend_spark.suite import queries
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _tables(spark, sf_dir):
+    register_tables(spark, sf_dir)
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = spark.table("lineitem").filter(F.col("l_quantity") < 5).select(
+        "l_orderkey"
+    )
+    assert_pushed_filters(df, "LessThan(l_quantity")
+
+
+def test_column_pruning(spark):
+    df = spark.table("lineitem").select("l_orderkey", "l_quantity")
+    assert_read_schema_only(df, "lineitem", {"l_orderkey", "l_quantity"})
+
+
+def test_tpch_q3_prunes_and_pushes(spark, sf_dir):
+    df = queries()["tpch_q3"](spark, sf_dir)
+    # the BUILDING predicate must reach the customer scan
+    assert_pushed_filters(df, "EqualTo(c_mktsegment,BUILDING)")
+    assert_whole_stage_codegen(df)
+    assert_no_cartesian(df)
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    df = queries()["tpch_q5"](spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    df = queries()["tpch_q1"](spark, sf_dir)
+    assert_partial_aggregation(df)
+    assert_whole_stage_codegen(df)
+
+
+def test_topn_fuses(spark):
+    df = (
+        spark.table("orders")
+        .orderBy(F.col("o_totalprice").desc())
+        .limit(10)
+    )
+    assert_top_n(df)
+
+
+def test_semi_join_not_materialized(spark, sf_dir):
+    from databend_spark.plans import physical_plan
+
+    df = queries()["tpch_q4"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan, plan
+
+
+def test_minhash_has_no_cartesian(spark, sf_dir):
+    df = queries()["llm_dedup_minhash_lsh"](spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    """The asof union-window plan must contain zero join operators —
+    that's the point of the rewrite (no per-key cross product)."""
+    from databend_spark.plans import physical_plan
+
+    df = queries()["join_asof"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan

@@ -1,0 +1,169 @@
+"""Incremental layer (streams/tasks/dynamic tables/time travel) and
+Structured Streaming tests."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    from databend_spark.streaming import VersionedTable
+
+    return VersionedTable(spark, str(tmp_path / "t"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, v string")
+
+
+def test_versioned_table_time_travel(spark, vt):
+    v1 = vt.append(_df(spark, [(1, "a")]))
+    t_between = time.time()
+    v2 = vt.append(_df(spark, [(2, "b"), (3, "c")]))
+    assert (v1, v2) == (1, 2)
+    assert vt.read().count() == 3
+    assert vt.read(version=1).count() == 1          # AT (SNAPSHOT)
+    assert vt.read_at_timestamp(t_between).count() == 1  # AT (TIMESTAMP)
+    assert {r.id for r in vt.changes(1).collect()} == {2, 3}  # CHANGES
+
+
+def test_stream_transactional_consumption(spark, vt):
+    from databend_spark.streaming import Stream
+
+    s = Stream(vt, "s1")           # created on empty table → tracks all
+    vt.append(_df(spark, [(1, "a")]))
+    assert s.has_data()
+    seen = []
+    s.consume(lambda df: seen.append(df.count()))
+    assert seen == [1]
+    assert not s.has_data()  # offset advanced
+
+    # failing consumer must NOT advance the offset
+    vt.append(_df(spark, [(2, "b")]))
+    with pytest.raises(RuntimeError):
+        s.consume(lambda df: (_ for _ in ()).throw(RuntimeError("boom")))
+    assert s.has_data()
+    s.consume(lambda df: seen.append(df.count()))
+    assert seen == [1, 1]
+
+
+def test_task_runner_dag_and_when(spark, vt):
+    from databend_spark.streaming import Stream, Task, TaskRunner
+
+    s = Stream(vt, "tsk")
+    vt.append(_df(spark, [(1, "a")]))
+    ran = []
+    r = TaskRunner()
+    r.add(Task("load", fn=lambda: ran.append("load"), when=s.has_data))
+    r.add(Task("transform", fn=lambda: ran.append("transform"), after=["load"]))
+    assert r.run_cycle() == ["load", "transform"]
+    # second cycle: stream not consumed → when still true; consume, then idle
+    s.consume(lambda df: None)
+    ran.clear()
+    executed = TaskRunner()
+    executed.add(Task("load", fn=lambda: ran.append("load"), when=s.has_data))
+    assert executed.run_cycle() == []
+
+
+def test_task_cycle_detection():
+    from databend_spark.streaming import Task, TaskRunner
+
+    r = TaskRunner()
+    r.add(Task("a", fn=lambda: None, after=["b"]))
+    r.add(Task("b", fn=lambda: None, after=["a"]))
+    with pytest.raises(RuntimeError, match="cycle"):
+        r.run_cycle()
+
+
+def test_dynamic_table_incremental(spark, vt, tmp_path):
+    from databend_spark.streaming import DynamicTable
+
+    dyn = DynamicTable(
+        spark,
+        vt,
+        str(tmp_path / "mv"),
+        query=lambda df: df.select("id", F.upper("v").alias("V")),
+        mode="incremental",
+    )
+    vt.append(_df(spark, [(1, "a")]))
+    assert dyn.refresh()
+    assert {r.V for r in dyn.read().collect()} == {"A"}
+    vt.append(_df(spark, [(2, "b")]))
+    assert dyn.refresh()
+    assert {r.V for r in dyn.read().collect()} == {"A", "B"}
+    assert not dyn.refresh()  # nothing new → no work
+
+
+def test_dynamic_table_full_recompute(spark, vt, tmp_path):
+    from databend_spark.streaming import DynamicTable
+
+    dyn = DynamicTable(
+        spark,
+        vt,
+        str(tmp_path / "mv2"),
+        query=lambda df: df.groupBy().agg(F.count("*").alias("n")),
+        mode="full",
+    )
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    dyn.refresh()
+    assert dyn.read().collect()[0].n == 2
+    vt.append(_df(spark, [(3, "c")]))
+    dyn.refresh()
+    assert dyn.read().collect()[0].n == 3
+
+
+def test_structured_streaming_windowed(spark, sf_dir, tmp_path):
+    from databend_spark.session import load_table
+    from databend_spark.streaming.structured import (
+        read_event_stream,
+        run_to_memory,
+        windowed_counts,
+    )
+
+    # stage a few micro-batch files from the driver events table
+    ev = load_table(spark, f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "stream_src")
+    ev.limit(500).coalesce(1).write.parquet(src)
+
+    stream = read_event_stream(spark, src)
+    assert stream.isStreaming
+    run_to_memory(windowed_counts(stream, window="1 hour"), "win_out")
+    out = spark.sql("SELECT * FROM win_out")
+    assert out.count() > 0
+    row = out.orderBy("window_start", "event_type").first()
+    assert row.n >= 1 and row.window_end > row.window_start
+
+
+def test_structured_streaming_session_window(spark, sf_dir, tmp_path):
+    from databend_spark.session import load_table
+    from databend_spark.streaming.structured import (
+        read_event_stream,
+        run_to_memory,
+        sessionized,
+    )
+
+    ev = load_table(spark, f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "sess_src")
+    ev.limit(300).coalesce(1).write.parquet(src)
+    run_to_memory(sessionized(read_event_stream(spark, src)), "sess_out")
+    out = spark.sql("SELECT * FROM sess_out")
+    assert out.count() > 0
+    assert out.filter(F.col("n_events") < 1).count() == 0
+
+
+def test_stream_tracks_from_creation_point(spark, vt):
+    """CREATE STREAM semantics: history before creation is not replayed."""
+    from databend_spark.streaming import Stream
+
+    vt.append(_df(spark, [(1, "old")]))
+    s = Stream(vt, "fresh")
+    assert not s.has_data()
+    vt.append(_df(spark, [(2, "new")]))
+    seen = []
+    s.consume(lambda df: seen.append({r.id for r in df.collect()}))
+    assert seen == [{2}]
+    # explicit full-history stream
+    s0 = Stream(vt, "full", at_version=0)
+    assert {r.id for r in s0.read().collect()} == {1, 2}
