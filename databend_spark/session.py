@@ -183,6 +183,48 @@ class SessionContext:
 
         return self.spark.sql(rewrite_databend_sql(query))
 
+    # -- system tables (reference: src/query/storages/system/, ~45 tables) --
+    def system(self, name: str) -> DataFrame:
+        """Introspection tables: system.tables / columns / functions /
+        settings — the most-used subset of the reference's system
+        catalog (``storages/system/src/{tables,columns,functions,
+        settings}_table.rs``)."""
+        spark = self.spark
+        if name == "tables":
+            rows = [
+                (t.name, t.tableType, bool(t.isTemporary))
+                for t in spark.catalog.listTables()
+            ]
+            return spark.createDataFrame(
+                rows or [("", "", True)],
+                "name string, table_type string, is_temporary boolean",
+            ).filter("name <> ''")
+        if name == "columns":
+            out = []
+            for t in spark.catalog.listTables():
+                for c in spark.catalog.listColumns(t.name):
+                    out.append((t.name, c.name, c.dataType, bool(c.nullable)))
+            return spark.createDataFrame(
+                out or [("", "", "", True)],
+                "table string, name string, type string, nullable boolean",
+            ).filter("table <> ''")
+        if name == "functions":
+            from databend_spark.functions.registry import COMPOSED, RENAME
+
+            rows = [(n, "rename", RENAME[n]) for n in RENAME] + [
+                (n, "composed", "") for n in COMPOSED
+            ]
+            return spark.createDataFrame(
+                rows, "name string, kind string, target string"
+            )
+        if name == "settings":
+            items = [
+                (k, v)
+                for k, v in self.spark.sparkContext.getConf().getAll()
+            ]
+            return spark.createDataFrame(items, "name string, value string")
+        raise ValueError(f"unknown system table: {name}")
+
     # -- COPY INTO (reference: plans/copy_into_table.rs) --------------------
     def copy_into(
         self, table: str, paths: list[str], fmt: str = "parquet", **options
@@ -196,7 +238,7 @@ class SessionContext:
         if not fresh:
             return 0
         reader = self.spark.read.options(**options)
-        df = getattr(reader, fmt)(fresh)
+        df = getattr(reader, fmt)(*fresh)
         if table in self.tables():
             df.write.insertInto(table)
         else:

@@ -64,18 +64,48 @@ class VersionedTable:
 
     def append(self, df: DataFrame) -> int:
         """Write a new snapshot: immutable data dir + log entry."""
+        return self._commit(df, mode="append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Commit a full-rewrite snapshot (mutation commit: UPDATE /
+        DELETE / MERGE land as copy-on-write rewrites, like the
+        reference's mutation blocks + commit,
+        ``storages/fuse/src/operations/commit.rs``). Earlier versions
+        stay readable via time travel."""
+        return self._commit(df, mode="overwrite")
+
+    def _commit(self, df: DataFrame, mode: str) -> int:
         log = self._read_log()
         version = (log[-1]["version"] + 1) if log else 1
         data_dir = os.path.join(self.path, f"v{version}_{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").parquet(data_dir)
-        log.append({"version": version, "dir": data_dir, "ts": time.time()})
+        log.append(
+            {"version": version, "dir": data_dir, "ts": time.time(), "mode": mode}
+        )
         self._write_log(log)
         return version
 
-    def _dirs(self, from_v: int, to_v: int) -> list[str]:
-        return [
-            e["dir"] for e in self._read_log() if from_v < e["version"] <= to_v
-        ]
+    def _dirs(
+        self, from_v: int, to_v: int, as_changes: bool = False
+    ) -> list[str]:
+        """Data dirs composing version ``to_v``, excluding data already
+        present at ``from_v``. A read (``as_changes=False``) starts from
+        the last overwrite commit; a change range (``as_changes=True``)
+        that crosses an overwrite cannot be represented as appended rows
+        and raises."""
+        entries = [e for e in self._read_log() if e["version"] <= to_v]
+        last_overwrite = 0  # version of the most recent overwrite commit
+        for e in entries:
+            if e.get("mode", "append") == "overwrite":
+                last_overwrite = e["version"]
+        if as_changes and last_overwrite > from_v:
+            raise ValueError(
+                "change range crosses an overwrite commit — append-only "
+                "stream semantics cannot represent it (reference standard-"
+                "mode streams require merge-on-read; out of scope)"
+            )
+        start = max(from_v, last_overwrite - 1)
+        return [e["dir"] for e in entries if start < e["version"]]
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read the table AT a version (time travel); latest by default."""
@@ -95,7 +125,7 @@ class VersionedTable:
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """CHANGES(...) — appended rows in (from_version, to_version]."""
         to_v = self.version if to_version is None else to_version
-        dirs = self._dirs(from_version, to_v)
+        dirs = self._dirs(from_version, to_v, as_changes=True)
         if not dirs:
             return self.read(self.version).limit(0)
         return self.spark.read.parquet(*dirs)

@@ -30,3 +30,7 @@ try:
     import databend_spark.suite.events  # noqa: F401
 except ImportError:
     pass
+try:
+    import databend_spark.suite.mutations_suite  # noqa: F401
+except ImportError:
+    pass

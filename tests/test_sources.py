@@ -1,0 +1,72 @@
+"""Stage readers/writers, COPY INTO file-history, INFER_SCHEMA, system
+tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from databend_spark.sources import infer_schema, read_stage, write_stage
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)],
+        "id int, name string, score double",
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "tsv", "ndjson", "orc"])
+def test_roundtrip(spark, sample, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    write_stage(sample, path, fmt)
+    back = read_stage(spark, path, fmt)
+    got = {
+        (r.id, r.name, r.score)
+        for r in back.select("id", "name", "score").collect()
+    }
+    want = {(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)}
+    assert got == want
+
+
+def test_unknown_format_rejected(spark):
+    with pytest.raises(ValueError, match="unknown file format"):
+        read_stage(spark, "/nowhere", "protobuf")
+
+
+def test_avro_needs_jar(spark, sample, tmp_path):
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        write_stage(sample, str(tmp_path / "a"), "avro")
+
+
+def test_infer_schema(spark, sample, tmp_path):
+    path = str(tmp_path / "p")
+    write_stage(sample, path, "parquet")
+    rows = {
+        (r.column_name, r.type) for r in infer_schema(spark, path).collect()
+    }
+    assert rows == {("id", "int"), ("name", "string"), ("score", "double")}
+
+
+def test_copy_into_dedups_file_history(ctx, spark, sample, tmp_path):
+    p1, p2 = str(tmp_path / "f1"), str(tmp_path / "f2")
+    sample.write.parquet(p1)
+    sample.write.parquet(p2)
+    table = "copy_target_test"
+    assert ctx.copy_into(table, [p1]) == 1
+    assert ctx.copy_into(table, [p1]) == 0          # already loaded
+    assert ctx.copy_into(table, [p1, p2]) == 1      # only the new file
+    assert spark.table(table).count() == 6
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_system_tables(ctx):
+    tables = {r.name for r in ctx.system("tables").collect()}
+    assert "lineitem" in tables
+    cols = ctx.system("columns").filter(F.col("table") == "lineitem")
+    assert "l_orderkey" in {r.name for r in cols.collect()}
+    fns = {r.name for r in ctx.system("functions").collect()}
+    assert {"lcase", "to_yyyymm", "div0"} <= fns
+    settings = {r.name for r in ctx.system("settings").collect()}
+    assert any(s.startswith("spark.") for s in settings)
+    with pytest.raises(ValueError, match="unknown system table"):
+        ctx.system("nope")
