@@ -17,9 +17,13 @@ from __future__ import annotations
 import re
 
 _UNSUPPORTED = [
-    (re.compile(r"\bCHANGES\s*\(", re.I), "CHANGES(...) — use databend_spark.streaming.stream_changes()"),
+    (re.compile(r"\bCHANGES\s*\(", re.I),
+     "CHANGES(...) — use databend_spark.streaming.VersionedTable.changes()"),
     (re.compile(r"\bAT\s*\(\s*(SNAPSHOT|TIMESTAMP|OFFSET|STREAM)\b", re.I),
-     "AT(...) time travel — use databend_spark.streaming.read_version()"),
+     "AT(...) time travel — use databend_spark.streaming.VersionedTable.read()"),
+    (re.compile(r"\bQUALIFY\b", re.I),
+     "QUALIFY — wrap the query in a subselect and filter the window "
+     "column in the outer WHERE (Spark SQL has no QUALIFY)"),
 ]
 
 # positional tuple access  t.1  →  t._1? Databend tuples map to Spark structs

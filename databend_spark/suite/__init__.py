@@ -34,3 +34,7 @@ try:
     import databend_spark.suite.mutations_suite  # noqa: F401
 except ImportError:
     pass
+try:
+    import databend_spark.suite.udf_suite  # noqa: F401
+except ImportError:
+    pass
