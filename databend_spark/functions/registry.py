@@ -319,10 +319,43 @@ def expand_sql_macros(sql: str) -> str:
 
 
 # --- SQL-text rename pass (used by sqlgen for the dialect surface) ----------
+# Explicit whitelist: only renames that are (a) not valid identifiers in
+# common SQL text with different meanings, and (b) signature-identical.
+# (e.g. `range`, `position`, `locate`, `contains`, `any`, `len`, `insert`
+# must NOT be text-rewritten — they collide with standard SQL or differ
+# in argument order; use databend_fn() from Python for those.)
 _SQL_SAFE_RENAMES = {
-    k: v
-    for k, v in RENAME.items()
-    if v not in ("cast_to_string", "parse_json_variant") and k != v
+    "char_length": "length",
+    "character_length": "length",
+    "lcase": "lower",
+    "ucase": "upper",
+    "to_datetime": "to_timestamp",
+    "to_day_of_week": "dayofweek",
+    "to_day_of_month": "dayofmonth",
+    "to_day_of_year": "dayofyear",
+    "to_hour": "hour",
+    "to_minute": "minute",
+    "to_second": "second",
+    "to_year": "year",
+    "to_month": "month",
+    "to_quarter": "quarter",
+    "to_week_of_year": "weekofyear",
+    "str_to_date": "to_date",
+    "regexp_substr": "regexp_extract",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "ord": "ascii",
+    "uniq": "approx_count_distinct",
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "group_concat": "listagg",
+    "array_length": "size",
+    "array_indexof": "array_position",
+    "siphash64": "xxhash64",
+    "city64withseed": "xxhash64",
+    "json_extract_path_text": "get_json_object",
 }
 _SQL_RENAME_RE = re.compile(
     r"\b(" + "|".join(sorted(_SQL_SAFE_RENAMES, key=len, reverse=True)) + r")\s*\(",

@@ -31,6 +31,10 @@ _UNSUPPORTED = [
 _TUPLE_FIELD = re.compile(r"(\w)\.(\d+)\b")
 
 _QUALIFY = re.compile(r"\bQUALIFY\b", re.I)
+_NUMBERS_TVF = re.compile(r"\bnumbers\s*\(\s*(\d+)\s*\)", re.I)
+_COUNT_EMPTY = re.compile(r"\bcount\s*\(\s*\)", re.I)
+_CREATE_TABLE = re.compile(r"\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP\w*\s+)?TABLE", re.I)
+_DDL_NULL = re.compile(r"(?<!NOT)\s+NULL(?=\s*[,)])", re.I)
 
 
 class UnsupportedSQL(Exception):
@@ -67,6 +71,13 @@ def rewrite_databend_sql(sql: str) -> str:
             raise UnsupportedSQL(f"unsupported Databend syntax: {msg}")
     # Databend positional tuple access `t.1` → Spark struct field `t.`1``
     masked = _TUPLE_FIELD.sub(r"\1.`\2`", masked)
+    # numbers(N) table function → range(N) with the reference column name
+    masked = _NUMBERS_TVF.sub(r"(SELECT id AS number FROM range(\1))", masked)
+    # zero-arg count() → count(*)
+    masked = _COUNT_EMPTY.sub("count(*)", masked)
+    # explicit `NULL` nullability marker in DDL (Spark only knows NOT NULL)
+    if _CREATE_TABLE.match(masked):
+        masked = _DDL_NULL.sub("", masked)
     # Databend function aliases → Spark names + expression macros
     from databend_spark.functions.registry import (
         expand_sql_macros,

@@ -1,0 +1,39 @@
+"""Run the reference's engine-neutral sqllogictest files (SURVEY.md §5).
+
+The reference's primary correctness corpus is sqllogictest; the DuckDB-
+ported suites under ``tests/sqllogictests/suites/duckdb/`` are engine-
+neutral SQL. ``tests/slt_green_files.txt`` pins the files this engine
+passes completely (34 files, ~880 cases at time of pinning) — they must
+stay green. The full sweep (with per-file pass/fail counts) runs via
+``tools/run_slt_sweep.py``.
+"""
+
+import os
+
+import pytest
+
+REFERENCE = "/root/reference"
+GREEN_LIST = os.path.join(os.path.dirname(__file__), "slt_green_files.txt")
+
+
+def _green_files():
+    if not os.path.exists(GREEN_LIST):
+        return []
+    with open(GREEN_LIST) as f:
+        rels = [line.strip() for line in f if line.strip()]
+    return [
+        os.path.join(REFERENCE, rel)
+        for rel in rels
+        if os.path.exists(os.path.join(REFERENCE, rel))
+    ]
+
+
+@pytest.mark.parametrize(
+    "path", _green_files(), ids=lambda p: p.split("suites/")[-1]
+)
+def test_slt_file_stays_green(spark, path):
+    from databend_spark.testkit import run_slt_file
+
+    rep = run_slt_file(spark, path)
+    assert rep.failed == 0, rep.failures[:5]
+    assert rep.passed > 0
