@@ -230,6 +230,18 @@ SQL_MACROS: dict[str, str] = {
     "to_uppercase": "upper({0})",
     "bit_length": "octet_length({0}) * 8",
     "json_get_string": "get_json_object({0}, {1})",
+    "add_years": "timestampadd(YEAR, {1}, {0})",
+    "add_months": "timestampadd(MONTH, {1}, {0})",
+    "add_days": "timestampadd(DAY, {1}, {0})",
+    "add_hours": "timestampadd(HOUR, {1}, {0})",
+    "add_minutes": "timestampadd(MINUTE, {1}, {0})",
+    "add_seconds": "timestampadd(SECOND, {1}, {0})",
+    "subtract_years": "timestampadd(YEAR, -({1}), {0})",
+    "subtract_months": "timestampadd(MONTH, -({1}), {0})",
+    "subtract_days": "timestampadd(DAY, -({1}), {0})",
+    "subtract_hours": "timestampadd(HOUR, -({1}), {0})",
+    "subtract_minutes": "timestampadd(MINUTE, -({1}), {0})",
+    "subtract_seconds": "timestampadd(SECOND, -({1}), {0})",
     "sum_if": "sum(CASE WHEN {1} THEN {0} END)",
     "avg_if": "avg(CASE WHEN {1} THEN {0} END)",
     "min_if": "min(CASE WHEN {1} THEN {0} END)",

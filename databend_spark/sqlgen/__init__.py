@@ -32,6 +32,33 @@ _TUPLE_FIELD = re.compile(r"(\w)\.(\d+)\b")
 
 _QUALIFY = re.compile(r"\bQUALIFY\b", re.I)
 _NUMBERS_TVF = re.compile(r"\bnumbers\s*\(\s*(\d+)\s*\)", re.I)
+
+# type-name aliases (Databend unsigned/width names + common dialect
+# spellings) → Spark types; unsigned widen per SURVEY §1.2
+_TYPE_ALIASES = [
+    (re.compile(r"\bUTINYINT\b", re.I), "SMALLINT"),
+    (re.compile(r"\bUSMALLINT\b", re.I), "INT"),
+    (re.compile(r"\bUINTEGER\b", re.I), "BIGINT"),
+    (re.compile(r"\bUBIGINT\b", re.I), "DECIMAL(20,0)"),
+    (re.compile(r"\bUINT8\b", re.I), "SMALLINT"),
+    (re.compile(r"\bUINT16\b", re.I), "INT"),
+    (re.compile(r"\bUINT32\b", re.I), "BIGINT"),
+    (re.compile(r"\bUINT64\b", re.I), "DECIMAL(20,0)"),
+    (re.compile(r"\bINT8\b", re.I), "BIGINT"),
+    (re.compile(r"\bINT4\b", re.I), "INT"),
+    (re.compile(r"\bINT2\b", re.I), "SMALLINT"),
+    (re.compile(r"\bINT1\b", re.I), "TINYINT"),
+    (re.compile(r"\bHUGEINT\b", re.I), "DECIMAL(38,0)"),
+    (re.compile(r"\bFLOAT4\b", re.I), "FLOAT"),
+    (re.compile(r"\bFLOAT8\b", re.I), "DOUBLE"),
+    (re.compile(r"\bVARCHAR\b(?!\s*\()", re.I), "STRING"),
+    # TEXT only in type position (cast syntax) — `text` is a common
+    # column name and must not be rewritten
+    (re.compile(r"::\s*TEXT\b", re.I), "::STRING"),
+    (re.compile(r"\bAS\s+TEXT\s*\)", re.I), "AS STRING)"),
+    (re.compile(r"\bBYTEA\b", re.I), "BINARY"),
+]
+_DDL_TEXT = re.compile(r"\bTEXT\b", re.I)
 _COUNT_EMPTY = re.compile(r"\bcount\s*\(\s*\)", re.I)
 _CREATE_TABLE = re.compile(r"\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP\w*\s+)?TABLE", re.I)
 _DDL_NULL = re.compile(r"(?<!NOT)\s+NULL(?=\s*[,)])", re.I)
@@ -66,9 +93,14 @@ def rewrite_databend_sql(sql: str) -> str:
     """Rewrite the Databend-only constructs we support; raise a clear
     error on the ones we don't (never silently mis-parse)."""
     masked, literals = _mask_strings(sql)
+    masked = masked.rstrip()
+    while masked.endswith(";"):
+        masked = masked[:-1].rstrip()
     for pat, msg in _UNSUPPORTED:
         if pat.search(masked):
             raise UnsupportedSQL(f"unsupported Databend syntax: {msg}")
+    for pat, repl in _TYPE_ALIASES:
+        masked = pat.sub(repl, masked)
     # Databend positional tuple access `t.1` → Spark struct field `t.`1``
     masked = _TUPLE_FIELD.sub(r"\1.`\2`", masked)
     # numbers(N) table function → range(N) with the reference column name
@@ -78,6 +110,7 @@ def rewrite_databend_sql(sql: str) -> str:
     # explicit `NULL` nullability marker in DDL (Spark only knows NOT NULL)
     if _CREATE_TABLE.match(masked):
         masked = _DDL_NULL.sub("", masked)
+        masked = _DDL_TEXT.sub("STRING", masked)
     # Databend function aliases → Spark names + expression macros
     from databend_spark.functions.registry import (
         expand_sql_macros,

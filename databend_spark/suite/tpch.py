@@ -330,3 +330,73 @@ sql_query(
     GROUP BY cntrycode
     """,
 )
+
+# --- Q16 (adapted: no partsupp — supplier/part relation via lineitem) -------
+sql_query(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#11'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_size
+    """,
+)
+
+# --- Q20 (adapted): suppliers shipping >1.1% of period volume ---------------
+sql_query(
+    "tpch_q20",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_suppkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > (
+              SELECT sum(CAST(l_quantity AS DECIMAL(12,2))) * 0.011
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          )
+      )
+    """,
+)
+
+# --- Q21 (adapted: no receipt/commit dates): multi-supplier orders where
+# exactly one supplier shipped after the order date ---------------------------
+sql_query(
+    "tpch_q21",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
