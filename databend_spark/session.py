@@ -59,6 +59,10 @@ def get_spark(app_name: str = "databend_spark") -> SparkSession:
         # driver testdata stores events.ts as parquet TIMESTAMP(NANOS) which
         # Spark has no native type for; read as long and convert at register
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Databend casts values on INSERT (binder/default_expr.rs); ANSI
+        # store assignment would reject e.g. string literals into
+        # timestamp columns
+        .config("spark.sql.storeAssignmentPolicy", "LEGACY")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
