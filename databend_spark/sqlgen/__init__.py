@@ -52,6 +52,7 @@ _TYPE_ALIASES = [
     (re.compile(r"\bFLOAT4\b", re.I), "FLOAT"),
     (re.compile(r"\bFLOAT8\b", re.I), "DOUBLE"),
     (re.compile(r"\bVARCHAR\b(?!\s*\()", re.I), "STRING"),
+    (re.compile(r"\bBOOL\b", re.I), "BOOLEAN"),
     # TEXT only in type position (cast syntax) — `text` is a common
     # column name and must not be rewritten
     (re.compile(r"::\s*TEXT\b", re.I), "::STRING"),
@@ -59,6 +60,20 @@ _TYPE_ALIASES = [
     (re.compile(r"\bBYTEA\b", re.I), "BINARY"),
 ]
 _DDL_TEXT = re.compile(r"\bTEXT\b", re.I)
+
+# Databend-only table options in DDL (fuse-engine knobs) — no Spark analog
+_DDL_OPTIONS = [
+    re.compile(r"\bENGINE\s*=\s*\w+", re.I),
+    re.compile(r"\bCLUSTER\s+BY\s*\([^)]*\)", re.I),
+    re.compile(
+        r"\b(row_per_block|block_per_segment|block_size_threshold|"
+        r"bloom_index_columns|storage_format|compression|data_retention_period_in_hours)"
+        r"\s*=\s*('[^']*'|\d+|\w+)",
+        re.I,
+    ),
+]
+# `settings (k = v[, ...])` statement prefix (per-query session settings)
+_SETTINGS_PREFIX = re.compile(r"^\s*settings\s*\([^)]*\)\s*", re.I)
 _COUNT_EMPTY = re.compile(r"\bcount\s*\(\s*\)", re.I)
 _CREATE_TABLE = re.compile(r"\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP\w*\s+)?TABLE", re.I)
 _DDL_NULL = re.compile(r"(?<!NOT)\s+NULL(?=\s*[,)])", re.I)
@@ -107,10 +122,14 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = _NUMBERS_TVF.sub(r"(SELECT id AS number FROM range(\1))", masked)
     # zero-arg count() → count(*)
     masked = _COUNT_EMPTY.sub("count(*)", masked)
+    # per-query settings prefix → engine defaults apply
+    masked = _SETTINGS_PREFIX.sub("", masked)
     # explicit `NULL` nullability marker in DDL (Spark only knows NOT NULL)
     if _CREATE_TABLE.match(masked):
         masked = _DDL_NULL.sub("", masked)
         masked = _DDL_TEXT.sub("STRING", masked)
+        for pat in _DDL_OPTIONS:
+            masked = pat.sub("", masked)
     # Databend function aliases → Spark names + expression macros
     from databend_spark.functions.registry import (
         expand_sql_macros,

@@ -26,6 +26,7 @@ formatting differs across engines), NULL ↔ "NULL", empty string ↔
 from __future__ import annotations
 
 import math
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -98,12 +99,36 @@ def run_slt_file(
 ) -> SLTReport:
     from databend_spark.sqlgen import rewrite_databend_sql
 
+    _or_replace_tbl = re.compile(
+        r"^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([\w.]+)", re.I
+    )
+    _or_replace_db = re.compile(
+        r"^\s*CREATE\s+OR\s+REPLACE\s+DATABASE\s+([\w.]+)", re.I
+    )
+
     def run_sql(sql: str):
+        # Spark v1 tables have no OR REPLACE — emulate with a pre-drop
+        m = _or_replace_tbl.match(sql)
+        if m:
+            spark.sql(f"DROP TABLE IF EXISTS {m.group(1)}")
+            sql = re.sub(r"OR\s+REPLACE\s+", "", sql, count=1, flags=re.I)
+        m = _or_replace_db.match(sql)
+        if m:
+            spark.sql(f"DROP DATABASE IF EXISTS {m.group(1)} CASCADE")
+            sql = re.sub(r"OR\s+REPLACE\s+", "", sql, count=1, flags=re.I)
         return spark.sql(rewrite_databend_sql(sql))
 
     if isolate:  # fresh database per file — files reuse table names
         db = "slt_" + re.sub(r"\W", "_", path.rsplit("/", 2)[-1])[:40].lower()
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        # a previously-killed run can leave orphan table dirs the catalog
+        # no longer tracks — LOCATION_ALREADY_EXISTS on re-create
+        import shutil
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(os.path.join(warehouse, f"{db}.db"), ignore_errors=True)
         spark.sql(f"CREATE DATABASE {db}")
         spark.sql(f"USE {db}")
         try:
@@ -175,13 +200,21 @@ def run_slt_file(
 
         if low.startswith("query"):
             header = line.split()
+            ncols = len(header[1]) if len(header) > 1 else 0
             sortmode = header[2] if len(header) > 2 else ""
             sql, i = read_sql(i + 1, stop_at_dashes=True)
             expected: list[list[str]] = []
             if i < n and lines[i].strip() == "----":
                 i += 1
                 while i < n and lines[i].strip() != "":
-                    expected.append(re.split(r"\s+", lines[i].strip()))
+                    # split into exactly ncols cells — only the last
+                    # column may contain embedded whitespace
+                    cells = (
+                        re.split(r"\s+", lines[i].strip(), maxsplit=ncols - 1)
+                        if ncols > 0
+                        else re.split(r"\s+", lines[i].strip())
+                    )
+                    expected.append(cells)
                     i += 1
             if pending_skip or any(r.search(sql) for r in skip_res):
                 pending_skip = False
