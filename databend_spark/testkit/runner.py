@@ -116,7 +116,20 @@ def run_slt_file(
         if m:
             spark.sql(f"DROP DATABASE IF EXISTS {m.group(1)} CASCADE")
             sql = re.sub(r"OR\s+REPLACE\s+", "", sql, count=1, flags=re.I)
-        return spark.sql(rewrite_databend_sql(sql))
+        rewritten = rewrite_databend_sql(sql)
+        try:
+            return spark.sql(rewritten)
+        except Exception as e:  # noqa: BLE001
+            # a killed run can leave orphan table dirs the catalog no
+            # longer tracks — remove the stale location and retry once
+            msg = str(e)
+            loc = re.search(r"location 'file:([^']+)' already exists", msg)
+            if "LOCATION_ALREADY_EXISTS" in msg and loc:
+                import shutil
+
+                shutil.rmtree(loc.group(1), ignore_errors=True)
+                return spark.sql(rewritten)
+            raise
 
     if isolate:  # fresh database per file — files reuse table names
         db = "slt_" + re.sub(r"\W", "_", path.rsplit("/", 2)[-1])[:40].lower()
