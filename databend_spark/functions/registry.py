@@ -211,6 +211,7 @@ SQL_MACROS: dict[str, str] = {
     "to_yyyymmdd": "CAST(date_format({0}, 'yyyyMMdd') AS INT)",
     "to_yyyymm": "CAST(date_format({0}, 'yyyyMM') AS INT)",
     "to_yyyymmddhhmmss": "CAST(date_format({0}, 'yyyyMMddHHmmss') AS BIGINT)",
+    "to_yyyymmddhh": "CAST(date_format({0}, 'yyyyMMddHH') AS BIGINT)",
     "to_start_of_month": "trunc({0}, 'month')",
     "to_start_of_quarter": "trunc({0}, 'quarter')",
     "to_start_of_year": "trunc({0}, 'year')",
@@ -242,11 +243,252 @@ SQL_MACROS: dict[str, str] = {
     "subtract_hours": "timestampadd(HOUR, -({1}), {0})",
     "subtract_minutes": "timestampadd(MINUTE, -({1}), {0})",
     "subtract_seconds": "timestampadd(SECOND, -({1}), {0})",
+    # _state/_merge combinators (reference aggregate_combinator_state.rs):
+    # states are structs with the reference's positional tuple layout —
+    # sum_state = (sum, flag), min/max_state = (flag, value, flag) — so
+    # `.1`/`.2` reads work like the reference's. uniq uses a real
+    # mergeable HLL sketch. Backquoted fields: macro expansion runs after
+    # the positional-tuple rewrite. See operators/agg_state.py for the
+    # DataFrame-API pipeline form.
+    # scalar range(): Databend/DuckDB end is EXCLUSIVE, Spark sequence()
+    # is inclusive (table-valued `FROM range(...)` is \x03-protected)
+    "range": {
+        2: "sequence({0}, ({1}) - 1)",
+        3: "sequence({0}, ({1}) - CAST(sign({2}) AS INT), {2})",
+    },
+    "map_size": "size({0})",
+    # entries-concat preserves insertion order (map_concat hash-scrambles
+    # it); LAST_WIN dedup keeps first position + last value like Databend
+    "map_cat": "map_from_entries(concat(map_entries({0}), map_entries({1})))",
+    # Databend array_indexof: NULL needle matches null elements; 0 when
+    # absent (Spark array_position nulls out on a NULL needle)
+    "array_indexof": (
+        "CASE WHEN ({0}) IS NULL THEN NULL"
+        " WHEN ({1}) IS NULL THEN"
+        " coalesce(array_position(transform({0}, x -> x IS NULL), true), 0)"
+        " ELSE array_position({0}, {1}) END"
+    ),
+    "array_concat": "concat({0}, {1})",
+    "array_unique": "size(array_d\x03istinct({0}))",
+    # Databend array_distinct drops NULL elements entirely
+    "array_distinct": "array_d\x03istinct(filter({0}, x -> x IS NOT NULL))",
+    "array_sum": (
+        "aggregate(filter({0}, x -> x IS NOT NULL), CAST(0 AS DOUBLE),"
+        " (acc, x) -> acc + x)"
+    ),
+    "array_avg": (
+        "(aggregate(filter({0}, x -> x IS NOT NULL), CAST(0 AS DOUBLE),"
+        " (acc, x) -> acc + x)"
+        " / size(filter({0}, x -> x IS NOT NULL)))"
+    ),
+    "map_insert": {
+        3: (
+            "map_from_entries(concat(map_entries({0}),"
+            " map_entries(map({1}, {2}))))"
+        ),
+        # allow_update flag: true → new value wins (append), false →
+        # existing value wins (prepend under LAST_WIN dedup)
+        4: (
+            "CASE WHEN {3} THEN map_from_entries(concat(map_entries({0}),"
+            " map_entries(map({1}, {2}))))"
+            " ELSE map_from_entries(concat(map_entries(map({1}, {2})),"
+            " map_entries({0}))) END"
+        ),
+    },
+    "array_remove_first": "sl\x03ice({0}, 2, greatest(size({0}) - 1, 0))",
+    "array_remove_last": "sl\x03ice({0}, 1, greatest(size({0}) - 1, 0))",
+    # Databend arg order is (elem, arr); Spark's is (arr, elem)
+    "array_prepend": "array_p\x03repend({1}, {0})",
+    # array access/slicing — Databend is 1-based with an inclusive end
+    # index; Spark is 0-based with a length arg
+    "get": "element_at({0}, {1})",
+    "array_get": "element_at({0}, {1})",
+    "slice": {
+        2: (
+            "sl\x03ice({0}, {1}, CASE WHEN ({1}) < 0 THEN -({1})"
+            " ELSE size({0}) - ({1}) + 1 END)"
+        ),
+        3: "sl\x03ice({0}, {1}, ({2}) - ({1}) + 1)",
+    },
+    "array_slice": {
+        2: (
+            "sl\x03ice({0}, {1}, CASE WHEN ({1}) < 0 THEN -({1})"
+            " ELSE size({0}) - ({1}) + 1 END)"
+        ),
+        3: "sl\x03ice({0}, {1}, ({2}) - ({1}) + 1)",
+    },
+    "strcmp": (
+        "CASE WHEN ({0}) IS NULL OR ({1}) IS NULL THEN NULL"
+        " WHEN ({0}) < ({1}) THEN -1 WHEN ({0}) > ({1}) THEN 1 ELSE 0 END"
+    ),
+    "oct": "conv(CAST({0} AS STRING), 10, 8)",
+    # MySQL-style INSERT(str, pos, len, repl); the bare word INSERT in
+    # DML never has '(' directly after it, so the macro can't misfire
+    "insert": {
+        4: (
+            "CASE WHEN ({1}) < 1 OR ({1}) > length({0}) THEN ({0})"
+            " ELSE concat(substr({0}, 1, ({1}) - 1), ({3}),"
+            " substr({0}, ({1}) + ({2}))) END"
+        ),
+    },
+    "hex_decode_string": "CAST(unhex({0}) AS STRING)",
+    "base64_decode_string": "CAST(unbase64({0}) AS STRING)",
+    # nullability adapters are no-ops in Spark (all columns nullable)
+    "to_nullable": "({0})",
+    "remove_nullable": "({0})",
+    "assume_not_null": (
+        "if(({0}) IS NULL,"
+        " raise_error('assume_not_null called on NULL value'), ({0}))"
+    ),
+    "database": "current_database()",
+    "currentdatabase": "current_database()",
+    "today": "current_date()",
+    "yesterday": "date_sub(current_date(), 1)",
+    "tomorrow": "date_add(current_date(), 1)",
+    # two-arg trims: Databend is trim(str, charset) but Spark's two-arg
+    # form is trim(charset, str) — swap via TRIM syntax. One-arg calls
+    # hit the template's {1} IndexError and pass through untouched.
+    "ltrim": "trim(LEADING {1} FROM {0})",
+    "rtrim": "trim(TRAILING {1} FROM {0})",
+    "sum_state": "named_struct('1', sum({0}), '2', true)",
+    "count_state": "named_struct('1', count({0}), '2', true)",
+    "min_state": "named_struct('1', true, '2', min({0}), '3', true)",
+    "max_state": "named_struct('1', true, '2', max({0}), '3', true)",
+    "avg_state": "named_struct('1', sum({0}), '2', count({0}))",
+    "uniq_state": "hll_sketch_agg({0})",
+    "sum_merge": "sum({0}.`1`)",
+    "count_merge": "sum({0}.`1`)",
+    "min_merge": "min({0}.`2`)",
+    "max_merge": "max({0}.`2`)",
+    "avg_merge": "(CAST(sum({0}.`1`) AS DOUBLE) / sum({0}.`2`))",
+    "uniq_merge": "hll_sketch_estimate(hll_union_agg({0}))",
     "sum_if": "sum(CASE WHEN {1} THEN {0} END)",
     "avg_if": "avg(CASE WHEN {1} THEN {0} END)",
     "min_if": "min(CASE WHEN {1} THEN {0} END)",
     "max_if": "max(CASE WHEN {1} THEN {0} END)",
     "count_if": "count(CASE WHEN {0} THEN 1 END)",
+}
+
+# scalar aggregates over a single array argument (Databend's array_*
+# family, aggregates applied element-wise: reference
+# src/query/functions/src/scalars/array.rs). All skip NULL elements.
+_ARR = "filter(({0}), x -> x IS NOT NULL)"
+_N = f"size({_ARR})"
+_S1 = f"aggregate({_ARR}, CAST(0 AS DOUBLE), (a, x) -> a + x)"
+_S2 = f"aggregate({_ARR}, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"
+_SORTED = f"array_sort({_ARR})"
+SQL_MACROS.update(
+    {
+        "array_count": _N,
+        "array_any": f"element_at({_ARR}, 1)",
+        "array_min": f"array_m\x03in({_ARR})",
+        "array_max": f"array_m\x03ax({_ARR})",
+        "array_stddev_samp": (
+            f"sqrt(({_S2} - {_S1} * {_S1} / {_N}) / ({_N} - 1))"
+        ),
+        "array_stddev_pop": f"sqrt(({_S2} - {_S1} * {_S1} / {_N}) / {_N})",
+        "array_stddev": (
+            f"sqrt(({_S2} - {_S1} * {_S1} / {_N}) / ({_N} - 1))"
+        ),
+        "array_std": f"sqrt(({_S2} - {_S1} * {_S1} / {_N}) / {_N})",
+        "array_median": (
+            f"CASE WHEN {_N} % 2 = 1"
+            f" THEN CAST(element_at({_SORTED}, ({_N} + 1) div 2) AS DOUBLE)"
+            f" ELSE (element_at({_SORTED}, {_N} div 2)"
+            f" + element_at({_SORTED}, {_N} div 2 + 1)) / 2.0 END"
+        ),
+    }
+)
+
+
+def _keyset_expr(args: list[str]) -> str | None:
+    """Key args of map_delete/map_pick: either one array expression or
+    N scalar keys."""
+    if len(args) < 2:
+        return None
+    if len(args) == 2 and args[1].lstrip().lower().startswith("array("):
+        return args[1]
+    return "array(" + ", ".join(args[1:]) + ")"
+
+
+def _map_delete(args: list[str]) -> str | None:
+    keys = _keyset_expr(args)
+    if keys is None:
+        return None
+    return f"map_filter({args[0]}, (k, v) -> NOT array_contains({keys}, k))"
+
+
+def _map_pick(args: list[str]) -> str | None:
+    keys = _keyset_expr(args)
+    if keys is None:
+        return None
+    return f"map_filter({args[0]}, (k, v) -> array_contains({keys}, k))"
+
+
+SQL_MACROS["map_delete"] = _map_delete
+SQL_MACROS["map_pick"] = _map_pick
+
+_TS_VALUED = re.compile(
+    r"\b(timestamp_micros|timestamp_millis|timestamp_seconds|to_timestamp|"
+    r"now|current_timestamp)\s*\(|::\s*timestamp\b",
+    re.I,
+)
+
+
+def _to_int64(args: list[str]) -> str | None:
+    """Databend to_int64(timestamp) = epoch micros; other args are a
+    plain bigint cast. Dispatch on the (already-rewritten) arg text."""
+    if len(args) != 1:
+        return None
+    if _TS_VALUED.search(args[0]):
+        return f"unix_micros({args[0]})"
+    return f"CAST({args[0]} AS BIGINT)"
+
+
+SQL_MACROS["to_int64"] = _to_int64
+
+# weekday-name args arrive as bare identifiers (previous_day(d, monday))
+_WEEKDAY_NUM = {  # Spark dayofweek(): 1 = Sunday
+    "sunday": 1, "monday": 2, "tuesday": 3, "wednesday": 4,
+    "thursday": 5, "friday": 6, "saturday": 7,
+}
+
+
+def _previous_day(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    n = _WEEKDAY_NUM.get(args[1].strip().lower())
+    if n is None:
+        return None
+    # largest date strictly before {d} whose dayofweek = n
+    return "date_sub({d}, pmod(dayofweek({d}) - {n} + 6, 7) + 1)".format(
+        d=args[0], n=n
+    )
+
+
+def _next_day(args: list[str]) -> str | None:
+    if len(args) != 2 or "\x00" in args[1]:
+        return None  # already a (masked) string literal — leave as-is
+    day = args[1].strip().lower()
+    if day not in _WEEKDAY_NUM:
+        return None
+    return f"next_d\x03ay({args[0]}, '{day}')"
+
+
+SQL_MACROS["previous_day"] = _previous_day
+SQL_MACROS["next_day"] = _next_day
+SQL_MACROS["timestamp_from_parts"] = {
+    6: "make_timestamp({0}, {1}, {2}, {3}, {4}, {5})",
+}
+SQL_MACROS["date_from_parts"] = {3: "make_date({0}, {1}, {2})"}
+
+# tuple(a, b, …) → named_struct with positional field names '1','2',…
+# (matches the t.N access rewrite and the reference's TUPLE display)
+SQL_MACROS["tuple"] = {
+    n: "named_struct("
+    + ", ".join(f"'{i + 1}', {{{i}}}" for i in range(n))
+    + ")"
+    for n in range(1, 13)
 }
 
 _MACRO_CALL_RE = re.compile(
@@ -294,11 +536,18 @@ def _split_top_level_args(s: str, start: int) -> tuple[list[str], int] | None:
 
 def expand_sql_macros(sql: str) -> str:
     """Expand Databend-only functions into Spark SQL expressions.
-    Handles nesting by iterating to fixpoint (bounded)."""
+    Handles nesting by iterating to fixpoint (bounded). A template whose
+    expansion contains its own name (e.g. slice → slice with adjusted
+    args) embeds \\x03 inside the name to stop re-expansion; the marker
+    is stripped on return."""
+
+    def done(s: str) -> str:
+        return s.replace("\x03", "")
+
     for _ in range(10):
         m = _MACRO_CALL_RE.search(sql)
         if not m:
-            return sql
+            return done(sql)
         out: list[str] = []
         pos = 0
         changed = False
@@ -314,9 +563,18 @@ def expand_sql_macros(sql: str) -> str:
                 continue
             args, after = parsed
             template = SQL_MACROS[m.group(1).lower()]
+            if isinstance(template, dict):  # arity-dispatched templates
+                template = template.get(len(args))
             try:
-                expansion = template.format(*args)
+                if template is None:
+                    expansion = None
+                elif callable(template):  # arg-inspecting templates
+                    expansion = template(args)
+                else:
+                    expansion = template.format(*args)
             except IndexError:
+                expansion = None
+            if expansion is None:
                 out.append(sql[pos:after])
                 pos = after
                 continue
@@ -326,8 +584,8 @@ def expand_sql_macros(sql: str) -> str:
             changed = True
         sql = "".join(out)
         if not changed:
-            return sql
-    return sql
+            return done(sql)
+    return done(sql)
 
 
 # --- SQL-text rename pass (used by sqlgen for the dialect surface) ----------
@@ -364,7 +622,6 @@ _SQL_SAFE_RENAMES = {
     "arg_min": "min_by",
     "group_concat": "listagg",
     "array_length": "size",
-    "array_indexof": "array_position",
     "siphash64": "xxhash64",
     "city64withseed": "xxhash64",
     "json_extract_path_text": "get_json_object",

@@ -63,6 +63,8 @@ def get_spark(app_name: str = "databend_spark") -> SparkSession:
         # store assignment would reject e.g. string literals into
         # timestamp columns
         .config("spark.sql.storeAssignmentPolicy", "LEGACY")
+        # Databend map_cat/map_insert overwrite on duplicate keys
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

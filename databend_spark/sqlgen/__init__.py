@@ -26,11 +26,16 @@ _UNSUPPORTED = [
      "column in the outer WHERE (Spark SQL has no QUALIFY)"),
 ]
 
-# positional tuple access  t.1  →  t._1? Databend tuples map to Spark structs
-# with positional field names `1`,`2`… which Spark needs backquoted.
-_TUPLE_FIELD = re.compile(r"(\w)\.(\d+)\b")
+# positional tuple access  t.1  →  t.`1`: Databend tuples map to Spark
+# structs with positional field names `1`,`2`… which Spark needs
+# backquoted. The receiver must be an identifier or a call's closing
+# paren — a leading digit would be a float literal like 1.5.
+_TUPLE_FIELD = re.compile(r"((?:[A-Za-z_]\w*|\)))\.(\d+)\b")
 
 _QUALIFY = re.compile(r"\bQUALIFY\b", re.I)
+_DROP_TABLE_ALL = re.compile(
+    r"(\bDROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?[\w.`]+)\s+ALL\b", re.I
+)
 _NUMBERS_TVF = re.compile(r"\bnumbers\s*\(\s*(\d+)\s*\)", re.I)
 
 # type-name aliases (Databend unsigned/width names + common dialect
@@ -48,6 +53,11 @@ _TYPE_ALIASES = [
     (re.compile(r"\bINT4\b", re.I), "INT"),
     (re.compile(r"\bINT2\b", re.I), "SMALLINT"),
     (re.compile(r"\bINT1\b", re.I), "TINYINT"),
+    (re.compile(r"\bINT16\b", re.I), "SMALLINT"),
+    (re.compile(r"\bINT32\b", re.I), "INT"),
+    (re.compile(r"\bINT64\b", re.I), "BIGINT"),
+    (re.compile(r"\bFLOAT32\b", re.I), "FLOAT"),
+    (re.compile(r"\bFLOAT64\b", re.I), "DOUBLE"),
     (re.compile(r"\bHUGEINT\b", re.I), "DECIMAL(38,0)"),
     (re.compile(r"\bFLOAT4\b", re.I), "FLOAT"),
     (re.compile(r"\bFLOAT8\b", re.I), "DOUBLE"),
@@ -104,6 +114,188 @@ def _unmask_strings(sql: str, literals: list[str]) -> str:
     return sql
 
 
+# identifier-ish chars for receiver scans (\x00 = masked string literal)
+_IDENT_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.`$\x00"
+)
+
+# keywords that can directly precede an array literal's '[' — an
+# identifier NOT in this set before '[' is a subscripted column/expr
+_BRACKET_KEYWORDS = frozenset(
+    """select from where when then else end and or not in is as on by all
+    distinct union except intersect having group order limit offset join
+    using case row values set array return returns between like ilike
+    rlike exists any some coalesce if nullif""".split()
+)
+
+
+# integer-literal temporal conversions: Databend to_date(N) = epoch
+# days; to_datetime/to_timestamp(N) auto-scales by magnitude (seconds /
+# millis / micros). Literal-only — column args keep string semantics.
+_TO_DATE_INT = re.compile(r"\bto_date\s*\(\s*(-?\d+)\s*\)", re.I)
+_TO_TS_INT = re.compile(r"\bto_(?:datetime|timestamp)\s*\(\s*(-?\d+)\s*\)", re.I)
+
+
+def _ts_int_repl(m: re.Match) -> str:
+    n = int(m.group(1))
+    if abs(n) >= 10**15:
+        return f"timestamp_micros({n})"
+    if abs(n) >= 10**12:
+        return f"timestamp_millis({n})"
+    return f"timestamp_seconds({n})"
+
+
+_INNER_BRACE = re.compile(r"\{([^{}]*)\}")
+
+
+def _rewrite_map_literals(s: str) -> str:
+    """Databend map literals ``{'k1': v1, 'k2': v2}`` → ``map('k1', v1,
+    'k2', v2)`` (operates on masked SQL, so braces inside strings are
+    invisible). Innermost-first to handle nested maps."""
+    for _ in range(20):
+        m = _INNER_BRACE.search(s)
+        if not m:
+            return s
+        body = m.group(1)
+        # depth-0 colons become commas (values may hold casts with '::'?
+        # no — '::' never appears bare at depth 0 inside a map literal)
+        out = []
+        depth = 0
+        for ch in body:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == ":" and depth == 0:
+                out.append(", ")
+            else:
+                out.append(ch)
+        s = s[: m.start()] + "map(" + "".join(out) + ")" + s[m.end() :]
+    return s
+
+
+# nested DDL type constructors → Spark generics (innermost-first loop)
+_ARRAY_TYPE = re.compile(r"\bARRAY\s*\(([^()]*)\)", re.I)
+_MAP_TYPE = re.compile(r"\bMAP\s*\(([^()]*)\)", re.I)
+_TUPLE_TYPE = re.compile(r"\bTUPLE\s*\(([^()<>]*)\)", re.I)
+
+
+def _rewrite_ddl_nested_types(s: str) -> str:
+    """``Array(Int Null)`` → ``ARRAY<INT>``, ``Map(String, Int)`` →
+    ``MAP<STRING, INT>``, ``Tuple(A, B)`` → ``STRUCT<`1`: A, `2`: B>``
+    (positional fields match the t.1 access rewrite). DDL-only — in DML
+    ``array(...)``/``map(...)`` are constructor calls."""
+
+    def strip_null(t: str) -> str:
+        return re.sub(r"\s+(NOT\s+)?NULL\b", "", t, flags=re.I).strip()
+
+    def tuple_repl(m: re.Match) -> str:
+        parts = [strip_null(p) for p in m.group(1).split(",")]
+        fields = ", ".join(f"`{i + 1}`: {p}" for i, p in enumerate(parts))
+        return f"STRUCT<{fields}>"
+
+    for _ in range(10):
+        new = _ARRAY_TYPE.sub(lambda m: f"ARRAY<{strip_null(m.group(1))}>", s)
+        new = _MAP_TYPE.sub(lambda m: f"MAP<{strip_null(m.group(1))}>", new)
+        new = _TUPLE_TYPE.sub(tuple_repl, new)
+        if new == s:
+            return s
+        s = new
+    return s
+
+
+def _rewrite_brackets(s: str) -> str:
+    """Databend/DuckDB bracket syntax → Spark (operates on masked SQL):
+
+    * array literals ``[1, 2]`` → ``array(1, 2)`` — a ``[`` is a literal
+      unless the previous non-space char is an identifier, ``)`` or ``]``;
+    * subscripts ``x[i]`` → ``element_at(x, i)`` — both source dialects
+      index arrays 1-based (and maps by key) while Spark's native ``[]``
+      is 0-based for arrays (reference: array get() in
+      tests/sqllogictests/suites/query/functions/02_0061_function_array.test).
+    """
+
+    def prev_nonspace(i: int) -> int:
+        j = i - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        return j
+
+    def is_literal_open(i: int) -> bool:
+        j = prev_nonspace(i)
+        if j < 0:
+            return True
+        if s[j] in ")]":
+            return False
+        if s[j] not in _IDENT_CHARS:
+            return True
+        # identifier right before '[': a keyword means a literal follows
+        # (SELECT [1,2] / WHEN [..] / ARRAY[..]), a column/expr name means
+        # a subscript
+        k = j
+        while k >= 0 and s[k] in _IDENT_CHARS:
+            k -= 1
+        return s[k + 1 : j + 1].lower() in _BRACKET_KEYWORDS
+
+    # pass 1: array literals (stack matches each ']' to its '[' kind)
+    out = list(s)
+    stack: list[bool] = []
+    for i, ch in enumerate(s):
+        if ch == "[":
+            lit = is_literal_open(i)
+            stack.append(lit)
+            if lit:
+                out[i] = "\x01"
+        elif ch == "]" and stack:
+            if stack.pop():
+                out[i] = "\x02"
+    s = "".join(out).replace("\x01", "array(").replace("\x02", ")")
+
+    # pass 2: subscripts, innermost-last (rescan after each rewrite)
+    for _ in range(100):
+        i = s.find("[")
+        if i == -1:
+            return s
+        depth, j = 0, i
+        for j in range(i, len(s)):
+            if s[j] == "[":
+                depth += 1
+            elif s[j] == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return s  # unbalanced — leave untouched
+        # receiver: identifier chain, optionally behind call/subscript parens
+        k = prev_nonspace(i)
+        end = k
+        while k >= 0:
+            if s[k] in ")]":
+                close = s[k]
+                opener = "(" if close == ")" else "["
+                d = 0
+                while k >= 0:
+                    if s[k] == close:
+                        d += 1
+                    elif s[k] == opener:
+                        d -= 1
+                        if d == 0:
+                            break
+                    k -= 1
+                k -= 1
+            elif s[k] in _IDENT_CHARS:
+                while k >= 0 and s[k] in _IDENT_CHARS:
+                    k -= 1
+                break
+            else:
+                break
+        start = k + 1
+        recv = s[start : end + 1]
+        idx = s[i + 1 : j]
+        s = s[:start] + f"element_at({recv}, {idx})" + s[j + 1 :]
+    return s
+
+
 def rewrite_databend_sql(sql: str) -> str:
     """Rewrite the Databend-only constructs we support; raise a clear
     error on the ones we don't (never silently mis-parse)."""
@@ -120,8 +312,22 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = _TUPLE_FIELD.sub(r"\1.`\2`", masked)
     # numbers(N) table function → range(N) with the reference column name
     masked = _NUMBERS_TVF.sub(r"(SELECT id AS number FROM range(\1))", masked)
+    # protect table-valued range(...) from the scalar range() macro
+    # (Databend scalar range(a,b) = exclusive-end array); \x03 is
+    # stripped by expand_sql_macros
+    masked = re.sub(
+        r"(\bFROM\s+)ra()nge(\s*\()", "\\1ra\x03nge\\3", masked, flags=re.I
+    )
     # zero-arg count() → count(*)
     masked = _COUNT_EMPTY.sub("count(*)", masked)
+    # Databend `DROP TABLE t ALL` (also purges data) → plain DROP TABLE
+    masked = _DROP_TABLE_ALL.sub(r"\1", masked)
+    if "[" in masked:
+        masked = _rewrite_brackets(masked)
+    if "{" in masked:
+        masked = _rewrite_map_literals(masked)
+    masked = _TO_DATE_INT.sub(r"date_add(DATE'1970-01-01', \1)", masked)
+    masked = _TO_TS_INT.sub(_ts_int_repl, masked)
     # per-query settings prefix → engine defaults apply
     masked = _SETTINGS_PREFIX.sub("", masked)
     # explicit `NULL` nullability marker in DDL (Spark only knows NOT NULL)
@@ -130,6 +336,10 @@ def rewrite_databend_sql(sql: str) -> str:
         masked = _DDL_TEXT.sub("STRING", masked)
         for pat in _DDL_OPTIONS:
             masked = pat.sub("", masked)
+        # column-list DDL only — in CTAS the body's array()/map() are
+        # constructor calls, not types
+        if not re.search(r"\bAS\s*\(?\s*SELECT\b", masked, re.I):
+            masked = _rewrite_ddl_nested_types(masked)
     # Databend function aliases → Spark names + expression macros
     from databend_spark.functions.registry import (
         expand_sql_macros,

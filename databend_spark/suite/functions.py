@@ -426,3 +426,91 @@ sql_query(
     """,
     oracle=None,
 )
+
+
+# --- _state/_merge combinators (aggregate_combinator_state.rs) -------------
+# Mergeable partial-aggregate states: fine-granularity states are merged
+# up to coarser keys without rescanning the fact table — the
+# aggregating-index pattern (reference suites/query/index/
+# 02_aggregating_index). Oracle is the equivalent single-pass aggregate:
+# state+merge must be indistinguishable from direct aggregation.
+def _agg_state_merge(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from databend_spark.operators.agg_state import (
+        StateSpec,
+        merge_states,
+        partial_states,
+    )
+
+    li = spark.table("lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.month("l_shipdate").alias("ship_month"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    specs = [
+        StateSpec("sum", "qty", "sum_qty_state"),
+        StateSpec("count", "qty", "count_order"),
+        StateSpec("min", "price", "min_price"),
+        StateSpec("max", "price", "max_price"),
+    ]
+    fine = partial_states(
+        li, ["l_returnflag", "l_linestatus", "ship_month"], specs
+    )
+    merged = merge_states(fine, ["l_returnflag", "l_linestatus"], specs)
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty_state").cast("double").alias("sum_qty"),
+        F.col("count_order").cast("bigint").alias("count_order"),
+        (
+            F.col("sum_qty_state").cast("double") / F.col("count_order")
+        ).alias("avg_qty"),
+        "min_price",
+        "max_price",
+    )
+
+
+def _agg_state_uniq(spark, sf_dir):
+    # HLL-sketch states (uniq_state analog): estimates are
+    # sketch-implementation-specific → rows-only driver check; exactness
+    # of the merge itself is pinned in tests/test_agg_state.py.
+    from pyspark.sql import functions as F
+
+    from databend_spark.operators.agg_state import (
+        StateSpec,
+        merge_states,
+        partial_states,
+    )
+
+    o = spark.table("orders").select(
+        "o_orderstatus", F.month("o_orderdate").alias("m"), "o_custkey"
+    )
+    specs = [StateSpec("uniq", "o_custkey", "uniq_custs")]
+    fine = partial_states(o, ["o_orderstatus", "m"], specs)
+    return merge_states(fine, ["o_orderstatus"], specs)
+
+
+def _register_state_queries():
+    from databend_spark.suite.base import register
+
+    register(
+        "agg_state_merge",
+        oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(count(l_quantity) AS BIGINT) AS count_order,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(l_quantity) AS avg_qty,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        doc="_state/_merge combinator pipeline == direct aggregation",
+    )(_agg_state_merge)
+    register("agg_state_uniq", oracle=None)(_agg_state_uniq)
+
+
+_register_state_queries()
