@@ -205,6 +205,9 @@ SQL_MACROS: dict[str, str] = {
     "to_int32": "CAST({0} AS INT)",
     "to_int64": "CAST({0} AS BIGINT)",
     "to_uint64": "CAST({0} AS DECIMAL(20,0))",
+    "to_uint8": "CAST({0} AS SMALLINT)",
+    "to_uint16": "CAST({0} AS INT)",
+    "to_uint32": "CAST({0} AS BIGINT)",
     "to_float32": "CAST({0} AS FLOAT)",
     "to_float64": "CAST({0} AS DOUBLE)",
     "to_boolean": "CAST({0} AS BOOLEAN)",
@@ -220,8 +223,22 @@ SQL_MACROS: dict[str, str] = {
     "to_start_of_hour": "date_trunc('hour', {0})",
     "to_start_of_minute": "date_trunc('minute', {0})",
     "between_days": "datediff({1}, {0})",
-    "ifnull": "coalesce({0}, {1})",
-    "nvl": "coalesce({0}, {1})",
+    "ifnull": {1: "({0})", 2: "coalesce({0}, {1})"},
+    "nvl": {1: "({0})", 2: "coalesce({0}, {1})"},
+    "unnest": "explode({0})",
+    "generate_series": {
+        2: "explode(sequence({0}, {1}))",
+        3: "explode(sequence({0}, {1}, {2}))",
+    },
+    "unicode": "ascii({0})",
+    "object_keys": "json_object_keys({0})",
+    # our Variant model keeps JSON as strings (COMPOSED parse_json_variant)
+    "parse_json": {1: "({0})"},
+    "try_parse_json": {1: "({0})"},
+    # to_decimal(p, s)(x) arrives as to_decimal(x, p, s) after the
+    # parameterized-call normalization
+    "try_to_decimal": {3: "try_cast({0} AS DECIMAL({1}, {2}))"},
+    "to_decimal": {3: "CAST({0} AS DECIMAL({1}, {2}))"},
     "nvl2": "CASE WHEN {0} IS NOT NULL THEN {1} ELSE {2} END",
     "div0": "CASE WHEN {1} = 0 THEN 0.0 ELSE {0} / {1} END",
     "divnull": "{0} / nullif({1}, 0)",
@@ -366,7 +383,29 @@ SQL_MACROS: dict[str, str] = {
     "avg_if": "avg(CASE WHEN {1} THEN {0} END)",
     "min_if": "min(CASE WHEN {1} THEN {0} END)",
     "max_if": "max(CASE WHEN {1} THEN {0} END)",
-    "count_if": "count(CASE WHEN {0} THEN 1 END)",
+    "count_if": {
+        1: "count(CASE WHEN {0} THEN 1 END)",
+        2: "count(CASE WHEN {1} THEN {0} END)",
+    },
+    "sum_distinct": "sum(DISTINCT {0})",
+    "count_distinct": "count(DISTINCT {0})",
+    "avg_distinct": "avg(DISTINCT {0})",
+    "intdiv": "({0} div {1})",
+    # MySQL LOCATE('', s, p) = p (Spark returns 1 for an empty needle)
+    "locate": {
+        3: (
+            "CASE WHEN length({0}) = 0 THEN"
+            " IF(({2}) <= length({1}) + 1, CAST({2} AS INT), 0)"
+            " ELSE l\x03ocate({0}, {1}, {2}) END"
+        ),
+    },
+    "instr": {3: "l\x03ocate({1}, {0}, {2})"},
+    # ClickHouse running_difference: x - previous x in input order;
+    # first row yields 0
+    "running_difference": (
+        "({0} - lag({0}, 1, {0}) OVER"
+        " (ORDER BY monotonically_increasing_id()))"
+    ),
 }
 
 # scalar aggregates over a single array argument (Databend's array_*
@@ -474,6 +513,81 @@ def _next_day(args: list[str]) -> str | None:
         return None
     return f"next_d\x03ay({args[0]}, '{day}')"
 
+
+def _uniq(args: list[str]) -> str | None:
+    """Databend's uniq: the reference's tests treat it as exact (HLL
+    stays in exact mode at test cardinalities) — use COUNT(DISTINCT)."""
+    if not args:
+        return None
+    return "count(DISTINCT " + ", ".join(args) + ")"
+
+
+SQL_MACROS["uniq"] = _uniq
+
+
+def _any_agg(args: list[str]) -> str | None:
+    """Databend any(col) = any_value; but `> ANY (subquery)` must pass
+    through untouched — dispatch on the argument text."""
+    if len(args) != 1 or args[0].lstrip().lower().startswith(
+        ("select", "with", "values")
+    ):
+        return None
+    return f"any_value({args[0]}, true)"  # Databend any skips NULLs
+
+
+def _if_variadic(args: list[str]) -> str | None:
+    """Databend if() accepts cond/value pairs plus else (variadic CASE);
+    the 3-arg form is Spark-native and passes through."""
+    if len(args) < 5 or len(args) % 2 == 0:
+        return None
+    whens = " ".join(
+        f"WHEN {args[i]} THEN {args[i + 1]}"
+        for i in range(0, len(args) - 1, 2)
+    )
+    return f"CASE {whens} ELSE {args[-1]} END"
+
+
+SQL_MACROS["any"] = _any_agg
+SQL_MACROS["if"] = _if_variadic
+
+
+def _retention(args: list[str]) -> str | None:
+    """Databend retention(c1, …, cn) aggregate → array of 0/1 flags:
+    r[1] = max(c1); r[i] = max(c1 AND ci) (reference
+    aggregates/aggregate_retention.rs)."""
+    if len(args) < 2:
+        return None
+    first = f"max(IF({args[0]}, 1, 0))"
+    cells = [f"CAST({first} AS TINYINT)"]
+    cells += [
+        f"CAST({first} * max(IF({c}, 1, 0)) AS TINYINT)" for c in args[1:]
+    ]
+    return "array(" + ", ".join(cells) + ")"
+
+
+SQL_MACROS["retention"] = _retention
+# Databend stddev/std default to POPULATION (aggregate_stddev.rs);
+# Spark's default is sample
+SQL_MACROS["stddev"] = "stddev_pop({0})"
+SQL_MACROS["std"] = "stddev_pop({0})"
+SQL_MACROS["median_tdigest"] = "percentile({0}, 0.5)"
+
+
+def _quantile_cont(args: list[str]) -> str | None:
+    """quantile_cont(x[, p...]) after the fn(p)(x) → fn(x, p...)
+    normalization; multiple quantiles return an array."""
+    if not args:
+        return None
+    if len(args) == 1:
+        return f"percentile({args[0]}, 0.5)"
+    if len(args) == 2:
+        return f"percentile({args[0]}, {args[1]})"
+    return f"percentile({args[0]}, array({', '.join(args[1:])}))"
+
+
+SQL_MACROS["quantile_cont"] = _quantile_cont
+SQL_MACROS["quantile_tdigest"] = _quantile_cont
+SQL_MACROS["quantile"] = {2: "percentile({0}, {1})"}
 
 SQL_MACROS["previous_day"] = _previous_day
 SQL_MACROS["next_day"] = _next_day
@@ -617,7 +731,6 @@ _SQL_SAFE_RENAMES = {
     "to_hex": "hex",
     "from_hex": "unhex",
     "ord": "ascii",
-    "uniq": "approx_count_distinct",
     "arg_max": "max_by",
     "arg_min": "min_by",
     "group_concat": "listagg",

@@ -36,7 +36,14 @@ _QUALIFY = re.compile(r"\bQUALIFY\b", re.I)
 _DROP_TABLE_ALL = re.compile(
     r"(\bDROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?[\w.`]+)\s+ALL\b", re.I
 )
-_NUMBERS_TVF = re.compile(r"\bnumbers\s*\(\s*(\d+)\s*\)", re.I)
+_DROP_DB = re.compile(
+    r"\bDROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?[\w.`]+(?!\s*CASCADE)\s*$",
+    re.I,
+)
+_LIMIT_OFFSET = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.I)
+_NUMBERS_TVF = re.compile(
+    r"\bnumbers(?:_mt|_local)?\s*\(\s*([\d\s*+/-]+)\s*\)", re.I
+)
 
 # type-name aliases (Databend unsigned/width names + common dialect
 # spellings) → Spark types; unsigned widen per SURVEY §1.2
@@ -59,6 +66,8 @@ _TYPE_ALIASES = [
     (re.compile(r"\bFLOAT32\b", re.I), "FLOAT"),
     (re.compile(r"\bFLOAT64\b", re.I), "DOUBLE"),
     (re.compile(r"\bHUGEINT\b", re.I), "DECIMAL(38,0)"),
+    (re.compile(r"\bDATETIME\s*\(\s*\d+\s*\)", re.I), "TIMESTAMP"),
+    (re.compile(r"\bDATETIME\b", re.I), "TIMESTAMP"),
     (re.compile(r"\bFLOAT4\b", re.I), "FLOAT"),
     (re.compile(r"\bFLOAT8\b", re.I), "DOUBLE"),
     (re.compile(r"\bVARCHAR\b(?!\s*\()", re.I), "STRING"),
@@ -68,6 +77,9 @@ _TYPE_ALIASES = [
     (re.compile(r"::\s*TEXT\b", re.I), "::STRING"),
     (re.compile(r"\bAS\s+TEXT\s*\)", re.I), "AS STRING)"),
     (re.compile(r"\bBYTEA\b", re.I), "BINARY"),
+    # our Variant model is JSON-as-string (functions.registry
+    # parse_json_variant); Spark 4's native VARIANT lacks most accessors
+    (re.compile(r"\bVARIANT\b", re.I), "STRING"),
 ]
 _DDL_TEXT = re.compile(r"\bTEXT\b", re.I)
 
@@ -145,6 +157,19 @@ def _ts_int_repl(m: re.Match) -> str:
     return f"timestamp_seconds({n})"
 
 
+# simple-operand infix rewrites (complex operands keep Spark semantics)
+_CARET_POW = re.compile(r"([\w.]+(?:\([^()]*\))?)\s*\^\s*(-?[\w.]+(?:\([^()]*\))?)")
+_SQRT_OP = re.compile(r"\|/\s*(-?[\w.]+(?:\([^()]*\))?)")
+_CBRT_OP = re.compile(r"\|\|/\s*(-?[\w.]+(?:\([^()]*\))?)")
+
+_PARAM_AGG = re.compile(
+    r"\b(quantile_cont|quantile_disc|quantile_tdigest|quantile|"
+    r"try_to_decimal|to_decimal|"
+    r"group_array_moving_avg|group_array_moving_sum)"
+    r"\s*\(([^()]*)\)\s*\(((?:[^()]|\([^()]*\))*)\)",
+    re.I,
+)
+
 _INNER_BRACE = re.compile(r"\{([^{}]*)\}")
 
 
@@ -191,7 +216,18 @@ def _rewrite_ddl_nested_types(s: str) -> str:
 
     def tuple_repl(m: re.Match) -> str:
         parts = [strip_null(p) for p in m.group(1).split(",")]
-        fields = ", ".join(f"`{i + 1}`: {p}" for i, p in enumerate(parts))
+        # named fields (`Tuple(a Int, b String)`) keep their names;
+        # unnamed get positional names matching the t.N access rewrite
+        named = all(len(p.split()) >= 2 for p in parts)
+        if named:
+            fields = ", ".join(
+                f"{p.split(None, 1)[0]}: {p.split(None, 1)[1]}"
+                for p in parts
+            )
+        else:
+            fields = ", ".join(
+                f"`{i + 1}`: {p}" for i, p in enumerate(parts)
+            )
         return f"STRUCT<{fields}>"
 
     for _ in range(10):
@@ -322,12 +358,24 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = _COUNT_EMPTY.sub("count(*)", masked)
     # Databend `DROP TABLE t ALL` (also purges data) → plain DROP TABLE
     masked = _DROP_TABLE_ALL.sub(r"\1", masked)
+    # Databend DROP DATABASE cascades implicitly
+    masked = _DROP_DB.sub(r"\g<0> CASCADE", masked)
+    # MySQL LIMIT offset, count
+    masked = _LIMIT_OFFSET.sub(r"LIMIT \2 OFFSET \1", masked)
     if "[" in masked:
         masked = _rewrite_brackets(masked)
     if "{" in masked:
         masked = _rewrite_map_literals(masked)
     masked = _TO_DATE_INT.sub(r"date_add(DATE'1970-01-01', \1)", masked)
     masked = _TO_TS_INT.sub(_ts_int_repl, masked)
+    # ClickHouse-style parameterized aggregates fn(p)(x) → fn(x, p)
+    masked = _PARAM_AGG.sub(r"\1(\3, \2)", masked)
+    # Databend integer division a // b (strings are masked out)
+    masked = masked.replace("//", " div ")
+    # ^ is exponentiation (Spark: bitxor); |/ is square root
+    masked = _CARET_POW.sub(r"pow(\1, \2)", masked)
+    masked = _CBRT_OP.sub(r"cbrt(\1)", masked)
+    masked = _SQRT_OP.sub(r"sqrt(\1)", masked)
     # per-query settings prefix → engine defaults apply
     masked = _SETTINGS_PREFIX.sub("", masked)
     # explicit `NULL` nullability marker in DDL (Spark only knows NOT NULL)

@@ -136,8 +136,8 @@ def _rows_match(expected: list[list[str]], actual: list[list[str]]) -> bool:
             continue
         # cell-count mismatch happens when a non-last column embeds
         # spaces (the file format is space-separated) — fall back to
-        # whole-line comparison
-        if " ".join(er) != " ".join(ar):
+        # whole-line comparison (still tolerant of temporal padding)
+        if not _cells_match(" ".join(er), " ".join(ar)):
             return False
     return True
 
@@ -350,8 +350,14 @@ def run_slt_file(
                 rep.failed += 1
                 rep.failures.append(f"query failed: {sql[:120]} :: {e}")
                 continue
-            actual = [[_norm_cell(v) for v in row] for row in rows]
-            exp = expected
+            # canonicalize boolean spellings on BOTH sides before any
+            # sorting — 'true' and '1' sort to different positions
+            canon = {"true": "1", "false": "0", "True": "1", "False": "0"}
+            actual = [
+                [canon.get(_norm_cell(v), _norm_cell(v)) for v in row]
+                for row in rows
+            ]
+            exp = [[canon.get(c, c) for c in row] for row in expected]
             if sortmode == "rowsort" or not sortmode:
                 # reference runner sorts both sides unless results are
                 # guaranteed ordered; sorting both is the safe compare
