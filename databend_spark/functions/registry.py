@@ -566,6 +566,103 @@ def _retention(args: list[str]) -> str | None:
 
 
 SQL_MACROS["retention"] = _retention
+
+# bitmap SQL surface over the sorted-distinct-array model
+# (functions/bitmap.py; reference src/query/functions/src/scalars/bitmap.rs)
+SQL_MACROS.update(
+    {
+        "build_bitmap": "array_sort(array_d\x03istinct({0}))",
+        "bitmap_count": "CAST(size({0}) AS BIGINT)",
+        "bitmap_cardinality": "CAST(size({0}) AS BIGINT)",
+        "bitmap_contains": "array_contains({0}, {1})",
+        "bitmap_has_all": "(size(array_except({1}, {0})) = 0)",
+        "bitmap_has_any": "arrays_overlap({0}, {1})",
+        "bitmap_max": "array_max({0})",
+        "bitmap_min": "array_min({0})",
+        "bitmap_or": "array_sort(array_union({0}, {1}))",
+        "bitmap_and": "array_sort(array_intersect({0}, {1}))",
+        "bitmap_xor": (
+            "array_sort(array_except(array_union({0}, {1}),"
+            " array_intersect({0}, {1})))"
+        ),
+        "bitmap_not": "array_sort(array_except({0}, {1}))",
+        "bitmap_and_not": "array_sort(array_except({0}, {1}))",
+        # 1-arg forms are aggregates folding bitmaps across rows
+        # (reference aggregate_bitmap.rs); 2-arg forms are scalar
+        "bitmap_and_count": {
+            1: (
+                "CAST(size(aggregate(collect_list({0}),"
+                " CAST(NULL AS ARRAY<BIGINT>),"
+                " (acc, x) -> IF(acc IS NULL, x, array_intersect(acc, x))))"
+                " AS BIGINT)"
+            ),
+            2: "CAST(size(array_intersect({0}, {1})) AS BIGINT)",
+        },
+        "bitmap_or_count": {
+            1: (
+                "CAST(size(array_d\x03istinct(flatten(collect_list({0}))))"
+                " AS BIGINT)"
+            ),
+            2: "CAST(size(array_union({0}, {1})) AS BIGINT)",
+        },
+        "bitmap_xor_count": {
+            1: (
+                "CAST(size(aggregate(collect_list({0}),"
+                " CAST(NULL AS ARRAY<BIGINT>),"
+                " (acc, x) -> IF(acc IS NULL, x,"
+                " array_except(array_union(acc, x),"
+                " array_intersect(acc, x))))) AS BIGINT)"
+            ),
+            2: (
+                "CAST(size(array_except(array_union({0}, {1}),"
+                " array_intersect({0}, {1}))) AS BIGINT)"
+            ),
+        },
+        "bitmap_not_count": {
+            1: (
+                "CAST(size(aggregate(collect_list({0}),"
+                " CAST(NULL AS ARRAY<BIGINT>),"
+                " (acc, x) -> IF(acc IS NULL, x, array_except(acc, x))))"
+                " AS BIGINT)"
+            ),
+            2: "CAST(size(array_except({0}, {1})) AS BIGINT)",
+        },
+        "bitmap_union": (
+            "array_sort(array_d\x03istinct(flatten(collect_list({0}))))"
+        ),
+        "bitmap_intersect": (
+            "aggregate(collect_list({0}), CAST(NULL AS ARRAY<BIGINT>),"
+            " (acc, x) -> IF(acc IS NULL, x, array_intersect(acc, x)))"
+        ),
+        "group_bitmap_agg": "array_sort(collect_set(CAST({0} AS BIGINT)))",
+        "bitmap_construct_agg": (
+            "array_sort(collect_set(CAST({0} AS BIGINT)))"
+        ),
+        "bitmap_to_array": "({0})",
+        "list": "collect_list({0})",
+        "sub_bitmap": "sl\x03ice({0}, ({1}) + 1, {2})",
+        "bitmap_subset_limit": (
+            "sl\x03ice(filter({0}, x -> x >= {1}), 1, {2})"
+        ),
+        "bitmap_subset_in_range": (
+            "filter({0}, x -> x >= {1} AND x < {2})"
+        ),
+    }
+)
+
+
+def _to_bitmap(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    if "\x00" in args[0]:  # string literal '0, 1, 2'
+        return (
+            "array_sort(array_d\x03istinct(transform("
+            f"split({args[0]}, ','), x -> CAST(trim(x) AS BIGINT))))"
+        )
+    return f"array(CAST({args[0]} AS BIGINT))"
+
+
+SQL_MACROS["to_bitmap"] = _to_bitmap
 # Databend stddev/std default to POPULATION (aggregate_stddev.rs);
 # Spark's default is sample
 SQL_MACROS["stddev"] = "stddev_pop({0})"
@@ -588,6 +685,63 @@ def _quantile_cont(args: list[str]) -> str | None:
 SQL_MACROS["quantile_cont"] = _quantile_cont
 SQL_MACROS["quantile_tdigest"] = _quantile_cont
 SQL_MACROS["quantile"] = {2: "percentile({0}, {1})"}
+
+def _cast_two_arg(args: list[str]) -> str | None:
+    """Databend's function-style cast(expr, TYPE); the standard
+    cast(x AS t) parses as one argument and passes through."""
+    if len(args) != 2 or "\x00" in args[1] or "(" in args[1]:
+        return None
+    if not re.fullmatch(r"[\w<>, ]+", args[1].strip()):
+        return None
+    return f"CAST({args[0]} AS {args[1]})"
+
+
+def _trunc_bare_unit(args: list[str]) -> str | None:
+    if len(args) != 2 or "\x00" in args[1]:
+        return None
+    if not args[1].strip().isalpha():
+        return None
+    return f"tru\x03nc({args[0]}, '{args[1].strip()}')"
+
+
+# Databend prints type names uppercase with VARCHAR for strings;
+# unsigned widths can't round-trip (Spark has no unsigned types)
+SQL_MACROS["typeof"] = (
+    "CASE upper(t\x03ypeof({0})) WHEN 'STRING' THEN 'VARCHAR'"
+    " ELSE upper(t\x03ypeof({0})) END"
+)
+
+SQL_MACROS["cast"] = _cast_two_arg
+SQL_MACROS["try_cast"] = _cast_two_arg
+SQL_MACROS["trunc"] = _trunc_bare_unit
+
+
+def _slot(seconds: int) -> str:
+    return (
+        "timestamp_seconds(CAST(floor(CAST(unix_micros(CAST({0} AS"
+        f" TIMESTAMP)) AS DOUBLE) / 1e6 / {seconds}) * {seconds}"
+        " AS BIGINT))"
+    )
+
+
+_ISO_Y4 = "make_date(extract(YEAROFWEEK FROM {0}), 1, 4)"
+SQL_MACROS.update(
+    {
+        "to_start_of_five_minutes": _slot(300),
+        "to_start_of_ten_minutes": _slot(600),
+        "to_start_of_fifteen_minutes": _slot(900),
+        "time_slot": _slot(1800),  # reference: 30-minute slots
+        "to_start_of_iso_year": (
+            f"date_sub({_ISO_Y4}, CAST(weekday({_ISO_Y4}) AS INT))"
+        ),
+        "to_monday": (
+            "date_sub(CAST({0} AS DATE),"
+            " CAST(weekday(CAST({0} AS DATE)) AS INT))"
+        ),
+        "str_to_timestamp": "to_timestamp({0}, {1})",
+        "date_between": "timestampdiff({0}, {1}, {2})",
+    }
+)
 
 SQL_MACROS["previous_day"] = _previous_day
 SQL_MACROS["next_day"] = _next_day
@@ -689,8 +843,10 @@ def expand_sql_macros(sql: str) -> str:
             except IndexError:
                 expansion = None
             if expansion is None:
-                out.append(sql[pos:after])
-                pos = after
+                # passthrough: advance only past the name + '(' so
+                # macros nested in the arguments still expand
+                out.append(sql[pos : m.end()])
+                pos = m.end()
                 continue
             out.append(sql[pos : m.start()])
             out.append(expansion)

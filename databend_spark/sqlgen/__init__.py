@@ -80,6 +80,16 @@ _TYPE_ALIASES = [
     # our Variant model is JSON-as-string (functions.registry
     # parse_json_variant); Spark 4's native VARIANT lacks most accessors
     (re.compile(r"\bVARIANT\b", re.I), "STRING"),
+    # bitmap model: sorted array of distinct int64 (functions/bitmap.py)
+    (re.compile(r"\bBITMAP\b", re.I), "ARRAY<BIGINT>"),
+    (
+        re.compile(
+            r"\b(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s+UNSIGNED\b", re.I
+        ),
+        "BIGINT",
+    ),
+    (re.compile(r"\bUNSIGNED\b", re.I), "BIGINT"),
+    (re.compile(r"\bSIGNED\b", re.I), "BIGINT"),
 ]
 _DDL_TEXT = re.compile(r"\bTEXT\b", re.I)
 
@@ -155,6 +165,26 @@ def _ts_int_repl(m: re.Match) -> str:
     if abs(n) >= 10**12:
         return f"timestamp_millis({n})"
     return f"timestamp_seconds({n})"
+
+
+# bitmap values display as comma-joined members, not array syntax:
+# cast-to-string of a bitmap call renders via array_join (3 nesting
+# levels of parens supported — enough for bitmap_op(build_bitmap(..)))
+_BMP_CALL = (
+    r"(?:build_bitmap|to_bitmap|bitmap_and|bitmap_or|bitmap_xor|"
+    r"bitmap_not|bitmap_and_not|sub_bitmap|bitmap_subset_limit|"
+    r"bitmap_subset_in_range|bitmap_union|bitmap_intersect)"
+)
+_BMP_PARENS = r"\((?:[^()]|\([^()]*\)|\((?:[^()]|\([^()]*\))*\))*\)"
+_BMP_TO_STRING = re.compile(
+    rf"\b({_BMP_CALL}\s*{_BMP_PARENS})\s*::\s*(?:String|VARCHAR|TEXT)\b"
+    rf"|\bto_string\s*\(\s*({_BMP_CALL}\s*{_BMP_PARENS})\s*\)",
+    re.I,
+)
+
+
+def _bmp_to_string_repl(m: re.Match) -> str:
+    return f"array_join({m.group(1) or m.group(2)}, ',')"
 
 
 # simple-operand infix rewrites (complex operands keep Spark semantics)
@@ -238,6 +268,46 @@ def _rewrite_ddl_nested_types(s: str) -> str:
             return s
         s = new
     return s
+
+
+_INSERT_VALUES = re.compile(
+    r"^(\s*INSERT\s+INTO\s+[\w.`]+\s*(?:\([^)]*\))?\s*)VALUES\s*(.+)$",
+    re.I | re.S,
+)
+_HAS_CALL = re.compile(r"[A-Za-z_]\w*\s*\(")
+
+
+def _rewrite_insert_values_with_exprs(s: str, force: bool = False) -> str:
+    """Spark inline tables (VALUES) reject non-foldable expressions and
+    are stricter about mixed literal types than Databend's
+    insert-with-cast path. When a VALUES row contains a function call or
+    a cast (or on ``force``, e.g. retrying an INVALID_INLINE_TABLE
+    error), rewrite to INSERT … SELECT … UNION ALL …, which goes
+    through regular (LEGACY store-assignment) evaluation."""
+    m = _INSERT_VALUES.match(s)
+    if not m:
+        return s
+    body = m.group(2).rstrip()
+    if not force and not (_HAS_CALL.search(body) or "::" in body):
+        return s
+    # split top-level (...) row groups
+    rows, depth, start = [], 0, None
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and start is not None:
+                rows.append(body[start + 1 : i])
+                start = None
+        elif depth == 0 and ch not in ", \t\n":
+            return s  # unexpected trailing syntax — leave untouched
+    if not rows or depth != 0:
+        return s
+    selects = " UNION ALL ".join(f"SELECT {r}" for r in rows)
+    return f"{m.group(1)}{selects}"
 
 
 def _rewrite_brackets(s: str) -> str:
@@ -335,6 +405,14 @@ def _rewrite_brackets(s: str) -> str:
 def rewrite_databend_sql(sql: str) -> str:
     """Rewrite the Databend-only constructs we support; raise a clear
     error on the ones we don't (never silently mis-parse)."""
+    # unit-name string args that must become bare keywords for Spark's
+    # timestampdiff (runs pre-masking to see the literal)
+    sql = re.sub(
+        r"\b(date_between|date_diff|datediff)\s*\(\s*'(\w+)'",
+        r"\1(\2",
+        sql,
+        flags=re.I,
+    )
     masked, literals = _mask_strings(sql)
     masked = masked.rstrip()
     while masked.endswith(";"):
@@ -362,14 +440,28 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = _DROP_DB.sub(r"\g<0> CASCADE", masked)
     # MySQL LIMIT offset, count
     masked = _LIMIT_OFFSET.sub(r"LIMIT \2 OFFSET \1", masked)
+    masked = _rewrite_insert_values_with_exprs(masked)
     if "[" in masked:
         masked = _rewrite_brackets(masked)
     if "{" in masked:
         masked = _rewrite_map_literals(masked)
     masked = _TO_DATE_INT.sub(r"date_add(DATE'1970-01-01', \1)", masked)
     masked = _TO_TS_INT.sub(_ts_int_repl, masked)
+    masked = re.sub(
+        r"\b(-?\d+)\s*::\s*DATE\b",
+        r"date_add(DATE'1970-01-01', \1)",
+        masked,
+        flags=re.I,
+    )
+    masked = re.sub(
+        r"\b(-?\d+)\s*::\s*TIMESTAMP\b",
+        lambda m: _ts_int_repl(m),
+        masked,
+        flags=re.I,
+    )
     # ClickHouse-style parameterized aggregates fn(p)(x) → fn(x, p)
     masked = _PARAM_AGG.sub(r"\1(\3, \2)", masked)
+    masked = _BMP_TO_STRING.sub(_bmp_to_string_repl, masked)
     # Databend integer division a // b (strings are masked out)
     masked = masked.replace("//", " div ")
     # ^ is exponentiation (Spark: bitxor); |/ is square root
@@ -396,6 +488,17 @@ def rewrite_databend_sql(sql: str) -> str:
 
     masked = rewrite_function_names(masked)
     masked = expand_sql_macros(masked)
+    return _unmask_strings(masked, literals)
+
+
+def rewrite_values_as_select(sql: str) -> str:
+    """Force-convert INSERT … VALUES to INSERT … SELECT … UNION ALL
+    (retry path for INVALID_INLINE_TABLE errors)."""
+    masked, literals = _mask_strings(sql)
+    masked = masked.rstrip()
+    while masked.endswith(";"):
+        masked = masked[:-1].rstrip()
+    masked = _rewrite_insert_values_with_exprs(masked, force=True)
     return _unmask_strings(masked, literals)
 
 

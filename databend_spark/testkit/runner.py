@@ -228,6 +228,15 @@ def run_slt_file(
 
                 shutil.rmtree(loc.group(1), ignore_errors=True)
                 return spark.sql(rewritten)
+            if "INVALID_INLINE_TABLE" in msg:
+                # mixed-type VALUES rows Databend would cast on insert —
+                # the SELECT..UNION ALL form goes through LEGACY store
+                # assignment
+                from databend_spark.sqlgen import rewrite_values_as_select
+
+                forced = rewrite_databend_sql(rewrite_values_as_select(sql))
+                if forced != rewritten:
+                    return spark.sql(forced)
             raise
 
     if isolate:  # fresh database per file — files reuse table names
