@@ -474,13 +474,21 @@ _TS_VALUED = re.compile(
 )
 
 
+_DATE_VALUED = re.compile(
+    r"date_add\(DATE'1970-01-01'|\bto_date\s*\(|::\s*date\b", re.I
+)
+
+
 def _to_int64(args: list[str]) -> str | None:
-    """Databend to_int64(timestamp) = epoch micros; other args are a
-    plain bigint cast. Dispatch on the (already-rewritten) arg text."""
+    """Databend to_int64(timestamp) = epoch micros, to_int64(date) =
+    epoch days; other args are a plain bigint cast. Dispatch on the
+    (already-rewritten) arg text."""
     if len(args) != 1:
         return None
     if _TS_VALUED.search(args[0]):
         return f"unix_micros({args[0]})"
+    if _DATE_VALUED.search(args[0]):
+        return f"CAST(datediff({args[0]}, DATE'1970-01-01') AS BIGINT)"
     return f"CAST({args[0]} AS BIGINT)"
 
 
@@ -742,6 +750,77 @@ SQL_MACROS.update(
         "date_between": "timestampdiff({0}, {1}, {2})",
     }
 )
+
+def _last_day(args: list[str]) -> str | None:
+    """last_day(d[, unit]) with bare unit idents (week ends Sunday)."""
+    if len(args) == 1:
+        return f"last_d\x03ay({args[0]})"
+    if len(args) != 2:
+        return None
+    d = f"CAST({args[0]} AS DATE)"
+    unit = args[1].strip().lower()
+    return {
+        "week": f"date_add({d}, 6 - CAST(weekday({d}) AS INT))",
+        "month": f"last_d\x03ay({d})",
+        "quarter": f"date_sub(add_months(tru\x03nc({d}, 'quarter'), 3), 1)",
+        "year": f"make_date(year({d}), 12, 31)",
+    }.get(unit)
+
+
+SQL_MACROS["last_day"] = _last_day
+
+# auto-detect datetime parsing (reference enable_auto_detect_datetime_
+# format): try a curated format chain, then epoch-number fallback
+_DATE_FMTS = ["yyyy-M-d", "M/d/yyyy", "dd-MMM-yyyy", "MMM d, yyyy",
+              "yyyyMMdd"]
+_TS_FMTS = [
+    "yyyy-M-d H:m:s[.SSSSSS]",
+    "M/d/yyyy H:m:s[.SSSSSS]",
+    "dd-MMM-yyyy H:m:s[.SSSSSS]",
+    "EEE MMM dd HH:mm:ss xx yyyy",
+    "EEE, d MMM yyyy hh:mm:ss[.SSSSSS] a[ xx]",
+    "EEE, d MMM yyyy HH:mm:ss[ xx]",
+    "yyyyMMddHHmmss",
+]
+
+
+def _try_to_date(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    x = args[0]
+    tries = [f"try_to_d\x03ate({x}, '{f}')" for f in _DATE_FMTS]
+    tries.append(
+        f"CASE WHEN length({x}) != 8 AND try_cast({x} AS BIGINT) IS NOT"
+        f" NULL THEN CAST(timestamp_seconds(try_cast({x} AS BIGINT))"
+        " AS DATE) END"
+    )
+    tries.append(f"try_to_d\x03ate({x})")
+    return "coalesce(" + ", ".join(tries) + ")"
+
+
+def _try_to_timestamp(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    x = args[0]
+    tries = [f"try_to_t\x03imestamp({x}, '{f}')" for f in _TS_FMTS]
+    tries.append(
+        f"CASE WHEN length({x}) NOT IN (8, 14) AND try_cast({x} AS"
+        " BIGINT) IS NOT NULL THEN CASE"
+        f" WHEN abs(try_cast({x} AS BIGINT)) >= 1000000000000000"
+        f" THEN timestamp_micros(try_cast({x} AS BIGINT))"
+        f" WHEN abs(try_cast({x} AS BIGINT)) >= 1000000000000"
+        f" THEN timestamp_millis(try_cast({x} AS BIGINT))"
+        f" ELSE timestamp_seconds(try_cast({x} AS BIGINT)) END END"
+    )
+    tries.append(f"try_to_t\x03imestamp({x})")
+    tries.append(f"CAST(try_to_d\x03ate({x}, 'MMM d, yyyy') AS TIMESTAMP)")
+    tries.append(f"CAST(try_to_d\x03ate({x}, 'dd-MMM-yyyy') AS TIMESTAMP)")
+    return "coalesce(" + ", ".join(tries) + ")"
+
+
+SQL_MACROS["try_to_date"] = _try_to_date
+SQL_MACROS["try_to_timestamp"] = _try_to_timestamp
+SQL_MACROS["try_to_datetime"] = _try_to_timestamp
 
 SQL_MACROS["previous_day"] = _previous_day
 SQL_MACROS["next_day"] = _next_day

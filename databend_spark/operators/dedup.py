@@ -83,7 +83,12 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"), "shingles"
     )
     sizes = sh.select("doc", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc", F.explode("shingles").alias("sh"))
+    # join on the 8-byte shingle hash, not the shingle text: at corpus
+    # scale the self-join shuffle carries (doc, hash) pairs instead of
+    # multi-word strings (collision odds 2^-64 per pair — negligible)
+    ex = sh.select(
+        "doc", F.explode("shingles").alias("sh_text")
+    ).select("doc", F.xxhash64("sh_text").alias("sh"))
     if max_shingle_df is not None:
         hot = (
             ex.groupBy("sh").count().filter(F.col("count") > max_shingle_df)

@@ -71,6 +71,8 @@ _TYPE_ALIASES = [
     (re.compile(r"\bFLOAT4\b", re.I), "FLOAT"),
     (re.compile(r"\bFLOAT8\b", re.I), "DOUBLE"),
     (re.compile(r"\bVARCHAR\b(?!\s*\()", re.I), "STRING"),
+    # CHAR only as a bare type name — char(97) is the code-point function
+    (re.compile(r"\bCHAR\b(?!\s*\()", re.I), "STRING"),
     (re.compile(r"\bBOOL\b", re.I), "BOOLEAN"),
     # TEXT only in type position (cast syntax) — `text` is a common
     # column name and must not be rewritten
@@ -113,6 +115,29 @@ _DDL_NULL = re.compile(r"(?<!NOT)\s+NULL(?=\s*[,)])", re.I)
 
 class UnsupportedSQL(Exception):
     pass
+
+
+# strftime → Java datetime pattern (Databend formats use MySQL/%-codes:
+# reference src/query/functions/src/scalars/timestamp.rs to_string fns)
+_STRF_MAP = [
+    ("%%", "'%'"), ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"),
+    ("%d", "dd"), ("%e", "d"), ("%H", "HH"), ("%I", "hh"), ("%M", "mm"),
+    ("%S", "ss"), ("%f", "SSSSSS"), ("%p", "a"), ("%j", "DDD"),
+    ("%a", "EEE"), ("%b", "MMM"), ("%W", "EEEE"), ("%T", "HH:mm:ss"),
+]
+_STRFTIME_FN = re.compile(
+    r"\b(date_format|to_datetime|to_timestamp|str_to_date|"
+    r"str_to_timestamp|to_date|try_to_timestamp|to_string)"
+    r"\s*\(([^()]*%[^()]*)\)",
+    re.I,
+)
+
+
+def _strftime_repl(m: re.Match) -> str:
+    inner = m.group(2)
+    for a, b in _STRF_MAP:
+        inner = inner.replace(a, b)
+    return f"{m.group(1)}({inner})"
 
 
 _STRING_LIT = re.compile(r"'(?:[^']|'')*'")
@@ -405,6 +430,9 @@ def _rewrite_brackets(s: str) -> str:
 def rewrite_databend_sql(sql: str) -> str:
     """Rewrite the Databend-only constructs we support; raise a clear
     error on the ones we don't (never silently mis-parse)."""
+    # strftime %-patterns in temporal format args → Java patterns
+    # (runs pre-masking to edit the literal)
+    sql = _STRFTIME_FN.sub(_strftime_repl, sql)
     # unit-name string args that must become bare keywords for Spark's
     # timestampdiff (runs pre-masking to see the literal)
     sql = re.sub(

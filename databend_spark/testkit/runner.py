@@ -100,6 +100,7 @@ def _norm_cell(v) -> str:
 _TEMPORAL = re.compile(
     r"^(\d{4}-\d{2}-\d{2})(?:[ T](\d{2}:\d{2}:\d{2})(\.\d+)?)?$"
 )
+_TIME_ONLY = re.compile(r"^(\d{2}:\d{2}:\d{2})(\.\d+)?$")
 
 
 def _norm_temporal(m: re.Match) -> str:
@@ -120,6 +121,11 @@ def _cells_match(exp: str, got: str) -> bool:
     me, mg = _TEMPORAL.match(exp), _TEMPORAL.match(got)
     if me and mg:
         return _norm_temporal(me) == _norm_temporal(mg)
+    te, tg = _TIME_ONLY.match(exp), _TIME_ONLY.match(got)
+    if te and tg:
+        pe = (te.group(2) or ".")[1:].ljust(6, "0")
+        pg = (tg.group(2) or ".")[1:].ljust(6, "0")
+        return te.group(1) == tg.group(1) and pe == pg
     try:
         return math.isclose(float(exp), float(got), rel_tol=1e-6, abs_tol=1e-6)
     except ValueError:
@@ -135,9 +141,13 @@ def _rows_match(expected: list[list[str]], actual: list[list[str]]) -> bool:
         ):
             continue
         # cell-count mismatch happens when a non-last column embeds
-        # spaces (the file format is space-separated) — fall back to
-        # whole-line comparison (still tolerant of temporal padding)
-        if not _cells_match(" ".join(er), " ".join(ar)):
+        # spaces (the file format is space-separated) — re-tokenize the
+        # whole line and compare token-wise (keeps temporal/float
+        # tolerance working on the re-split cells)
+        et, at = " ".join(er).split(), " ".join(ar).split()
+        if len(et) != len(at):
+            return False
+        if not all(_cells_match(e, a) for e, a in zip(et, at)):
             return False
     return True
 
