@@ -295,6 +295,119 @@ def _rewrite_ddl_nested_types(s: str) -> str:
     return s
 
 
+_QUANT_CMP = re.compile(
+    r"(=|!=|<>|<=|>=|<|>)\s*(ALL|ANY|SOME)\s*\(", re.I
+)
+
+
+def _rewrite_quantified_comparisons(s: str) -> str:
+    """op ALL/ANY (subquery) → Spark-expressible forms: = ANY → IN,
+    ordered ops → compare against min/max of the subquery's single
+    column; != ALL → NOT IN. (= ALL and != ANY pass through.)"""
+    out = []
+    pos = 0
+    while True:
+        m = _QUANT_CMP.search(s, pos)
+        if not m:
+            out.append(s[pos:])
+            return "".join(out)
+        # balanced subquery span starting at the '('
+        depth, i = 0, m.end() - 1
+        for i in range(m.end() - 1, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            out.append(s[pos:])
+            return "".join(out)
+        q = s[m.end() : i]
+        if not re.match(r"\s*(SELECT|WITH|VALUES)\b", q, re.I):
+            out.append(s[pos : m.end()])  # e.g. any(col) aggregate
+            pos = m.end()
+            continue
+        op = m.group(1)
+        quant = m.group(2).upper()
+        agg = None
+        if quant in ("ANY", "SOME"):
+            if op == "=":
+                repl = f"IN ({q})"
+            elif op in (">", ">="):
+                agg = "min"
+            elif op in ("<", "<="):
+                agg = "max"
+            else:
+                repl = None
+        else:  # ALL
+            if op in ("!=", "<>"):
+                repl = f"NOT IN ({q})"
+            elif op in (">", ">="):
+                agg = "max"
+            elif op in ("<", "<="):
+                agg = "min"
+            else:
+                repl = None
+        if agg:
+            repl = f"{op} (SELECT {agg}(__qc.c1) FROM ({q}) AS __qc(c1))"
+        if repl is None:
+            out.append(s[pos : i + 1])
+        else:
+            out.append(s[pos : m.start()])
+            out.append(repl)
+        pos = i + 1
+
+
+_VALUES_RELATION = re.compile(r"\(\s*VALUES\s*\(", re.I)
+
+
+def _rewrite_values_relation_alias(s: str) -> str:
+    """DuckDB/Databend name inline-table columns col0, col1, …; Spark
+    names them col1, col2. Alias unaliased (VALUES …) derived tables.
+    Only applies in FROM/JOIN position — CTE bodies (`x(a,b) AS (VALUES
+    …)`) and `IN (VALUES …)` must keep their own column naming."""
+    pos = 0
+    while True:
+        m = _VALUES_RELATION.search(s, pos)
+        if not m:
+            return s
+        before = s[: m.start()].rstrip()
+        if not re.search(r"(?:\bFROM|\bJOIN)$", before, re.I):
+            pos = m.end()
+            continue
+        depth, i = 0, m.start()
+        for i in range(m.start(), len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return s
+        after = s[i + 1 :].lstrip()
+        if re.match(r"(AS\b|[A-Za-z_])", after):
+            pos = i + 1  # already aliased
+            continue
+        # column count from the first row group
+        row = re.search(r"\(((?:[^()]|\([^()]*\))*)\)", s[m.end() - 1 : i])
+        ncols = 1
+        if row:
+            depth2 = 0
+            for ch in row.group(1):
+                if ch in "([":
+                    depth2 += 1
+                elif ch in ")]":
+                    depth2 -= 1
+                elif ch == "," and depth2 == 0:
+                    ncols += 1
+        cols = ", ".join(f"col{j}" for j in range(ncols))
+        s = s[: i + 1] + f" AS __vals({cols})" + s[i + 1 :]
+        pos = i + 1
+    return s
+
+
 _INSERT_VALUES = re.compile(
     r"^(\s*INSERT\s+INTO\s+[\w.`]+\s*(?:\([^)]*\))?\s*)VALUES\s*(.+)$",
     re.I | re.S,
@@ -469,6 +582,15 @@ def rewrite_databend_sql(sql: str) -> str:
     # MySQL LIMIT offset, count
     masked = _LIMIT_OFFSET.sub(r"LIMIT \2 OFFSET \1", masked)
     masked = _rewrite_insert_values_with_exprs(masked)
+    masked = _rewrite_quantified_comparisons(masked)
+    masked = _rewrite_values_relation_alias(masked)
+    # Databend allows HAVING as a row filter without GROUP BY
+    if (
+        re.search(r"\bHAVING\b", masked, re.I)
+        and not re.search(r"\bGROUP\s+BY\b", masked, re.I)
+        and not re.search(r"\bWHERE\b", masked, re.I)
+    ):
+        masked = re.sub(r"\bHAVING\b", "WHERE", masked, flags=re.I)
     if "[" in masked:
         masked = _rewrite_brackets(masked)
     if "{" in masked:
