@@ -59,6 +59,7 @@ def get_spark(app_name: str = "databend_spark") -> SparkSession:
         # driver testdata stores events.ts as parquet TIMESTAMP(NANOS) which
         # Spark has no native type for; read as long and convert at register
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Databend casts values on INSERT (binder/default_expr.rs); ANSI
         # store assignment would reject e.g. string literals into
         # timestamp columns
@@ -76,9 +77,43 @@ def get_spark(app_name: str = "databend_spark") -> SparkSession:
     return spark
 
 
+# runtime-settable confs every session MUST carry for correct results on the
+# driver's parquet (nanos timestamps) and for Databend-compatible semantics.
+# Applied to *whatever* session is passed in — the caller (e.g. the driver's
+# correctness harness) builds its own SparkSession without our builder confs.
+_SESSION_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+    ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
+    ("spark.sql.storeAssignmentPolicy", "LEGACY"),
+    # testdata stores micros-without-tz; without this Spark 4 infers
+    # TIMESTAMP_NTZ which breaks unix_micros()/tz arithmetic downstream.
+    # With session tz UTC, LTZ values equal DuckDB's naive reading.
+    ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+)
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set correctness-critical confs on an externally-built session.
+
+    All four are runtime-settable (verified: ``spark.conf.set`` works on a
+    live session for each). Without ``nanosAsLong`` every read of the
+    driver's ``events.parquet``/``orders.parquet`` fails with
+    PARQUET_TYPE_ILLEGAL (TIMESTAMP(NANOS)).
+    """
+    for k, v in _SESSION_CONFS:
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 # view-name → sf_dir currently registered, per SparkSession — avoids
-# re-reading 10 parquet footers on every suite-query call
-_REGISTERED: dict[tuple[int, str], str] = {}
+# re-reading 10 parquet footers on every suite-query call.  Keyed on
+# applicationId (stable, never reused) + table name, not id(spark): id() of
+# a collected session can be recycled, silently skipping registration.
+_REGISTERED: dict[tuple[str, str], str] = {}
 
 
 def register_tables(
@@ -92,7 +127,11 @@ def register_tables(
     column pruning and row-group min/max skipping for free
     (reference analog: ``storages/fuse/src/pruning/fuse_pruner.rs:88``).
     """
-    sid = id(spark)
+    ensure_session_confs(spark)
+    try:
+        sid = spark.sparkContext.applicationId
+    except Exception:
+        sid = str(id(spark))
     for t in tables:
         if _REGISTERED.get((sid, t)) == sf_dir:
             continue
@@ -116,20 +155,27 @@ def load_table(spark: SparkSession, path: str) -> DataFrame:
     try:
         arrow_schema = pq.read_schema(path)
     except Exception:
-        return df
+        arrow_schema = []
     ns_cols = {
         f.name
         for f in arrow_schema
         if str(f.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]")
     }
-    if not ns_cols:
+    # belt-and-braces: any TIMESTAMP_NTZ column (inferTimestampNTZ was on
+    # when the file was first read) is normalized to TIMESTAMP — session tz
+    # is UTC so the instant is unchanged.
+    ntz_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"}
+    if not ns_cols and not ntz_cols:
         return df
-    return df.select(
-        *[
-            F.expr(f"timestamp_micros({c} DIV 1000)").alias(c) if c in ns_cols else F.col(c)
-            for c in df.columns
-        ]
-    )
+    cols = []
+    for c in df.columns:
+        if c in ns_cols:
+            cols.append(F.expr(f"timestamp_micros({c} DIV 1000)").alias(c))
+        elif c in ntz_cols:
+            cols.append(F.col(c).cast("timestamp").alias(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
 
 
 class SessionContext:

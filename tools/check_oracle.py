@@ -58,10 +58,25 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
 
-    from databend_spark.session import get_spark
     from databend_spark.suite import oracle_sql, queries
 
-    spark = get_spark("check_oracle")
+    # Replicate the DRIVER, not our own builder: a bare SparkSession with
+    # none of get_spark()'s confs. register_tables() must make any bare
+    # session correct via ensure_session_confs() — round 1 failed 50/50
+    # because this divergence was never exercised locally.
+    from pyspark.sql import SparkSession
+
+    import os
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .appName("check_oracle_bare")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(sf_dir)
     qs, oracles = queries(), oracle_sql()
 
