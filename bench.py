@@ -5,22 +5,27 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Protocol (BASELINE.md): warm session, AQE on, each query fully
-materialized through the noop sink (no driver-side row transfer), best
-of N_ITER runs per query. DuckDB baseline for the same queries is
+materialized through the noop sink (no driver-side row transfer),
+median of N_ITER runs per query. DuckDB baseline for the same queries is
 recorded by tools/bench_duckdb.py into BASELINE.md.
+
+``ev_funnel``'s DuckDB oracle is pathological (60s on a correlated-IN
+chain at sf0.1) so the suite-vs-DuckDB ratio is reported both with and
+without it — quote ``total_excl_ev_funnel`` when comparing engines.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITER", "2"))
+N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITER", "3"))
 
 # headline set: TPC-H relational core + the heavy LLM-pipeline operators
 HEADLINE = [
@@ -66,12 +71,12 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        samples = []
         for _ in range(N_ITER):
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -81,6 +86,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "total_excl_ev_funnel": round(
+                    total - times.get("ev_funnel", 0.0), 3
+                ),
                 "sf": float(sf),
             }
         )

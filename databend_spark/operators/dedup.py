@@ -71,32 +71,53 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None | str = "auto",
 ) -> DataFrame:
     """All document pairs with n-gram-shingle Jaccard ≥ threshold.
 
-    Plan shape: explode distinct shingles → (optional stop-shingle cap)
+    Plan shape: explode distinct shingles → stop-shingle cap (default on)
     → self equi-join on shingle (one shuffle) → pair-count = |A∩B| →
     broadcast-join per-doc set sizes → Jaccard filter.
+
+    ``max_shingle_df`` guards the self-join against quadratic hot keys: a
+    shingle present in d documents emits d² join rows, so one stop-shingle
+    ("in the the") in 10⁷ docs is a 10¹⁴-row key. The default ``"auto"``
+    caps document frequency at max(1000, 20·√n_docs) — scale-proportional
+    but sub-linear, so worst-case per-key fanout grows like n, not n².
+    Dropping a hot shingle can only lower a pair's computed Jaccard
+    ((i-k)/(u-k) < i/u for i<u), so the capped output is a subset of the
+    exact one and true near-dups (which share many specific shingles) are
+    unaffected; identity on corpora whose max DF is under the cap is
+    exercised in tests. Pass ``None`` for exact semantics regardless of
+    cost, or an int to pin the cap.
     """
     sh = shingles(df.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("doc"), "shingles"
     )
-    sizes = sh.select("doc", F.size("shingles").alias("n_sh"))
     # join on the 8-byte shingle hash, not the shingle text: at corpus
     # scale the self-join shuffle carries (doc, hash) pairs instead of
     # multi-word strings (collision odds 2^-64 per pair — negligible)
     ex = sh.select(
         "doc", F.explode("shingles").alias("sh_text")
     ).select("doc", F.xxhash64("sh_text").alias("sh"))
+    if max_shingle_df == "auto":
+        # one count() job (cheap vs the dedup shuffle itself; parquet
+        # row-count comes from footers, not a data scan)
+        n_docs = df.count()
+        max_shingle_df = max(1000, int(20 * n_docs**0.5))
     if max_shingle_df is not None:
         hot = (
             ex.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
         )
         ex = ex.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
-    # the exploded shingle stream feeds both join sides (and sizes derive
-    # from the same scan) — persist so tokenize+shingle runs once, not 3×
+    # the exploded shingle stream feeds both join sides AND the set sizes
+    # — persist so tokenize+shingle runs once, not 3×.  Sizes come from
+    # the capped stream, so Jaccard is computed over the capped shingle
+    # universe: stop-shingles leave both |A∩B| and |A∪B| — true near-dup
+    # pairs keep their high Jaccard instead of being dragged under the
+    # threshold by a dropped shared stop-shingle.
     ex = ex.persist()
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = ex.select(F.col("doc").alias("da"), "sh")
     b = ex.select(F.col("doc").alias("db"), "sh")
     inter = (

