@@ -38,3 +38,7 @@ try:
     import databend_spark.suite.udf_suite  # noqa: F401
 except ImportError:
     pass
+try:
+    import databend_spark.suite.hits  # noqa: F401
+except ImportError:
+    pass

@@ -90,3 +90,20 @@ def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
     plan = physical_plan(df)
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_hits_wide_view_prunes_to_base_columns(spark, sf_dir):
+    """The 97-column hits view must not defeat column pruning: a query
+    touching only AdvEngineID (derived from event_id) should scan ONLY
+    event_id from the events parquet."""
+    from databend_spark.plans import assert_read_schema_only
+    from databend_spark.session import register_tables
+    from databend_spark.suite.hits import HITS_SQL, N_HITS_COLUMNS
+
+    assert N_HITS_COLUMNS >= 95
+    register_tables(spark, sf_dir)
+    df = spark.sql(
+        f"WITH hits AS ({HITS_SQL}) "
+        "SELECT count(*) AS c FROM hits WHERE AdvEngineID <> 0"
+    )
+    assert_read_schema_only(df, "events", {"event_id"})
