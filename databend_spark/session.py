@@ -189,6 +189,12 @@ class SessionContext:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self._copy_history: dict[str, set[str]] = {}
+        # system-catalog state (reference: src/query/storages/system/src/
+        # {query_log,streams,tasks,stages}_table.rs)
+        self._query_log: list[tuple] = []
+        self._streams: dict[str, object] = {}
+        self._tasks: dict[str, object] = {}
+        self._stages: dict[str, tuple] = {}
 
     # -- catalog -----------------------------------------------------------
     def register_parquet(self, name: str, path: str) -> DataFrame:
@@ -230,10 +236,56 @@ class SessionContext:
     def sql(self, query: str) -> DataFrame:
         """Run SQL. Databend-dialect constructs are rewritten first
         (see ``databend_spark.sqlgen``); the Spark-compatible core goes
-        straight to Catalyst."""
+        straight to Catalyst. Every call lands in system.query_log
+        (reference: storages/system/src/query_log_table.rs — theirs logs
+        start/finish events; one row per query is the useful core)."""
+        import time
+
         from databend_spark.sqlgen import rewrite_databend_sql
 
-        return self.spark.sql(rewrite_databend_sql(query))
+        t0 = time.time()
+        try:
+            df = self.spark.sql(rewrite_databend_sql(query))
+        except Exception as e:
+            self._query_log.append(
+                (len(self._query_log) + 1, query, "error",
+                 type(e).__name__, t0, time.time() - t0)
+            )
+            raise
+        self._query_log.append(
+            (len(self._query_log) + 1, query, "ok", "", t0, time.time() - t0)
+        )
+        return df
+
+    # -- incremental-layer objects (streams / tasks / stages) --------------
+    def create_stream(self, name: str, table_path: str, at_version=None):
+        """CREATE STREAM analog (reference: storages/stream/): a
+        consumable change-cursor over a VersionedTable."""
+        from databend_spark.streaming.incremental import Stream, VersionedTable
+
+        s = Stream(VersionedTable(self.spark, table_path), name, at_version)
+        self._streams[name] = s
+        return s
+
+    def create_task(self, name: str, fn, when=None, after=None):
+        """CREATE TASK analog (reference task.rs DAG via AFTER)."""
+        from databend_spark.streaming.incremental import Task
+
+        t = Task(name=name, fn=fn, when=when or (lambda: True),
+                 after=after or [])
+        self._tasks[name] = t
+        return t
+
+    def create_stage(self, name: str, url: str, fmt: str = "parquet") -> None:
+        """CREATE STAGE analog — a named external location COPY INTO can
+        read (reference: src/meta/app/src/principal/user_stage.rs)."""
+        self._stages[name] = (url, fmt)
+
+    def list_stage(self, name: str) -> list[str]:
+        import glob as _glob
+
+        url, _ = self._stages[name]
+        return sorted(_glob.glob(os.path.join(url, "*")))
 
     # -- system tables (reference: src/query/storages/system/, ~45 tables) --
     def system(self, name: str) -> DataFrame:
@@ -275,6 +327,41 @@ class SessionContext:
                 for k, v in self.spark.sparkContext.getConf().getAll()
             ]
             return spark.createDataFrame(items, "name string, value string")
+        if name == "databases":
+            return spark.createDataFrame(
+                [(d.name,) for d in spark.catalog.listDatabases()],
+                "name string",
+            )
+        if name == "query_log":
+            return spark.createDataFrame(
+                self._query_log or [(0, "", "", "", 0.0, 0.0)],
+                "query_id int, query_text string, status string, "
+                "error string, start_time double, duration_s double",
+            ).filter("query_id > 0")
+        if name == "streams":
+            rows = [
+                (n, s.table.path, s.offset, s.table.version, s.has_data())
+                for n, s in self._streams.items()
+            ]
+            return spark.createDataFrame(
+                rows or [("", "", 0, 0, False)],
+                "name string, table_path string, consumed_version int, "
+                "table_version int, has_data boolean",
+            ).filter("name <> ''")
+        if name == "tasks":
+            rows = [
+                (n, ",".join(t.after)) for n, t in self._tasks.items()
+            ]
+            return spark.createDataFrame(
+                rows or [("", "")],
+                "name string, after string",
+            ).filter("name <> ''")
+        if name == "stages":
+            rows = [(n, u, f) for n, (u, f) in self._stages.items()]
+            return spark.createDataFrame(
+                rows or [("", "", "")],
+                "name string, url string, file_format string",
+            ).filter("name <> ''")
         raise ValueError(f"unknown system table: {name}")
 
     # -- COPY INTO (reference: plans/copy_into_table.rs) --------------------

@@ -42,3 +42,7 @@ try:
     import databend_spark.suite.hits  # noqa: F401
 except ImportError:
     pass
+try:
+    import databend_spark.suite.tpcds_style  # noqa: F401
+except ImportError:
+    pass

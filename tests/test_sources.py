@@ -70,3 +70,40 @@ def test_system_tables(ctx):
     assert any(s.startswith("spark.") for s in settings)
     with pytest.raises(ValueError, match="unknown system table"):
         ctx.system("nope")
+
+
+def test_system_catalog_expansion(ctx, sample, tmp_path):
+    """query_log / streams / tasks / stages / databases system tables
+    (reference: src/query/storages/system/src/*_table.rs)."""
+    ctx.sql("SELECT 1 AS x").collect()
+    try:
+        ctx.sql("SELECT definitely_not_a_function_xyz()")
+    except Exception:
+        pass
+    log = ctx.system("query_log").collect()
+    assert any(r.status == "ok" for r in log)
+    assert any(r.status == "error" for r in log)
+
+    tpath = str(tmp_path / "vt")
+    from databend_spark.streaming.incremental import VersionedTable
+
+    vt = VersionedTable(ctx.spark, tpath)
+    vt.append(sample)
+    s = ctx.create_stream("s1", tpath)
+    vt.append(sample)
+    srows = {r.name: r for r in ctx.system("streams").collect()}
+    assert srows["s1"].has_data and srows["s1"].table_version == 2
+
+    ctx.create_task("t1", lambda: None)
+    ctx.create_task("t2", lambda: None, after=["t1"])
+    trows = {r.name: r.after for r in ctx.system("tasks").collect()}
+    assert trows == {"t1": "", "t2": "t1"}
+
+    stage_dir = str(tmp_path / "stage")
+    sample.write.parquet(stage_dir)
+    ctx.create_stage("st1", stage_dir)
+    assert {r.name for r in ctx.system("stages").collect()} == {"st1"}
+    assert len(ctx.list_stage("st1")) > 0
+
+    dbs = {r.name for r in ctx.system("databases").collect()}
+    assert "default" in dbs
