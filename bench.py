@@ -55,6 +55,11 @@ HEADLINE = [
     "llm_text_quality",
     "ev_sessionize",
     "ev_funnel",
+    # wide-table + TPC-DS-pattern coverage (round 2)
+    "hits_q09",
+    "hits_q12",
+    "tpcds_rollup_inventory",
+    "tpcds_rank_in_category",
 ]
 
 

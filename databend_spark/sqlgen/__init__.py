@@ -21,9 +21,6 @@ _UNSUPPORTED = [
      "CHANGES(...) — use databend_spark.streaming.VersionedTable.changes()"),
     (re.compile(r"\bAT\s*\(\s*(SNAPSHOT|TIMESTAMP|OFFSET|STREAM)\b", re.I),
      "AT(...) time travel — use databend_spark.streaming.VersionedTable.read()"),
-    (re.compile(r"\bQUALIFY\b", re.I),
-     "QUALIFY — wrap the query in a subselect and filter the window "
-     "column in the outer WHERE (Spark SQL has no QUALIFY)"),
 ]
 
 # positional tuple access  t.1  →  t.`1`: Databend tuples map to Spark
@@ -98,10 +95,15 @@ _DDL_TEXT = re.compile(r"\bTEXT\b", re.I)
 # Databend-only table options in DDL (fuse-engine knobs) — no Spark analog
 _DDL_OPTIONS = [
     re.compile(r"\bENGINE\s*=\s*\w+", re.I),
-    re.compile(r"\bCLUSTER\s+BY\s*\([^)]*\)", re.I),
+    re.compile(
+        r"\bCLUSTER\s+BY\s*\((?:[^()]|\([^()]*\)|\((?:[^()]|\([^()]*\))*\))*\)",
+        re.I,
+    ),
     re.compile(
         r"\b(row_per_block|block_per_segment|block_size_threshold|"
-        r"bloom_index_columns|storage_format|compression|data_retention_period_in_hours)"
+        r"bloom_index_columns|storage_format|compression|"
+        r"data_retention_period_in_hours|change_tracking|"
+        r"enable_auto_vacuum)"
         r"\s*=\s*('[^']*'|\d+|\w+)",
         re.I,
     ),
@@ -347,6 +349,13 @@ def _rewrite_quantified_comparisons(s: str) -> str:
                 agg = "max"
             elif op in ("<", "<="):
                 agg = "min"
+            elif op == "=":
+                # = ALL: true iff every row equals the operand — compare
+                # against the single distinct value (NULL → no match)
+                repl = (
+                    f"= (SELECT CASE WHEN min(__qa.c1) = max(__qa.c1) "
+                    f"THEN min(__qa.c1) END FROM ({q}) AS __qa(c1))"
+                )
             else:
                 repl = None
         if agg:
@@ -445,7 +454,11 @@ def _rewrite_insert_values_with_exprs(s: str, force: bool = False) -> str:
     if not rows or depth != 0:
         return s
     selects = " UNION ALL ".join(f"SELECT {r}" for r in rows)
-    return f"{m.group(1)}{selects}"
+    # COALESCE(1) keeps the written row order = VALUES order, which
+    # insertion-order-sensitive aggregates (any/first) observe
+    return (
+        f"{m.group(1)}SELECT /*+ COALESCE(1) */ * FROM ({selects}) __v"
+    )
 
 
 def _rewrite_brackets(s: str) -> str:
@@ -540,6 +553,370 @@ def _rewrite_brackets(s: str) -> str:
     return s
 
 
+def _find_depth0(s: str, word: str, start: int = 0) -> int:
+    """Index of the first ``word`` at paren depth 0, or -1. ``word`` may
+    contain a space (e.g. "GROUP BY" — matched with flexible whitespace)."""
+    pat = re.compile(r"\b" + r"\s+".join(map(re.escape, word.split())) + r"\b", re.I)
+    depth = 0
+    for m in pat.finditer(s, start):
+        depth = s.count("(", 0, m.start()) - s.count(")", 0, m.start())
+        if depth == 0:
+            return m.start()
+    return -1
+
+
+_AGG_CALL = re.compile(
+    r"\b(sum|count|avg|mean|min|max|median|mode|stddev\w*|std|var\w*|corr|"
+    r"covar\w*|skewness|kurtosis\w*|percentile\w*|approx_\w+|string_agg|"
+    r"array_agg|listagg|group_concat|bool_and|bool_or|every|bit_and|bit_or|"
+    r"bit_xor|arg_min|arg_max|any_value|first_value|last_value|count_if|"
+    r"sum_if|avg_if|min_if|max_if)\s*\(",
+    re.I,
+)
+
+
+def _rewrite_scalar_having(s: str) -> str:
+    """Databend allows HAVING without GROUP BY in two flavors
+    (duckdb/sql/aggregate/having/test_scalar_having.test):
+
+    * aggregate query (``SELECT SUM(a) … HAVING SUM(a) > 10``) — a global
+      aggregate then a filter → Spark needs an explicit ``GROUP BY ()``;
+    * plain row filter (``SELECT a … WHERE a=13 HAVING a > 11``) — HAVING
+      acts as a second WHERE → merge into the WHERE clause.
+    """
+    h = _find_depth0(s, "HAVING")
+    if h == -1 or _find_depth0(s, "GROUP BY") != -1:
+        return s
+    # does the query aggregate? look at the select list and HAVING cond
+    if _AGG_CALL.search(s):
+        # Spark has no bare `GROUP BY ()`; the empty grouping set is it
+        return s[:h] + "GROUP BY GROUPING SETS (()) " + s[h:]
+    w = _find_depth0(s, "WHERE")
+    if w == -1:
+        return s[:h] + "WHERE" + s[h + len("HAVING") :]
+    # merge: WHERE (w_cond) AND (h_cond)
+    cond_start = h + len("HAVING")
+    tail_at = len(s)
+    for kw in ("ORDER BY", "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT"):
+        k = _find_depth0(s, kw, cond_start)
+        if k != -1:
+            tail_at = min(tail_at, k)
+    h_cond = s[cond_start:tail_at].strip()
+    w_end = h  # WHERE clause runs up to HAVING in this position
+    w_cond = s[w + len("WHERE") : w_end].strip()
+    return (
+        s[:w]
+        + f"WHERE ({w_cond}) AND ({h_cond}) "
+        + s[tail_at:]
+    )
+
+
+def _rewrite_qualify(s: str) -> str:
+    """Depth-0 ``QUALIFY <cond>`` → project the condition as a hidden
+    column inside the (possibly grouped/windowed) select, filter on it
+    outside, and drop it with ``* EXCEPT``:
+
+        SELECT <list> FROM … [GROUP BY …] QUALIFY <cond> [ORDER …]
+        → SELECT * EXCEPT (__qualify) FROM
+            (SELECT <list>, (<cond>) AS __qualify FROM … [GROUP BY …]) q
+          WHERE __qualify [ORDER …]
+
+    Projecting (not re-evaluating outside) keeps GROUPING()/window calls
+    in the scope that defines them."""
+    q = _find_depth0(s, "QUALIFY")
+    if q == -1:
+        return s
+    head = s[:q].rstrip()
+    rest = s[q + len("QUALIFY") :]
+    tail_at = len(rest)
+    for kw in ("ORDER BY", "LIMIT", "OFFSET"):
+        k = _find_depth0(rest, kw)
+        if k != -1:
+            tail_at = min(tail_at, k)
+    cond = rest[:tail_at].strip()
+    tail = rest[tail_at:]
+    # insert the hidden column just before the main select's FROM
+    f = _find_depth0(head, "FROM")
+    if f == -1:
+        return s
+    inner = head[:f].rstrip() + f", ({cond}) AS __qualify " + head[f:]
+    return (
+        f"SELECT * EXCEPT (__qualify) FROM ({inner}) __qual "
+        f"WHERE __qualify {tail}"
+    )
+
+
+def _rewrite_grouping_multi(s: str) -> str:
+    """Databend/DuckDB ``GROUPING(a, b, …)`` returns the packed bit
+    vector (first arg = most significant). Spark's ``grouping()`` is
+    strictly unary, and ``grouping_id(a, b)`` insists its argument order
+    match the GROUP BY columns — so expand to arithmetic over unary
+    calls, which is order-free: ``grouping(a)*2 + grouping(b)``."""
+    out, pos = [], 0
+    pat = re.compile(r"\bgrouping\s*\(", re.I)
+    while True:
+        m = pat.search(s, pos)
+        if not m:
+            out.append(s[pos:])
+            return "".join(out)
+        depth, i = 0, m.end() - 1
+        args, start = [], m.end()
+        for i in range(m.end() - 1, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(s[start:i])
+                    break
+            elif s[i] == "," and depth == 1:
+                args.append(s[start:i])
+                start = i + 1
+        out.append(s[pos : m.start()])
+        if len(args) <= 1:
+            out.append(s[m.start() : i + 1])
+        else:
+            terms = [
+                f"grouping({a.strip()}) * {1 << (len(args) - 1 - j)}"
+                if j < len(args) - 1
+                else f"grouping({a.strip()})"
+                for j, a in enumerate(args)
+            ]
+            out.append("(" + " + ".join(terms) + ")")
+        pos = i + 1
+
+
+_QUOTED_ALIAS = re.compile(r'\bAS\s+"([^"]+)"', re.I)
+
+_WINDOW_CLAUSE = re.compile(r"\bWINDOW\s+[A-Za-z_]\w*\s+AS\s*\(", re.I)
+
+
+def _rewrite_named_windows(s: str) -> str:
+    """``WINDOW w AS (spec), w1 AS (w ORDER BY …)`` + ``OVER w`` →
+    inline the spec at each use (Spark has no WINDOW clause). A named
+    window may extend another by leading with its name."""
+    m = _WINDOW_CLAUSE.search(s)
+    if not m:
+        return s
+    # parse the full clause: name AS (spec) [, name AS (spec)]...
+    defs: dict[str, str] = {}
+    i = m.start() + len("WINDOW")
+    end = i
+    while True:
+        nm = re.match(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", s[i:], re.I)
+        if not nm:
+            break
+        depth, j = 0, i + nm.end() - 1
+        for j in range(i + nm.end() - 1, len(s)):
+            depth += (s[j] == "(") - (s[j] == ")")
+            if depth == 0:
+                break
+        defs[nm.group(1)] = s[i + nm.end() : j].strip()
+        i = j + 1
+        cm = re.match(r"\s*,", s[i:])
+        if not cm:
+            break
+        i += cm.end()
+    # resolve inheritance (a spec may lead with another window's name,
+    # defined before OR after it) to fixpoint
+    for _ in range(len(defs) + 1):
+        changed = False
+        for name, spec in list(defs.items()):
+            base = re.match(r"([A-Za-z_]\w*)\b\s*(.*)$", spec, re.S)
+            if base and base.group(1) in defs and base.group(1) != name:
+                defs[name] = (
+                    defs[base.group(1)] + " " + base.group(2)
+                ).strip()
+                changed = True
+        if not changed:
+            break
+    out = s[: m.start()] + s[i:]
+    for name, spec in defs.items():
+        out = re.sub(
+            rf"\bOVER\s+{re.escape(name)}\b",
+            f"OVER ({spec})",
+            out,
+            flags=re.I,
+        )
+    return out
+
+_ASOF_JOIN = re.compile(r"\bASOF\s+(LEFT\s+|RIGHT\s+)?JOIN\b", re.I)
+_CLAUSE_END = re.compile(
+    r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|OFFSET|UNION|EXCEPT|INTERSECT|"
+    r"WINDOW|QUALIFY|JOIN|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|ASOF|SEMI|"
+    r"ANTI)\b",
+    re.I,
+)
+_INEQ = re.compile(r"(.+?)\s*(>=|<=|>|<)\s*(.+)", re.S)
+
+
+def _rewrite_asof_join(s: str) -> str:
+    """``probe p ASOF [LEFT] JOIN build b ON eqs AND p.t >= b.t`` →
+    ``probe p [LEFT JOIN] LATERAL (SELECT * FROM build b WHERE <cond>
+    ORDER BY b.t DESC LIMIT 1) b [ON true]``.
+
+    The correlated-LIMIT lateral decorrelates in Catalyst to a windowed
+    join — the right semantics (per probe row, the nearest build row on
+    the inequality side) with no manual window bookkeeping. The
+    DataFrame-level operator (operators/asof_join.py) stays the
+    preferred scale path; this is the SQL dialect surface.
+
+    Reference: ASOF JOIN in the reference parser
+    (src/query/ast/src/parser/query.rs JoinOperator::Asof) and the
+    duckdb/join/asof SLT suite."""
+    while True:
+        m = _ASOF_JOIN.search(s)
+        if not m:
+            return s
+        kind = (m.group(1) or "").strip().upper()
+        if kind == "RIGHT":
+            raise UnsupportedSQL(
+                "ASOF RIGHT JOIN — swap the sides and use ASOF LEFT JOIN"
+            )
+        i = m.end()
+        # --- parse build relation: ident[(args)] | (subquery), then
+        # optional alias [(cols)]
+        while i < len(s) and s[i] in " \t\n":
+            i += 1
+        rel_start = i
+        if i < len(s) and s[i] == "(":
+            depth = 0
+            for i in range(i, len(s)):
+                depth += (s[i] == "(") - (s[i] == ")")
+                if depth == 0:
+                    break
+            i += 1
+        else:
+            while i < len(s) and (s[i].isalnum() or s[i] in "._`"):
+                i += 1
+            j = i
+            while j < len(s) and s[j] in " \t\n":
+                j += 1
+            if j < len(s) and s[j] == "(":  # table function args
+                depth = 0
+                for i in range(j, len(s)):
+                    depth += (s[i] == "(") - (s[i] == ")")
+                    if depth == 0:
+                        break
+                i += 1
+        rel = s[rel_start:i]
+        am = re.match(
+            r"\s*(?:AS\s+)?([A-Za-z_]\w*)(\s*\([^)]*\))?", s[i:], re.I
+        )
+        alias = None
+        if am and am.group(1).upper() != "ON":
+            alias = am.group(1) + (am.group(2) or "")
+            i += am.end()
+        on = re.match(r"\s*ON\b", s[i:], re.I)
+        um = re.match(r"\s*USING\s*\(([^)]*)\)", s[i:], re.I)
+        if um:
+            # USING (k…, t): leading columns are equalities, the last is
+            # the `probe.t >= build.t` range key; build's copies of the
+            # USING columns are dropped so SELECT * matches USING-join
+            # output (probe columns first, once).
+            pm = re.search(r"([A-Za-z_]\w*)\s*$", s[: m.start()])
+            if not pm:
+                raise UnsupportedSQL("ASOF USING: probe relation not found")
+            probe = pm.group(1)
+            balias_name = (alias or rel).split("(")[0].strip().strip("`")
+            cols = [c.strip().strip("`") for c in um.group(1).split(",")]
+            eqs = [f"{probe}.`{c}` = {balias_name}.`{c}`" for c in cols[:-1]]
+            rng = f"{probe}.`{cols[-1]}` >= {balias_name}.`{cols[-1]}`"
+            cond = " AND ".join(eqs + [rng])
+            excl = ", ".join(f"`{c}`" for c in cols)
+            inner = (
+                f"(SELECT * EXCEPT ({excl}) FROM (SELECT __s.* FROM "
+                f"(SELECT max_by(struct({balias_name}.*), "
+                f"{balias_name}.`{cols[-1]}`) AS __s FROM {rel}"
+                f"{' ' + alias if alias else ''} WHERE {cond}) "
+                f"WHERE __s IS NOT NULL))"
+            )
+            out_alias = alias or balias_name
+            if kind == "LEFT":
+                repl = f" LEFT JOIN LATERAL {inner} {out_alias} ON true "
+            else:
+                repl = f" , LATERAL {inner} {out_alias} "
+            s = s[: m.start()] + repl + s[i + um.end() :]
+            continue
+        if not on:
+            raise UnsupportedSQL("ASOF JOIN without ON condition")
+        cond_start = i + on.end()
+        # --- condition runs to the next depth-0 clause keyword / comma
+        depth, end = 0, len(s)
+        k = cond_start
+        while k < len(s):
+            ch = s[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = k
+                    break
+                depth -= 1
+            elif depth == 0:
+                if ch in ",;":
+                    end = k
+                    break
+                cm = _CLAUSE_END.match(s, k)
+                if cm and (k == 0 or not (s[k - 1].isalnum() or s[k - 1] in "_`")):
+                    end = k
+                    break
+            k += 1
+        cond = s[cond_start:end].strip()
+        # --- find the single inequality among top-level AND terms
+        terms, depth, start = [], 0, 0
+        for x, ch in enumerate(cond + " "):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        terms = re.split(r"\bAND\b", cond, flags=re.I)  # re-split simply
+        # re-assemble terms broken inside parens
+        fixed, buf = [], ""
+        for t in terms:
+            buf = t if not buf else buf + " AND " + t
+            if buf.count("(") == buf.count(")"):
+                fixed.append(buf.strip())
+                buf = ""
+        ineqs = [
+            t
+            for t in fixed
+            if re.search(r"(?<![<>!=])(>=|<=|(?<!<)>(?!=)|<(?![=>]))", t)
+            and "<>" not in t
+            and "!=" not in t
+        ]
+        if len(ineqs) != 1:
+            raise UnsupportedSQL(
+                "ASOF JOIN: Missing inequality condition!"
+                if not ineqs
+                else "ASOF JOIN: multiple inequality conditions"
+            )
+        im = _INEQ.match(ineqs[0])
+        lhs, op, rhs = im.group(1).strip(), im.group(2), im.group(3).strip()
+        bname = (alias or rel).split("(")[0].strip().strip("`").split(".")[-1]
+        build_on_left = bool(re.search(rf"\b{re.escape(bname)}\s*\.", lhs))
+        # nearest build row = max_by (build time ≤ probe) or min_by
+        # (build ≥ probe). The aggregate form decorrelates through
+        # Catalyst's mature scalar-agg path — the ORDER BY + LIMIT 1
+        # lateral shape miscompiles on DOUBLE correlation keys (verified:
+        # duckdb/join/asof/test_asof_join_miss.test k/2 case).
+        if op in (">=", ">"):
+            pick, key = ("min_by", lhs) if build_on_left else ("max_by", rhs)
+        else:
+            pick, key = ("max_by", lhs) if build_on_left else ("min_by", rhs)
+        inner = (
+            f"(SELECT __s.* FROM (SELECT {pick}(struct({bname}.*), {key}) "
+            f"AS __s FROM {rel}{' ' + alias if alias else ''} "
+            f"WHERE {cond}) WHERE __s IS NOT NULL)"
+        )
+        out_alias = alias or bname
+        if kind == "LEFT":
+            repl = f" LEFT JOIN LATERAL {inner} {out_alias} ON true "
+        else:
+            repl = f" , LATERAL {inner} {out_alias} "
+        s = s[: m.start()] + repl + s[end:]
+
+
 def rewrite_databend_sql(sql: str) -> str:
     """Rewrite the Databend-only constructs we support; raise a clear
     error on the ones we don't (never silently mis-parse)."""
@@ -554,10 +931,32 @@ def rewrite_databend_sql(sql: str) -> str:
         sql,
         flags=re.I,
     )
+    # 3-arg date_add(UNIT, n, ts) (Databend/DuckDB) → Spark timestampadd
+    sql = re.sub(
+        r"\bdate_add\s*\(\s*(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)\b",
+        r"timestampadd(\1",
+        sql,
+        flags=re.I,
+    )
     masked, literals = _mask_strings(sql)
+    # line comments (safe post-masking; `--` can't appear in a literal)
+    masked = re.sub(r"--[^\n]*", "", masked)
     masked = masked.rstrip()
     while masked.endswith(";"):
         masked = masked[:-1].rstrip()
+    # ClickHouse-style Nullable(T) wrapper — Spark types are nullable
+    for _ in range(3):
+        new = re.sub(r"\bNullable\s*\(([^()]*)\)", r"\1", masked, flags=re.I)
+        if new == masked:
+            break
+        masked = new
+    # `x = NOT <bool>` parses in Databend/DuckDB, not Spark
+    masked = re.sub(
+        r"(=|!=|<>)\s*NOT\s+(TRUE|FALSE|NULL)\b",
+        r"\1 (NOT \2)",
+        masked,
+        flags=re.I,
+    )
     for pat, msg in _UNSUPPORTED:
         if pat.search(masked):
             raise UnsupportedSQL(f"unsupported Databend syntax: {msg}")
@@ -571,7 +970,20 @@ def rewrite_databend_sql(sql: str) -> str:
     # (Databend scalar range(a,b) = exclusive-end array); \x03 is
     # stripped by expand_sql_macros
     masked = re.sub(
-        r"(\bFROM\s+)ra()nge(\s*\()", "\\1ra\x03nge\\3", masked, flags=re.I
+        r"(\bFROM\s+|\bJOIN\s+|\bLATERAL\s+)ra()nge(\s*\()",
+        "\\1ra\x03nge\\3",
+        masked,
+        flags=re.I,
+    )
+    # comma-joined table function (`FROM range(..) a(x), range(..) b(y)`)
+    # — only the aliased-with-column-list form is unambiguously a
+    # relation (bare `, range(..)` in a select list is the scalar array
+    # constructor)
+    masked = re.sub(
+        r"(,\s*)ra()nge(\s*\([^()]*\)\s+[A-Za-z_]\w*\s*\()",
+        "\\1ra\x03nge\\3",
+        masked,
+        flags=re.I,
     )
     # zero-arg count() → count(*)
     masked = _COUNT_EMPTY.sub("count(*)", masked)
@@ -581,16 +993,63 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = _DROP_DB.sub(r"\g<0> CASCADE", masked)
     # MySQL LIMIT offset, count
     masked = _LIMIT_OFFSET.sub(r"LIMIT \2 OFFSET \1", masked)
+    # Databend IGNORE_RESULT: execute but return nothing
+    masked = re.sub(r"\bIGNORE_RESULT\b", "LIMIT 0", masked, flags=re.I)
+    # LIMIT values beyond int32 (Databend accepts any uint64)
+    masked = re.sub(
+        r"\bLIMIT\s+(\d{10,})",
+        lambda m: "LIMIT 2147483647"
+        if int(m.group(1)) > 2147483647
+        else m.group(0),
+        masked,
+        flags=re.I,
+    )
+    # ranking windows require ORDER BY in Spark; Databend defaults to the
+    # partition order — order by the partition keys (deterministic per
+    # partition, matches Databend for the row_number-in-distinct pattern)
+    masked = re.sub(
+        r"\b(row_number|rank|dense_rank|percent_rank|cume_dist)\s*\(\s*\)\s*"
+        r"OVER\s*\(\s*PARTITION\s+BY\s+(?![^()]*\bORDER\b)([^()]+?)\s*\)",
+        r"\1() OVER (PARTITION BY \2 ORDER BY \2)",
+        masked,
+        flags=re.I,
+    )
+    # CTAS from bare VALUES: DuckDB/Databend name columns col0, col1…
+    # (Spark: col1, col2…) — route through an aliased derived table
+    ctas_vals = re.search(r"\bAS\s+VALUES\s*\(", masked, re.I)
+    if ctas_vals and _CREATE_TABLE.match(masked):
+        body = masked[ctas_vals.end() - 1 :]
+        row = re.search(r"\(((?:[^()]|\([^()]*\))*)\)", body)
+        ncols, depth = 1, 0
+        for ch in row.group(1) if row else "":
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                ncols += 1
+        cols = ", ".join(f"col{j}" for j in range(ncols))
+        masked = (
+            masked[: ctas_vals.start()]
+            + f"AS SELECT * FROM (VALUES {body.rstrip()}) AS __vals({cols})"
+        )
     masked = _rewrite_insert_values_with_exprs(masked)
     masked = _rewrite_quantified_comparisons(masked)
+    if _ASOF_JOIN.search(masked):
+        masked = _rewrite_asof_join(masked)
     masked = _rewrite_values_relation_alias(masked)
-    # Databend allows HAVING as a row filter without GROUP BY
-    if (
-        re.search(r"\bHAVING\b", masked, re.I)
-        and not re.search(r"\bGROUP\s+BY\b", masked, re.I)
-        and not re.search(r"\bWHERE\b", masked, re.I)
-    ):
-        masked = re.sub(r"\bHAVING\b", "WHERE", masked, flags=re.I)
+    # Databend allows HAVING as a row filter / global-agg filter without
+    # GROUP BY; QUALIFY filters window/grouping output
+    if re.search(r"\bHAVING\b", masked, re.I):
+        masked = _rewrite_scalar_having(masked)
+    if _QUALIFY.search(masked):
+        masked = _rewrite_qualify(masked)
+    if _WINDOW_CLAUSE.search(masked):
+        masked = _rewrite_named_windows(masked)
+    if re.search(r"\bgrouping\s*\(", masked, re.I):
+        masked = _rewrite_grouping_multi(masked)
+    # DuckDB double-quoted aliases → backticks
+    masked = _QUOTED_ALIAS.sub(lambda m: "AS `" + m.group(1) + "`", masked)
     if "[" in masked:
         masked = _rewrite_brackets(masked)
     if "{" in masked:
@@ -639,6 +1098,103 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = rewrite_function_names(masked)
     masked = expand_sql_macros(masked)
     return _unmask_strings(masked, literals)
+
+
+def inline_select_aliases(sql: str) -> str:
+    """Inline ``expr AS name`` select-list aliases wherever ``name`` is
+    referenced elsewhere in the same select list. DuckDB/Databend bind a
+    later ``SUM(k)`` to the alias ``k``'s expression; Spark refuses a
+    lateral alias inside an aggregate — used as an error-driven retry for
+    LATERAL_COLUMN_ALIAS_IN_AGGREGATE_FUNC."""
+    masked, literals = _mask_strings(sql)
+    sel = re.search(r"\bSELECT\b", masked, re.I)
+    f = _find_depth0(masked, "FROM")
+    if not sel or f == -1:
+        return sql
+    head, body, tail = masked[: sel.end()], masked[sel.end() : f], masked[f:]
+    # split select list on depth-0 commas
+    items, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(body[start:i])
+            start = i + 1
+    items.append(body[start:])
+    aliases = {}
+    for it in items:
+        m = re.match(r"^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", it, re.I | re.S)
+        if m:
+            aliases[m.group(2)] = m.group(1).strip()
+    if not aliases:
+        return sql
+    new_items = []
+    for it in items:
+        m = re.match(r"^(.*?)(\s+AS\s+[A-Za-z_]\w*\s*)$", it, re.I | re.S)
+        expr, suffix = (m.group(1), m.group(2)) if m else (it, "")
+        for name, repl in aliases.items():
+            if repl == expr.strip():
+                continue  # don't rewrite the defining item itself
+            expr = re.sub(rf"\b{re.escape(name)}\b", f"({repl})", expr)
+        new_items.append(expr + suffix)
+    # Databend also resolves select aliases in WHERE (Spark doesn't);
+    # substitute there too — GROUP/ORDER BY keep the alias (Spark allows)
+    w = _find_depth0(tail, "WHERE")
+    if w != -1:
+        w_end = len(tail)
+        for kw in ("GROUP BY", "HAVING", "ORDER BY", "LIMIT", "OFFSET"):
+            k = _find_depth0(tail, kw, w)
+            if k != -1:
+                w_end = min(w_end, k)
+        wc = tail[w:w_end]
+        for name, repl in aliases.items():
+            wc = re.sub(rf"\b{re.escape(name)}\b", f"({repl})", wc)
+        tail = tail[:w] + wc + tail[w_end:]
+    return _unmask_strings(head + ",".join(new_items) + tail, literals)
+
+
+def auto_alias_view_body(sql: str) -> str:
+    """Alias unaliased computed select items with their own text — Spark
+    refuses permanent views with auto-generated column names
+    (CREATE_PERMANENT_VIEW_WITHOUT_ALIAS) while Databend/DuckDB name the
+    column after the expression (``avg(number)``)."""
+    masked, literals = _mask_strings(sql)
+    sel = re.search(r"\bAS\s+SELECT\b", masked, re.I)
+    if not sel:
+        return sql
+    f = _find_depth0(masked, "FROM", sel.end())
+    stop = f if f != -1 else len(masked)
+    body = masked[sel.end() : stop]
+    items, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(body[start:i])
+            start = i + 1
+    items.append(body[start:])
+    out_items = []
+    for it in items:
+        t = it.strip()
+        if (
+            re.match(r"^[A-Za-z_][\w.]*$", t)  # bare column
+            or t == "*"
+            or re.search(r"\s+AS\s+\S+$", t, re.I)
+            or re.search(r"\s`?\w+`?$", t) is not None
+            and re.match(r"^[A-Za-z_][\w.]*\s+`?\w+`?$", t)  # implicit alias
+        ):
+            out_items.append(it)
+        else:
+            label = _unmask_strings(t, literals).replace("`", "")
+            out_items.append(f"{t} AS `{label}`")
+    return _unmask_strings(
+        masked[: sel.end()] + " " + ", ".join(out_items) + " " + masked[stop:],
+        literals,
+    )
 
 
 def rewrite_values_as_select(sql: str) -> str:
