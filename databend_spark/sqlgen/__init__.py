@@ -993,6 +993,10 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = _DROP_DB.sub(r"\g<0> CASCADE", masked)
     # MySQL LIMIT offset, count
     masked = _LIMIT_OFFSET.sub(r"LIMIT \2 OFFSET \1", masked)
+    # CTE materialization hint — advisory in Databend, no Spark analog
+    masked = re.sub(
+        r"\bAS\s+MATERIALIZED\s*\(", "AS (", masked, flags=re.I
+    )
     # Databend IGNORE_RESULT: execute but return nothing
     masked = re.sub(r"\bIGNORE_RESULT\b", "LIMIT 0", masked, flags=re.I)
     # LIMIT values beyond int32 (Databend accepts any uint64)

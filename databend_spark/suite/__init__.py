@@ -46,3 +46,7 @@ try:
     import databend_spark.suite.tpcds_style  # noqa: F401
 except ImportError:
     pass
+try:
+    import databend_spark.suite.tpcds_real  # noqa: F401
+except ImportError:
+    pass

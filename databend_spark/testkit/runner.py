@@ -854,6 +854,8 @@ def run_slt_file(
     def read_sql(start: int, stop_at_dashes: bool) -> tuple[str, int]:
         buf = []
         j = start
+        while j < n and lines[j].strip() == "":  # leading blanks (tpcds Q13)
+            j += 1
         while j < n and lines[j].strip() != "" and not (
             stop_at_dashes and lines[j].strip() == "----"
         ):
