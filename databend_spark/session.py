@@ -195,6 +195,7 @@ class SessionContext:
         self._streams: dict[str, object] = {}
         self._tasks: dict[str, object] = {}
         self._stages: dict[str, tuple] = {}
+        self._agg_indexes: list = []
 
     # -- catalog -----------------------------------------------------------
     def register_parquet(self, name: str, path: str) -> DataFrame:
@@ -244,6 +245,12 @@ class SessionContext:
         from databend_spark.sqlgen import rewrite_databend_sql
 
         t0 = time.time()
+        if self._agg_indexes:
+            from databend_spark.operators.agg_index import try_rewrite
+
+            hit = try_rewrite(query, self._agg_indexes)
+            if hit is not None:
+                query = hit
         try:
             df = self.spark.sql(rewrite_databend_sql(query))
         except Exception as e:
@@ -275,6 +282,19 @@ class SessionContext:
                  after=after or [])
         self._tasks[name] = t
         return t
+
+    def create_agg_index(
+        self, name: str, table: str, group_cols: list[str],
+        measures: list[str],
+    ):
+        """CREATE AGGREGATING INDEX analog: materialize partial
+        aggregates and transparently answer matching GROUP BY queries
+        from them (reference: agg_index/query_rewrite.rs)."""
+        from databend_spark.operators.agg_index import build_agg_index
+
+        idx = build_agg_index(self.spark, name, table, group_cols, measures)
+        self._agg_indexes.append(idx)
+        return idx
 
     def create_stage(self, name: str, url: str, fmt: str = "parquet") -> None:
         """CREATE STAGE analog — a named external location COPY INTO can

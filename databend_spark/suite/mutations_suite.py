@@ -125,3 +125,42 @@ sql_query(
     doc="group_array_moving_{avg,sum} (reference aggregator.rs) as "
     "sliding window frames.",
 )
+
+
+@register(
+    "agg_index_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) AS DECIMAL(20,2)) AS sq,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(avg(l_extendedprice) AS DECIMAL(18,4)) AS DOUBLE) AS ap
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_index_rollup(spark, sf_dir):
+    """Aggregating-index query rewrite (reference agg_index/
+    query_rewrite.rs): the rollup is answered from a materialized
+    partial-aggregate table; values must equal the direct aggregation."""
+    from databend_spark.operators.agg_index import build_agg_index, try_rewrite
+
+    idx = build_agg_index(
+        spark, "suite_li", "lineitem",
+        ["l_returnflag", "l_linestatus"], ["l_quantity", "l_extendedprice"],
+    )
+    sql = (
+        "SELECT l_returnflag, sum(l_quantity) AS sq, count(*) AS n, "
+        "avg(l_extendedprice) AS ap FROM lineitem GROUP BY l_returnflag"
+    )
+    rewritten = try_rewrite(sql, [idx])
+    assert rewritten and idx.index_table in rewritten
+    from pyspark.sql import functions as F
+
+    return (
+        spark.sql(rewritten)
+        .select(
+            "l_returnflag",
+            F.col("sq").cast("decimal(20,2)").alias("sq"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("ap").cast("decimal(18,4)").cast("double").alias("ap"),
+        )
+    )

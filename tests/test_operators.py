@@ -83,3 +83,34 @@ def test_recursive_cte_distinct_terminates_on_cycle(spark):
 
     out = recursive_cte(anchor, step, distinct=True, max_iterations=10)
     assert sorted(r.node for r in out.collect()) == [1, 2, 3]
+
+
+def test_agg_index_rewrite_matches_direct(spark, sf_dir, ctx):
+    """Aggregating index: a matching GROUP BY query must be answered
+    from the partial-aggregate table with identical results — including
+    subset-of-group-cols rollups and avg recomposition."""
+    from databend_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    ctx.create_agg_index(
+        "li_idx", "lineitem", ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice"],
+    )
+    q = ("SELECT l_returnflag, sum(l_quantity) AS sq, count(*) AS n, "
+         "avg(l_extendedprice) AS ap FROM lineitem GROUP BY l_returnflag")
+    direct = {
+        (r.l_returnflag, float(r.sq), r.n, round(r.ap, 6))
+        for r in spark.sql(q).collect()
+    }
+    via_idx = {
+        (r.l_returnflag, float(r.sq), r.n, round(r.ap, 6))
+        for r in ctx.sql(q).collect()
+    }
+    assert via_idx == direct
+    # the rewrite actually fired: plan reads the index table
+    from databend_spark.operators.agg_index import try_rewrite
+
+    assert "__aggidx_li_idx" in try_rewrite(q, ctx._agg_indexes)
+    # non-matching query (different table) passes through
+    assert try_rewrite("SELECT count(*) FROM orders", ctx._agg_indexes) is None
+    spark.sql("DROP TABLE IF EXISTS __aggidx_li_idx")
