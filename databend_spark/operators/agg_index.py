@@ -56,6 +56,15 @@ def build_agg_index(
             F.count(m).alias(f"__cnt_{m}"),
         ]
     idx_table = f"__aggidx_{name}"
+    spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
+    # a killed run can orphan the managed location without a catalog entry
+    import os
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, idx_table), ignore_errors=True)
     spark.table(table).groupBy(*group_cols).agg(*aggs).write.mode(
         "overwrite"
     ).saveAsTable(idx_table)
