@@ -881,6 +881,141 @@ SQL_MACROS["tuple"] = {
     for n in range(1, 13)
 }
 
+# --- geo (reference scalars/geographic/src/{geo,geometry}.rs) ---------------
+# distance family: exact-double haversine replaces the reference's f32 LUT
+# approximation (geo.rs:602-737, documented divergence in functions/geo.py).
+_HAV_A = (
+    "(pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))"
+)
+
+
+def _hav_angle(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    return f"(2 * asin(sqrt({_HAV_A.format(lat1=lat1, lon1=lon1, lat2=lat2, lon2=lon2)})))"
+
+
+def _geo_pip(args: list[str]) -> str | None:
+    """point_in_polygon (geo.rs:383): 3-arg (px, py, ring[x/y structs]) or
+    2-arg (tuple point, array of tuples) — codegen'd ray-cast HOF."""
+    if len(args) == 3:
+        px, py, poly, fx, fy = args[0], args[1], args[2], "x", "y"
+    elif len(args) == 2:
+        px, py, poly, fx, fy = f"({args[0]}).`1`", f"({args[0]}).`2`", args[1], "`1`", "`2`"
+    else:
+        return None
+    nxt = f"element_at({poly}, IF(i = size({poly}), 1, i + 1))"
+    cur = f"element_at({poly}, i)"
+    return (
+        f"aggregate(sequence(1, size({poly})), false, (acc, i) -> ("
+        f"CASE WHEN (({cur}).{fy} > ({py})) != (({nxt}).{fy} > ({py}))"
+        f" AND ({px}) < (({nxt}).{fx} - ({cur}).{fx})"
+        f" * (({py}) - ({cur}).{fy}) / (({nxt}).{fy} - ({cur}).{fy})"
+        f" + ({cur}).{fx}"
+        f" THEN NOT acc ELSE acc END))"
+    )
+
+
+def _geohash_encode_macro(args: list[str]) -> str | None:
+    """geohash_encode(lon, lat) → 12-char geohash (geo.rs:145). Lambda
+    binding (single-element transform) evaluates quantize/interleave once."""
+    if len(args) != 2:
+        return None
+    from databend_spark.functions.geo import chars_sql, interleave_sql, quantize_sql
+
+    lon_q, lat_q = quantize_sql(args[0], args[1])
+    iv = interleave_sql("q.`1`", "q.`2`", "spark")
+    chars = chars_sql("v", "spark")
+    return (
+        f"element_at(transform(array(named_struct('1', {lon_q}, '2', {lat_q})),"
+        f" q -> element_at(transform(array({iv}), v -> {chars}), 1)), 1)"
+    )
+
+
+def _geohash_decode_macro(args: list[str]) -> str | None:
+    """geohash_decode(gh) → tuple(lon, lat) cell center (geo.rs:182)."""
+    if len(args) != 1:
+        return None
+    from databend_spark.functions import geo as _geo
+
+    # bind the (possibly long) argument once via a single-element transform,
+    # then decode against the short bound name `g`
+    lon_terms, lat_terms = [], []
+    lon_pos = lat_pos = 0
+    for j in range(60):
+        p = j // 5 + 1
+        shift = 4 - (j % 5)
+        charval = f"(instr('{_geo.GEOHASH_BASE32}', substr(g, {p}, 1)) - 1)"
+        bit = (
+            f"IF(length(g) >= {p},"
+            f" CAST((shiftright({charval}, {shift}) & 1) AS DOUBLE), 0.0D)"
+        )
+        if j % 2 == 0:
+            lon_terms.append(f"{bit} * {0.5 ** (lon_pos + 1)!r}")
+            lon_pos += 1
+        else:
+            lat_terms.append(f"{bit} * {0.5 ** (lat_pos + 1)!r}")
+            lat_pos += 1
+    lon_half = "pow(0.5, CAST((length(g) * 5 + 1) DIV 2 AS DOUBLE)) / 2.0"
+    lat_half = "pow(0.5, CAST((length(g) * 5) DIV 2 AS DOUBLE)) / 2.0"
+    lon = f"(({' + '.join(lon_terms)}) * 360.0 - 180.0 + ({lon_half}) * 360.0)"
+    lat = f"(({' + '.join(lat_terms)}) * 180.0 - 90.0 + ({lat_half}) * 180.0)"
+    return (
+        f"element_at(transform(array({args[0]}),"
+        f" g -> named_struct('1', {lon}, '2', {lat})), 1)"
+    )
+
+
+SQL_MACROS.update(
+    {
+        # haversine(lat1, lon1, lat2, lon2) → km, 9-dec round (geometry.rs:139)
+        "haversine": (
+            "round(6371.0088 * "
+            + _hav_angle("{1}", "{0}", "{3}", "{2}")
+            + ", 9)"
+        ),
+        # meters on the authalic radius, f32 result (geo.rs:119-143)
+        "geo_distance": (
+            "CAST(6371007.180918475 * "
+            + _hav_angle("{0}", "{1}", "{2}", "{3}")
+            + " AS FLOAT)"
+        ),
+        "great_circle_distance": (
+            "CAST(6371007.180918475 * "
+            + _hav_angle("{0}", "{1}", "{2}", "{3}")
+            + " AS FLOAT)"
+        ),
+        "great_circle_angle": (
+            "CAST(degrees(" + _hav_angle("{0}", "{1}", "{2}", "{3}") + ") AS FLOAT)"
+        ),
+        "point_in_polygon": _geo_pip,
+        "geohash_encode": _geohash_encode_macro,
+        "geohash_decode": _geohash_decode_macro,
+        # geometry constructors on the struct<x,y> model (geometry.rs:116+)
+        "st_makegeompoint": (
+            "named_struct('x', CAST({0} AS DOUBLE), 'y', CAST({1} AS DOUBLE))"
+        ),
+        "st_geom_point": (
+            "named_struct('x', CAST({0} AS DOUBLE), 'y', CAST({1} AS DOUBLE))"
+        ),
+        "st_x": "({0}).x",
+        "st_y": "({0}).y",
+        "st_distance": (
+            "sqrt(pow(({0}).x - ({1}).x, 2) + pow(({0}).y - ({1}).y, 2))"
+        ),
+        "st_astext": (
+            "concat('POINT(', CAST(({0}).x AS STRING), ' ',"
+            " CAST(({0}).y AS STRING), ')')"
+        ),
+        "st_aswkt": (
+            "concat('POINT(', CAST(({0}).x AS STRING), ' ',"
+            " CAST(({0}).y AS STRING), ')')"
+        ),
+        "st_npoints": "size({0})",
+        "st_makeline": "array({0}, {1})",
+    }
+)
+
 def _build_macro_re() -> re.Pattern:
     return re.compile(
         r"\b("

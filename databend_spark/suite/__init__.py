@@ -50,3 +50,7 @@ try:
     import databend_spark.suite.tpcds_real  # noqa: F401
 except ImportError:
     pass
+try:
+    import databend_spark.suite.geo  # noqa: F401
+except ImportError:
+    pass
