@@ -69,6 +69,13 @@ _SEMANTIC = [
     "CAST(event_id % 12 - 6 AS INT) AS ClientTimeZone",
     "value AS SendTiming",
     "event_type AS PageCharset",
+    # columns the later ClickBench queries (36-42) filter on; the *Hash
+    # columns use a portable multiplicative hash (identical on DuckDB)
+    "CAST(event_id % 33 % 2 AS INT) AS DontCountHits",
+    "(event_id * 2654435761) % 1000000007 AS URLHash",
+    "(user_id * 2246822519) % 1000000007 AS RefererHash",
+    "CAST(1000 + event_id % 800 AS INT) AS WindowClientWidth",
+    "CAST(600 + event_id % 400 AS INT) AS WindowClientHeight",
 ]
 _FILLER_INT = [
     f"CAST(event_id % {p} AS INT) AS Filler{i:02d}"
@@ -223,7 +230,165 @@ _QUERIES: dict[str, tuple[str, str]] = {
         "Src, Dst ORDER BY pv DESC, TraficSourceID, Dst, Src LIMIT 10",
         "traffic-source breakdown (5-key group, CASE key)",
     ),
+    "hits_q16": (
+        "SELECT UserID, SearchPhrase, CAST(count(*) AS BIGINT) AS c "
+        "FROM hits GROUP BY UserID, SearchPhrase "
+        "ORDER BY c DESC, UserID, SearchPhrase LIMIT 10",
+        "user+phrase group, top by count",
+    ),
+    "hits_q17": (
+        # reference has LIMIT with no ORDER BY (nondeterministic); a
+        # deterministic tie-break is added so both engines agree
+        "SELECT UserID, SearchPhrase, CAST(count(*) AS BIGINT) AS c "
+        "FROM hits GROUP BY UserID, SearchPhrase "
+        "ORDER BY UserID, SearchPhrase LIMIT 10",
+        "group with bare LIMIT (made deterministic)",
+    ),
+    "hits_q18": (
+        "SELECT UserID, extract(minute FROM EventTime) AS m, SearchPhrase, "
+        "CAST(count(*) AS BIGINT) AS c FROM hits "
+        "GROUP BY UserID, m, SearchPhrase "
+        "ORDER BY c DESC, UserID, m, SearchPhrase LIMIT 10",
+        "group by extracted minute",
+    ),
+    "hits_q22": (
+        "SELECT SearchPhrase, min(URL) AS mu, min(Title) AS mt, "
+        "CAST(count(*) AS BIGINT) AS c, "
+        "CAST(count(DISTINCT UserID) AS BIGINT) AS u FROM hits "
+        "WHERE Title LIKE '%Title 1%' AND URL NOT LIKE '%/google%' "
+        "AND SearchPhrase <> '' GROUP BY SearchPhrase "
+        "ORDER BY c DESC, SearchPhrase LIMIT 10",
+        "LIKE + NOT LIKE + two distinct aggs",
+    ),
+    "hits_q24": (
+        "SELECT SearchPhrase FROM hits WHERE SearchPhrase <> '' "
+        "ORDER BY EventTime, WatchID LIMIT 10",
+        "top-N by time (TakeOrderedAndProject)",
+    ),
+    "hits_q25": (
+        "SELECT SearchPhrase FROM hits WHERE SearchPhrase <> '' "
+        "ORDER BY SearchPhrase, WatchID LIMIT 10",
+        "top-N by string",
+    ),
+    "hits_q30": (
+        "SELECT SearchEngineID, ClientIP, CAST(count(*) AS BIGINT) AS c, "
+        "CAST(sum(IsRefresh) AS BIGINT) AS r, avg(ResolutionWidth) AS a "
+        "FROM hits WHERE SearchPhrase <> '' "
+        "GROUP BY SearchEngineID, ClientIP "
+        "ORDER BY c DESC, SearchEngineID, ClientIP LIMIT 10",
+        "engine+ip group with 3 aggs",
+    ),
+    "hits_q32": (
+        "SELECT WatchID, ClientIP, CAST(count(*) AS BIGINT) AS c, "
+        "CAST(sum(IsRefresh) AS BIGINT) AS r, avg(ResolutionWidth) AS a "
+        "FROM hits GROUP BY WatchID, ClientIP "
+        "ORDER BY c DESC, WatchID, ClientIP LIMIT 10",
+        "highest-cardinality group (per-row keys)",
+    ),
+    "hits_q33": (
+        "SELECT URL, CAST(count(*) AS BIGINT) AS c FROM hits "
+        "GROUP BY URL ORDER BY c DESC, URL LIMIT 10",
+        "top URLs",
+    ),
+    "hits_q34": (
+        "SELECT CAST(1 AS INT) AS one, URL, CAST(count(*) AS BIGINT) AS c "
+        "FROM hits GROUP BY one, URL ORDER BY c DESC, URL LIMIT 10",
+        "group by literal + URL",
+    ),
+    "hits_q35": (
+        "SELECT ClientIP, ClientIP - 1 AS c1, ClientIP - 2 AS c2, "
+        "ClientIP - 3 AS c3, CAST(count(*) AS BIGINT) AS c FROM hits "
+        "GROUP BY ClientIP, c1, c2, c3 "
+        "ORDER BY c DESC, ClientIP LIMIT 10",
+        "group by arithmetic expressions",
+    ),
+    "hits_q36": (
+        "SELECT URL, CAST(count(*) AS BIGINT) AS PageViews FROM hits "
+        "WHERE CounterID = 62 AND EventDate >= DATE '2024-01-05' "
+        "AND EventDate <= DATE '2024-01-20' AND DontCountHits = 0 "
+        "AND IsRefresh = 0 AND URL <> '' GROUP BY URL "
+        "ORDER BY PageViews DESC, URL LIMIT 10",
+        "counter + date-range page views",
+    ),
+    "hits_q37": (
+        "SELECT Title, CAST(count(*) AS BIGINT) AS PageViews FROM hits "
+        "WHERE CounterID = 62 AND EventDate >= DATE '2024-01-05' "
+        "AND EventDate <= DATE '2024-01-20' AND DontCountHits = 0 "
+        "AND IsRefresh = 0 AND Title <> '' GROUP BY Title "
+        "ORDER BY PageViews DESC, Title LIMIT 10",
+        "titles in date range",
+    ),
+    "hits_q38": (
+        "SELECT URL, CAST(count(*) AS BIGINT) AS PageViews FROM hits "
+        "WHERE CounterID < 50 AND EventDate >= DATE '2024-01-05' "
+        "AND EventDate <= DATE '2024-01-20' AND IsRefresh = 0 "
+        "AND IsLink <> 0 AND IsDownload = 0 GROUP BY URL "
+        "ORDER BY PageViews DESC, URL LIMIT 10 OFFSET 5",
+        "LIMIT+OFFSET pagination",
+    ),
+    "hits_q40": (
+        "SELECT URLHash, EventDate, CAST(count(*) AS BIGINT) AS PageViews "
+        "FROM hits WHERE CounterID < 50 AND EventDate >= DATE '2024-01-05' "
+        "AND EventDate <= DATE '2024-01-20' AND IsRefresh = 0 "
+        "AND TraficSourceID IN (-1, 2) AND RefererHash % 7 = 3 "
+        "GROUP BY URLHash, EventDate "
+        "ORDER BY PageViews DESC, URLHash, EventDate LIMIT 10 OFFSET 1",
+        "hash-filtered pagination",
+    ),
+    "hits_q41": (
+        "SELECT WindowClientWidth, WindowClientHeight, "
+        "CAST(count(*) AS BIGINT) AS PageViews FROM hits "
+        "WHERE CounterID < 50 AND EventDate >= DATE '2024-01-05' "
+        "AND EventDate <= DATE '2024-01-20' AND IsRefresh = 0 "
+        "AND DontCountHits = 0 AND URLHash % 13 = 5 "
+        "GROUP BY WindowClientWidth, WindowClientHeight "
+        "ORDER BY PageViews DESC, WindowClientWidth, WindowClientHeight "
+        "LIMIT 10 OFFSET 5",
+        "window-size breakdown with offset",
+    ),
+    "hits_q42": (
+        "SELECT CAST(DATE_TRUNC('minute', EventTime) AS STRING) AS M, "
+        "CAST(count(*) AS BIGINT) AS PageViews FROM hits "
+        "WHERE CounterID < 50 AND EventDate >= DATE '2024-01-10' "
+        "AND EventDate <= DATE '2024-01-12' AND IsRefresh = 0 "
+        "AND DontCountHits = 0 GROUP BY M ORDER BY M LIMIT 10 OFFSET 2",
+        "per-minute time series (timestamp returned as string)",
+    ),
 }
+
+# Q29: 90 parallel sums over one scan (tests expression-heavy projection;
+# DuckDB sums ints into HUGEINT so both sides cast to BIGINT)
+_QUERIES["hits_q29"] = (
+    "SELECT "
+    + ", ".join(
+        f"CAST(sum(ResolutionWidth + {i}) AS BIGINT) AS s{i:02d}"
+        for i in range(90)
+    )
+    + " FROM hits",
+    "90 simultaneous sums (single-pass multi-aggregate)",
+)
 
 for _name, (_body, _doc) in _QUERIES.items():
     sql_query(_name, _hits(_body), oracle="same", doc=_doc)
+
+# Q28: regexp_replace backreference syntax differs ($1 Spark, \1 DuckDB)
+# and Spark string literals process backslash escapes; register with a
+# dialect-specific oracle.
+_Q28_SPARK = _hits(
+    "SELECT REGEXP_REPLACE(Referer, '^https?://(?:www\\\\.)?([^/]+)/.*$', '$1')"
+    " AS k, avg(length(Referer)) AS l, CAST(count(*) AS BIGINT) AS c,"
+    " min(Referer) AS mr FROM hits WHERE Referer <> '' GROUP BY k"
+    " HAVING count(*) > 5 ORDER BY l DESC, k LIMIT 25"
+)
+_Q28_DUCK = _hits(
+    "SELECT REGEXP_REPLACE(Referer, '^https?://(?:www\\.)?([^/]+)/.*$', '\\1')"
+    " AS k, avg(length(Referer)) AS l, CAST(count(*) AS BIGINT) AS c,"
+    " min(Referer) AS mr FROM hits WHERE Referer <> '' GROUP BY k"
+    " HAVING count(*) > 5 ORDER BY l DESC, k LIMIT 25"
+)
+sql_query(
+    "hits_q28",
+    _Q28_SPARK,
+    oracle=_Q28_DUCK,
+    doc="regexp_replace domain extraction (dialect-split backreferences)",
+)
