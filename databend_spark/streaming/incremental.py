@@ -130,6 +130,64 @@ class VersionedTable:
             return self.read(self.version).limit(0)
         return self.spark.read.parquet(*dirs)
 
+    # -- maintenance (reference storages/fuse/src/operations/{compact.rs,
+    # recluster, gc.rs}; CommitSink analog = the atomic log replace) --------
+    def snapshots(self) -> DataFrame:
+        """FUSE_SNAPSHOT table function analog
+        (``src/query/storages/fuse/src/table_functions/fuse_snapshot.rs``):
+        one row per commit in the snapshot chain."""
+        rows = [
+            (e["version"], e["dir"], float(e["ts"]), e.get("mode", "append"))
+            for e in self._read_log()
+        ]
+        return self.spark.createDataFrame(
+            rows or [(0, "", 0.0, "")],
+            "version int, dir string, commit_ts double, mode string",
+        ).filter("version > 0")
+
+    def compact(self, cluster_by: list[str] | None = None) -> int:
+        """OPTIMIZE TABLE ... COMPACT analog: rewrite the currently
+        visible rows as one commit so reads touch one data dir instead of
+        the whole append chain. With ``cluster_by``, also RECLUSTER:
+        range-partition + sort-within-partitions so parquet row-group
+        min/max stats prune (reference hilbert/linear recluster,
+        ``storages/fuse/src/operations/recluster.rs``).
+
+        Divergence from the reference: streams whose offset predates the
+        compaction lose the appended-rows representation (our model has
+        no row-level change tracking), so ``changes()`` across a compact
+        raises — consume streams before compacting."""
+        df = self.read()
+        if cluster_by:
+            df = df.repartitionByRange(
+                self.spark.sparkContext.defaultParallelism, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        return self._commit(df, mode="overwrite")
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """VACUUM analog (``operations/gc.rs``): drop data dirs that no
+        retained version can read. Keeps the last ``retain_last``
+        versions readable; time travel to older versions then errors
+        (exactly the reference's behavior once snapshots are gc'd).
+        Returns the removed dirs."""
+        import shutil
+
+        log = self._read_log()
+        if not log:
+            return []
+        head = log[-1]["version"]
+        cutoff = max(0, head - max(1, retain_last))
+        needed: set[str] = set()
+        for e in log:
+            if e["version"] > cutoff:
+                needed.update(self._dirs(0, e["version"]))
+        removed = [e["dir"] for e in log if e["dir"] not in needed]
+        kept = [e for e in log if e["dir"] in needed]
+        self._write_log(kept)  # atomic commit before touching data
+        for d in removed:
+            shutil.rmtree(d, ignore_errors=True)
+        return removed
+
 
 class Stream:
     """Changelog view with transactional consumption (append-only mode).

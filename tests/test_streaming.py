@@ -167,3 +167,54 @@ def test_stream_tracks_from_creation_point(spark, vt):
     # explicit full-history stream
     s0 = Stream(vt, "full", at_version=0)
     assert {r.id for r in s0.read().collect()} == {1, 2}
+
+
+def test_compact_collapses_append_chain(spark, vt):
+    import os
+
+    for i in range(4):
+        vt.append(_df(spark, [(i, f"r{i}")]))
+    assert vt.read().count() == 4
+    v = vt.compact()
+    assert v == 5
+    assert vt.read().count() == 4  # same rows
+    # reads now touch only the compacted dir
+    log = vt._read_log()
+    assert log[-1]["mode"] == "overwrite"
+    assert vt._dirs(0, v) == [log[-1]["dir"]]
+    # snapshots table function shows the full chain
+    snaps = vt.snapshots()
+    assert snaps.count() == 5
+    assert [r.mode for r in snaps.orderBy("version").collect()][-1] == "overwrite"
+    assert os.path.isdir(log[-1]["dir"])
+
+
+def test_compact_recluster_sorts_files(spark, vt):
+    rows = [(i * 7919 % 100, f"v{i}") for i in range(50)]
+    vt.append(_df(spark, rows))
+    vt.compact(cluster_by=["id"])
+    got = [r.id for r in vt.read().collect()]
+    assert sorted(got) == sorted(r[0] for r in rows)
+
+
+def test_vacuum_frees_superseded_dirs_keeps_head(spark, vt):
+    import os
+
+    vt.append(_df(spark, [(1, "a")]))
+    vt.append(_df(spark, [(2, "b")]))
+    old_dirs = [e["dir"] for e in vt._read_log()]
+    vt.compact()
+    removed = vt.vacuum(retain_last=1)
+    assert set(removed) == set(old_dirs)
+    for d in old_dirs:
+        assert not os.path.exists(d)
+    assert vt.read().count() == 2  # head unaffected
+    with pytest.raises(Exception):
+        vt.read(version=1)  # gc'd snapshot no longer time-travelable
+
+
+def test_vacuum_append_only_removes_nothing(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    vt.append(_df(spark, [(2, "b")]))
+    assert vt.vacuum(retain_last=1) == []  # every dir still feeds head
+    assert vt.read().count() == 2
