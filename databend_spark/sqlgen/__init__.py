@@ -938,6 +938,24 @@ def rewrite_databend_sql(sql: str) -> str:
         sql,
         flags=re.I,
     )
+    # numeric-literal string → int casts accept exponent form in the
+    # reference (to_int32('1e1') = 10); Spark rejects — hop through DOUBLE
+    # for literals in exponent form (pre-masking; literal-only, so normal
+    # string→int cast semantics are untouched)
+    _exp = r"'(\s*[+-]?(?:\d+\.?\d*|\.\d+)[eE][+-]?\d+\s*)'"
+    _itype = r"(TINYINT|SMALLINT|INTEGER|INT|BIGINT)\b"
+    sql = re.sub(
+        rf"CAST\s*\(\s*{_exp}\s+AS\s+{_itype}",
+        r"CAST(CAST('\1' AS DOUBLE) AS \2",
+        sql,
+        flags=re.I,
+    )
+    sql = re.sub(
+        rf"{_exp}\s*::\s*{_itype}",
+        r"CAST(CAST('\1' AS DOUBLE) AS \2)",
+        sql,
+        flags=re.I,
+    )
     masked, literals = _mask_strings(sql)
     # line comments (safe post-masking; `--` can't appear in a literal)
     masked = re.sub(r"--[^\n]*", "", masked)
@@ -960,6 +978,10 @@ def rewrite_databend_sql(sql: str) -> str:
     for pat, msg in _UNSUPPORTED:
         if pat.search(masked):
             raise UnsupportedSQL(f"unsupported Databend syntax: {msg}")
+    # COUNT takes one argument in the reference (COUNT(1, 2) errors);
+    # Spark's multi-arg count would silently give different semantics
+    if re.search(r"\bcount\s*\(\s*(?!distinct\b)[^()]*,", masked, re.I):
+        raise UnsupportedSQL("count() accepts a single argument")
     for pat, repl in _TYPE_ALIASES:
         masked = pat.sub(repl, masked)
     # Databend positional tuple access `t.1` → Spark struct field `t.`1``

@@ -28,6 +28,7 @@ from __future__ import annotations
 import math
 import os
 import re
+import sys
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -62,6 +63,10 @@ def _render_nested(v) -> str:
     if isinstance(v, str):
         return '"' + v + '"'
     if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.1f}"
         return repr(v)
@@ -90,6 +95,8 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
@@ -97,6 +104,38 @@ def _norm_cell(v) -> str:
         return _render_nested(v)
     s = str(v)
     return "(empty)" if s == "" else s
+
+
+# Spark's string-literal parser drops the backslash of UNKNOWN escapes
+# ('\x' → 'x'), while the reference keeps it (blob tests expect '\xaa'
+# verbatim, regexp literals rely on '\d'). Double the backslash for any
+# escape Spark doesn't define so the literal survives parsing unchanged.
+_KNOWN_ESCAPES = set("0'\"bnrtZ\\%_uU")
+_SQUOTE_LIT = re.compile(r"'(?:[^'\\]|\\.|'')*'")
+
+
+def _preserve_unknown_escapes(sql: str) -> str:
+    if "\\" not in sql:
+        return sql
+
+    def fix(m: re.Match) -> str:
+        s = m.group(0)
+        out, i = [], 0
+        while i < len(s):
+            c = s[i]
+            if c == "\\" and i + 1 < len(s):
+                nxt = s[i + 1]
+                if nxt in _KNOWN_ESCAPES:
+                    out.append(c + nxt)
+                else:
+                    out.append("\\\\" + nxt)
+                i += 2
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    return _SQUOTE_LIT.sub(fix, sql)
 
 
 _TEMPORAL = re.compile(
@@ -215,7 +254,19 @@ _BENCH_DBS = {
 
 def _ensure_bench_db(spark: SparkSession, db: str) -> bool:
     src = _BENCH_DBS.get(db)
-    if not src or not os.path.exists(os.path.join(src, "_DONE")):
+    if not src:
+        return False
+    if not os.path.exists(os.path.join(src, "_DONE")):
+        # caches are gitignored generated data — build them on first use
+        # (DuckDB's bundled dbgen/dsdgen, deterministic; ~2 min once)
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "tools"))
+            import gen_bench_dbs
+
+            gen_bench_dbs.main_default()
+        except Exception:
+            return False
+    if not os.path.exists(os.path.join(src, "_DONE")):
         return False
     try:
         dbs = {d.name for d in spark.catalog.listDatabases()}
@@ -430,6 +481,7 @@ def run_slt_file(
     }
 
     def run_sql(sql: str):
+        sql = _preserve_unknown_escapes(sql)
         if _noop_ddl.match(sql):
             return spark.sql("SELECT 1 AS ok WHERE false")
         if _show_noop.match(sql):
