@@ -382,6 +382,59 @@ class SessionContext:
                 rows or [("", "", "")],
                 "name string, url string, file_format string",
             ).filter("name <> ''")
+        if name == "one":
+            return spark.sql("SELECT 1 AS dummy")
+        if name == "engines":
+            return spark.createDataFrame(
+                [(e, f"{e} Storage Engine") for e in
+                 ["DELTA", "FUSE", "ICEBERG", "MEMORY", "NULL", "RANDOM",
+                  "STREAM", "VIEW"]],
+                "engine string, comment string",
+            )
+        if name == "clusters":
+            # single local node; on a real deployment this enumerates
+            # executors (reference: storages/system/src/clusters_table.rs)
+            sc = spark.sparkContext
+            return spark.createDataFrame(
+                [("default", "127.0.0.1", 9091, sc.defaultParallelism)],
+                "name string, host string, port int, parallelism int",
+            )
+        if name == "processes":
+            return spark.createDataFrame(
+                [(spark.sparkContext.applicationId, "Query", "default",
+                  len(self._query_log))],
+                "id string, type string, database string, queries int",
+            )
+        if name == "user_functions":
+            from databend_spark.functions.registry import USER_MACROS
+
+            return spark.createDataFrame(
+                [(n, "lambda") for n in sorted(USER_MACROS)] or [("", "")],
+                "name string, kind string",
+            ).filter("name <> ''")
+        if name == "temp_files":
+            import glob as _glob
+
+            sc = spark.sparkContext
+            local = sc.getConf().get("spark.local.dir", "/tmp")
+            rows = [
+                (os.path.basename(p), os.path.getsize(p))
+                for p in _glob.glob(os.path.join(local, "blockmgr-*", "*", "*"))[:1000]
+            ]
+            return spark.createDataFrame(
+                rows or [("", 0)],
+                "file_name string, file_content_length bigint",
+            ).filter("file_name <> ''")
+        if name == "metrics":
+            sc = spark.sparkContext
+            tracker = sc.statusTracker()
+            rows = [
+                ("active_jobs", float(len(tracker.getActiveJobsIds()))),
+                ("active_stages", float(len(tracker.getActiveStageIds()))),
+                ("default_parallelism", float(sc.defaultParallelism)),
+                ("queries_logged", float(len(self._query_log))),
+            ]
+            return spark.createDataFrame(rows, "metric string, value double")
         raise ValueError(f"unknown system table: {name}")
 
     # -- COPY INTO (reference: plans/copy_into_table.rs) --------------------

@@ -107,3 +107,27 @@ def test_system_catalog_expansion(ctx, sample, tmp_path):
 
     dbs = {r.name for r in ctx.system("databases").collect()}
     assert "default" in dbs
+
+
+def test_system_runtime_tables(ctx):
+    """engines / clusters / processes / metrics / one / user_functions /
+    temp_files (reference: storages/system/src/{engines,clusters,
+    processes,metrics}_table.rs)."""
+    assert ctx.system("one").first()["dummy"] == 1
+    assert "FUSE" in {r.engine for r in ctx.system("engines").collect()}
+    cl = ctx.system("clusters").first()
+    assert cl["parallelism"] >= 1
+    pr = ctx.system("processes").first()
+    assert pr["type"] == "Query"
+    metrics = {r.metric: r.value for r in ctx.system("metrics").collect()}
+    assert metrics["default_parallelism"] >= 1
+
+    from databend_spark.functions.registry import register_sql_macro, unregister_sql_macro
+
+    register_sql_macro("my_double_it", "({0} * 2)")
+    try:
+        assert ctx.sql("SELECT my_double_it(21) AS v").first()["v"] == 42
+        ufs = {r.name for r in ctx.system("user_functions").collect()}
+        assert "my_double_it" in ufs
+    finally:
+        unregister_sql_macro("my_double_it")
