@@ -325,3 +325,70 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_binary_payload(docs)).select(
         "doc_id", "n_bytes", "first_byte", "width", "height"
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-text search (reference: MATCH/QUERY/SCORE over tantivy inverted
+# indexes — semantic/type_check/search.rs:57; here the index is a
+# term-clustered postings DataFrame and BM25 is a codegen'd join+agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fts_bm25_topk",
+    oracle=None,  # set below via bm25_oracle_sql (keeps formulas in one place)
+)
+def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for 'hash join fast' over documents: postings build →
+    broadcast term-stats join → per-doc agg → TakeOrderedAndProject."""
+    from databend_spark.operators.fulltext import build_inverted_index, search_bm25
+
+    postings, doclens = build_inverted_index(spark.table("documents"), "doc_id", "text")
+    return search_bm25(postings, doclens, "hash join fast", k=10)
+
+
+def _set_fts_oracle() -> None:
+    from databend_spark.operators.fulltext import bm25_oracle_sql
+    from databend_spark.suite.base import REGISTRY
+
+    REGISTRY["fts_bm25_topk"].oracle = bm25_oracle_sql(
+        "documents", "doc_id", "text", "hash join fast", k=10
+    )
+
+
+_set_fts_oracle()
+
+
+@register(
+    "fts_match",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           list_has_any(toks, ['vector', 'stream']) AS any_m,
+           list_has_all(toks, ['hash', 'join', 'window']) AS all_m
+    FROM toked
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def fts_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-side MATCH predicate (OR and AND modes) — pure array built-ins,
+    no index required (the reference also evaluates MATCH without an index
+    by scanning)."""
+    from databend_spark.operators.fulltext import match_all, match_any
+
+    return (
+        spark.table("documents")
+        .filter("doc_id < 200")
+        .select(
+            "doc_id",
+            match_any("text", "vector stream").alias("any_m"),
+            match_all("text", "hash join window").alias("all_m"),
+        )
+        .orderBy("doc_id")
+    )
