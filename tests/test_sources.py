@@ -131,3 +131,17 @@ def test_system_runtime_tables(ctx):
         assert "my_double_it" in ufs
     finally:
         unregister_sql_macro("my_double_it")
+
+
+def test_bloom_write_roundtrip(spark, tmp_path):
+    """bloom_write produces readable parquet and exact equality results
+    (bloom filters are advisory skip structures — results unchanged)."""
+    from databend_spark.sources.bloom import bloom_write
+
+    df = spark.range(10_000).selectExpr("id", "xxhash64(id) AS k")
+    path = str(tmp_path / "bloomed")
+    bloom_write(df, path, ["k"], ndv=10_000, num_files=2, block_size=1 << 20)
+    back = spark.read.parquet(path)
+    probe = df.filter("id = 4242").first()["k"]
+    got = back.filter(F.col("k") == probe).collect()
+    assert len(got) == 1 and got[0]["id"] == 4242
