@@ -83,3 +83,47 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stateful_user_stats(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count / value sum / last event type across micro-batches.
+
+    This is the escape hatch for operators neither the built-in windows
+    nor session_window express (arbitrary per-key state machines). State
+    is a compact (count, total, last_type) tuple per user — at 100 TB the
+    state store shards by the groupBy key exactly like a shuffle.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        count, total, last_type = (
+            state.get if state.exists else (0, 0.0, "")
+        )
+        for pdf in pdf_iter:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                last_type = str(
+                    pdf.sort_values("ts")["event_type"].iloc[-1]
+                )
+        state.update((count, total, last_type))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                "total_value": [total],
+                "last_type": [last_type],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, "
+        "total_value double, last_type string",
+        stateStructType="count bigint, total double, last_type string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

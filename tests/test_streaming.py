@@ -218,3 +218,42 @@ def test_vacuum_append_only_removes_nothing(spark, vt):
     vt.append(_df(spark, [(2, "b")]))
     assert vt.vacuum(retain_last=1) == []  # every dir still feeds head
     assert vt.read().count() == 2
+
+
+def test_stateful_user_stats_accumulates_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    final counts equal the batch groupBy, proving state survival."""
+    import os
+    import shutil
+
+    from databend_spark.session import load_table
+    from databend_spark.streaming.structured import (
+        read_event_stream,
+        run_to_memory,
+        stateful_user_stats,
+    )
+
+    events = load_table(spark, os.path.join(sf_dir, "events.parquet")).filter(
+        "user_id < 20"
+    )
+    src = str(tmp_path / "stream_src")
+    # two file drops → two micro-batches (maxFilesPerTrigger=1)
+    events.filter("event_id % 2 = 0").coalesce(1).write.parquet(src)
+    events.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    out = stateful_user_stats(read_event_stream(spark, src))
+    run_to_memory(out, "user_stats", output_mode="update")
+
+    # last update per user == full-batch aggregate
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM user_stats "
+            "GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(want) > 0
