@@ -164,3 +164,27 @@ def agg_index_rollup(spark, sf_dir):
             F.col("ap").cast("decimal(18,4)").cast("double").alias("ap"),
         )
     )
+
+
+def _markov_oracle() -> str:
+    from databend_spark.operators.markov import transitions_oracle_sql
+
+    return (
+        transitions_oracle_sql("documents", "text", order=2, where="doc_id < 40")
+        + " ORDER BY cnt DESC, context, next_cp LIMIT 50"
+    )
+
+
+@register("agg_markov_train", oracle=_markov_oracle())
+def agg_markov_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """markov_train aggregate (reference aggregate_markov_tarin.rs):
+    char-level transition counts via explode(sequence) + groupBy —
+    a codegen'd projection feeding a partial→final hash agg."""
+    from databend_spark.operators.markov import transitions
+
+    docs = spark.table("documents").filter("doc_id < 40")
+    return (
+        transitions(docs, "text", order=2)
+        .orderBy(F.desc("cnt"), "context", "next_cp")
+        .limit(50)
+    )

@@ -114,3 +114,19 @@ def test_agg_index_rewrite_matches_direct(spark, sf_dir, ctx):
     # non-matching query (different table) passes through
     assert try_rewrite("SELECT count(*) FROM orders", ctx._agg_indexes) is None
     spark.sql("DROP TABLE IF EXISTS __aggidx_li_idx")
+
+
+def test_markov_train_model(spark):
+    """markov_train: totals/count_end/buckets per context (reference
+    aggregate_markov_tarin.rs row shape, context string as key)."""
+    from databend_spark.operators.markov import markov_train, transitions
+
+    df = spark.createDataFrame([("abab",), ("ab",)], "s string")
+    t = {(r.context, r.next_cp): r.cnt for r in transitions(df, "s", order=2).collect()}
+    assert t[("", "a")] == 2          # both strings start with 'a'
+    assert t[("ab", "a")] == 1        # abab: pos3 ctx 'ab' → 'a'
+    assert t[("ab", "")] == 2         # both strings end after ...'ab'
+    m = {r.context: r for r in markov_train(df, "s", order=2).collect()}
+    assert m["ab"].total == 3 and m["ab"].count_end == 2
+    assert m["ab"].buckets == {"a": 1}
+    assert m[""].total == 2 and m[""].count_end == 0
