@@ -60,6 +60,9 @@ HEADLINE = [
     "hits_q12",
     "tpcds_rollup_inventory",
     "tpcds_rank_in_category",
+    # round-2 additions: inverted-index BM25 + grid-bucketed spatial join
+    "fts_bm25_topk",
+    "geo_spatial_join",
 ]
 
 

@@ -418,6 +418,36 @@ def run_slt_file(
     )
     _analyze = re.compile(r"^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s*;?\s*$", re.I)
 
+    # max_execute_time_in_seconds (reference settings_default.rs): honored
+    # for real — the statement runs on a worker thread and Spark jobs are
+    # cancelled at the deadline, producing the timeout error the suite
+    # expects (e.g. base/20+_others/20_0008_max_execute_time.test runs
+    # avg over numbers(1e12) expecting error 1043).
+    _SET_MAX_EXEC = re.compile(
+        r"^\s*SET\s+max_execute_time_in_seconds\s*=\s*(\d+)\s*;?\s*$", re.I
+    )
+    exec_limit = [0]
+
+    def _run_limited(fn):
+        if not exec_limit[0]:
+            return fn()
+        import concurrent.futures as _cf
+
+        ex = _cf.ThreadPoolExecutor(max_workers=1)
+        fut = ex.submit(fn)
+        try:
+            return fut.result(timeout=exec_limit[0])
+        except _cf.TimeoutError:
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:
+                pass
+            raise RuntimeError(
+                "1043: query aborted: max_execute_time_in_seconds exceeded"
+            ) from None
+        finally:
+            ex.shutdown(wait=False)
+
     # -- named stages (reference: user_stage.rs; files live in a local
     # dir, `@stage` reads resolve through a positional-column temp view,
     # `$N` becomes the Nth column) --------------------------------------
@@ -952,11 +982,16 @@ def run_slt_file(
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
                 rep.passed += 1
                 continue
+            met = _SET_MAX_EXEC.match(sql)
+            if met:
+                exec_limit[0] = int(met.group(1))
+                rep.passed += 1
+                continue
             if _SETTINGS_STMT.match(sql):
                 rep.skipped += 1  # engine-specific session settings
                 continue
             try:
-                run_sql(sql).collect()
+                _run_limited(lambda: run_sql(sql).collect())
                 err = None
             except Exception as e:  # noqa: BLE001
                 err = e
@@ -993,7 +1028,7 @@ def run_slt_file(
                 rep.skipped += 1
                 continue
             try:
-                rows = _collect_for_compare(run_sql(sql))
+                rows = _run_limited(lambda: _collect_for_compare(run_sql(sql)))
             except Exception as e:  # noqa: BLE001
                 rep.failed += 1
                 rep.failures.append(f"query failed: {sql[:120]} :: {e}")
