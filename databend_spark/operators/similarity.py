@@ -267,3 +267,97 @@ def neardup_pairs(
         "ib",
         cosine_similarity(F.col("va"), F.col("vb")).alias("sim"),
     ).filter(F.col("sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    corpus: DataFrame,
+    ncells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assigned): IVF-Flat with deterministically SAMPLED
+    centroids (hash-ordered first ``ncells`` corpus vectors — the cheap,
+    shared-state-free variant of k-means coarse quantization; one Lloyd
+    refinement can be layered on later without changing the contract).
+
+    centroids: (cell, cvec)  — tiny, broadcast everywhere.
+    assigned:  corpus + cell — the inverted lists; persist partitioned/
+    bucketed BY cell so a probe reads only its lists at 100 TB.
+    """
+    w = W.orderBy(F.xxhash64(F.col("_cid")), F.col("_cid"))
+    centroids = (
+        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= ncells)
+        .select((F.col("_rn") - 1).alias("cell"), "cvec")
+    )
+    assigned = _nearest_cell(corpus, centroids, id_col, vec_col).select(
+        *corpus.columns, "cell"
+    )
+    return centroids, assigned
+
+
+def _nearest_cell(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Attach the argmax-cosine cell id (broadcast centroid sweep;
+    row_number over the unique ``id_col``)."""
+    sims = (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine_similarity(F.col(vec_col), F.col("cvec")))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell"))
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_sim", "_rn", "cvec")
+    )
+
+
+def ivf_search(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k per query probing the ``nprobe`` nearest cells.
+
+    Plan: broadcast centroid sweep ranks cells per query (tiny), the
+    query fans out to its nprobe cells, an equi-join on ``cell`` pulls
+    only those inverted lists (1/ncells·nprobe of the corpus), exact
+    cosine re-rank inside. Output: (query_id, neighbor_id, sim, rank).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cq = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_csim", cosine_similarity(F.col("qv"), F.col("cvec"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("cell"))
+    probes = (
+        cq.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    scored = (
+        probes.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

