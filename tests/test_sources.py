@@ -145,3 +145,40 @@ def test_bloom_write_roundtrip(spark, tmp_path):
     probe = df.filter("id = 4242").first()["k"]
     got = back.filter(F.col("k") == probe).collect()
     assert len(got) == 1 and got[0]["id"] == 4242
+
+
+def test_ngram_index_prunes_like_scan(spark, tmp_path):
+    """ngram pruner analog: LIKE '%needle%' reads only files whose gram
+    index can contain the needle; results equal the full scan."""
+    from databend_spark.sources.ngram_index import (
+        build_ngram_index,
+        pruned_like_scan,
+    )
+
+    path = str(tmp_path / "docs")
+    # 8 files; the marker substring lives in exactly one of them
+    base = spark.range(4000).selectExpr(
+        "id", "concat('common text block ', id % 97) AS txt"
+    )
+    marked = spark.createDataFrame(
+        [(99991, "here hides zanzibar treasure"), (99992, "more zanzibar text")],
+        "id long, txt string",
+    )
+    base.repartition(7).write.parquet(path)
+    marked.coalesce(1).write.mode("append").parquet(path)
+    build_ngram_index(spark, path, "txt")
+
+    pruned = pruned_like_scan(spark, path, "txt", "zanzibar")
+    got = {r.id for r in pruned.collect()}
+    assert got == {99991, 99992}
+    # the pruned plan touches fewer files than exist
+    n_files_read = pruned.select(F.input_file_name()).distinct().count()
+    import glob
+
+    n_files_total = len(glob.glob(path + "/*.parquet"))
+    assert n_files_read < n_files_total and n_files_read >= 1
+
+    # absent needle prunes to zero files and returns empty
+    assert pruned_like_scan(spark, path, "txt", "xylophone").count() == 0
+    # short needle falls back to a correct full scan
+    assert pruned_like_scan(spark, path, "txt", "za").count() == 2
