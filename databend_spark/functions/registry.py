@@ -1013,6 +1013,24 @@ SQL_MACROS.update(
         ),
         "st_npoints": "size({0})",
         "st_makeline": "array({0}, {1})",
+        # MySQL conv(): a negative from_base means |base| with signed
+        # interpretation — Spark returns NULL there; take the magnitude
+        "conv": {3: "c\x03onv({0}, CAST(abs({1}) AS INT), {2})"},
+        # the reference ERRORS on malformed hex / oversized space();
+        # Spark returns NULL / materializes — guard to match
+        "unhex": (
+            "CASE WHEN {0} IS NOT NULL AND unh\x03ex({0}) IS NULL"
+            " THEN raise_error('invalid hex string') ELSE unh\x03ex({0}) END"
+        ),
+        "from_hex": (
+            "CASE WHEN {0} IS NOT NULL AND unh\x03ex({0}) IS NULL"
+            " THEN raise_error('invalid hex string') ELSE unh\x03ex({0}) END"
+        ),
+        "space": (
+            "CASE WHEN {0} > 1000000"
+            " THEN raise_error('space(): length exceeds maximum')"
+            " ELSE sp\x03ace(CAST({0} AS INT)) END"
+        ),
     }
 )
 

@@ -29,10 +29,23 @@ def recursive_cte(
     already present in the accumulated result do not recurse — required
     for graph reachability to terminate on cyclic inputs.
     """
+    from pyspark.sql import functions as F
+
     acc = anchor
     frontier = anchor
+    anchor_schema = anchor.schema
     for i in range(max_iterations):
         nxt = step(frontier)
+        # each iteration may widen numeric types (e.g. DECIMAL(20,0)+1 →
+        # DECIMAL(21,0)); pin every round to the anchor's schema like the
+        # reference binder does for the recursive branch
+        if nxt.schema != anchor_schema:
+            nxt = nxt.select(
+                *[
+                    F.col(actual).cast(f.dataType).alias(f.name)
+                    for actual, f in zip(nxt.columns, anchor_schema.fields)
+                ]
+            )
         if distinct:
             nxt = nxt.distinct().exceptAll(acc.distinct())
         # one action per iteration; cache the frontier since it is used

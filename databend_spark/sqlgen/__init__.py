@@ -982,6 +982,9 @@ def rewrite_databend_sql(sql: str) -> str:
     # Spark's multi-arg count would silently give different semantics
     if re.search(r"\bcount\s*\(\s*(?!distinct\b)[^()]*,", masked, re.I):
         raise UnsupportedSQL("count() accepts a single argument")
+    # NTILE requires a bucket count (Spark silently defaults)
+    if re.search(r"\bntile\s*\(\s*\)", masked, re.I):
+        raise UnsupportedSQL("ntile() requires a bucket-count argument")
     for pat, repl in _TYPE_ALIASES:
         masked = pat.sub(repl, masked)
     # Databend positional tuple access `t.1` → Spark struct field `t.`1``

@@ -404,6 +404,12 @@ def run_slt_file(
     _drop_fn = re.compile(
         r"^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([\w`]+)\s*;?\s*$", re.I
     )
+    _alter_fn = re.compile(
+        r"^\s*ALTER\s+FUNCTION\s+([\w`]+)\s+AS\s*\(([^)]*)\)\s*->\s*(.+?)\s*;?\s*$",
+        re.I | re.S,
+    )
+    # DESC = '...' suffix on function DDL — metadata only, strip
+    _fn_desc = re.compile(r"\s+DESC\s*=\s*'(?:[^']|'')*'\s*;?\s*$", re.I)
 
     # storage-maintenance DDL with no Spark analog: correctness-neutral
     # no-ops (the reference compacts/reclusters fuse segments; parquet
@@ -427,6 +433,12 @@ def run_slt_file(
         r"^\s*SET\s+max_execute_time_in_seconds\s*=\s*(\d+)\s*;?\s*$", re.I
     )
     exec_limit = [0]
+    # max_result_rows truncates the CLIENT result set only (inner
+    # queries see all rows — reference settings_default.rs)
+    _SET_MAX_ROWS = re.compile(
+        r"^\s*SET\s+max_result_rows\s*=\s*(\d+)\s*;?\s*$", re.I
+    )
+    result_limit = [0]
 
     def _run_limited(fn):
         if not exec_limit[0]:
@@ -453,6 +465,57 @@ def run_slt_file(
     # `$N` becomes the Nth column) --------------------------------------
     stages: dict[str, tuple[str, str]] = {}
     _stage_root = "/tmp/slt_stages"
+
+    # table → {column → declared-nullable} captured from CREATE TABLE
+    # (Databend columns default NOT NULL; Spark loses this)
+    ddl_nullability: dict[str, dict[str, bool]] = {}
+    _create_tbl_cols = re.compile(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TRANSIENT\s+)?TABLE\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*\(",
+        re.I,
+    )
+
+    def _record_nullability(sql: str) -> None:
+        m = _create_tbl_cols.match(sql)
+        if not m:
+            return
+        start = sql.index("(", m.end() - 1)
+        depth, i, end = 0, start, -1
+        for i in range(start, len(sql)):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            return
+        body, cols, buf, depth = sql[start + 1 : end], [], "", 0
+        for ch in body:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                cols.append(buf)
+                buf = ""
+            else:
+                buf += ch
+        cols.append(buf)
+        out = {}
+        for c in cols:
+            toks = c.strip().split()
+            if len(toks) < 2:
+                continue
+            name = toks[0].strip("`").lower()
+            u = c.upper()
+            out[name] = bool(
+                re.search(r"(?<!NOT )\bNULL\b", u)
+                and not re.search(r"\bNOT\s+NULL\b", u)
+            )
+        tbl = m.group(1).strip("`").split(".")[-1].lower()
+        ddl_nullability[tbl] = out
     _create_stage = re.compile(
         r"^\s*CREATE\s+STAGE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)"
         r"(?:\s+FILE_FORMAT\s*=\s*\(\s*TYPE\s*=\s*'?(\w+)'?\s*\))?\s*;?\s*$",
@@ -512,6 +575,9 @@ def run_slt_file(
 
     def run_sql(sql: str):
         sql = _preserve_unknown_escapes(sql)
+        # SHOW FIELDS FROM t — alias of DESCRIBE (reference show.rs)
+        sql = re.sub(r"^\s*SHOW\s+FIELDS\s+FROM\s+", "DESC ", sql, flags=re.I)
+        _record_nullability(sql)
         if _noop_ddl.match(sql):
             return spark.sql("SELECT 1 AS ok WHERE false")
         if _show_noop.match(sql):
@@ -534,6 +600,11 @@ def run_slt_file(
             except Exception:
                 schema = None
             if schema is not None:
+                # Databend columns default to NOT NULL; Spark tables are
+                # always nullable — report the DDL-declared nullability
+                declared = ddl_nullability.get(
+                    m.group(1).strip("`").split(".")[-1].lower(), {}
+                )
                 rows = [
                     (
                         f.name,
@@ -541,7 +612,9 @@ def run_slt_file(
                             f.dataType.simpleString(),
                             f.dataType.simpleString().upper(),
                         ),
-                        "YES" if f.nullable else "NO",
+                        "YES"
+                        if declared.get(f.name.lower(), f.nullable)
+                        else "NO",
                         "NULL",
                         "",
                     )
@@ -628,8 +701,25 @@ def run_slt_file(
             return spark.sql(
                 f"ANALYZE TABLE {m.group(1)} COMPUTE STATISTICS"
             )
-        # CREATE/DROP FUNCTION — Databend lambda UDFs become expression
-        # macros in the alias registry (expanded like built-ins)
+        # CREATE/ALTER/DROP FUNCTION — Databend lambda UDFs become
+        # expression macros in the alias registry (expanded like built-ins)
+        sql = _fn_desc.sub("", sql) if re.match(
+            r"^\s*(CREATE|ALTER)\s+(OR\s+REPLACE\s+)?FUNCTION\b", sql, re.I
+        ) else sql
+        m = _alter_fn.match(sql)
+        if m:
+            from databend_spark.functions import registry as _reg
+
+            name = m.group(1).strip("`").lower()
+            if name not in _reg.USER_MACROS:
+                # 2602 unknown function / 2603 builtin — both errors
+                raise RuntimeError(f"cannot ALTER function {name}")
+            params = [p.strip() for p in m.group(2).split(",") if p.strip()]
+            body = m.group(3).replace("{", "{{").replace("}", "}}")
+            for idx, p in enumerate(params):
+                body = re.sub(rf"\b{re.escape(p)}\b", "{" + str(idx) + "}", body)
+            _reg.register_sql_macro(name, f"({body})")
+            return spark.sql("SELECT 1 AS ok WHERE false")
         m = _create_fn.match(sql)
         if m:
             from databend_spark.functions import registry as _reg
@@ -824,6 +914,42 @@ def run_slt_file(
         if m:
             spark.sql(f"DROP DATABASE IF EXISTS {m.group(1)} CASCADE")
             sql = re.sub(r"OR\s+REPLACE\s+", "", sql, count=1, flags=re.I)
+        ins = re.match(
+            r"^\s*INSERT\s+(OVERWRITE\s+)?(?:INTO\s+)?(?:TABLE\s+)?([\w.`]+)",
+            sql,
+            re.I,
+        )
+        if ins:
+            # VALUES with every tuple commented out — Databend accepts
+            # and inserts nothing (03_0045_insert_values_with_comment)
+            bare = re.sub(r"--[^\n]*", "", sql)
+            bare = re.sub(r"/\*.*?\*/", "", bare, flags=re.S)
+            if re.match(
+                r"^\s*INSERT\s+INTO\s+[\w.`]+\s*(\([^)]*\))?\s*VALUES\s*;?\s*$",
+                bare,
+                re.I,
+            ):
+                return spark.sql("SELECT CAST(0 AS BIGINT) AS count WHERE false")
+            # Databend INSERT returns the affected-row count as a result
+            # set (query blocks assert it) — measure via before/after.
+            # On any execution error fall through to the generic path so
+            # its recovery fallbacks still apply.
+            before = None
+            if not ins.group(1):
+                try:
+                    before = spark.table(ins.group(2)).count()
+                except Exception:
+                    before = None
+            if before is not None:
+                try:
+                    spark.sql(rewrite_databend_sql(sql)).collect()
+                except Exception:
+                    pass  # generic path below retries with fallbacks
+                else:
+                    after = spark.table(ins.group(2)).count()
+                    return spark.createDataFrame(
+                        [(after - before,)], "count bigint"
+                    )
         rewritten = rewrite_databend_sql(sql)
         try:
             return spark.sql(rewritten)
@@ -987,6 +1113,11 @@ def run_slt_file(
                 exec_limit[0] = int(met.group(1))
                 rep.passed += 1
                 continue
+            mrr = _SET_MAX_ROWS.match(sql)
+            if mrr:
+                result_limit[0] = int(mrr.group(1))
+                rep.passed += 1
+                continue
             if _SETTINGS_STMT.match(sql):
                 rep.skipped += 1  # engine-specific session settings
                 continue
@@ -1033,6 +1164,8 @@ def run_slt_file(
                 rep.failed += 1
                 rep.failures.append(f"query failed: {sql[:120]} :: {e}")
                 continue
+            if result_limit[0]:
+                rows = rows[: result_limit[0]]
             # canonicalize boolean spellings on BOTH sides before any
             # sorting — 'true' and '1' sort to different positions
             canon = {"true": "1", "false": "0", "True": "1", "False": "0"}
