@@ -509,11 +509,9 @@ def run_slt_file(
             if len(toks) < 2:
                 continue
             name = toks[0].strip("`").lower()
-            u = c.upper()
-            out[name] = bool(
-                re.search(r"(?<!NOT )\bNULL\b", u)
-                and not re.search(r"\bNOT\s+NULL\b", u)
-            )
+            # nullable unless NOT NULL declared (reference default —
+            # see issue_14713.test: `c0 INT` describes as YES)
+            out[name] = not re.search(r"\bNOT\s+NULL\b", c.upper())
         tbl = m.group(1).strip("`").split(".")[-1].lower()
         ddl_nullability[tbl] = out
     _create_stage = re.compile(
@@ -600,8 +598,8 @@ def run_slt_file(
             except Exception:
                 schema = None
             if schema is not None:
-                # Databend columns default to NOT NULL; Spark tables are
-                # always nullable — report the DDL-declared nullability
+                # report the DDL-declared nullability (Spark tables are
+                # always nullable; the reference keeps NOT NULL marks)
                 declared = ddl_nullability.get(
                     m.group(1).strip("`").split(".")[-1].lower(), {}
                 )
