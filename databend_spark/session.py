@@ -109,17 +109,19 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
-# view-name → sf_dir currently registered, per SparkSession — avoids
-# re-reading 10 parquet footers on every suite-query call.  Keyed on
-# applicationId (stable, never reused) + table name, not id(spark): id() of
-# a collected session can be recycled, silently skipping registration.
-_REGISTERED: dict[tuple[str, str], str] = {}
+# (appId, table, sf_dir) → loaded DataFrame — avoids re-reading parquet
+# footers on every suite-query call. Keyed on applicationId (stable,
+# never reused), not id(spark): id() of a collected session can be
+# recycled. The VIEW is re-created on every call (cheap, no IO) so a
+# query that registered a same-named view in between (e.g. the TPC-DS
+# suite's `customer`) cannot leak into the next query.
+_LOADED: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def register_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES
 ) -> None:
-    """Register the driver's parquet tables as temp views (memoized).
+    """Register the driver's parquet tables as temp views.
 
     Equivalent of the reference's stage/catalog attach
     (``src/query/sql/src/planner/binder/stage_location.rs``): scans are
@@ -133,12 +135,15 @@ def register_tables(
     except Exception:
         sid = str(id(spark))
     for t in tables:
-        if _REGISTERED.get((sid, t)) == sf_dir:
-            continue
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            load_table(spark, path).createOrReplaceTempView(t)
-            _REGISTERED[(sid, t)] = sf_dir
+        key = (sid, t, sf_dir)
+        df = _LOADED.get(key)
+        if df is None:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if not os.path.exists(path):
+                continue
+            df = load_table(spark, path)
+            _LOADED[key] = df
+        df.createOrReplaceTempView(t)
 
 
 def load_table(spark: SparkSession, path: str) -> DataFrame:
@@ -254,6 +259,31 @@ class SessionContext:
         try:
             df = self.spark.sql(rewrite_databend_sql(query))
         except Exception as e:
+            # Databend `col:path` reads named tuples AND json text;
+            # Spark's native `:` needs true VARIANT — retry both forms
+            if "COLUMN_IS_NOT_VARIANT_TYPE" in str(e):
+                from databend_spark.sqlgen import (
+                    variant_paths_to_json,
+                    variant_paths_to_struct,
+                )
+
+                for alt in (
+                    variant_paths_to_struct(query),
+                    variant_paths_to_json(query),
+                ):
+                    try:
+                        df = self.spark.sql(rewrite_databend_sql(alt))
+                        break
+                    except Exception:
+                        continue
+                else:
+                    df = None
+                if df is not None:
+                    self._query_log.append(
+                        (len(self._query_log) + 1, query, "ok", "",
+                         t0, time.time() - t0)
+                    )
+                    return df
             self._query_log.append(
                 (len(self._query_log) + 1, query, "error",
                  type(e).__name__, t0, time.time() - t0)

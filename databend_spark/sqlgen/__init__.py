@@ -28,6 +28,38 @@ _UNSUPPORTED = [
 # backquoted. The receiver must be an identifier or a call's closing
 # paren — a leading digit would be a float literal like 1.5.
 _TUPLE_FIELD = re.compile(r"((?:[A-Za-z_]\w*|\)))\.(\d+)\b")
+# col:a / col:a.b / col:a[0]:b — Databend variant path extraction; the
+# lookbehind/lookahead exclude `::` casts, the leading-letter requirement
+# excludes array slices like arr[1:3]
+_VARIANT_PATH = re.compile(
+    r"(?<![:\w.`])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*:(?!:)\s*"
+    r"([A-Za-z_]\w*(?:[.:][A-Za-z_]\w*)*)"
+)
+
+
+def variant_paths_to_json(sql: str) -> str:
+    """`col:a.b` → get_json_object(CAST(col AS STRING), '$.a.b') — the
+    fallback when the column stores JSON text (Spark's native `:` demands
+    true VARIANT). Applied on retry by the runner / SessionContext."""
+    masked, lits = _mask_strings(sql)
+
+    def repl(m: re.Match) -> str:
+        path = m.group(2).replace(":", ".")
+        return f"get_json_object(CAST({m.group(1)} AS STRING), '$.{path}')"
+
+    return _unmask_strings(_VARIANT_PATH.sub(repl, masked), lits)
+
+
+def variant_paths_to_struct(sql: str) -> str:
+    """`col:a.b` → col.`a`.`b` — the fallback when the column is a named
+    TUPLE (Databend's `:` also reads tuple fields)."""
+    masked, lits = _mask_strings(sql)
+
+    def repl(m: re.Match) -> str:
+        fields = re.split(r"[.:]", m.group(2))
+        return m.group(1) + "".join(f".`{f}`" for f in fields)
+
+    return _unmask_strings(_VARIANT_PATH.sub(repl, masked), lits)
 
 _QUALIFY = re.compile(r"\bQUALIFY\b", re.I)
 _DROP_TABLE_ALL = re.compile(

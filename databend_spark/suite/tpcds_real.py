@@ -51,13 +51,33 @@ def _oracle(sql: str) -> str:
     return out
 
 
+def _spark_sql(sql: str) -> str:
+    """Rewrite bare TPC-DS table refs to prefixed view names (aliased
+    back) so these views can never clobber the main suite's `customer`."""
+    kw = r"(?:ON|WHERE|GROUP|ORDER|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|LIMIT|AS|USING|HAVING|UNION)\b"
+    out = sql
+    for t in _TABLES:
+        out = re.sub(
+            rf"(\bFROM\s+|\bJOIN\s+|,\s*){t}\b(?!\.)(\s+(?!{kw})[A-Za-z_]\w*)?",
+            lambda m, t=t: (
+                f"{m.group(1)}tpcds_{t}"
+                f"{m.group(2) if m.group(2) else ' ' + t}"
+            ),
+            out,
+            flags=re.I,
+        )
+    return out
+
+
 def _register(name: str, sql: str, doc: str) -> None:
+    spark_text = _spark_sql(sql)
+
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in _TABLES:
             p = os.path.join(_DIR, f"{t}.parquet")
             if os.path.exists(p):
-                spark.read.parquet(p).createOrReplaceTempView(t)
-        return spark.sql(sql)
+                spark.read.parquet(p).createOrReplaceTempView(f"tpcds_{t}")
+        return spark.sql(spark_text)
 
     REGISTRY[name] = Query(name=name, fn=fn, oracle=_oracle(sql), doc=doc)
 

@@ -961,6 +961,37 @@ def run_slt_file(
 
                 shutil.rmtree(loc.group(1), ignore_errors=True)
                 return spark.sql(rewritten)
+            if "COLUMN_IS_NOT_VARIANT_TYPE" in msg:
+                # Databend `col:path` reads named tuples AND json — Spark's
+                # native `:` needs true VARIANT. Retry as struct access,
+                # then as get_json_object over the JSON text.
+                from databend_spark.sqlgen import (
+                    variant_paths_to_json,
+                    variant_paths_to_struct,
+                )
+
+                for alt in (
+                    variant_paths_to_struct(sql),
+                    variant_paths_to_json(sql),
+                ):
+                    forced = rewrite_databend_sql(alt)
+                    if forced == rewritten:
+                        continue
+                    try:
+                        return spark.sql(forced)
+                    except Exception:  # noqa: BLE001
+                        continue
+            if "UNRESOLVED_COLUMN" in msg and re.search(r"\b_origin_\w+", sql):
+                # change-tracking hidden columns (_origin_version,
+                # _origin_block_id, …) are NULL on plain tables
+                forced = rewrite_databend_sql(
+                    re.sub(r"\b_origin_\w+\b", "NULL", sql)
+                )
+                if forced != rewritten:
+                    try:
+                        return spark.sql(forced)
+                    except Exception:  # noqa: BLE001
+                        pass
             if "CREATE_PERMANENT_VIEW_WITHOUT_ALIAS" in msg:
                 from databend_spark.sqlgen import auto_alias_view_body
 
