@@ -253,7 +253,7 @@ _CBRT_OP = re.compile(r"\|\|/\s*(-?[\w.]+(?:\([^()]*\))?)")
 
 _PARAM_AGG = re.compile(
     r"\b(quantile_cont|quantile_disc|quantile_tdigest|quantile|"
-    r"try_to_decimal|to_decimal|"
+    r"try_to_decimal|to_decimal|approx_count_distinct|"
     r"group_array_moving_avg|group_array_moving_sum)"
     r"\s*\(([^()]*)\)\s*\(((?:[^()]|\([^()]*\))*)\)",
     re.I,
@@ -1000,13 +1000,18 @@ def rewrite_databend_sql(sql: str) -> str:
         if new == masked:
             break
         masked = new
-    # `x = NOT <bool>` parses in Databend/DuckDB, not Spark
+    # `x = NOT <bool>` parses in Databend/DuckDB, not Spark; the operand
+    # may be a literal, masked string, or either with a `::type` cast
     masked = re.sub(
-        r"(=|!=|<>)\s*NOT\s+(TRUE|FALSE|NULL)\b",
+        r"(=|!=|<>)\s*NOT\s+"
+        r"((?:TRUE|FALSE|NULL|\x00\d+\x00|[\w.]+)(?:\s*::\s*\w+)?)",
         r"\1 (NOT \2)",
         masked,
         flags=re.I,
     )
+    # bare `SELECT *` with no FROM is an error in the reference (1065)
+    if re.match(r"^\s*SELECT\s+\*\s*;?\s*$", masked, re.I):
+        raise UnsupportedSQL("SELECT * with no FROM clause")
     for pat, msg in _UNSUPPORTED:
         if pat.search(masked):
             raise UnsupportedSQL(f"unsupported Databend syntax: {msg}")
