@@ -347,6 +347,13 @@ def run_slt_file(
         r"^\s*UPDATE\s+([\w.`]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
         re.I | re.S,
     )
+    # UPDATE t [AS a] SET ... FROM <src> [WHERE join_cond] — join-update
+    # (reference: UPDATE supports FROM like Postgres; desugars to a
+    # left-join copy-on-write rewrite, first match wins)
+    _update_head = re.compile(
+        r"^\s*UPDATE\s+([\w.`]+)(?:\s+AS\s+(\w+))?\s+SET\s+(.*)$",
+        re.I | re.S,
+    )
     _natural_semi = re.compile(
         r"\b([\w.`]+)\s+NATURAL\s+(SEMI|ANTI)\s+JOIN\s+", re.I
     )
@@ -791,6 +798,71 @@ def run_slt_file(
                 f"NOT coalesce(({cond}), false)" if cond else "false"
             )
             _replace_table(t, f"SELECT * FROM {t} WHERE {keep}")
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        mf = _update_head.match(sql)
+        if mf:
+            t, alias, tail = mf.group(1), mf.group(2) or mf.group(1), mf.group(3)
+            # find a DEPTH-0 FROM (a FROM inside an assignment's scalar
+            # subquery must not trigger the join-update path)
+            depth, from_at = 0, -1
+            for i, c in enumerate(tail):
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif depth == 0 and tail[i : i + 5].upper() == "FROM " and (
+                    i == 0 or not tail[i - 1].isalnum()
+                ):
+                    from_at = i
+                    break
+            mf = None if from_at < 0 else True
+            if mf:
+                body, rest = tail[:from_at].rstrip(), tail[from_at + 5 :]
+        if mf:
+            # split the FROM part from the trailing top-level WHERE
+            depth, where_at = 0, -1
+            for i in range(len(rest)):
+                c = rest[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif depth == 0 and rest[i : i + 6].upper() == "WHERE ":
+                    where_at = i
+            src = rest[:where_at] if where_at >= 0 else rest
+            cond = rest[where_at + 6 :].rstrip("; \n") if where_at >= 0 else "true"
+            assigns = {
+                k.split(".")[-1].strip("`"): v
+                for k, v in _split_assignments(body)
+            }
+            schema = {
+                f.name: f.dataType.simpleString() for f in spark.table(t).schema
+            }
+            cols = [
+                (
+                    f"CASE WHEN __m THEN CAST(({assigns[c]}) AS {typ}) "
+                    f"ELSE {alias}.`{c}` END AS `{c}`"
+                    if c in assigns
+                    else f"{alias}.`{c}`"
+                )
+                for c, typ in schema.items()
+            ]
+            # preserve the source's alias so cond/assigns keep resolving
+            am = re.match(r"^(.+?)\s+(?:AS\s+)?(\w+)\s*$", src.strip(), re.S)
+            if am and not re.match(r"^[\w.`]+$", src.strip()):
+                src_body, src_alias = am.group(1), am.group(2)
+            else:
+                src_body = src_alias = src.strip()
+            new_sql = (
+                f"SELECT {', '.join(f'`{c}`' for c in schema)} FROM ("
+                f"SELECT {', '.join(cols)}, row_number() OVER ("
+                f"PARTITION BY __rid ORDER BY __m DESC) AS __rn FROM "
+                f"(SELECT *, monotonically_increasing_id() AS __rid "
+                f"FROM {t}) {alias} LEFT JOIN "
+                f"(SELECT *, true AS __m FROM {src_body}) {src_alias} "
+                f"ON ({cond})) WHERE __rn = 1"
+            )
+            _replace_table(t, new_sql)
             return spark.sql("SELECT 1 AS ok WHERE false")
         m = _update_stmt.match(sql)
         if m and re.match(r"^\s*UPDATE\b", sql, re.I):
