@@ -806,3 +806,23 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return recursive_cte(anchor, step).select("n", "fib")
+
+
+@register(
+    "topn_row_fetch",
+    oracle="""
+    SELECT event_id, event_type, value, props
+    FROM events ORDER BY value DESC, event_id LIMIT 10
+    """,
+    doc="late-materialized TopN (physical_row_fetch.rs analog): 2-column "
+    "pruned sort pass, then broadcast key fetch of the 10 winners",
+)
+def topn_row_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from databend_spark.operators.row_fetch import topn_late_materialize
+    from databend_spark.session import load_table
+
+    ev = load_table(spark, os.path.join(sf_dir, "events.parquet"))
+    top = topn_late_materialize(ev, "event_id", [F.desc("value"), "event_id"], 10)
+    return top.select("event_id", "event_type", "value", "props")

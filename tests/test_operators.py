@@ -130,3 +130,26 @@ def test_markov_train_model(spark):
     assert m["ab"].total == 3 and m["ab"].count_end == 2
     assert m["ab"].buckets == {"a": 1}
     assert m[""].total == 2 and m[""].count_end == 0
+
+
+def test_topn_late_materialize_equals_naive(spark, tmp_path):
+    """Row-fetch TopN (physical_row_fetch.rs analog): same rows as naive
+    ORDER BY/LIMIT over a wide table, but the sort scans 2 columns."""
+    from databend_spark.operators.row_fetch import topn_late_materialize
+
+    path = str(tmp_path / "wide")
+    wide = spark.range(20_000).selectExpr(
+        "id", "xxhash64(id) % 1000000 AS score",
+        *[f"concat('v{i}_', id) AS payload{i:02d}" for i in range(30)],
+    )
+    wide.repartition(4).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    got = topn_late_materialize(df, "id", [F.desc("score"), "id"], 10).collect()
+    want = df.orderBy(F.desc("score"), "id").limit(10).collect()
+    assert [r["id"] for r in got] == [r["id"] for r in want]
+    assert got[0].asDict() == want[0].asDict()
+    # the narrow pre-pass plan reads only (id, score) from parquet
+    narrow = df.select("id", "score").orderBy(F.desc("score")).limit(10)
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" not in plan or "payload00" not in plan
