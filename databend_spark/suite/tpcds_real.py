@@ -30,7 +30,7 @@ _DIR = os.path.abspath(
 
 _TABLES = (
     "date_dim store_sales item customer customer_address store "
-    "customer_demographics promotion"
+    "customer_demographics household_demographics promotion"
 ).split()
 
 
@@ -212,4 +212,97 @@ _register(
     LIMIT 100
     """,
     "TPC-DS Q68 (city-mismatch tickets)",
+)
+
+
+# Q19: brand revenue where customer and store zips differ
+_register(
+    "tpcds_real_q19",
+    """
+    SELECT i_brand_id AS brand_id, i_brand AS brand, i_manufact_id,
+           i_manufact,
+           CAST(sum(ss_ext_sales_price) AS DECIMAL(20,2)) AS ext_price
+    FROM date_dim, store_sales, item, customer, customer_address, store
+    WHERE d_date_sk = ss_sold_date_sk
+      AND ss_item_sk = i_item_sk
+      AND i_manager_id = 8
+      AND d_moy = 11
+      AND d_year = 2002
+      AND ss_customer_sk = c_customer_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND SUBSTRING(ca_zip, 1, 5) <> SUBSTRING(s_zip, 1, 5)
+      AND ss_store_sk = s_store_sk
+    GROUP BY i_brand, i_brand_id, i_manufact_id, i_manufact
+    ORDER BY ext_price DESC, i_brand, i_brand_id, i_manufact_id, i_manufact
+    LIMIT 100
+    """,
+    "TPC-DS Q19 (6-table star join, zip-mismatch filter)",
+)
+
+# Q13: OR-of-ANDs demographic slices (single-row aggregate)
+_register(
+    "tpcds_real_q13",
+    """
+    SELECT CAST(sum(ss_quantity) AS DOUBLE) / count(ss_quantity) AS avg1,
+           CAST(sum(ss_ext_sales_price) AS DOUBLE)
+             / count(ss_ext_sales_price) AS avg2,
+           CAST(sum(ss_ext_wholesale_cost) AS DOUBLE)
+             / count(ss_ext_wholesale_cost) AS avg3,
+           CAST(sum(ss_ext_wholesale_cost) AS DECIMAL(20,2)) AS sum4
+    FROM store_sales, store, customer_demographics,
+         household_demographics, customer_address, date_dim
+    WHERE s_store_sk = ss_store_sk
+      AND ss_sold_date_sk = d_date_sk
+      AND d_year = 2001
+      AND ((ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'M'
+            AND cd_education_status = 'Advanced Degree'
+            AND ss_sales_price BETWEEN 100.00 AND 150.00
+            AND hd_dep_count = 3)
+        OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'S'
+            AND cd_education_status = 'College'
+            AND ss_sales_price BETWEEN 50.00 AND 100.00
+            AND hd_dep_count = 1)
+        OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'W'
+            AND cd_education_status = '2 yr Degree'
+            AND ss_sales_price BETWEEN 150.00 AND 200.00
+            AND hd_dep_count = 1))
+      AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+            AND ca_state IN ('TX', 'OH', 'TX')
+            AND ss_net_profit BETWEEN 100 AND 200)
+        OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+            AND ca_state IN ('OR', 'NM', 'KY')
+            AND ss_net_profit BETWEEN 150 AND 300)
+        OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+            AND ca_state IN ('VA', 'TX', 'MS')
+            AND ss_net_profit BETWEEN 50 AND 250))
+    """,
+    "TPC-DS Q13 (disjunctive demographic predicates)",
+)
+
+# Q98: per-item revenue + class-window revenue ratio
+_register(
+    "tpcds_real_q98",
+    """
+    SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+           CAST(sum(ss_ext_sales_price) AS DECIMAL(20,2)) AS itemrevenue,
+           round(CAST(sum(ss_ext_sales_price) AS DOUBLE) * 100.0
+                 / CAST(sum(sum(ss_ext_sales_price))
+                        OVER (PARTITION BY i_class) AS DOUBLE),
+                 6) AS revenueratio
+    FROM store_sales, item, date_dim
+    WHERE ss_item_sk = i_item_sk
+      AND i_category IN ('Sports', 'Books', 'Home')
+      AND ss_sold_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1999-02-22' AS DATE)
+                     AND CAST('1999-03-24' AS DATE)
+    GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+    ORDER BY i_category NULLS FIRST, i_class NULLS FIRST,
+             i_item_id NULLS FIRST, i_item_desc NULLS FIRST,
+             revenueratio NULLS FIRST
+    LIMIT 500
+    """,
+    "TPC-DS Q98 (agg + window-over-agg revenue ratio)",
 )
