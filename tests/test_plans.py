@@ -107,3 +107,26 @@ def test_hits_wide_view_prunes_to_base_columns(spark, sf_dir):
         "SELECT count(*) AS c FROM hits WHERE AdvEngineID <> 0"
     )
     assert_read_schema_only(df, "events", {"event_id"})
+
+
+def test_spatial_join_plan_no_cartesian(spark, sf_dir):
+    """Grid-bucketed spatial join equi-joins on cell keys — no
+    CartesianProduct / BroadcastNestedLoop anywhere in the plan."""
+    from databend_spark.plans import assert_no_cartesian
+    from databend_spark.suite import queries
+
+    df = queries()["geo_spatial_join"](spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_bm25_plan_broadcasts_term_stats(spark, sf_dir):
+    """BM25 search: the per-term df/idf side is broadcast, and no
+    cartesian join appears (the single-row corpus-stats crossJoin is a
+    broadcast nested loop of one row — explicitly allowed)."""
+    from databend_spark.plans import physical_plan
+    from databend_spark.suite import queries
+
+    df = queries()["fts_bm25_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
