@@ -578,11 +578,33 @@ def run_slt_file(
         "binary": "BINARY",
     }
 
+    # dropped-database log feeding system.databases_with_history
+    # (reference: storages/system/src/databases_table.rs WithHistory)
+    dropped_dbs: list[tuple[str, float]] = []
+
     def run_sql(sql: str):
         sql = _preserve_unknown_escapes(sql)
         # SHOW FIELDS FROM t — alias of DESCRIBE (reference show.rs)
         sql = re.sub(r"^\s*SHOW\s+FIELDS\s+FROM\s+", "DESC ", sql, flags=re.I)
         _record_nullability(sql)
+        mdrop = re.match(
+            r"^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?([\w`]+)", sql, re.I
+        )
+        if mdrop:
+            import time as _time
+
+            name = mdrop.group(1).strip("`")
+            if any(d.name == name for d in spark.catalog.listDatabases()):
+                dropped_dbs.append((name, _time.time()))
+        if "databases_with_history" in sql.lower():
+            live = [(d.name, "NULL") for d in spark.catalog.listDatabases()]
+            rows = live + [(n, repr(ts)) for n, ts in dropped_dbs]
+            values = ", ".join(f"('{n}', CAST({v} AS DOUBLE))" for n, v in rows)
+            spark.sql("CREATE DATABASE IF NOT EXISTS system")
+            spark.sql(
+                "CREATE OR REPLACE VIEW system.databases_with_history AS "
+                f"SELECT * FROM VALUES {values} AS t(name, dropped_on)"
+            )
         if _noop_ddl.match(sql):
             return spark.sql("SELECT 1 AS ok WHERE false")
         if _show_noop.match(sql):
