@@ -854,7 +854,7 @@ def run_slt_file(
             src = rest[:where_at] if where_at >= 0 else rest
             cond = rest[where_at + 6 :].rstrip("; \n") if where_at >= 0 else "true"
             assigns = {
-                k.split(".")[-1].strip("`"): v
+                k.split(".")[-1].strip("`").lower(): v
                 for k, v in _split_assignments(body)
             }
             schema = {
@@ -862,9 +862,9 @@ def run_slt_file(
             }
             cols = [
                 (
-                    f"CASE WHEN __m THEN CAST(({assigns[c]}) AS {typ}) "
+                    f"CASE WHEN __m THEN CAST(({assigns[c.lower()]}) AS {typ}) "
                     f"ELSE {alias}.`{c}` END AS `{c}`"
-                    if c in assigns
+                    if c.lower() in assigns
                     else f"{alias}.`{c}`"
                 )
                 for c, typ in schema.items()
@@ -889,12 +889,14 @@ def run_slt_file(
         m = _update_stmt.match(sql)
         if m and re.match(r"^\s*UPDATE\b", sql, re.I):
             t, body, cond = m.group(1), m.group(2), m.group(3)
-            assigns = dict(_split_assignments(body))
+            assigns = {
+                k.strip("`").lower(): v for k, v in _split_assignments(body)
+            }
             schema = {f.name: f.dataType.simpleString() for f in spark.table(t).schema}
             hit = f"coalesce(({cond}), false)" if cond else "true"
             cols = [
-                f"CASE WHEN {hit} THEN CAST(({assigns[c]}) AS {typ}) "
-                f"ELSE `{c}` END AS `{c}`" if c in assigns else f"`{c}`"
+                f"CASE WHEN {hit} THEN CAST(({assigns[c.lower()]}) AS {typ}) "
+                f"ELSE `{c}` END AS `{c}`" if c.lower() in assigns else f"`{c}`"
                 for c, typ in schema.items()
             ]
             _replace_table(t, f"SELECT {', '.join(cols)} FROM {t}")
