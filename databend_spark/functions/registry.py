@@ -337,7 +337,6 @@ SQL_MACROS: dict[str, str] = {
         "CASE WHEN ({0}) IS NULL OR ({1}) IS NULL THEN NULL"
         " WHEN ({0}) < ({1}) THEN -1 WHEN ({0}) > ({1}) THEN 1 ELSE 0 END"
     ),
-    "oct": "conv(CAST({0} AS STRING), 10, 8)",
     # MySQL-style INSERT(str, pos, len, repl); the bare word INSERT in
     # DML never has '(' directly after it, so the macro can't misfire
     "insert": {
@@ -1016,6 +1015,9 @@ SQL_MACROS.update(
         # MySQL conv(): a negative from_base means |base| with signed
         # interpretation — Spark returns NULL there; take the magnitude
         "conv": {3: "c\x03onv({0}, CAST(abs({1}) AS INT), {2})"},
+        # reference oct() sign-extends to i64 and prints the u64 octal
+        # (two's complement); hex() exposes exactly that bit pattern
+        "oct": "conv(hex(CAST({0} AS BIGINT)), 16, 8)",
         # the reference ERRORS on malformed hex / oversized space();
         # Spark returns NULL / materializes — guard to match
         "unhex": (

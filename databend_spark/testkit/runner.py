@@ -816,11 +816,13 @@ def run_slt_file(
         m = _delete_stmt.match(sql)
         if m and "USING" not in sql.upper():
             t, cond = m.group(1), m.group(2)
-            keep = (
-                f"NOT coalesce(({cond}), false)" if cond else "false"
-            )
-            _replace_table(t, f"SELECT * FROM {t} WHERE {keep}")
-            return spark.sql("SELECT 1 AS ok WHERE false")
+            hit = f"coalesce(({cond}), false)" if cond else "true"
+            # Databend DELETE returns the affected-row count
+            n = spark.sql(
+                f"SELECT count(*) AS n FROM {t} WHERE {hit}"
+            ).first()["n"]
+            _replace_table(t, f"SELECT * FROM {t} WHERE NOT ({hit})")
+            return spark.createDataFrame([(n,)], "count bigint")
         mf = _update_head.match(sql)
         if mf:
             t, alias, tail = mf.group(1), mf.group(2) or mf.group(1), mf.group(3)
@@ -899,8 +901,12 @@ def run_slt_file(
                 f"ELSE `{c}` END AS `{c}`" if c.lower() in assigns else f"`{c}`"
                 for c, typ in schema.items()
             ]
+            # Databend UPDATE returns the affected-row count
+            n = spark.sql(
+                f"SELECT count(*) AS n FROM {t} WHERE {hit}"
+            ).first()["n"]
             _replace_table(t, f"SELECT {', '.join(cols)} FROM {t}")
-            return spark.sql("SELECT 1 AS ok WHERE false")
+            return spark.createDataFrame([(n,)], "count bigint")
         # SELECT * over a USING-join chain: Databend/DuckDB emit columns
         # in left-to-right first-occurrence order; Spark bubbles the
         # USING columns to the front — expand * explicitly
