@@ -582,11 +582,68 @@ def run_slt_file(
     # (reference: storages/system/src/databases_table.rs WithHistory)
     dropped_dbs: list[tuple[str, float]] = []
 
+    # per-table write-commit counter feeding fuse_snapshot(): every
+    # INSERT/TRUNCATE/UPDATE/DELETE commit = one snapshot in the chain
+    tbl_commits: dict[tuple[str, str], int] = {}
+
+    def _commit_key(tbl: str) -> tuple[str, str]:
+        tbl = tbl.strip("`")
+        if "." in tbl:
+            db, t = tbl.rsplit(".", 1)
+            return (db.strip("`").lower(), t.strip("`").lower())
+        try:
+            return (spark.catalog.currentDatabase().lower(), tbl.lower())
+        except Exception:
+            return ("default", tbl.lower())
+
+    def _bump_commit(tbl: str) -> None:
+        k = _commit_key(tbl)
+        tbl_commits[k] = tbl_commits.get(k, 0) + 1
+
     def run_sql(sql: str):
         sql = _preserve_unknown_escapes(sql)
         # SHOW FIELDS FROM t — alias of DESCRIBE (reference show.rs)
         sql = re.sub(r"^\s*SHOW\s+FIELDS\s+FROM\s+", "DESC ", sql, flags=re.I)
         _record_nullability(sql)
+        # fuse_snapshot / fuse_block table functions — emulated from the
+        # table's real file layout (block = parquet file; the compacted
+        # single-segment shape matches Spark's one-directory tables)
+        def _fuse_tvf(m: re.Match) -> str:
+            db, tbl = m.group(2).strip("'"), m.group(3).strip("'")
+            try:
+                files = spark.table(f"{db}.{tbl}").inputFiles()
+            except Exception:
+                files = []
+            if m.group(1).lower() == "fuse_snapshot":
+                n = max(
+                    tbl_commits.get((db.lower(), tbl.lower()), 0),
+                    1 if files else 0,
+                )
+                rows = ", ".join(
+                    f"(1, {len(files)}, timestampadd(SECOND, -{i}, "
+                    "current_timestamp()))"
+                    for i in range(max(n, 1))
+                )
+                body = (
+                    f"SELECT * FROM VALUES {rows} AS "
+                    "__fs(segment_count, block_count, timestamp)"
+                )
+                if n == 0:
+                    body += " WHERE false"
+                return f"({body})"
+            rows = ", ".join(f"('{f}')" for f in files) or "('')"
+            return (
+                f"(SELECT * FROM VALUES {rows} AS __fb(block_path) "
+                "WHERE block_path <> '')"
+            )
+
+        if re.search(r"\bfuse_(?:snapshot|block)\s*\(", sql, re.I):
+            sql = re.sub(
+                r"\b(fuse_snapshot|fuse_block)\s*\(\s*('[\w]+')\s*,\s*('[\w]+')\s*\)",
+                _fuse_tvf,
+                sql,
+                flags=re.I,
+            )
         mdrop = re.match(
             r"^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?([\w`]+)", sql, re.I
         )
@@ -822,6 +879,7 @@ def run_slt_file(
                 f"SELECT count(*) AS n FROM {t} WHERE {hit}"
             ).first()["n"]
             _replace_table(t, f"SELECT * FROM {t} WHERE NOT ({hit})")
+            _bump_commit(t)
             return spark.createDataFrame([(n,)], "count bigint")
         mf = _update_head.match(sql)
         if mf:
@@ -887,6 +945,7 @@ def run_slt_file(
                 f"ON ({cond})) WHERE __rn = 1"
             )
             _replace_table(t, new_sql)
+            _bump_commit(t)
             return spark.sql("SELECT 1 AS ok WHERE false")
         m = _update_stmt.match(sql)
         if m and re.match(r"^\s*UPDATE\b", sql, re.I):
@@ -906,6 +965,7 @@ def run_slt_file(
                 f"SELECT count(*) AS n FROM {t} WHERE {hit}"
             ).first()["n"]
             _replace_table(t, f"SELECT {', '.join(cols)} FROM {t}")
+            _bump_commit(t)
             return spark.createDataFrame([(n,)], "count bigint")
         # SELECT * over a USING-join chain: Databend/DuckDB emit columns
         # in left-to-right first-occurrence order; Spark bubbles the
@@ -1047,12 +1107,19 @@ def run_slt_file(
                     pass  # generic path below retries with fallbacks
                 else:
                     after = spark.table(ins.group(2)).count()
+                    _bump_commit(ins.group(2))
                     return spark.createDataFrame(
                         [(after - before,)], "count bigint"
                     )
         rewritten = rewrite_databend_sql(sql)
+        wcommit = ins or re.match(
+            r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.`]+)", sql, re.I
+        )
         try:
-            return spark.sql(rewritten)
+            res = spark.sql(rewritten)
+            if wcommit:
+                _bump_commit(wcommit.group(2) if wcommit is ins else wcommit.group(1))
+            return res
         except Exception as e:  # noqa: BLE001
             # a killed run can leave orphan table dirs the catalog no
             # longer tracks — remove the stale location and retry once
