@@ -1276,3 +1276,60 @@ def rewrite_values_as_select(sql: str) -> str:
 
 def has_qualify(sql: str) -> bool:
     return bool(_QUALIFY.search(sql))
+
+
+_WHERE_KW = re.compile(r"\bWHERE\b", re.I)
+_CLAUSE_END = re.compile(
+    r"\b(GROUP|ORDER|LIMIT|HAVING|WINDOW|UNION|INTERSECT|EXCEPT|QUALIFY)\b",
+    re.I,
+)
+
+
+def wrap_where_boolean(sql: str) -> str:
+    """Wrap every WHERE clause in CAST(... AS BOOLEAN) — the reference
+    coerces numeric filters (non-zero = true) where Spark demands a
+    boolean. Applied on FILTER_NOT_BOOLEAN retry; a no-op for filters
+    that are already boolean."""
+    masked, lits = _mask_strings(sql)
+    out = masked
+    # process right-to-left so earlier offsets stay valid
+    for m in reversed(list(_WHERE_KW.finditer(masked))):
+        start = m.end()
+        depth, end = 0, len(out)
+        i = start
+        while i < len(out):
+            c = out[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                km = _CLAUSE_END.match(out, i)
+                if km and not out[i - 1].isalnum():
+                    end = i
+                    break
+            i += 1
+        clause = out[start:end].strip().rstrip(";").strip()
+        if not clause:
+            continue
+        # NOT over a non-boolean operand fails before the outer cast —
+        # coerce simple NOT operands too (keyword forms and IS NOT
+        # excluded via a protect/restore token)
+        clause = re.sub(r"\bIS\s+NOT\b", "IS\x04NOT", clause, flags=re.I)
+        clause = re.sub(
+            r"\bNOT\s+(?!IN\b|LIKE\b|ILIKE\b|RLIKE\b|EXISTS\b|"
+            r"BETWEEN\b|NULL\b|SIMILAR\b|DISTINCT\b)((?:[\w.`]+|\([\w.` ]+\)))",
+            r"NOT CAST(\1 AS BOOLEAN)",
+            clause,
+            flags=re.I,
+        )
+        clause = clause.replace("IS\x04NOT", "IS NOT")
+        out = (
+            out[: m.start()]
+            + f"WHERE CAST(({clause}) AS BOOLEAN) "
+            + out[end:]
+        )
+    return _unmask_strings(out, lits)

@@ -347,6 +347,13 @@ def run_slt_file(
         r"^\s*UPDATE\s+([\w.`]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
         re.I | re.S,
     )
+    # WITH ctes DELETE FROM t WHERE ... — CTE-scoped delete; the CTE
+    # block is carried into both the count and the rewrite query
+    _delete_with = re.compile(
+        r"^\s*(WITH\s+.+?)\s+DELETE\s+FROM\s+([\w.`]+)"
+        r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+        re.I | re.S,
+    )
     # UPDATE t [AS a] SET ... FROM <src> [WHERE join_cond] — join-update
     # (reference: UPDATE supports FROM like Postgres; desugars to a
     # left-join copy-on-write rewrite, first match wins)
@@ -870,15 +877,46 @@ def run_slt_file(
                 df = df.filter(f"`Views_in_{db}` LIKE '{m.group(2)}'")
             return df.orderBy(f"`Views_in_{db}`")
         # DELETE/UPDATE on v1 tables → copy-on-write swap
+        mmod = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+MODIFY\s+COLUMN\s+(\w+)\s+"
+            r"([\w()<>, ]+?)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mmod:
+            # type change via copy-on-write cast rewrite (the reference
+            # rewrites blocks; Spark v1 tables can't alter column types)
+            from databend_spark.sqlgen import _TYPE_ALIASES
+
+            t, colname, newtype = mmod.group(1), mmod.group(2), mmod.group(3)
+            for pat, repl in _TYPE_ALIASES:
+                newtype = pat.sub(repl, newtype)
+            cols = [
+                f"CAST(`{c}` AS {newtype}) AS `{c}`"
+                if c.lower() == colname.lower()
+                else f"`{c}`"
+                for c in spark.table(t).columns
+            ]
+            _replace_table(t, f"SELECT {', '.join(cols)} FROM {t}")
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        ctes = ""
         m = _delete_stmt.match(sql)
+        if not m:
+            mw = _delete_with.match(sql)
+            if mw:
+                ctes, m = mw.group(1) + " ", mw
+                t_g, c_g = mw.group(2), mw.group(3)
         if m and "USING" not in sql.upper():
-            t, cond = m.group(1), m.group(2)
+            if ctes:
+                t, cond = t_g, c_g
+            else:
+                t, cond = m.group(1), m.group(2)
             hit = f"coalesce(({cond}), false)" if cond else "true"
             # Databend DELETE returns the affected-row count
             n = spark.sql(
-                f"SELECT count(*) AS n FROM {t} WHERE {hit}"
+                f"{ctes}SELECT count(*) AS n FROM {t} WHERE {hit}"
             ).first()["n"]
-            _replace_table(t, f"SELECT * FROM {t} WHERE NOT ({hit})")
+            _replace_table(t, f"{ctes}SELECT * FROM {t} WHERE NOT ({hit})")
             _bump_commit(t)
             return spark.createDataFrame([(n,)], "count bigint")
         mf = _update_head.match(sql)
@@ -1150,6 +1188,16 @@ def run_slt_file(
                         return spark.sql(forced)
                     except Exception:  # noqa: BLE001
                         continue
+            if "FILTER_NOT_BOOLEAN" in msg:
+                # the reference coerces numeric filters (non-zero = true)
+                from databend_spark.sqlgen import wrap_where_boolean
+
+                forced = rewrite_databend_sql(wrap_where_boolean(sql))
+                if forced != rewritten:
+                    try:
+                        return spark.sql(forced)
+                    except Exception:  # noqa: BLE001
+                        pass
             if "UNRESOLVED_COLUMN" in msg and re.search(r"\b_origin_\w+", sql):
                 # change-tracking hidden columns (_origin_version,
                 # _origin_block_id, …) are NULL on plain tables
