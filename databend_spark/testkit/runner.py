@@ -390,7 +390,12 @@ def run_slt_file(
         exactly this copy-on-write shape."""
         tmp = "__mutation_tmp"
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-        run_sql(f"CREATE TABLE {tmp} AS {select_sql}")
+        # single output file: a mutation commit compacts to one block in
+        # the reference, and fuse_snapshot block counts assert that
+        run_sql(
+            f"CREATE TABLE {tmp} AS SELECT /*+ COALESCE(1) */ * "
+            f"FROM ({select_sql})"
+        )
         spark.sql(f"DROP TABLE {table}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
 
@@ -626,14 +631,18 @@ def run_slt_file(
                     tbl_commits.get((db.lower(), tbl.lower()), 0),
                     1 if files else 0,
                 )
+                try:
+                    nrows = spark.table(f"{db}.{tbl}").count()
+                except Exception:
+                    nrows = 0
                 rows = ", ".join(
-                    f"(1, {len(files)}, timestampadd(SECOND, -{i}, "
-                    "current_timestamp()))"
+                    f"('s{i}', {nrows}, 1, {len(files)}, "
+                    f"timestampadd(SECOND, -{i}, current_timestamp()))"
                     for i in range(max(n, 1))
                 )
                 body = (
-                    f"SELECT * FROM VALUES {rows} AS "
-                    "__fs(segment_count, block_count, timestamp)"
+                    f"SELECT * FROM VALUES {rows} AS __fs(snapshot_id, "
+                    "row_count, segment_count, block_count, timestamp)"
                 )
                 if n == 0:
                     body += " WHERE false"
@@ -877,6 +886,63 @@ def run_slt_file(
                 df = df.filter(f"`Views_in_{db}` LIKE '{m.group(2)}'")
             return df.orderBy(f"`Views_in_{db}`")
         # DELETE/UPDATE on v1 tables → copy-on-write swap
+        # REPLACE INTO t ON (keys) <source> — upsert: incoming rows win
+        # on conflict keys (reference plans/insert REPLACE semantics)
+        mrep = re.match(
+            r"^\s*REPLACE\s+INTO\s+([\w.`]+)\s+ON\s*\(([^)]*)\)\s+(.+?)\s*;?\s*$",
+            sql,
+            re.I | re.S,
+        )
+        if mrep:
+            t, keys, src = mrep.group(1), mrep.group(2), mrep.group(3)
+            cols = spark.table(t).columns
+            if re.match(r"^\s*VALUES\b", src, re.I):
+                src_sql = (
+                    f"SELECT * FROM ({src}) AS __rsrc({', '.join(cols)})"
+                )
+            else:
+                src_sql = f"SELECT * FROM ({src}) AS __rsrc"
+            keylist = ", ".join(k.strip() for k in keys.split(","))
+            _replace_table(
+                t,
+                f"WITH __rs AS ({src_sql}) "
+                f"SELECT * FROM {t} LEFT ANTI JOIN __rs USING ({keylist}) "
+                f"UNION ALL SELECT {', '.join(cols)} FROM __rs",
+            )
+            _bump_commit(t)
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        # ALTER TABLE a SWAP WITH b — three-way v1 table rename
+        mswap = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+SWAP\s+WITH\s+([\w.`]+)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mswap:
+            a, b = mswap.group(1), mswap.group(2)
+            spark.sql(f"ALTER TABLE {a} RENAME TO __swap_tmp")
+            spark.sql(f"ALTER TABLE {b} RENAME TO {a}")
+            spark.sql(f"ALTER TABLE __swap_tmp RENAME TO {b}")
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        # ALTER TABLE t RENAME col TO newcol (COLUMN keyword optional in
+        # the reference; Spark v1 can't rename columns — cast rewrite)
+        mren = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+(?:COLUMN\s+)?"
+            r"(?!TO\b)([\w`]+)\s+TO\s+([\w`]+)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mren:
+            t, old, new = (
+                mren.group(1),
+                mren.group(2).strip("`"),
+                mren.group(3).strip("`"),
+            )
+            cols = [
+                f"`{c}` AS `{new}`" if c.lower() == old.lower() else f"`{c}`"
+                for c in spark.table(t).columns
+            ]
+            _replace_table(t, f"SELECT {', '.join(cols)} FROM {t}")
+            return spark.sql("SELECT 1 AS ok WHERE false")
         mmod = re.match(
             r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+MODIFY\s+COLUMN\s+(\w+)\s+"
             r"([\w()<>, ]+?)\s*;?\s*$",
