@@ -1147,13 +1147,16 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = _SETTINGS_PREFIX.sub("", masked)
     # explicit `NULL` nullability marker in DDL (Spark only knows NOT NULL)
     if _CREATE_TABLE.match(masked):
-        masked = _DDL_NULL.sub("", masked)
-        masked = _DDL_TEXT.sub("STRING", masked)
+        _is_ctas = re.search(r"\bAS\s*\(?\s*(?:SELECT|WITH)\b", masked, re.I)
+        if not _is_ctas:
+            # column-list DDL only — a CTAS body's `x IS NULL` must not
+            # lose its NULL, its `text` may be a column name, and its
+            # array()/map() are constructors
+            masked = _DDL_NULL.sub("", masked)
+            masked = _DDL_TEXT.sub("STRING", masked)
         for pat in _DDL_OPTIONS:
             masked = pat.sub("", masked)
-        # column-list DDL only — in CTAS the body's array()/map() are
-        # constructor calls, not types
-        if not re.search(r"\bAS\s*\(?\s*SELECT\b", masked, re.I):
+        if not _is_ctas:
             masked = _rewrite_ddl_nested_types(masked)
     # Databend function aliases → Spark names + expression macros
     from databend_spark.functions.registry import (

@@ -1211,6 +1211,33 @@ def run_slt_file(
                     pass  # generic path below retries with fallbacks
                 else:
                     after = spark.table(ins.group(2)).count()
+                    # NOT NULL enforcement: the reference rejects the
+                    # insert; prior rows were checked on THEIR insert, so
+                    # null-violating rows are exactly the new ones
+                    tkey = ins.group(2).strip("`").split(".")[-1].lower()
+                    nn_cols = [
+                        c
+                        for c, nullable in ddl_nullability.get(tkey, {}).items()
+                        if not nullable
+                    ]
+                    if nn_cols and after > before:
+                        viol_cond = " OR ".join(
+                            f"`{c}` IS NULL" for c in nn_cols
+                        )
+                        viol = spark.sql(
+                            f"SELECT count(*) AS n FROM {ins.group(2)} "
+                            f"WHERE {viol_cond}"
+                        ).first()["n"]
+                        if viol:
+                            _replace_table(
+                                ins.group(2),
+                                f"SELECT * FROM {ins.group(2)} "
+                                f"WHERE NOT ({viol_cond})",
+                            )
+                            raise RuntimeError(
+                                "NULL value in NOT NULL column "
+                                f"({', '.join(nn_cols)})"
+                            )
                     _bump_commit(ins.group(2))
                     return spark.createDataFrame(
                         [(after - before,)], "count bigint"
