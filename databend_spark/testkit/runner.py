@@ -528,9 +528,18 @@ def run_slt_file(
             if len(toks) < 2:
                 continue
             name = toks[0].strip("`").lower()
-            # nullable unless NOT NULL declared (reference default —
-            # see issue_14713.test: `c0 INT` describes as YES)
-            out[name] = not re.search(r"\bNOT\s+NULL\b", c.upper())
+            # nullable unless NOT NULL declared at the TOP level of the
+            # column def — `ARRAY(FLOAT32 not null)` constrains the
+            # ELEMENT type, not the column (issue 15170 shape)
+            top, d2 = [], 0
+            for ch in c:
+                if ch == "(":
+                    d2 += 1
+                elif ch == ")":
+                    d2 -= 1
+                elif d2 == 0:
+                    top.append(ch)
+            out[name] = not re.search(r"\bNOT\s+NULL\b", "".join(top).upper())
         tbl = m.group(1).strip("`").split(".")[-1].lower()
         ddl_nullability[tbl] = out
     _create_stage = re.compile(
