@@ -424,7 +424,8 @@ sql_query(
     "tpch_q2",
     f"""
     WITH {_PARTSUPP}
-    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
     FROM part, supplier, partsupp, nation, region
     WHERE p_partkey = ps_partkey
       AND s_suppkey = ps_suppkey
@@ -452,7 +453,8 @@ sql_query(
     f"""
     WITH {_PARTSUPP}
     SELECT ps_partkey,
-           CAST(sum(ps_supplycost * ps_availqty) AS DECIMAL(20,2)) AS value
+           CAST(CAST(sum(ps_supplycost * ps_availqty) AS DECIMAL(20,2))
+                AS DOUBLE) AS value
     FROM partsupp, supplier, nation
     WHERE ps_suppkey = s_suppkey
       AND s_nationkey = n_nationkey

@@ -54,6 +54,27 @@ def normalize(rows, cols):
     return out
 
 
+def _typed(v):
+    """Type-tagged repr, the strictest portable stand-in for the driver's
+    value hash: two engines only hash-match if values agree at repr level
+    (so Decimal('47.82') != 47.82 here, though == numerically)."""
+    if isinstance(v, tuple):
+        return tuple(_typed(x) for x in v)
+    if isinstance(v, float):
+        # floats hash by shortest-repr; both engines emit IEEE doubles
+        return ("f", repr(v))
+    return (type(v).__name__, repr(v))
+
+
+def value_hash(norm_rows):
+    import hashlib
+
+    h = hashlib.sha256()
+    for r in norm_rows:
+        h.update(repr(tuple(_typed(x) for x in r)).encode())
+    return h.hexdigest()
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
@@ -125,6 +146,19 @@ def main():
                 ok = False
                 diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
                 msgs.append(f"values differ, first diffs: {diff}")
+            elif value_hash(ns) != value_hash(nd):
+                # Driver-replica strict hash: Python numeric == is
+                # cross-type (Decimal('1.5') == 1.5), but the driver
+                # hashes reprs — a Decimal on one side and a float on
+                # the other passes the value compare yet hash-reds on
+                # the board (r2 tpch_q2/q11). Catch that class here.
+                ok = False
+                tdiff = [
+                    (a, b)
+                    for a, b in zip(ns, nd)
+                    if tuple(map(_typed, a)) != tuple(map(_typed, b))
+                ][:3]
+                msgs.append(f"HASH mismatch (type-class divergence): {tdiff}")
         if ok:
             emit(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
