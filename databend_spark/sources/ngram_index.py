@@ -56,6 +56,14 @@ def _gram_array(col: str, n: int):
     ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
 
 
+#: Selectivity bail-out: if more than this many files match the gram
+#: probe, re-planning an explicit file list stops paying for itself (a
+#: plain multi-file scan has better task packing) and an unbounded
+#: driver collect would be the real 100 TB bottleneck. Matches the
+#: order of magnitude Delta data skipping comfortably collects.
+MAX_PRUNE_FILES = 65536
+
+
 def pruned_like_scan(
     spark: SparkSession,
     table_path: str,
@@ -63,10 +71,19 @@ def pruned_like_scan(
     needle: str,
     n: int = 3,
     idx_path: str | None = None,
+    max_files: int = MAX_PRUNE_FILES,
 ) -> DataFrame:
     """Scan rows where ``col`` contains ``needle``, reading only files
     whose gram index can contain it. Falls back to a full scan when the
-    needle is shorter than ``n`` or the index is absent."""
+    needle is shorter than ``n``, the index is absent, or more than
+    ``max_files`` files qualify (then the index is not selective and the
+    driver-side file list would be the bottleneck, not the scan).
+
+    The only driver materialization is the matching-file list, which is
+    how Spark/Delta file skipping inherently works — it is explicitly
+    BOUNDED by ``max_files`` (collect is ``limit(max_files+1)``, so an
+    unselective probe transfers at most ``max_files+1`` paths, never the
+    full catalog)."""
     import os
 
     idx_path = idx_path or table_path.rstrip("/") + f"_ngram{n}_idx"
@@ -82,16 +99,19 @@ def pruned_like_scan(
     )
     ngrams = needle_grams.count()
     idx = spark.read.parquet(idx_path)
-    files = [
-        r.file
-        for r in idx.join(F.broadcast(needle_grams), "gram")
+    matches = (
+        idx.join(F.broadcast(needle_grams), "gram")
         .groupBy("file")
         .agg(F.countDistinct("gram").alias("hits"))
         .filter(F.col("hits") == ngrams)
-        .collect()
-    ]
+        .select("file")
+    )
+    # bounded driver transfer: max_files+1 rows decide all three cases
+    files = [r.file for r in matches.limit(max_files + 1).collect()]
     if not files:
         return full.limit(0)
+    if len(files) > max_files:
+        return full
     return spark.read.parquet(*files).filter(
         F.lower(F.col(col)).contains(needle.lower())
     )

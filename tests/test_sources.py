@@ -182,3 +182,12 @@ def test_ngram_index_prunes_like_scan(spark, tmp_path):
     assert pruned_like_scan(spark, path, "txt", "xylophone").count() == 0
     # short needle falls back to a correct full scan
     assert pruned_like_scan(spark, path, "txt", "za").count() == 2
+    # unselective probe (every file matches 'common') stays correct and
+    # the driver transfer is bounded: with max_files=1 the explicit file
+    # re-plan is abandoned for a plain full scan
+    unsel = pruned_like_scan(spark, path, "txt", "common", max_files=1)
+    assert unsel.count() == 4000
+    # all 7 base files surface rows (input_file_name only reflects files
+    # that produced result rows; the marked file has no 'common' rows)
+    full_files = unsel.select(F.input_file_name()).distinct().count()
+    assert full_files == 7
