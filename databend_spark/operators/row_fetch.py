@@ -30,6 +30,7 @@ def topn_late_materialize(
     key: str,
     order_by: list,
     k: int,
+    sort_columns: list[str] | None = None,
 ) -> DataFrame:
     """Top-k of ``df`` by ``order_by`` returning ALL columns, scanning
     wide columns only for the k winners.
@@ -37,9 +38,15 @@ def topn_late_materialize(
     ``df`` should be a freshly-read source DataFrame (so the narrow
     projection prunes at the scan); ``key`` must be unique.
     ``order_by``: list of Column expressions or column-name strings.
+    ``sort_columns``: the source columns the order expressions read.
+    Required when an ``order_by`` entry is a computed Column whose
+    stringified form doesn't name its inputs verbatim — the fallback
+    inference substring-matches column names against ``str(Column)``,
+    which both misses renamed expressions and over-matches colliding
+    names like ``id`` in ``vec_id`` (ADVICE r2).
     """
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    narrow = df.select(key, *_referenced(df, order_by))
+    narrow = df.select(key, *(sort_columns or _referenced(df, order_by)))
     winners = narrow.orderBy(*order_cols).limit(k).select(key)
     # broadcast the k keys; the equality join pushes into the fetch scan
     fetched = df.join(F.broadcast(winners), key, "left_semi")

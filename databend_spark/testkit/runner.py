@@ -396,8 +396,19 @@ def run_slt_file(
             f"CREATE TABLE {tmp} AS SELECT /*+ COALESCE(1) */ * "
             f"FROM ({select_sql})"
         )
-        spark.sql(f"DROP TABLE {table}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        # crash-safe swap order (ADVICE r2): the target table only
+        # vanishes inside a window we can roll back from — a timeout or
+        # error mid-swap restores the original instead of stranding the
+        # suite without its table.
+        old = "__mutation_old"
+        spark.sql(f"DROP TABLE IF EXISTS {old}")
+        spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+        try:
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        except Exception:
+            spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+            raise
+        spark.sql(f"DROP TABLE {old}")
 
     _show_tables = re.compile(
         r"^\s*SHOW\s+(FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+([\w`]+))?"
@@ -970,10 +981,18 @@ def run_slt_file(
             re.I,
         )
         if mswap:
+            import uuid as _uuid
+
             a, b = mswap.group(1), mswap.group(2)
-            spark.sql(f"ALTER TABLE {a} RENAME TO __swap_tmp")
-            spark.sql(f"ALTER TABLE {b} RENAME TO {a}")
-            spark.sql(f"ALTER TABLE __swap_tmp RENAME TO {b}")
+            tmp = f"__swap_{_uuid.uuid4().hex[:12]}"
+            spark.sql(f"ALTER TABLE {a} RENAME TO {tmp}")
+            try:
+                spark.sql(f"ALTER TABLE {b} RENAME TO {a}")
+                spark.sql(f"ALTER TABLE {tmp} RENAME TO {b}")
+            except Exception:
+                # restore a so a failed swap never strands the table
+                spark.sql(f"ALTER TABLE {tmp} RENAME TO {a}")
+                raise
             return spark.sql("SELECT 1 AS ok WHERE false")
         # ALTER TABLE t RENAME col TO newcol (COLUMN keyword optional in
         # the reference; Spark v1 can't rename columns — cast rewrite)
@@ -1039,23 +1058,30 @@ def run_slt_file(
             return spark.createDataFrame([(n,)], "count bigint")
         mf = _update_head.match(sql)
         if mf:
+            from databend_spark.sqlgen import _mask_strings, _unmask_strings
+
             t, alias, tail = mf.group(1), mf.group(2) or mf.group(1), mf.group(3)
+            # scan a string-masked copy: a literal like 'hello from x'
+            # must not trigger the join-update path, and parens inside
+            # literals must not corrupt the depth counter (ADVICE r2)
+            mtail, _lits = _mask_strings(tail)
             # find a DEPTH-0 FROM (a FROM inside an assignment's scalar
             # subquery must not trigger the join-update path)
             depth, from_at = 0, -1
-            for i, c in enumerate(tail):
+            for i, c in enumerate(mtail):
                 if c == "(":
                     depth += 1
                 elif c == ")":
                     depth -= 1
-                elif depth == 0 and tail[i : i + 5].upper() == "FROM " and (
-                    i == 0 or not tail[i - 1].isalnum()
+                elif depth == 0 and mtail[i : i + 5].upper() == "FROM " and (
+                    i == 0 or not mtail[i - 1].isalnum()
                 ):
                     from_at = i
                     break
             mf = None if from_at < 0 else True
             if mf:
-                body, rest = tail[:from_at].rstrip(), tail[from_at + 5 :]
+                body = _unmask_strings(mtail[:from_at].rstrip(), _lits)
+                rest = mtail[from_at + 5 :]
         if mf:
             # split the FROM part from the trailing top-level WHERE
             depth, where_at = 0, -1
@@ -1069,6 +1095,7 @@ def run_slt_file(
                     where_at = i
             src = rest[:where_at] if where_at >= 0 else rest
             cond = rest[where_at + 6 :].rstrip("; \n") if where_at >= 0 else "true"
+            src, cond = _unmask_strings(src, _lits), _unmask_strings(cond, _lits)
             assigns = {
                 k.split(".")[-1].strip("`").lower(): v
                 for k, v in _split_assignments(body)

@@ -102,3 +102,31 @@ def test_stream_refuses_overwrite_crossing(spark, vt):
     s2 = Stream(vt, "s2")
     vt.append(spark.createDataFrame([(9, "z", 9.0)], "id int, name string, price double"))
     assert {r.id for r in s2.read().collect()} == {9}
+
+
+def test_update_literal_containing_from_is_not_join_update(spark, tmp_path):
+    """ADVICE r2: a plain UPDATE whose SET literal contains ' from ' (or
+    unbalanced parens) must not be misparsed as UPDATE ... FROM."""
+    slt = tmp_path / "upd_literal.test"
+    slt.write_text(
+        """statement ok
+CREATE OR REPLACE TABLE upd_lit(id INT, msg VARCHAR)
+
+statement ok
+INSERT INTO upd_lit VALUES (1, 'a'), (2, 'b')
+
+statement ok
+UPDATE upd_lit SET msg = 'hello from x (unbalanced' WHERE id = 1
+
+query IT
+SELECT id, msg FROM upd_lit ORDER BY id
+----
+1 hello from x (unbalanced
+2 b
+"""
+    )
+    from databend_spark.testkit import run_slt_file
+
+    rep = run_slt_file(spark, str(slt))
+    assert rep.failed == 0, rep.failures
+    assert rep.passed >= 1

@@ -12,9 +12,10 @@ Data is generated locally with DuckDB's bundled dbgen/dsdgen extensions
 
     python tools/gen_bench_dbs.py [tpch_sf] [tpcds_sf]
 
-Defaults: tpch sf=1 (matches the reference's validate_duckdb.py), tpcds
-sf=0.1 (the tpcds suites only assert plans/row shapes, and dsdgen sf=1
-costs minutes of generation for no extra coverage).
+Defaults: tpch sf=1 (matches the reference's validate_duckdb.py) and
+tpcds sf=1. Output directories are derived from the requested sf
+(``tpch_sf{sf}``), so a custom-scale run can never mislabel the default
+cache (ADVICE r2). The SLT runner attaches the sf1 directories.
 """
 
 from __future__ import annotations
@@ -51,11 +52,15 @@ def main_default() -> None:
     gen("tpcds", 1.0, os.path.join(ROOT, "tpcds_sf1"))
 
 
+def _sf_tag(sf: float) -> str:
+    return f"{sf:g}"
+
+
 def main() -> None:
     tpch_sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     tpcds_sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
-    gen("tpch", tpch_sf, os.path.join(ROOT, "tpch_sf1"))
-    gen("tpcds", tpcds_sf, os.path.join(ROOT, "tpcds_sf1"))
+    gen("tpch", tpch_sf, os.path.join(ROOT, f"tpch_sf{_sf_tag(tpch_sf)}"))
+    gen("tpcds", tpcds_sf, os.path.join(ROOT, f"tpcds_sf{_sf_tag(tpcds_sf)}"))
 
 
 if __name__ == "__main__":
