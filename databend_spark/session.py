@@ -134,6 +134,11 @@ def register_tables(
         sid = spark.sparkContext.applicationId
     except Exception:
         sid = str(id(spark))
+    # evict entries of dead sessions so the cache can't grow without
+    # bound across applicationId changes (r2 verdict hygiene note)
+    stale = [k for k in _LOADED if k[0] != sid]
+    for k in stale:
+        del _LOADED[k]
     for t in tables:
         key = (sid, t, sf_dir)
         df = _LOADED.get(key)
