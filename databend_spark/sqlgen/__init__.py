@@ -772,7 +772,7 @@ def _rewrite_named_windows(s: str) -> str:
         )
     return out
 
-_ASOF_JOIN = re.compile(r"\bASOF\s+(LEFT\s+|RIGHT\s+)?JOIN\b", re.I)
+_ASOF_JOIN = re.compile(r"\bASOF\s+(LEFT\s+|RIGHT\s+|FULL\s+)?JOIN\b", re.I)
 _CLAUSE_END = re.compile(
     r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|OFFSET|UNION|EXCEPT|INTERSECT|"
     r"WINDOW|QUALIFY|JOIN|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|ASOF|SEMI|"
@@ -801,10 +801,6 @@ def _rewrite_asof_join(s: str) -> str:
         if not m:
             return s
         kind = (m.group(1) or "").strip().upper()
-        if kind == "RIGHT":
-            raise UnsupportedSQL(
-                "ASOF RIGHT JOIN — swap the sides and use ASOF LEFT JOIN"
-            )
         i = m.end()
         # --- parse build relation: ident[(args)] | (subquery), then
         # optional alias [(cols)]
@@ -841,6 +837,9 @@ def _rewrite_asof_join(s: str) -> str:
             i += am.end()
         on = re.match(r"\s*ON\b", s[i:], re.I)
         um = re.match(r"\s*USING\s*\(([^)]*)\)", s[i:], re.I)
+        if kind in ("RIGHT", "FULL"):
+            s = _rewrite_asof_outer(s, m, kind, rel, alias, i, on, um)
+            continue
         if um:
             # USING (k…, t): leading columns are equalities, the last is
             # the `probe.t >= build.t` range key; build's copies of the
@@ -947,6 +946,115 @@ def _rewrite_asof_join(s: str) -> str:
         else:
             repl = f" , LATERAL {inner} {out_alias} "
         s = s[: m.start()] + repl + s[end:]
+
+
+def _rewrite_asof_outer(s, m, kind, rel, alias, i, on, um):
+    """ASOF RIGHT/FULL JOIN (reference plans/join.rs:74-75; RightAsof is
+    bound as LeftAsof with sides swapped, join.rs:93).
+
+    Spark-first shape: augment the probe with its picked build key via a
+    correlated scalar aggregate (Catalyst decorrelates it to a windowed
+    join, same as the inner/left path), then a plain RIGHT/FULL
+    equi-join on ``build_key = __pick AND eqs``:
+
+      * matched pairs reproduce the inner asof result;
+      * RIGHT adds build rows picked by no probe, NULL-padded;
+      * FULL additionally keeps probe rows with no pick.
+
+    Limitation: duplicate build rows on the same (eqs, key) would each
+    join the probes that picked that key (one arbitrary winner in the
+    reference); asof inputs are keyed in practice."""
+    balias_name = (alias or rel).split("(")[0].strip().strip("`").split(".")[-1]
+    # --- probe relation = the FROM item immediately before ASOF
+    pm = re.search(
+        r"([\w.`$\x00]+(?:\s+(?:AS\s+)?(?![Aa][Ss][Oo][Ff]\b)[A-Za-z_]\w*)?)"
+        r"\s*$",
+        s[: m.start()],
+    )
+    if not pm:
+        raise UnsupportedSQL(f"ASOF {kind} JOIN: probe relation not found")
+    probe_txt = pm.group(1)
+    parts = probe_txt.split()
+    prel = parts[0]
+    palias = (
+        parts[-1].strip("`")
+        if len(parts) > 1 and parts[-1].upper() != "AS"
+        else prel.split(".")[-1].strip("`")
+    )
+    # --- condition: ON <cond> or USING (eqs..., range_key)
+    if um:
+        cols = [c.strip().strip("`") for c in um.group(1).split(",")]
+        eq_terms = [f"{palias}.`{c}` = {balias_name}.`{c}`" for c in cols[:-1]]
+        ineq = f"{palias}.`{cols[-1]}` >= {balias_name}.`{cols[-1]}`"
+        cond = " AND ".join(eq_terms + [ineq])
+        end = i + um.end()
+    elif on:
+        cond_start = i + on.end()
+        depth, end, k = 0, len(s), cond_start
+        while k < len(s):
+            ch = s[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = k
+                    break
+                depth -= 1
+            elif depth == 0:
+                if ch in ",;":
+                    end = k
+                    break
+                cm = _CLAUSE_END.match(s, k)
+                if cm and (
+                    k == 0 or not (s[k - 1].isalnum() or s[k - 1] in "_`")
+                ):
+                    end = k
+                    break
+            k += 1
+        cond = s[cond_start:end].strip()
+        terms = re.split(r"\bAND\b", cond, flags=re.I)
+        fixed, buf = [], ""
+        for t in terms:
+            buf = t if not buf else buf + " AND " + t
+            if buf.count("(") == buf.count(")"):
+                fixed.append(buf.strip())
+                buf = ""
+        ineqs = [
+            t
+            for t in fixed
+            if re.search(r"(?<![<>!=])(>=|<=|(?<!<)>(?!=)|<(?![=>]))", t)
+            and "<>" not in t
+            and "!=" not in t
+        ]
+        if len(ineqs) != 1:
+            raise UnsupportedSQL(
+                "ASOF JOIN: Missing inequality condition!"
+                if not ineqs
+                else "ASOF JOIN: multiple inequality conditions"
+            )
+        ineq = ineqs[0]
+        eq_terms = [t for t in fixed if t != ineq]
+    else:
+        raise UnsupportedSQL("ASOF JOIN without ON condition")
+    im = _INEQ.match(ineq)
+    lhs, op, rhs = im.group(1).strip(), im.group(2), im.group(3).strip()
+    build_on_left = bool(re.search(rf"\b{re.escape(balias_name)}\s*\.", lhs))
+    bkey = lhs if build_on_left else rhs
+    pick_min = (build_on_left and op in (">=", ">")) or (
+        not build_on_left and op in ("<=", "<")
+    )
+    aggfn = "min" if pick_min else "max"
+    aug = (
+        f"(SELECT {palias}.*, (SELECT {aggfn}({bkey}) FROM {rel}"
+        f"{' ' + alias if alias else ''} WHERE {cond}) AS __pick "
+        f"FROM {prel} {palias}) {palias}"
+    )
+    join_terms = [f"{bkey} = {palias}.__pick"] + eq_terms
+    repl = (
+        f" {aug} {kind} JOIN {rel}{' ' + alias if alias else ''} "
+        f"ON ({' AND '.join(join_terms)}) "
+    )
+    return s[: pm.start(1)] + repl + s[end:]
 
 
 def rewrite_databend_sql(sql: str) -> str:
