@@ -974,7 +974,16 @@ def _rewrite_asof_outer(s, m, kind, rel, alias, i, on, um):
     if not pm:
         raise UnsupportedSQL(f"ASOF {kind} JOIN: probe relation not found")
     probe_txt = pm.group(1)
+    probe_start = pm.start(1)
+    # an alias-less probe makes the regex swallow the preceding keyword
+    # ("FROM p" → rel FROM, alias p) — drop leading SQL keywords
+    _kw = {"FROM", "JOIN", "ON", "WHERE", "AND", "OR", "AS", "LATERAL"}
     parts = probe_txt.split()
+    while len(parts) > 1 and parts[0].upper() in _kw:
+        cut = probe_txt.index(parts[1])
+        probe_txt = probe_txt[cut:]
+        probe_start += cut
+        parts = parts[1:]
     prel = parts[0]
     palias = (
         parts[-1].strip("`")
@@ -1054,7 +1063,7 @@ def _rewrite_asof_outer(s, m, kind, rel, alias, i, on, um):
         f" {aug} {kind} JOIN {rel}{' ' + alias if alias else ''} "
         f"ON ({' AND '.join(join_terms)}) "
     )
-    return s[: pm.start(1)] + repl + s[end:]
+    return s[:probe_start] + repl + s[end:]
 
 
 def rewrite_databend_sql(sql: str) -> str:

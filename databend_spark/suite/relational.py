@@ -233,6 +233,46 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_FULL_CTES = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         s AS (SELECT user_id AS s_user, ts AS s_ts,
+                      min(event_id) AS s_event
+               FROM events WHERE event_type = 'signup'
+               GROUP BY user_id, ts)
+"""
+
+
+@register(
+    "join_asof_full",
+    # Oracle: DuckDB's NATIVE ASOF FULL JOIN — fully independent of the
+    # pick-key rewrite under test.
+    oracle=f"""
+    {_ASOF_FULL_CTES}
+    SELECT p.event_id AS purchase_id, s.s_event AS signup_id
+    FROM p ASOF FULL JOIN s
+      ON p.user_id = s.s_user AND p.ts >= s.s_ts
+    """,
+)
+def join_asof_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ASOF join (reference plans/join.rs:74-75 FullAsof): every
+    purchase keeps its nearest prior signup; signups picked by no
+    purchase surface NULL-padded. Runs through the sqlgen pick-key
+    rewrite (``_rewrite_asof_outer``)."""
+    from databend_spark.sqlgen import rewrite_databend_sql
+
+    return spark.sql(
+        rewrite_databend_sql(
+            f"""
+            {_ASOF_FULL_CTES}
+            SELECT p.event_id AS purchase_id, s.s_event AS signup_id
+            FROM p ASOF FULL JOIN s
+              ON p.user_id = s.s_user AND p.ts >= s.s_ts
+            """
+        )
+    )
+
+
 sql_query(
     "join_range",
     # Range (inequality) join — reference IEJoin
