@@ -84,7 +84,6 @@ RENAME: dict[str, str] = {
     "stddev": "stddev_pop",  # Databend stddev defaults to population
     "std": "stddev_pop",
     # json / variant
-    "json_extract_path_text": "get_json_object",
     "parse_json": "parse_json_variant",  # COMPOSED
     "object_keys": "json_object_keys",
     "json_to_string": "to_json",
@@ -454,9 +453,11 @@ SQL_MACROS.update(
         "array_std": f"sqrt(({_S2} - {_S1} * {_S1} / {_N}) / {_N})",
         "array_median": (
             f"CASE WHEN {_N} % 2 = 1"
-            f" THEN CAST(element_at({_SORTED}, ({_N} + 1) div 2) AS DOUBLE)"
-            f" ELSE (element_at({_SORTED}, {_N} div 2)"
-            f" + element_at({_SORTED}, {_N} div 2 + 1)) / 2.0 END"
+            f" THEN CAST(element_at({_SORTED},"
+            f" CAST(({_N} + 1) div 2 AS INT)) AS DOUBLE)"
+            f" ELSE (element_at({_SORTED}, CAST({_N} div 2 AS INT))"
+            f" + element_at({_SORTED}, CAST({_N} div 2 + 1 AS INT)))"
+            f" / 2.0 END"
         ),
     }
 )
@@ -1036,6 +1037,315 @@ SQL_MACROS.update(
     }
 )
 
+
+# --- round-3 batch: variant tail, array HOF aliases, misc gaps -------------
+# (reference: scalars/variant.rs, scalars/array.rs lambda registrations,
+# srfs/variant.rs; names from the r3 SLT sweep's UNRESOLVED_ROUTINE tally)
+
+# to_variant(x): serialize any value to the JSON-as-string variant model.
+# to_json needs a container — wrap in array, strip the outer brackets.
+_TO_VARIANT = (
+    "CASE WHEN {0} IS NULL THEN NULL ELSE"
+    " regexp_replace(to_json(array({0})), '^\\\\[|\\\\]$', '') END"
+)
+
+_NUM_RE = "'^-?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?$'"
+
+
+# masked-literal table for the current rewrite (set by sqlgen around
+# expand_sql_macros) — lets literal-inspecting macros read values
+CURRENT_LITERALS: list[str] = []
+_MASKED_LIT = re.compile("^\x00(\\d+)\x00$")
+
+
+def _literal_text(arg: str) -> str:
+    """Resolve a masked string-literal placeholder to its raw text."""
+    m = _MASKED_LIT.match(arg.strip())
+    if m and int(m.group(1)) < len(CURRENT_LITERALS):
+        return CURRENT_LITERALS[int(m.group(1))]
+    return arg
+
+
+def _array_reduce(args: list[str]) -> str | None:
+    """Left fold seeded by the first element (reference array_reduce).
+    aggregate() needs merge-result type == init type, so numeric folds
+    run over ARRAY<DOUBLE> (decimal sums widen) while string lambdas
+    (|| / concat in the body) keep the raw element type."""
+    if len(args) != 2:
+        return None
+    a, lam = args[0], args[1]
+    if a.strip().lower() in ("null", "array()"):
+        return "NULL"
+    stringy = "||" in lam or re.search(r"\bconcat\s*\(", lam, re.I)
+    if stringy:
+        return (
+            f"aggregate(sl\x03ice({a}, 2, greatest(size({a}) - 1, 0)),"
+            f" try_element_at({a}, 1), {lam})"
+        )
+    ad = f"CAST({a} AS ARRAY<DOUBLE>)"
+    return (
+        f"aggregate(sl\x03ice({ad}, 2, greatest(size({ad}) - 1, 0)),"
+        f" try_element_at({ad}, 1), {lam})"
+    )
+
+
+def _array_aggregate(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    op = _literal_text(args[1]).strip().strip("'\"").lower()
+    allowed = {
+        "max", "min", "sum", "avg", "count", "any", "stddev_samp",
+        "stddev_pop", "stddev", "std", "median", "kurtosis", "skewness",
+        "approx_count_distinct", "unique",
+    }
+    if op not in allowed:
+        return None
+    return f"array_{op}({args[0]})"
+
+
+def _array_sort_dir(args: list[str]) -> str | None:
+    """array_sort(a [, 'asc'|'desc' [, 'nulls first'|'nulls last']])."""
+    if len(args) == 1:
+        # Databend default: ascending, nulls first (sort_array default)
+        return f"sort_array({args[0]})"
+    order = _literal_text(args[1]).strip().strip("'\"").lower()
+    nulls = (
+        _literal_text(args[2]).strip().strip("'\"").lower()
+        if len(args) > 2
+        else ("nulls first" if order == "asc" else "nulls last")
+    )
+    if order not in ("asc", "desc") or nulls not in (
+        "nulls first",
+        "nulls last",
+    ):
+        return None  # stays unresolved → errors, like the reference
+    a = args[0]
+    if order == "asc":
+        # sort_array asc = nulls first; array_sort = asc nulls last
+        return f"sort_array({a})" if "first" in nulls else f"arr\x03ay_sort({a})"
+    if "last" in nulls:
+        return f"sort_array({a}, false)"
+    return f"reverse(arr\x03ay_sort({a}))"
+
+
+def _histogram_tpl(col: str, k: str) -> str:
+    """Equi-height histogram over distinct values, formatted exactly like
+    the reference's histogram agg (aggregates/aggregate_histogram.rs):
+    [{{"lower":"..","upper":"..","ndv":n,"count":n,"pre_sum":n}}, ...].
+    Buckets split the sorted distinct values into k near-equal runs
+    (first ndv%k buckets take the extra element)."""
+    D = f"array_sort(array_distinct(collect_list({col})))"
+    V = f"array_sort(collect_list({col}))"
+    kk = f"CAST(({k}) AS INT)"
+    # 0-based bucket start index as a function of i (textual macro)
+    start = "(i * (size(D) div KK) + least(i, size(D) % KK))"
+    nxt = "((i+1) * (size(D) div KK) + least(i+1, size(D) % KK))"
+    body = (
+        "to_json(filter(transform(sequence(0, KK - 1), i -> named_struct("
+        f"'lower', CAST(element_at(D, CAST({start} AS INT) + 1) AS STRING), "
+        f"'upper', CAST(element_at(D, CAST({nxt} AS INT)) AS STRING), "
+        f"'ndv', CAST({nxt} - {start} AS BIGINT), "
+        f"'count', CAST(size(filter(V, x -> "
+        f"x >= element_at(D, CAST({start} AS INT) + 1) AND "
+        f"x <= element_at(D, CAST({nxt} AS INT)))) AS BIGINT), "
+        f"'pre_sum', CAST(size(filter(V, x -> "
+        f"x < element_at(D, CAST({start} AS INT) + 1))) AS BIGINT)"
+        ")), s -> s.ndv > 0))"
+    )
+    body = body.replace("KK", kk)
+    # bind D and V once via single-element transform lambdas
+    return (
+        f"element_at(transform(array({D}), D -> "
+        f"element_at(transform(array({V}), V -> {body}), 1)), 1)"
+    )
+
+
+def _array_moment_tpl(kind: str) -> str:
+    """Sample skewness / excess kurtosis of an array via power sums,
+    bound once through a single-element transform lambda."""
+    # inside the lambda, A is the null-stripped array
+    n = "CAST(size(A) AS DOUBLE)"
+    s1 = "aggregate(A, CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    s2 = "aggregate(A, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"
+    s3 = "aggregate(A, CAST(0 AS DOUBLE), (a, x) -> a + x * x * x)"
+    s4 = "aggregate(A, CAST(0 AS DOUBLE), (a, x) -> a + x * x * x * x)"
+    mu = f"(({s1}) / {n})"
+    var_s = f"((({s2}) - ({s1}) * ({s1}) / {n}) / ({n} - 1))"
+    m3c = f"(({s3}) - 3 * {mu} * ({s2}) + 2 * {n} * {mu} * {mu} * {mu})"
+    m4c = (
+        f"(({s4}) - 4 * {mu} * ({s3}) + 6 * {mu} * {mu} * ({s2})"
+        f" - 3 * {n} * {mu} * {mu} * {mu} * {mu})"
+    )
+    if kind == "skew":
+        body = (
+            f"CASE WHEN {n} > 2 AND {var_s} > 0 THEN"
+            f" ({n} / (({n} - 1) * ({n} - 2))) * {m3c}"
+            f" / pow(sqrt({var_s}), 3) END"
+        )
+    else:
+        body = (
+            f"CASE WHEN {n} > 3 AND {var_s} > 0 THEN"
+            f" ({n} * ({n} + 1) / (({n} - 1) * ({n} - 2) * ({n} - 3)))"
+            f" * {m4c} / ({var_s} * {var_s})"
+            f" - 3 * ({n} - 1) * ({n} - 1) / (({n} - 2) * ({n} - 3)) END"
+        )
+    return (
+        "element_at(transform(array(filter(({0}), x -> x IS NOT NULL)),"
+        f" A -> {body}), 1)"
+    )
+
+
+def _histogram(args: list[str]) -> str | None:
+    if len(args) == 1:
+        return _histogram_tpl(args[0], "254")
+    if len(args) == 2:
+        return _histogram_tpl(args[0], args[1])
+    return None
+
+
+# when True (runner retry pass), get() always takes the variant path —
+# set by testkit on DATATYPE_MISMATCH from the element_at interpretation
+VARIANT_GET_MODE: list[bool] = [False]
+
+_VARIANTISH = re.compile(
+    r"^\s*((try_)?parse_json\s*\(|null\s*$|__variant_access\s*\()", re.I
+)
+
+
+def _variant_access_sql(v: str, mode: str, arg: str, text: bool) -> str:
+    return (
+        f"__variant_access(CAST(({v}) AS STRING), '{mode}', "
+        f"CAST(({arg}) AS STRING), {'true' if text else 'false'})"
+    )
+
+
+def _get_dispatch(args: list[str]) -> str | None:
+    """get(container, key_or_idx): arrays/maps → element_at; variant
+    expressions (parse_json / chained accessors / NULL) → JSONB access
+    (reference scalars/variant.rs get). VARIANT columns can't be told
+    apart textually — the testkit retries with VARIANT_GET_MODE on
+    analysis-type errors."""
+    if len(args) != 2:
+        return None
+    if VARIANT_GET_MODE[0] or _VARIANTISH.match(args[0]):
+        return _variant_access_sql(args[0], "a", args[1], False)
+    return f"try_element_at({args[0]}, {args[1]})"
+
+
+SQL_MACROS.update(
+    {
+        "get": _get_dispatch,
+        "get_ignore_case": lambda args: (
+            _variant_access_sql(args[0], "ki", args[1], False)
+            if len(args) == 2
+            else None
+        ),
+        "get_path": lambda args: (
+            _variant_access_sql(args[0], "path", args[1], False)
+            if len(args) == 2
+            else None
+        ),
+        "json_extract_path_text": lambda args: (
+            _variant_access_sql(args[0], "path", args[1], True)
+            if len(args) == 2
+            else None
+        ),
+        "get_string": lambda args: (
+            _variant_access_sql(args[0], "a", args[1], True)
+            if len(args) == 2
+            else None
+        ),
+        # JSONPath SRF family (reference srfs/variant.rs:147-562) over
+        # the Python evaluator in functions/variant_runtime.py
+        "json_path_query": (
+            "explode(from_json(__variant_path_query(CAST(({0}) AS STRING),"
+            " {1}, 'list'), 'array<string>'))"
+        ),
+        "json_path_query_first": (
+            "__variant_path_query(CAST(({0}) AS STRING), {1}, 'first')"
+        ),
+        "json_path_query_array": (
+            "__variant_path_query(CAST(({0}) AS STRING), {1}, 'arr')"
+        ),
+        "json_path_exists": (
+            "CAST(__variant_path_query(CAST(({0}) AS STRING), {1}, 'exists')"
+            " AS BOOLEAN)"
+        ),
+    }
+)
+
+
+SQL_MACROS.update(
+    {
+        "to_variant": _TO_VARIANT,
+        "try_to_variant": _TO_VARIANT,
+        "as_array": (
+            "CASE WHEN ltrim({0}) LIKE '[%' THEN"
+            " __variant_access(CAST({0} AS STRING), '', '', false) END"
+        ),
+        "as_object": (
+            "CASE WHEN ltrim({0}) LIKE '{{%' THEN"
+            " __variant_access(CAST({0} AS STRING), '', '', false) END"
+        ),
+        "as_boolean": (
+            "CASE WHEN {0} IN ('true', 'false')"
+            " THEN CAST({0} AS BOOLEAN) END"
+        ),
+        "as_integer": (
+            "CASE WHEN {0} RLIKE '^-?[0-9]+$' THEN CAST({0} AS BIGINT) END"
+        ),
+        "as_float": (
+            f"CASE WHEN {{0}} RLIKE {_NUM_RE} THEN CAST({{0}} AS DOUBLE) END"
+        ),
+        "as_double": (
+            f"CASE WHEN {{0}} RLIKE {_NUM_RE} THEN CAST({{0}} AS DOUBLE) END"
+        ),
+        "as_string": (
+            "CASE WHEN ltrim({0}) LIKE '\"%' THEN"
+            " __variant_access(CAST({0} AS STRING), '', '', true) END"
+        ),
+        "is_null_value": "(ltrim({0}) = 'null')",
+        "is_array": "(ltrim({0}) LIKE '[%')",
+        "is_object": "(ltrim({0}) LIKE '{{%')",
+        "is_string": "(ltrim({0}) LIKE '\"%')",
+        "is_boolean": "(ltrim({0}) IN ('true', 'false'))",
+        "is_integer": "(ltrim({0}) RLIKE '^-?[0-9]+$')",
+        "is_float": f"(ltrim({{0}}) RLIKE {_NUM_RE})",
+        "check_json": "__check_json(CAST({0} AS STRING))",
+        # array lambda-HOF aliases (scalars/array.rs registers these as
+        # the lambda surface; Spark has the semantics under other names)
+        "array_transform": "transform({0}, {1})",
+        "array_apply": "transform({0}, {1})",
+        "array_map": "transform({0}, {1})",
+        "array_filter": "filter({0}, {1})",
+        "array_reduce": _array_reduce,
+        "array_flatten": "flatten({0})",
+        "array_to_string": "array_join({0}, {1})",
+        "array_approx_count_distinct": (
+            "size(array_distinct(filter({0}, x -> x IS NOT NULL)))"
+        ),
+        "array_overlap": "arrays_overlap({0}, {1})",
+        "array_aggregate": _array_aggregate,
+        "array_sort": _array_sort_dir,
+        # sample (adjusted) higher moments — matches the reference's
+        # skewness/kurtosis aggregates (verified against the SLT goldens)
+        "array_skewness": _array_moment_tpl("skew"),
+        "array_kurtosis": _array_moment_tpl("kurt"),
+        # misc gaps from the sweep
+        "isinf": (
+            "({0} = CAST('Infinity' AS DOUBLE)"
+            " OR {0} = CAST('-Infinity' AS DOUBLE))"
+        ),
+        "to_start_of_second": "date_trunc('second', {0})",
+        "to_iso_year": "extract(YEAROFWEEK FROM {0})",
+        "trim_leading": {2: "TRIM(LEADING {1} FROM {0})"},
+        "trim_trailing": {2: "TRIM(TRAILING {1} FROM {0})"},
+        "trim_both": {2: "TRIM(BOTH {1} FROM {0})"},
+        "histogram": _histogram,
+        "or_filters": lambda args: "(" + " OR ".join(args) + ")",
+    }
+)
+
 def _build_macro_re() -> re.Pattern:
     return re.compile(
         r"\b("
@@ -1108,6 +1418,31 @@ def _split_top_level_args(s: str, start: int) -> tuple[list[str], int] | None:
             cur.append(ch)
         i += 1
     return None
+
+
+def rewrite_call(sql: str, name: str, template: str) -> str:
+    """Rewrite every ``name(args…)`` call in ``sql`` with ``template``
+    (format-style {N} placeholders) — used by error-driven retries that
+    need an arg-aware rewrite outside the macro registry."""
+    pat = re.compile(rf"\b{re.escape(name)}\s*\(", re.I)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        parsed = _split_top_level_args(sql, m.end())
+        if parsed is None:
+            pos = m.end()
+            continue
+        args, after = parsed
+        try:
+            exp = template.format(*args)
+        except IndexError:
+            pos = m.end()
+            continue
+        sql = sql[: m.start()] + exp + sql[after:]
+        pos = m.start() + len(exp)
+    return sql
 
 
 def expand_sql_macros(sql: str) -> str:
@@ -1201,7 +1536,6 @@ _SQL_SAFE_RENAMES = {
     "array_length": "size",
     "siphash64": "xxhash64",
     "city64withseed": "xxhash64",
-    "json_extract_path_text": "get_json_object",
 }
 _SQL_RENAME_RE = re.compile(
     r"\b(" + "|".join(sorted(_SQL_SAFE_RENAMES, key=len, reverse=True)) + r")\s*\(",

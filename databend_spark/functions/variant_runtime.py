@@ -1,0 +1,566 @@
+"""Variant accessor runtime — canonical JSONB semantics over the
+JSON-as-string variant model.
+
+Reference: ``src/query/functions/src/scalars/variant.rs`` (get /
+get_ignore_case / get_path / json_extract_path_text and the ``->``,
+``->>``, ``#>``, ``#>>`` operators, ~3.6k LoC). Databend stores VARIANT
+as JSONB, whose object keys are **sorted** — every serialization below
+canonicalizes with sorted keys to reproduce the reference's output
+byte-for-byte.
+
+This is dialect surface, not a data path: the UDF only appears in
+rewritten SQL-test statements (sqlgen arrow rewrites, registry get_*
+macros). Pipeline operators never route through it.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import SparkSession
+
+
+def _canon(v) -> str:
+    return json.dumps(v, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+
+
+def _parse_path(path: str):
+    """Databend object path grammar: ``attr[0].name``, ``a["k"][1]``,
+    ``''`` (whole value). Returns a list of (kind, arg) steps or None on
+    a malformed path."""
+    steps: list[tuple[str, object]] = []
+    i, n = 0, len(path)
+    while i < n:
+        c = path[i]
+        if c == ".":
+            i += 1
+            continue
+        if c == "[":
+            j = path.find("]", i)
+            if j < 0:
+                return None
+            tok = path[i + 1 : j].strip()
+            if tok[:1] in "\"'" and tok[-1:] == tok[:1]:
+                raw = tok[1:-1]
+                try:  # unescape \" \uXXXX (incl. surrogate pairs)
+                    raw = json.loads('"' + raw + '"')
+                except ValueError:
+                    pass
+                steps.append(("k", raw))
+            else:
+                try:
+                    steps.append(("i", int(tok)))
+                except ValueError:
+                    return None
+            i = j + 1
+            continue
+        j = i
+        while j < n and path[j] not in ".[":
+            j += 1
+        steps.append(("k", path[i:j].strip()))
+        i = j
+    return steps
+
+
+def _walk(cur, steps):
+    """Apply steps; returns (found, value)."""
+    for kind, arg in steps:
+        if isinstance(cur, dict):
+            if kind == "ki":
+                key = str(arg)
+                if key in cur:
+                    cur = cur[key]
+                    continue
+                cands = sorted(k for k in cur if k.lower() == key.lower())
+                if not cands:
+                    return False, None
+                cur = cur[cands[0]]
+                continue
+            key = str(arg)
+            if key not in cur:
+                return False, None
+            cur = cur[key]
+        elif isinstance(cur, list):
+            try:
+                idx = int(arg)
+            except (TypeError, ValueError):
+                return False, None
+            if 0 <= idx < len(cur):
+                cur = cur[idx]
+            else:
+                return False, None
+        else:
+            return False, None
+    return True, cur
+
+
+def variant_access(v, mode, arg, text):
+    """modes: 'a' auto key-or-index, 'k' key, 'i' index, 'ki'
+    case-insensitive key (exact first, then sorted-key first match),
+    'path' Databend object path, 'pg' Postgres '{a,b}' path, '' whole.
+    text=True unquotes strings and maps JSON null to SQL NULL."""
+    if v is None or mode is None:
+        return None
+    try:
+        cur = json.loads(v)
+    except (ValueError, TypeError):
+        return None
+    if mode == "":
+        steps = []
+    elif mode in ("a", "k", "i", "ki"):
+        if arg is None:
+            return None
+        steps = [(mode if mode == "ki" else "a", arg)]
+    elif mode == "path":
+        if arg is None:
+            return None
+        steps = _parse_path(arg) if arg else []
+        if steps is None:
+            return None
+    elif mode == "pg":
+        if arg is None:
+            return None
+        t = arg.strip()
+        if not (t.startswith("{") and t.endswith("}")):
+            return None
+        inner = t[1:-1].strip()
+        steps = (
+            [("a", tok.strip()) for tok in inner.split(",")] if inner else []
+        )
+    else:
+        return None
+    found, val = _walk(cur, steps)
+    if not found:
+        return None
+    if text:
+        if val is None:
+            return None
+        if isinstance(val, str):
+            return val
+        if isinstance(val, bool):
+            return "true" if val else "false"
+        return _canon(val)
+    return _canon(val)
+
+
+# --- JSONPath subset (reference srfs/variant.rs json_path_query family,
+# jsonb path grammar): $, .key, ."key", [i], [i, a to b], [*], last±k,
+# ?(@ cmp lit && …, @.path, starts with), .** / .**{a to b} ------------
+
+
+def _jp_parse(path: str):
+    if not path or not path.startswith("$"):
+        return None
+    steps = []
+    i, n = 1, len(path)
+    while i < n:
+        c = path[i]
+        if c in " \t":
+            i += 1
+            continue
+        if c == ".":
+            i += 1
+            if path[i : i + 2] == "**":
+                i += 2
+                lo, hi = 0, 1 << 30
+                if i < n and path[i] == "{":
+                    j = path.find("}", i)
+                    if j < 0:
+                        return None
+                    spec = path[i + 1 : j].strip()
+                    i = j + 1
+                    if "to" in spec:
+                        a, b = (t.strip() for t in spec.split("to", 1))
+                        lo = int(a)
+                        hi = (1 << 30) if b == "last" else int(b)
+                    else:
+                        lo = hi = int(spec)
+                steps.append(("rec", lo, hi))
+                continue
+            if i < n and path[i] == "*":
+                steps.append(("wild",))
+                i += 1
+                continue
+            if i < n and path[i] in "\"'":
+                q = path[i]
+                j = i + 1
+                buf = []
+                while j < n:
+                    if path[j] == "\\" and j + 1 < n:
+                        buf.append(path[j : j + 2])
+                        j += 2
+                        continue
+                    if path[j] == q:
+                        break
+                    buf.append(path[j])
+                    j += 1
+                try:
+                    key = json.loads('"' + "".join(buf) + '"')
+                except ValueError:
+                    key = "".join(buf)
+                steps.append(("key", key))
+                i = j + 1
+                continue
+            j = i
+            while j < n and path[j] not in ".[?{ \t":
+                if path[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                j += 1
+            if j == i:
+                return None
+            key = path[i:j]
+            if "\\" in key:
+                try:  # unescape \" \uXXXX in bare keys
+                    key = json.loads('"' + key + '"')
+                except ValueError:
+                    pass
+            steps.append(("key", key))
+            i = j
+            continue
+        if c == "[":
+            j, depth = i, 0
+            while j < n:
+                if path[j] == "[":
+                    depth += 1
+                elif path[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= n:
+                return None
+            inner = path[i + 1 : j].strip()
+            i = j + 1
+            if inner == "*":
+                steps.append(("wild",))
+                continue
+            sels = []
+            for tok in inner.split(","):
+                tok = tok.strip()
+                if " to " in tok:
+                    a, b = (t.strip() for t in tok.split(" to ", 1))
+                    sels.append(("range", _jp_idx(a), _jp_idx(b)))
+                elif tok[:1] in "\"'":
+                    sels.append(("key", tok[1:-1]))
+                else:
+                    sels.append(("one", _jp_idx(tok)))
+            steps.append(("idx", sels))
+            continue
+        if c == "?":
+            i += 1
+            while i < n and path[i] in " \t":
+                i += 1
+            if i >= n or path[i] != "(":
+                return None
+            j, depth = i, 0
+            while j < n:
+                if path[j] == "(":
+                    depth += 1
+                elif path[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= n:
+                return None
+            steps.append(("filter", path[i + 1 : j].strip()))
+            i = j + 1
+            continue
+        return None
+    return steps
+
+
+def _jp_idx(tok: str):
+    """int, or ('last', offset)."""
+    tok = tok.strip()
+    if tok.startswith("last"):
+        rest = tok[4:].replace(" ", "")
+        off = int(rest) if rest else 0
+        return ("last", off)
+    return int(tok)
+
+
+def _jp_resolve_idx(sel, length: int) -> int:
+    if isinstance(sel, tuple) and sel[0] == "last":
+        return length - 1 + sel[1]
+    return sel
+
+
+def _jp_operand(expr: str, cur):
+    """Evaluate a filter operand against the current item: @ path or a
+    JSON literal. Returns (ok, value)."""
+    expr = expr.strip()
+    if expr.startswith("@"):
+        sub = expr[1:].strip()
+        if not sub:
+            return True, cur
+        steps = _jp_parse("$" + sub)
+        if steps is None:
+            return False, None
+        vals = _jp_apply(cur, steps)
+        if not vals:
+            return False, None
+        return True, vals[0]
+    try:
+        return True, json.loads(expr)
+    except ValueError:
+        return False, None
+
+
+_JP_CMP = re.compile(r"(==|!=|<>|>=|<=|>|<)")
+
+
+def _jp_filter_match(cond: str, cur) -> bool:
+    for part in _split_jp(cond, "||"):
+        if all(_jp_cmp(t, cur) for t in _split_jp(part, "&&")):
+            return True
+    return False
+
+
+def _split_jp(s: str, op: str):
+    out, depth, last, i = [], 0, 0, 0
+    while i < len(s):
+        c = s[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and s[i : i + 2] == op:
+            out.append(s[last:i])
+            i += 2
+            last = i
+            continue
+        i += 1
+    out.append(s[last:])
+    return out
+
+
+def _jp_cmp(term: str, cur) -> bool:
+    term = term.strip()
+    sw = re.match(r"(.+?)\s+starts\s+with\s+(.+)$", term, re.I)
+    if sw:
+        ok1, a = _jp_operand(sw.group(1), cur)
+        ok2, b = _jp_operand(sw.group(2), cur)
+        return (
+            ok1 and ok2 and isinstance(a, str) and isinstance(b, str)
+            and a.startswith(b)
+        )
+    m = _JP_CMP.search(term)
+    if not m:
+        ok, v = _jp_operand(term, cur)
+        return bool(ok and v)
+    ok1, a = _jp_operand(term[: m.start()], cur)
+    ok2, b = _jp_operand(term[m.end() :], cur)
+    if not (ok1 and ok2):
+        return False
+    op = m.group(1)
+    try:
+        if op == "==":
+            return a == b
+        if op in ("!=", "<>"):
+            return a != b
+        if isinstance(a, bool) or isinstance(b, bool):
+            return False
+        if op == ">":
+            return a > b
+        if op == "<":
+            return a < b
+        if op == ">=":
+            return a >= b
+        if op == "<=":
+            return a <= b
+    except TypeError:
+        return False
+    return False
+
+
+def _jp_descendants(v, depth: int, lo: int, hi: int, out: list) -> None:
+    if lo <= depth <= hi:
+        out.append(v)
+    if depth >= hi:
+        return
+    if isinstance(v, dict):
+        # jsonb object keys are stored sorted
+        for _, x in sorted(v.items()):
+            _jp_descendants(x, depth + 1, lo, hi, out)
+    elif isinstance(v, list):
+        for x in v:
+            _jp_descendants(x, depth + 1, lo, hi, out)
+
+
+def _jp_apply(doc, steps) -> list:
+    cur = [doc]
+    for step in steps:
+        nxt: list = []
+        kind = step[0]
+        for v in cur:
+            if kind == "key":
+                if isinstance(v, dict) and step[1] in v:
+                    nxt.append(v[step[1]])
+            elif kind == "wild":
+                if isinstance(v, list):
+                    nxt.extend(v)
+                elif isinstance(v, dict):
+                    nxt.extend(x for _, x in sorted(v.items()))
+            elif kind == "idx":
+                if isinstance(v, list):
+                    for sel in step[1]:
+                        if sel[0] == "one":
+                            ix = _jp_resolve_idx(sel[1], len(v))
+                            if 0 <= ix < len(v):
+                                nxt.append(v[ix])
+                        elif sel[0] == "range":
+                            a = _jp_resolve_idx(sel[1], len(v))
+                            b = _jp_resolve_idx(sel[2], len(v))
+                            for ix in range(max(a, 0), min(b, len(v) - 1) + 1):
+                                nxt.append(v[ix])
+                        elif sel[0] == "key" and isinstance(v, dict):
+                            if sel[1] in v:
+                                nxt.append(v[sel[1]])
+                elif isinstance(v, dict):
+                    for sel in step[1]:
+                        if sel[0] == "key" and sel[1] in v:
+                            nxt.append(v[sel[1]])
+            elif kind == "filter":
+                if isinstance(v, list):
+                    nxt.extend(x for x in v if _jp_filter_match(step[1], x))
+                elif _jp_filter_match(step[1], v):
+                    nxt.append(v)
+            elif kind == "rec":
+                _jp_descendants(v, 0, step[1], step[2], nxt)
+        cur = nxt
+    return cur
+
+
+# --- jsonpath arithmetic expressions: '+$.a', '$.a[0] + 3', '2 * $.x' --
+
+
+def _find_top_op(e: str, ops: str) -> int:
+    depth = 0
+    for i in range(len(e) - 1, -1, -1):
+        c = e[i]
+        if c in ")]}":
+            depth += 1
+        elif c in "([{":
+            depth -= 1
+        elif depth == 0 and c in ops:
+            j = i - 1
+            while j >= 0 and e[j] in " \t":
+                j -= 1
+            if j < 0 or e[j] in "+-*/%(,":
+                continue  # unary / part of another op
+            return i
+    return -1
+
+
+def _num_list(vals):
+    """Arithmetic operand coercion: flatten arrays one level, numbers
+    only (booleans excluded)."""
+    out = []
+    for v in vals:
+        items = v if isinstance(v, list) else [v]
+        for x in items:
+            if isinstance(x, bool) or not isinstance(x, (int, float)):
+                raise ValueError("non-numeric operand in jsonpath expression")
+            out.append(x)
+    return out
+
+
+def _jp_arith(op: str, a, b):
+    import math
+
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        return a / b
+    r = math.fmod(a, b)  # C-style sign (−11 % 2 → −1, like jsonb)
+    return int(r) if isinstance(a, int) and isinstance(b, int) else r
+
+
+def _jp_expr_eval(doc, e: str) -> list:
+    e = e.strip()
+    if not e:
+        raise ValueError("empty jsonpath expression")
+    i = _find_top_op(e, "+-")
+    if i < 0:
+        i = _find_top_op(e, "*/%")
+    if i > 0:
+        op = e[i]
+        left = _num_list(_jp_expr_eval(doc, e[:i]))
+        right = _num_list(_jp_expr_eval(doc, e[i + 1 :]))
+        if len(left) == 1:
+            return [_jp_arith(op, left[0], r) for r in right]
+        if len(right) >= 1:
+            return [_jp_arith(op, l, right[0]) for l in left]
+        return []
+    if e[0] in "+-":
+        vals = _num_list(_jp_expr_eval(doc, e[1:]))
+        return vals if e[0] == "+" else [-v for v in vals]
+    if e.startswith("("):
+        if not e.endswith(")"):
+            raise ValueError("unbalanced parens in jsonpath expression")
+        return _jp_expr_eval(doc, e[1:-1])
+    if e.startswith("$"):
+        steps = _jp_parse(e)
+        if steps is None:
+            raise ValueError(f"Invalid JSON Path '{e}'")
+        return _jp_apply(doc, steps)
+    return [json.loads(e)]
+
+
+def check_json(v):
+    """NULL when valid JSON, else a jsonb-style error message
+    (reference scalars/variant.rs check_json)."""
+    if v is None:
+        return None
+    try:
+        json.loads(v)
+        return None
+    except json.JSONDecodeError as e:
+        if "Unterminated string" in e.msg or e.pos >= len(v.rstrip()):
+            return f"EOF while parsing a value, pos {len(v.rstrip())}"
+        return f"expected value, pos {e.pos + 1}"
+    except (TypeError, ValueError):
+        return "expected value, pos 1"
+
+
+def variant_path_query(v, path, mode):
+    """modes: 'list' → JSON array of canonical texts (for explode),
+    'arr' → one canonical JSON array, 'first' → first match or NULL,
+    'exists' → 'true'/'false'."""
+    if v is None or path is None:
+        return None
+    try:
+        doc = json.loads(v)
+    except (ValueError, TypeError):
+        return None
+    steps = _jp_parse(path.strip())
+    if steps is None:
+        # not plain-path syntax: arithmetic expression form
+        # ('+$.a', '$.a[0] + 3') — raises on malformed text, matching
+        # the reference's error on bad jsonpath
+        matches = _jp_expr_eval(doc, path.strip())
+    else:
+        matches = _jp_apply(doc, steps)
+    if mode == "exists":
+        return "true" if matches else "false"
+    if mode == "first":
+        return _canon(matches[0]) if matches else None
+    if mode == "arr":
+        return _canon(matches)
+    return json.dumps([_canon(m) for m in matches], ensure_ascii=False)
+
+
+def register_variant_udfs(spark: SparkSession) -> None:
+    """Idempotently register the accessor UDFs on a session."""
+    from pyspark.sql.types import StringType
+
+    spark.udf.register("__variant_access", variant_access, StringType())
+    spark.udf.register("__variant_path_query", variant_path_query, StringType())
+    spark.udf.register("__check_json", check_json, StringType())

@@ -107,6 +107,16 @@ def ensure_session_confs(spark: SparkSession) -> None:
                 spark.conf.set(k, v)
         except Exception:
             pass
+    # variant dialect accessors (->, ->>, #>, get/get_path/…) — cheap,
+    # idempotent; only referenced by rewritten dialect SQL
+    try:
+        from databend_spark.functions.variant_runtime import (
+            register_variant_udfs,
+        )
+
+        register_variant_udfs(spark)
+    except Exception:
+        pass
 
 
 # (appId, table, sf_dir) → loaded DataFrame — avoids re-reading parquet

@@ -289,9 +289,10 @@ def _rewrite_map_literals(s: str) -> str:
 
 
 # nested DDL type constructors → Spark generics (innermost-first loop)
-_ARRAY_TYPE = re.compile(r"\bARRAY\s*\(([^()]*)\)", re.I)
-_MAP_TYPE = re.compile(r"\bMAP\s*\(([^()]*)\)", re.I)
-_TUPLE_TYPE = re.compile(r"\bTUPLE\s*\(([^()<>]*)\)", re.I)
+_NEST1 = r"((?:[^()]|\([^()]*\))*)"  # one nesting level: Decimal(10,5)
+_ARRAY_TYPE = re.compile(r"\bARRAY\s*\(" + _NEST1 + r"\)", re.I)
+_MAP_TYPE = re.compile(r"\bMAP\s*\(" + _NEST1 + r"\)", re.I)
+_TUPLE_TYPE = re.compile(r"\bTUPLE\s*\(((?:[^()<>]|\([^()<>]*\))*)\)", re.I)
 
 
 def _rewrite_ddl_nested_types(s: str) -> str:
@@ -301,7 +302,7 @@ def _rewrite_ddl_nested_types(s: str) -> str:
     ``array(...)``/``map(...)`` are constructor calls."""
 
     def strip_null(t: str) -> str:
-        return re.sub(r"\s+(NOT\s+)?NULL\b", "", t, flags=re.I).strip()
+        return re.sub(r"\s*(NOT\s+)?NULL\b", "", t, flags=re.I).strip()
 
     def tuple_repl(m: re.Match) -> str:
         parts = [strip_null(p) for p in m.group(1).split(",")]
@@ -581,7 +582,12 @@ def _rewrite_brackets(s: str) -> str:
         start = k + 1
         recv = s[start : end + 1]
         idx = s[i + 1 : j]
-        s = s[:start] + f"element_at({recv}, {idx})" + s[j + 1 :]
+        if re.fullmatch(r"\s*0\s*", idx):
+            # 1-based dialects return NULL at index 0; Spark raises
+            repl = "NULL"
+        else:
+            repl = f"try_element_at({recv}, {idx})"
+        s = s[:start] + repl + s[j + 1 :]
     return s
 
 
@@ -948,6 +954,202 @@ def _rewrite_asof_join(s: str) -> str:
         s = s[: m.start()] + repl + s[end:]
 
 
+_ARROW_OP = re.compile(r"(->>|->|#>>|#>)")
+_ARROW_RHS = re.compile(r"(\x00\d+\x00|-?\d+|NULL\b)", re.I)
+_OPERAND_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.`$\x00"
+)
+
+
+def _scan_operand_back(s: str, k: int) -> int | None:
+    """Start index of the operand whose last char is at ``k`` — an
+    identifier/placeholder, a balanced (…)/[…] (with callee name), or a
+    ``::type`` cast chain of those."""
+    while True:
+        if s[k] in ")]":
+            close = s[k]
+            opn = "(" if close == ")" else "["
+            depth = 0
+            while k >= 0:
+                if s[k] == close:
+                    depth += 1
+                elif s[k] == opn:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if k < 0:
+                return None
+            start = k
+            k -= 1
+            while k >= 0 and s[k] in _OPERAND_CHARS:
+                k -= 1
+            start = k + 1 if k + 1 < start else start
+        elif s[k] in _OPERAND_CHARS:
+            while k >= 0 and s[k] in _OPERAND_CHARS:
+                k -= 1
+            start = k + 1
+        else:
+            return None
+        if start >= 2 and s[start - 2 : start] == "::":
+            k = start - 3
+            if k < 0:
+                return None
+            continue
+        return start
+
+
+def _rewrite_json_arrows(s: str) -> str:
+    """Variant accessor operators (reference scalars/variant.rs):
+    ``v -> k`` / ``v ->> k`` (key-or-index, variant/text) and
+    ``v #> p`` / ``v #>> p`` (Postgres ``'{a,b}'`` paths) →
+    ``__variant_access(...)`` (functions/variant_runtime.py, canonical
+    JSONB output). Runs on masked text; a lambda arrow is skipped because
+    its body is never a bare literal — only constant lambdas like
+    ``x -> 5`` are ambiguous (accepted limitation)."""
+    pos = 0
+    while True:
+        m = _ARROW_OP.search(s, pos)
+        if not m:
+            return s
+        op = m.group(1)
+        j = m.end()
+        while j < len(s) and s[j] in " \t\n":
+            j += 1
+        rm = _ARROW_RHS.match(s, j)
+        if not rm:
+            pos = m.end()
+            continue
+        rhs, rhs_end = rm.group(1), rm.end()
+        k = m.start() - 1
+        while k >= 0 and s[k] in " \t\n":
+            k -= 1
+        if k < 0:
+            pos = m.end()
+            continue
+        start = _scan_operand_back(s, k)
+        if start is None:
+            pos = m.end()
+            continue
+        recv = s[start : m.start()].strip()
+        if not recv:
+            pos = m.end()
+            continue
+        recv = _strip_variant_cast(recv)
+        mode = "pg" if op.startswith("#") else "a"
+        text = "true" if op in ("->>", "#>>") else "false"
+        repl = (
+            f"__variant_access(CAST(({recv}) AS STRING), '{mode}', "
+            f"CAST(({rhs}) AS STRING), {text})"
+        )
+        s = s[:start] + repl + s[rhs_end:]
+        pos = start
+    return s
+
+
+_CAST_PAREN_T = re.compile(
+    r"(::\s*|\bAS\s+)(Nullable|Array|Map|Tuple)\s*\(", re.I
+)
+
+
+def _strip_nullable_wrappers(t: str) -> str:
+    pat = re.compile(r"\bNullable\s*\(", re.I)
+    while True:
+        m = pat.search(t)
+        if not m:
+            return t
+        depth, j = 0, m.end() - 1
+        while j < len(t):
+            if t[j] == "(":
+                depth += 1
+            elif t[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= len(t):
+            return t
+        t = t[: m.start()] + t[m.end() : j] + t[j + 1 :]
+
+
+def _rewrite_cast_paren_types(s: str) -> str:
+    pos = 0
+    while True:
+        m = _CAST_PAREN_T.search(s, pos)
+        if not m:
+            return s
+        depth, j = 0, m.end() - 1
+        while j < len(s):
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= len(s):
+            return s
+        typ = s[m.start(2) : j + 1]
+        conv = _rewrite_ddl_nested_types(_strip_nullable_wrappers(typ))
+        s = s[: m.start(2)] + conv + s[j + 1 :]
+        pos = m.start(2) + len(conv)
+    return s
+
+
+_VARIANT_RECV = re.compile(
+    r"(^\s*(try_)?parse_json\s*\(|^\s*__variant_access\s*\(|"
+    r"::\s*(json|variant)\s*$)",
+    re.I,
+)
+_VARIANT_CAST_TAIL = re.compile(r"::\s*(json|variant)\s*$", re.I)
+
+
+def _strip_variant_cast(recv: str) -> str:
+    """Our variant model is JSON-as-string — a trailing ``::json`` /
+    ``::variant`` cast is the identity; drop it before CAST-to-STRING."""
+    return _VARIANT_CAST_TAIL.sub("", recv)
+
+
+def _rewrite_variant_subscripts(s: str) -> str:
+    """``parse_json(..)[0]``, ``v::json['k']`` and chains → JSONB access
+    (reference scalars/variant.rs get; 0-based array index, exact-case
+    key — unlike Spark's 1-based element_at)."""
+    pos = 0
+    while True:
+        i = s.find("[", pos)
+        if i < 0:
+            return s
+        j = s.find("]", i)
+        if j < 0:
+            return s
+        inner = s[i + 1 : j].strip()
+        if not re.fullmatch(r"\x00\d+\x00|-?\d+", inner):
+            pos = i + 1
+            continue
+        k = i - 1
+        while k >= 0 and s[k] in " \t\n":
+            k -= 1
+        if k < 0 or s[k] not in ")]" and s[k] not in _OPERAND_CHARS:
+            pos = i + 1
+            continue
+        start = _scan_operand_back(s, k)
+        if start is None:
+            pos = i + 1
+            continue
+        recv = s[start : i].strip()
+        if not recv or not _VARIANT_RECV.search(recv):
+            pos = i + 1
+            continue
+        recv = _strip_variant_cast(recv)
+        repl = (
+            f"__variant_access(CAST(({recv}) AS STRING), 'a', "
+            f"CAST(({inner}) AS STRING), false)"
+        )
+        s = s[:start] + repl + s[j + 1 :]
+        pos = start
+    return s
+
+
 def _rewrite_asof_outer(s, m, kind, rel, alias, i, on, um):
     """ASOF RIGHT/FULL JOIN (reference plans/join.rs:74-75; RightAsof is
     bound as LeftAsof with sides swapped, join.rs:93).
@@ -1139,6 +1341,11 @@ def rewrite_databend_sql(sql: str) -> str:
     # NTILE requires a bucket count (Spark silently defaults)
     if re.search(r"\bntile\s*\(\s*\)", masked, re.I):
         raise UnsupportedSQL("ntile() requires a bucket-count argument")
+    # DML cast positions with paren type constructors: ``::Array(X)``,
+    # ``CAST(x AS Nullable(Array(Int64)))`` — convert the type token via
+    # the DDL nested-type rules (Nullable is stripped: Spark types are
+    # nullable by default)
+    masked = _rewrite_cast_paren_types(masked)
     for pat, repl in _TYPE_ALIASES:
         masked = pat.sub(repl, masked)
     # Databend positional tuple access `t.1` → Spark struct field `t.`1``
@@ -1220,6 +1427,8 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = _rewrite_quantified_comparisons(masked)
     if _ASOF_JOIN.search(masked):
         masked = _rewrite_asof_join(masked)
+    if "->" in masked or "#>" in masked:
+        masked = _rewrite_json_arrows(masked)
     masked = _rewrite_values_relation_alias(masked)
     # Databend allows HAVING as a row filter / global-agg filter without
     # GROUP BY; QUALIFY filters window/grouping output
@@ -1234,6 +1443,7 @@ def rewrite_databend_sql(sql: str) -> str:
     # DuckDB double-quoted aliases → backticks
     masked = _QUOTED_ALIAS.sub(lambda m: "AS `" + m.group(1) + "`", masked)
     if "[" in masked:
+        masked = _rewrite_variant_subscripts(masked)
         masked = _rewrite_brackets(masked)
     if "{" in masked:
         masked = _rewrite_map_literals(masked)
@@ -1282,7 +1492,15 @@ def rewrite_databend_sql(sql: str) -> str:
     )
 
     masked = rewrite_function_names(masked)
-    masked = expand_sql_macros(masked)
+    # literal-inspecting macros (array_aggregate's op name, array_sort's
+    # direction, …) need to see through the masking placeholders
+    from databend_spark.functions import registry as _reg
+
+    _reg.CURRENT_LITERALS = literals
+    try:
+        masked = expand_sql_macros(masked)
+    finally:
+        _reg.CURRENT_LITERALS = []
     return _unmask_strings(masked, literals)
 
 

@@ -333,6 +333,11 @@ def run_slt_file(
 ) -> SLTReport:
     from databend_spark.sqlgen import rewrite_databend_sql
 
+    # variant accessor UDF (`->`, get_path, …) — idempotent
+    from databend_spark.functions.variant_runtime import register_variant_udfs
+
+    register_variant_udfs(spark)
+
     _or_replace_tbl = re.compile(
         r"^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([\w.]+)", re.I
     )
@@ -1360,6 +1365,48 @@ def run_slt_file(
                         return spark.sql(forced)
                     except Exception:  # noqa: BLE001
                         continue
+            if (
+                ("DATATYPE_MISMATCH" in msg or "UNEXPECTED_INPUT_TYPE" in msg)
+                and re.search(r"\bget\s*\(", sql, re.I)
+                and re.search(r'has the type "STRING"', msg)
+            ):
+                # get() on a VARIANT column: textually indistinguishable
+                # from array/map get — retry with the JSONB interpretation
+                from databend_spark.functions.registry import VARIANT_GET_MODE
+
+                VARIANT_GET_MODE[0] = True
+                try:
+                    forced = rewrite_databend_sql(sql)
+                finally:
+                    VARIANT_GET_MODE[0] = False
+                if forced != rewritten:
+                    try:
+                        return spark.sql(forced)
+                    except Exception:  # noqa: BLE001
+                        pass
+            if "UNEXPECTED_INPUT_TYPE" in msg and (
+                'Cannot resolve "length(' in msg
+                or 'Cannot resolve "contains(' in msg
+            ):
+                # Databend length()/contains() also take arrays — Spark
+                # needs size()/array_contains() there
+                alt = sql
+                if 'Cannot resolve "length(' in msg:
+                    alt = re.sub(r"\blength\s*\(", "size(", alt, flags=re.I)
+                else:
+                    # exists-lambda form: the = comparison coerces the
+                    # needle to the element type (array_contains won't)
+                    from databend_spark.functions.registry import rewrite_call
+
+                    alt = rewrite_call(
+                        alt, "contains", "exists({0}, __ce -> __ce = {1})"
+                    )
+                forced = rewrite_databend_sql(alt)
+                if forced != rewritten:
+                    try:
+                        return spark.sql(forced)
+                    except Exception:  # noqa: BLE001
+                        pass
             if "FILTER_NOT_BOOLEAN" in msg:
                 # the reference coerces numeric filters (non-zero = true)
                 from databend_spark.sqlgen import wrap_where_boolean
