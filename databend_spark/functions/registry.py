@@ -1420,10 +1420,13 @@ def _split_top_level_args(s: str, start: int) -> tuple[list[str], int] | None:
     return None
 
 
-def rewrite_call(sql: str, name: str, template: str) -> str:
+def rewrite_call(
+    sql: str, name: str, template: str, arity: int | None = None
+) -> str:
     """Rewrite every ``name(args…)`` call in ``sql`` with ``template``
     (format-style {N} placeholders) — used by error-driven retries that
-    need an arg-aware rewrite outside the macro registry."""
+    need an arg-aware rewrite outside the macro registry. With ``arity``
+    set, calls with a different argument count pass through."""
     pat = re.compile(rf"\b{re.escape(name)}\s*\(", re.I)
     pos = 0
     while True:
@@ -1435,6 +1438,9 @@ def rewrite_call(sql: str, name: str, template: str) -> str:
             pos = m.end()
             continue
         args, after = parsed
+        if arity is not None and len(args) != arity:
+            pos = m.end()
+            continue
         try:
             exp = template.format(*args)
         except IndexError:

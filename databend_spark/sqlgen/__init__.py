@@ -144,7 +144,9 @@ _DDL_OPTIONS = [
 _SETTINGS_PREFIX = re.compile(r"^\s*settings\s*\([^)]*\)\s*", re.I)
 _COUNT_EMPTY = re.compile(r"\bcount\s*\(\s*\)", re.I)
 _CREATE_TABLE = re.compile(r"\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP\w*\s+)?TABLE", re.I)
-_DDL_NULL = re.compile(r"(?<!NOT)\s+NULL(?=\s*[,)])", re.I)
+_DDL_NULL = re.compile(r"(?<!NOT)\s+NULL(?=\s*([,)]|DEFAULT\b))", re.I)
+# Databend `DEFAULT(expr)` → Spark `DEFAULT expr`
+_DDL_DEFAULT_PAREN = re.compile(r"\bDEFAULT\s*\(", re.I)
 
 
 class UnsupportedSQL(Exception):
@@ -629,17 +631,17 @@ def _rewrite_scalar_having(s: str) -> str:
     if _AGG_CALL.search(s):
         # Spark has no bare `GROUP BY ()`; the empty grouping set is it
         return s[:h] + "GROUP BY GROUPING SETS (()) " + s[h:]
-    w = _find_depth0(s, "WHERE")
-    if w == -1:
-        return s[:h] + "WHERE" + s[h + len("HAVING") :]
-    # merge: WHERE (w_cond) AND (h_cond)
     cond_start = h + len("HAVING")
     tail_at = len(s)
     for kw in ("ORDER BY", "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT"):
         k = _find_depth0(s, kw, cond_start)
         if k != -1:
             tail_at = min(tail_at, k)
-    h_cond = s[cond_start:tail_at].strip()
+    h_cond = _subst_select_aliases(s, s[cond_start:tail_at].strip())
+    w = _find_depth0(s, "WHERE")
+    if w == -1:
+        return s[:h] + f"WHERE {h_cond} " + s[tail_at:]
+    # merge: WHERE (w_cond) AND (h_cond)
     w_end = h  # WHERE clause runs up to HAVING in this position
     w_cond = s[w + len("WHERE") : w_end].strip()
     return (
@@ -647,6 +649,40 @@ def _rewrite_scalar_having(s: str) -> str:
         + f"WHERE ({w_cond}) AND ({h_cond}) "
         + s[tail_at:]
     )
+
+
+def _subst_select_aliases(s: str, cond: str) -> str:
+    """Replace select-list alias references in ``cond`` with their
+    expressions (Databend's no-GROUP-BY HAVING resolves both output
+    aliases and input columns; Spark's WHERE sees inputs only)."""
+    sel = re.search(r"\bSELECT\s+(?:DISTINCT\s+)?", s, re.I)
+    if not sel:
+        return cond
+    f = _find_depth0(s, "FROM", sel.end())
+    if f == -1:
+        return cond
+    items, depth, start = [], 0, sel.end()
+    for i in range(sel.end(), f):
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            items.append(s[start:i])
+            start = i + 1
+    items.append(s[start:f])
+    for item in items:
+        m = re.match(r"^\s*(.+?)\s+AS\s+([\w`]+)\s*$", item, re.I | re.S)
+        if not m:
+            continue
+        expr, name = m.group(1).strip(), m.group(2).strip("`")
+        if expr.lower() == name.lower():
+            continue
+        cond = re.sub(
+            rf"\b{re.escape(name)}\b", f"({expr})", cond, flags=re.I
+        )
+    return cond
 
 
 def _rewrite_qualify(s: str) -> str:
@@ -1096,6 +1132,163 @@ def _rewrite_cast_paren_types(s: str) -> str:
     return s
 
 
+_LIKE_QUANT = re.compile(
+    r"\b(NOT\s+)?(I?LIKE)\s+(ANY|ALL)\s*\(([^()]*)\)"
+    r"(?:\s+ESCAPE\s+(\x00\d+\x00))?",
+    re.I,
+)
+_LIKE_ESC = re.compile(
+    r"\b(NOT\s+)?(I?LIKE)\s+(\x00\d+\x00)\s+ESCAPE\s+(\x00\d+\x00)", re.I
+)
+
+
+def _resolve_lit(tok: str, literals: list[str] | None) -> str | None:
+    m = re.fullmatch("\x00(\\d+)\x00", tok.strip())
+    if m and literals and int(m.group(1)) < len(literals):
+        return literals[int(m.group(1))]
+    return None
+
+
+def _fold_ilike_pattern(p_tok, e_tok, literals):
+    """Lowercase a LIKE pattern literal, rewriting its escape sequences
+    onto a collision-free escape char. None when either isn't a
+    literal."""
+    p_lit = _resolve_lit(p_tok, literals)
+    e_lit = _resolve_lit(e_tok, literals)
+    if p_lit is None or e_lit is None or len(e_lit) < 3:
+        return None
+    p, e = p_lit[1:-1], e_lit[1:-1]
+    safe = next(
+        (c for c in "!~^@#|" if c not in p.lower() and c != "'"), "\x1f"
+    )
+    out, i = [], 0
+    while i < len(p):
+        c = p[i]
+        if c == e and i + 1 < len(p):
+            out.append(safe + p[i + 1].lower())
+            i += 2
+            continue
+        lc = c.lower()
+        out.append(safe + lc if lc == safe else lc)
+        i += 1
+    return "'" + "".join(out) + "'", f"'{safe}'"
+
+
+def _rewrite_unpivot_labels(s: str, literals: list[str] | None) -> str:
+    """UNPIVOT IN-list labels: Databend allows ``col AS 'Label'``,
+    ``col 'Label'`` and numeric labels; Spark wants identifier aliases —
+    backtick them (inside the UNPIVOT IN(…) span only; a bare
+    ``DATE '…'`` elsewhere must not be touched)."""
+    for um in list(re.finditer(r"\bUNPIVOT\s*\(", s, re.I))[::-1]:
+        depth, j = 0, um.end() - 1
+        while j < len(s):
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        body = s[um.end() : j]
+        im = re.search(r"\bIN\s*\(", body, re.I)
+        if not im:
+            continue
+        k, depth = im.end() - 1, 0
+        while k < len(body):
+            if body[k] == "(":
+                depth += 1
+            elif body[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = body[im.end() : k]
+
+        def fix_item(item: str) -> str:
+            m = re.match(
+                r"^\s*([\w`]+)(?:\s+(?:AS\s+)?(\x00\d+\x00|\d+|[\w`]+))?"
+                r"\s*$",
+                item,
+                re.I,
+            )
+            if not m or not m.group(2):
+                return item
+            lab = m.group(2)
+            lit = _resolve_lit(lab, literals)
+            if lit is not None:
+                lab = lit[1:-1]
+            else:
+                lab = lab.strip("`")
+            return f"{m.group(1)} AS `{lab}`"
+
+        new_inner = ", ".join(fix_item(x) for x in inner.split(","))
+        new_body = body[: im.end()] + new_inner + body[k:]
+        s = s[: um.end()] + new_body + s[j:]
+    return s
+
+
+def _rewrite_like_escape(s: str, literals: list[str] | None = None) -> str:
+    """``x [NOT] [I]LIKE ANY/ALL (p, …) [ESCAPE e]`` and
+    ``x [I]LIKE p ESCAPE e`` → Spark's ``like()/ilike()`` function form
+    (the only Spark spelling that takes an escape char; ILIKE ANY has no
+    native form at all). Runs on masked text."""
+
+    def expand(m: re.Match, pats: list[str], esc: str | None, quant: str):
+        start = _scan_operand_back(s, _skip_ws_back(s, m.start() - 1))
+        if start is None:
+            return None
+        recv = s[start : m.start()].strip()
+        if not recv:
+            return None
+        fn = m.group(2).lower()
+        neg = bool(m.group(1))
+        if fn == "ilike" and esc:
+            # Spark's ilike() lowercases the pattern but not the escape
+            # char — pre-fold literal patterns to lowercase with a
+            # collision-free escape and go through like()
+            terms = []
+            for p in pats:
+                folded = _fold_ilike_pattern(p.strip(), esc, literals)
+                if folded is None:
+                    terms.append(f"like(lower({recv}), lower({p.strip()}), {esc})")
+                else:
+                    fp, fe = folded
+                    terms.append(f"like(lower({recv}), {fp}, {fe})")
+        else:
+            ea = f", {esc}" if esc else ""
+            terms = [f"{fn}({recv}, {p.strip()}{ea})" for p in pats]
+        joiner = " OR " if quant.upper() == "ANY" else " AND "
+        body = "(" + joiner.join(terms) + ")"
+        if neg:
+            body = f"(NOT {body})"
+        return start, body
+
+    def _skip_ws_back(t: str, k: int) -> int:
+        while k >= 0 and t[k] in " \t\n":
+            k -= 1
+        return k
+
+    while True:
+        m = _LIKE_QUANT.search(s)
+        if not m:
+            break
+        r = expand(m, m.group(4).split(","), m.group(5), m.group(3))
+        if r is None:
+            break
+        start, body = r
+        s = s[:start] + body + s[m.end() :]
+    while True:
+        m = _LIKE_ESC.search(s)
+        if not m:
+            break
+        r = expand(m, [m.group(3)], m.group(4), "ANY")
+        if r is None:
+            break
+        start, body = r
+        s = s[:start] + body + s[m.end() :]
+    return s
+
+
 _VARIANT_RECV = re.compile(
     r"(^\s*(try_)?parse_json\s*\(|^\s*__variant_access\s*\(|"
     r"::\s*(json|variant)\s*$)",
@@ -1429,6 +1622,10 @@ def rewrite_databend_sql(sql: str) -> str:
         masked = _rewrite_asof_join(masked)
     if "->" in masked or "#>" in masked:
         masked = _rewrite_json_arrows(masked)
+    if re.search(r"\bESCAPE\b|\bILIKE\s+(ANY|ALL)\b", masked, re.I):
+        masked = _rewrite_like_escape(masked, literals)
+    if re.search(r"\bUNPIVOT\s*\(", masked, re.I):
+        masked = _rewrite_unpivot_labels(masked, literals)
     masked = _rewrite_values_relation_alias(masked)
     # Databend allows HAVING as a row filter / global-agg filter without
     # GROUP BY; QUALIFY filters window/grouping output
@@ -1480,6 +1677,7 @@ def rewrite_databend_sql(sql: str) -> str:
             # lose its NULL, its `text` may be a column name, and its
             # array()/map() are constructors
             masked = _DDL_NULL.sub("", masked)
+            masked = _DDL_DEFAULT_PAREN.sub("DEFAULT (", masked)
             masked = _DDL_TEXT.sub("STRING", masked)
         for pat in _DDL_OPTIONS:
             masked = pat.sub("", masked)

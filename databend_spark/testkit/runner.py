@@ -1407,6 +1407,46 @@ def run_slt_file(
                         return spark.sql(forced)
                     except Exception:  # noqa: BLE001
                         pass
+            if "CAST_INVALID_INPUT" in msg and re.search(
+                r"\bto_(date|timestamp)\s*\(", sql, re.I
+            ):
+                # Databend to_date/to_timestamp accept integers (days /
+                # seconds since epoch); Spark's parse strings only
+                from databend_spark.functions.registry import rewrite_call
+
+                alt = rewrite_call(
+                    sql,
+                    "to_date",
+                    "date_add(DATE'1970-01-01', CAST(({0}) AS INT))",
+                    arity=1,
+                )
+                alt = rewrite_call(
+                    alt,
+                    "to_timestamp",
+                    "timestamp_seconds(CAST(({0}) AS BIGINT))",
+                    arity=1,
+                )
+                forced = rewrite_databend_sql(alt)
+                if forced != rewritten:
+                    try:
+                        return spark.sql(forced)
+                    except Exception:  # noqa: BLE001
+                        pass
+            if "CAST_INVALID_INPUT" in msg and "The value ''" in msg and (
+                '"DATE"' in msg or '"TIMESTAMP' in msg
+            ):
+                # Databend casts '' to the epoch date/timestamp; Spark
+                # refuses — substitute the epoch literal
+                repl = (
+                    "'1970-01-01'" if '"DATE"' in msg
+                    else "'1970-01-01 00:00:00'"
+                )
+                forced = rewrite_databend_sql(sql.replace("''", repl))
+                if forced != rewritten:
+                    try:
+                        return spark.sql(forced)
+                    except Exception:  # noqa: BLE001
+                        pass
             if "FILTER_NOT_BOOLEAN" in msg:
                 # the reference coerces numeric filters (non-zero = true)
                 from databend_spark.sqlgen import wrap_where_boolean
