@@ -1219,6 +1219,26 @@ def _variant_access_sql(v: str, mode: str, arg: str, text: bool) -> str:
     )
 
 
+def _object_construct(args: list[str]) -> str | None:
+    """object_construct(k1, v1, …) → canonical JSONB object text.
+    Keys must be literals (named_struct needs literal field names)."""
+    if len(args) % 2:
+        return None
+    if not args or (len(args) == 1 and not args[0]):
+        return "'{{}}'"
+    fields = []
+    for i in range(0, len(args), 2):
+        k = _literal_text(args[i]).strip()
+        if not (k.startswith("'") and k.endswith("'")):
+            return None
+        fields.append(f"{k}, {args[i + 1]}")
+    return (
+        "__variant_access(to_json(named_struct("
+        + ", ".join(fields)
+        + ")), '', '', false)"
+    )
+
+
 def _get_dispatch(args: list[str]) -> str | None:
     """get(container, key_or_idx): arrays/maps → element_at; variant
     expressions (parse_json / chained accessors / NULL) → JSONB access
@@ -1271,6 +1291,25 @@ SQL_MACROS.update(
             "CAST(__variant_path_query(CAST(({0}) AS STRING), {1}, 'exists')"
             " AS BOOLEAN)"
         ),
+        "json_path_match": (
+            "CAST(__variant_path_query(CAST(({0}) AS STRING), {1}, 'match')"
+            " AS BOOLEAN)"
+        ),
+        "json_array_elements": (
+            "explode(from_json(__variant_path_query(CAST(({0}) AS STRING),"
+            " '$[*]', 'list'), 'array<string>'))"
+        ),
+        # misc sweep gaps (reference scalars/{string,array,map}.rs)
+        "regexp_split_to_array": "split({0}, {1})",
+        "regexp_split_to_table": "explode(split({0}, {1}))",
+        "array_construct": lambda args: "array(" + ", ".join(args) + ")",
+        "array_intersection": "array_intersect({0}, {1})",
+        "map_transform_values": "transform_values({0}, {1})",
+        "map_transform_keys": "transform_keys({0}, {1})",
+        "jaro_winkler": "__jaro_winkler(CAST({0} AS STRING), CAST({1} AS STRING))",
+        "object_construct": _object_construct,
+        "try_object_construct": _object_construct,
+        "object_construct_keep_null": _object_construct,
     }
 )
 

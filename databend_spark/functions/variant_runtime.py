@@ -514,6 +514,60 @@ def _jp_expr_eval(doc, e: str) -> list:
     return [json.loads(e)]
 
 
+def _find_cmp_outside(term: str):
+    depth = 0
+    for m in _JP_CMP.finditer(term):
+        depth = 0
+        for c in term[: m.start()]:
+            if c in "([{":
+                depth += 1
+            elif c in ")]}":
+                depth -= 1
+        if depth == 0:
+            return m
+    return None
+
+
+def _cmp_vals(op, a, b) -> bool:
+    try:
+        if op == "==":
+            return a == b
+        if op in ("!=", "<>"):
+            return a != b
+        if isinstance(a, bool) or isinstance(b, bool):
+            return False
+        return {
+            ">": a > b, "<": a < b, ">=": a >= b, "<=": a <= b
+        }[op]
+    except TypeError:
+        return False
+
+
+def _jp_match_eval(doc, expr: str) -> bool:
+    """jsonb path-predicate (@@ / json_path_match): '$path op literal'
+    terms joined by && / ||; a term is true when ANY match satisfies."""
+    for part in _split_jp(expr, "||"):
+        if all(_jp_match_term(doc, t) for t in _split_jp(part, "&&")):
+            return True
+    return False
+
+
+def _jp_match_term(doc, term: str) -> bool:
+    term = term.strip()
+    m = _find_cmp_outside(term)
+    if not m:
+        raise ValueError(f"Invalid jsonpath predicate '{term}'")
+    lhs, op = term[: m.start()].strip(), m.group(1)
+    rhs = json.loads(term[m.end() :].strip())
+    steps = _jp_parse(lhs)
+    if steps is None:
+        raise ValueError(f"Invalid jsonpath predicate '{term}'")
+    vals = []
+    for v in _jp_apply(doc, steps):
+        vals.extend(v if isinstance(v, list) else [v])
+    return any(_cmp_vals(op, v, rhs) for v in vals)
+
+
 def check_json(v):
     """NULL when valid JSON, else a jsonb-style error message
     (reference scalars/variant.rs check_json)."""
@@ -540,6 +594,8 @@ def variant_path_query(v, path, mode):
         doc = json.loads(v)
     except (ValueError, TypeError):
         return None
+    if mode == "match":
+        return "true" if _jp_match_eval(doc, path.strip()) else "false"
     steps = _jp_parse(path.strip())
     if steps is None:
         # not plain-path syntax: arithmetic expression form
@@ -557,10 +613,54 @@ def variant_path_query(v, path, mode):
     return json.dumps([_canon(m) for m in matches], ensure_ascii=False)
 
 
+def jaro_winkler(s1, s2):
+    """Jaro-Winkler similarity (reference scalars/string.rs jaro_winkler,
+    standard prefix weight 0.1, max prefix 4)."""
+    if s1 is None or s2 is None:
+        return None
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if not n1 or not n2:
+        return 0.0
+    window = max(n1, n2) // 2 - 1
+    m1 = [False] * n1
+    m2 = [False] * n2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(n1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    jaro = (
+        matches / n1 + matches / n2 + (matches - t / 2) / matches
+    ) / 3
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return jaro + prefix * 0.1 * (1 - jaro)
+
+
 def register_variant_udfs(spark: SparkSession) -> None:
     """Idempotently register the accessor UDFs on a session."""
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import DoubleType, StringType
 
     spark.udf.register("__variant_access", variant_access, StringType())
     spark.udf.register("__variant_path_query", variant_path_query, StringType())
     spark.udf.register("__check_json", check_json, StringType())
+    spark.udf.register("__jaro_winkler", jaro_winkler, DoubleType())
