@@ -31,21 +31,30 @@ _TUPLE_FIELD = re.compile(r"((?:[A-Za-z_]\w*|\)))\.(\d+)\b")
 # col:a / col:a.b / col:a[0]:b — Databend variant path extraction; the
 # lookbehind/lookahead exclude `::` casts, the leading-letter requirement
 # excludes array slices like arr[1:3]
+_VARIANT_SEG = r"(?:[A-Za-z_]\w*|\[\s*(?:\x00\d+\x00|\d+)\s*\])"
 _VARIANT_PATH = re.compile(
     r"(?<![:\w.`])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*:(?!:)\s*"
-    r"([A-Za-z_]\w*(?:[.:][A-Za-z_]\w*)*)"
+    rf"({_VARIANT_SEG}(?:[.:]{_VARIANT_SEG}|\[\s*(?:\x00\d+\x00|\d+)\s*\])*)"
 )
 
 
 def variant_paths_to_json(sql: str) -> str:
-    """`col:a.b` → get_json_object(CAST(col AS STRING), '$.a.b') — the
-    fallback when the column stores JSON text (Spark's native `:` demands
-    true VARIANT). Applied on retry by the runner / SessionContext."""
+    """`col:a.b`, `col:a['k.x'][0].b` → get_json_object(CAST(col AS
+    STRING), '$.a[''k.x''][0].b') — the fallback when the column stores
+    JSON text (Spark's native `:` demands true VARIANT). Applied on
+    retry by the runner / SessionContext."""
     masked, lits = _mask_strings(sql)
 
     def repl(m: re.Match) -> str:
         path = m.group(2).replace(":", ".")
-        return f"get_json_object(CAST({m.group(1)} AS STRING), '$.{path}')"
+        # inline bracket-quoted keys so the whole path can be a literal
+        def seg(sm: re.Match) -> str:
+            i = int(sm.group(1))
+            return "[" + lits[i] + "]" if i < len(lits) else sm.group(0)
+
+        path = re.sub("\\[\\s*\x00(\\d+)\x00\\s*\\]", seg, path)
+        path_lit = "'$." + path.replace("'", "''") + "'"
+        return f"get_json_object(CAST({m.group(1)} AS STRING), {path_lit})"
 
     return _unmask_strings(_VARIANT_PATH.sub(repl, masked), lits)
 
@@ -56,6 +65,8 @@ def variant_paths_to_struct(sql: str) -> str:
     masked, lits = _mask_strings(sql)
 
     def repl(m: re.Match) -> str:
+        if "[" in m.group(2):  # bracket segs are json-only territory
+            return m.group(0)
         fields = re.split(r"[.:]", m.group(2))
         return m.group(1) + "".join(f".`{f}`" for f in fields)
 
@@ -136,7 +147,12 @@ _DDL_OPTIONS = [
         r"bloom_index_columns|storage_format|compression|"
         r"data_retention_period_in_hours|change_tracking|"
         r"enable_auto_vacuum)"
-        r"\s*=\s*('[^']*'|\d+|\w+)",
+        r"\s*=\s*('[^']*'|\x00\d+\x00|\d+|\w+)",
+        re.I,
+    ),
+    re.compile(
+        # table-level COMMENT= option (column comments use no '=')
+        r"\bCOMMENT\s*=\s*('[^']*'|\x00\d+\x00)",
         re.I,
     ),
 ]
