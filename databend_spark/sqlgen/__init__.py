@@ -122,6 +122,8 @@ _TYPE_ALIASES = [
     # our Variant model is JSON-as-string (functions.registry
     # parse_json_variant); Spark 4's native VARIANT lacks most accessors
     (re.compile(r"\bVARIANT\b", re.I), "STRING"),
+    # JSON as a declared type (not the json_* function family)
+    (re.compile(r"\bJSON\b(?!\s*\()", re.I), "STRING"),
     # bitmap model: sorted array of distinct int64 (functions/bitmap.py)
     (re.compile(r"\bBITMAP\b", re.I), "ARRAY<BIGINT>"),
     (
@@ -353,10 +355,328 @@ _QUANT_CMP = re.compile(
 )
 
 
+_NEG_OP = {"<": ">=", "<=": ">", ">": "<=", ">=": "<"}
+
+
+def _rewrite_ctas_null_items(s: str, sel_end: int) -> str:
+    """Top-level bare NULL items in a CTAS select list →
+    CAST(NULL AS STRING)."""
+    f = _find_depth0(s, "FROM", sel_end)
+    end = f if f != -1 else len(s)
+    seg = s[sel_end:end]
+    items, depth, last = [], 0, 0
+    for i, c in enumerate(seg):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            items.append(seg[last:i])
+            last = i + 1
+    items.append(seg[last:])
+    out = []
+    for it in items:
+        m = re.fullmatch(r"(\s*)NULL(\s*(?:AS\s+[\w`]+)?\s*)", it, re.I)
+        if m:
+            out.append(f"{m.group(1)}CAST(NULL AS STRING){m.group(2)}")
+        else:
+            out.append(it)
+    return s[:sel_end] + ",".join(out) + s[end:]
+
+
+_OB_END_KW = re.compile(
+    r"\b(LIMIT|OFFSET|FETCH|UNION|EXCEPT|INTERSECT|SETTINGS|IGNORE_RESULT|"
+    r"WINDOW)\b",
+    re.I,
+)
+
+
+_RIGHT_SA = re.compile(r"\bRIGHT\s+(SEMI|ANTI)\s+JOIN\b", re.I)
+_REL_BACK = re.compile(
+    r"((?:\((?:[^()]|\([^()]*\))*\)|[\w.`]+)"
+    r"(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?)\s*$",
+)
+_REL_FWD = re.compile(
+    r"\s*((?:\((?:[^()]|\([^()]*\))*\)|[\w.`]+)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)[A-Za-z_]\w*)?)",
+    re.I,
+)
+
+
+_REL_KEYWORDS = frozenset(
+    ["FROM", "JOIN", "ON", "WHERE", "AND", "OR", "LATERAL", "SELECT",
+     "UNION", "ALL", "CROSS", "INNER", "LEFT", "RIGHT", "FULL", "USING"]
+)
+
+
+def _scan_relation_back(s: str, end: int) -> int | None:
+    """Start of the relation (subquery/ident, optional alias) whose last
+    char index is ``end`` — fully balanced, unlike a regex."""
+    start = _scan_operand_back(s, end)
+    if start is None:
+        return None
+    tok = s[start : end + 1]
+    if re.fullmatch(r"[A-Za-z_]\w*", tok) and tok.upper() not in _REL_KEYWORDS:
+        # looks like an alias — include the preceding operand when it is
+        # a subquery or a non-keyword identifier
+        j = start - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        if j >= 0 and (s[j] == ")" or s[j] in _OPERAND_CHARS):
+            prev = _scan_operand_back(s, j)
+            if prev is not None:
+                ptok = s[prev : j + 1].strip()
+                if s[j] == ")" or ptok.upper() not in _REL_KEYWORDS:
+                    return prev
+    return start
+
+
+def _scan_relation_fwd(s: str, pos: int) -> int | None:
+    """End index (exclusive) of the relation starting at/after pos."""
+    while pos < len(s) and s[pos] in " \t\n":
+        pos += 1
+    if pos >= len(s):
+        return None
+    if s[pos] == "(":
+        depth = 0
+        while pos < len(s):
+            if s[pos] == "(":
+                depth += 1
+            elif s[pos] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            pos += 1
+        pos += 1
+    else:
+        while pos < len(s) and s[pos] in _OPERAND_CHARS:
+            pos += 1
+    # optional alias
+    am = re.match(r"\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*)", s[pos:], re.I)
+    if am and am.group(1).upper() not in _REL_KEYWORDS:
+        pos += am.end()
+    return pos
+
+
+def _rewrite_right_semi_anti(s: str) -> str:
+    """``A RIGHT SEMI/ANTI JOIN B ON c`` → ``B LEFT SEMI/ANTI JOIN A ON
+    c`` (reference join.rs RightSemi/RightAnti — bound with sides
+    swapped; Spark only parses the LEFT spellings)."""
+    while True:
+        m = _RIGHT_SA.search(s)
+        if not m:
+            return s
+        k = m.start() - 1
+        while k >= 0 and s[k] in " \t\n":
+            k -= 1
+        left_start = _scan_relation_back(s, k) if k >= 0 else None
+        if left_start is None:
+            return s
+        left = s[left_start : m.start()].strip()
+        rend = _scan_relation_fwd(s, m.end())
+        if rend is None:
+            return s
+        right = s[m.end() : rend].strip()
+        if not left or not right:
+            return s
+        s = (
+            s[:left_start]
+            + f"{right} LEFT {m.group(1).upper()} JOIN {left} "
+            + s[rend:]
+        )
+    return s
+
+
+def _rewrite_order_by_nulls(s: str) -> str:
+    """ORDER BY items (top level and subqueries) get explicit null
+    ordering: Databend defaults to NULLS LAST on ASC / NULLS FIRST on
+    DESC — the mirror of Spark's defaults (reference: sort option
+    defaults in the binder; SURVEY §7.4). Window ORDER BY (inside
+    OVER(...) parens) keeps engine defaults."""
+    for m in reversed(list(re.finditer(r"\bORDER\s+BY\b", s, re.I))):
+        # enclosing open paren, if any
+        depth, p = 0, None
+        for i in range(m.start() - 1, -1, -1):
+            c = s[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    p = i
+                    break
+                depth -= 1
+        if p is not None and re.search(r"\bOVER\s*$", s[:p], re.I):
+            continue
+        start = m.end()
+        end, depth = len(s), 0
+        j = start
+        while j < len(s):
+            c = s[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = j
+                    break
+                depth -= 1
+            elif c == ";" and depth == 0:
+                end = j
+                break
+            elif depth == 0:
+                km = _OB_END_KW.match(s, j)
+                if km and not (s[j - 1].isalnum() or s[j - 1] in "_`"):
+                    end = j
+                    break
+            j += 1
+        seg = s[start:end]
+        items, depth, last = [], 0, 0
+        for i, c in enumerate(seg):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0:
+                items.append(seg[last:i])
+                last = i + 1
+        items.append(seg[last:])
+        out = []
+        for it in items:
+            body = it.rstrip(" \n\t")
+            tail = it[len(body):]
+            if not body.strip() or re.search(
+                r"\bNULLS\s+(FIRST|LAST)\s*$", body, re.I
+            ):
+                out.append(it)
+            elif re.search(r"\bDESC\s*$", body, re.I):
+                out.append(body + " NULLS FIRST" + tail)
+            else:
+                out.append(body + " NULLS LAST" + tail)
+        s = s[:start] + ", ".join(out) + s[end:]
+    return s
+
+_IN_SUB = re.compile(r"\b(NOT\s+)?IN\s*\(\s*(?=SELECT\b)", re.I)
+_CTX_KW = re.compile(
+    r"(SELECT|FROM|WHERE|HAVING|QUALIFY|ON|WHEN|BY|JOIN|USING|VALUES|SET)$",
+    re.I,
+)
+
+
+def _in_select_list_context(s: str, pos: int) -> bool:
+    """True when position ``pos`` sits in a SELECT list (scanning back
+    at the current nesting level, popping out of subexpressions)."""
+    d = 0
+    k = pos - 1
+    while k >= 0:
+        c = s[k]
+        if c == ")":
+            d += 1
+        elif c == "(":
+            d -= 1
+            if d < 0:
+                d = 0  # left a subexpression — continue in outer scope
+            k -= 1
+            continue
+        if d == 0 and (c.isalpha() or c == "_"):
+            j = k
+            while j >= 0 and (s[j].isalnum() or s[j] == "_"):
+                j -= 1
+            word = s[j + 1 : k + 1]
+            if _CTX_KW.fullmatch(word) and (
+                j < 0 or not (s[j].isalnum() or s[j] in "_.`")
+            ):
+                return word.upper() == "SELECT"
+            k = j
+            continue
+        k -= 1
+    return False
+
+
+def _single_column_subquery(q: str) -> bool:
+    m = re.match(r"\s*SELECT\s+(DISTINCT\s+)?", q, re.I)
+    if not m:
+        return False
+    depth = 0
+    for i in range(m.end(), len(q)):
+        c = q[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if c == ",":
+                return False
+            if c == "*":
+                return False
+            if q[i : i + 5].upper() == "FROM " and not (
+                i > 0 and (q[i - 1].isalnum() or q[i - 1] in "_.`")
+            ):
+                return True
+    return True  # SELECT without FROM — single expr
+
+
+def _rewrite_projected_in_subquery(s: str) -> str:
+    """``x [NOT] IN (SELECT …)`` in a SELECT list → a CASE over
+    witness/NULL-presence EXISTS probes. Spark's ExistenceJoin gives
+    two-valued results in projections (NULL collapses to FALSE); the
+    reference follows SQL's three-valued semantics. WHERE/HAVING
+    contexts keep the native (already filter-equivalent, faster) form."""
+    pos = 0
+    while True:
+        m = _IN_SUB.search(s, pos)
+        if not m:
+            return s
+        depth, i = 0, s.index("(", m.start())
+        for i in range(i, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return s
+        q = s[s.index("(", m.start()) + 1 : i]
+        if not _single_column_subquery(q) or not _in_select_list_context(
+            s, m.start()
+        ):
+            pos = m.end()
+            continue
+        k = m.start() - 1
+        while k >= 0 and s[k] in " \t\n":
+            k -= 1
+        x_start = _scan_operand_back(s, k) if k >= 0 else None
+        if x_start is None:
+            pos = m.end()
+            continue
+        x = s[x_start : m.start()].strip()
+        if not x or "," in x.strip("()"):
+            pos = m.end()
+            continue
+        neg = bool(m.group(1))
+        t, f = ("FALSE", "TRUE") if neg else ("TRUE", "FALSE")
+        # <=> : the reference's IN probes match NULL against NULL
+        # (mark-join null-safe equality), unlike standard =
+        repl = (
+            f"(CASE WHEN EXISTS (SELECT 1 FROM ({q}) AS __qw(__v)"
+            f" WHERE ({x}) <=> __v) THEN {t}"
+            f" WHEN EXISTS (SELECT 1 FROM ({q}) AS __qn(__v)"
+            f" WHERE __v IS NULL OR ({x}) IS NULL)"
+            f" THEN CAST(NULL AS BOOLEAN)"
+            f" ELSE {f} END)"
+        )
+        s = s[:x_start] + repl + s[i + 1 :]
+        pos = x_start + len(repl)
+    return s
+
+
 def _rewrite_quantified_comparisons(s: str) -> str:
-    """op ALL/ANY (subquery) → Spark-expressible forms: = ANY → IN,
-    ordered ops → compare against min/max of the subquery's single
-    column; != ALL → NOT IN. (= ALL and != ANY pass through.)"""
+    """op ALL/ANY (subquery) → Spark-expressible NULL-correct forms:
+    ``= ANY`` → IN and ``!= ALL`` → NOT IN (native three-valued
+    semantics); ordered ops and ``= ALL`` → a CASE over witness /
+    counterexample / NULL-presence EXISTS probes, reproducing SQL's
+    quantified-comparison logic exactly (TRUE on witness, NULL when a
+    NULL hides the answer, FALSE otherwise — empty set: ANY→FALSE,
+    ALL→TRUE). The min/max shortcut used before ignored NULLs."""
     out = []
     pos = 0
     while True:
@@ -383,34 +703,57 @@ def _rewrite_quantified_comparisons(s: str) -> str:
             continue
         op = m.group(1)
         quant = m.group(2).upper()
-        agg = None
+        repl = None
+        case_kind = None
         if quant in ("ANY", "SOME"):
             if op == "=":
                 repl = f"IN ({q})"
-            elif op in (">", ">="):
-                agg = "min"
-            elif op in ("<", "<="):
-                agg = "max"
-            else:
-                repl = None
+            elif op in _NEG_OP:
+                case_kind = "any"
         else:  # ALL
             if op in ("!=", "<>"):
                 repl = f"NOT IN ({q})"
-            elif op in (">", ">="):
-                agg = "max"
-            elif op in ("<", "<="):
-                agg = "min"
-            elif op == "=":
-                # = ALL: true iff every row equals the operand — compare
-                # against the single distinct value (NULL → no match)
-                repl = (
-                    f"= (SELECT CASE WHEN min(__qa.c1) = max(__qa.c1) "
-                    f"THEN min(__qa.c1) END FROM ({q}) AS __qa(c1))"
+            elif op in _NEG_OP or op == "=":
+                case_kind = "all"
+        if case_kind:
+            # need the left operand — consume it from the emitted text
+            k = m.start() - 1
+            while k >= 0 and s[k] in " \t\n":
+                k -= 1
+            x_start = _scan_operand_back(s, k) if k >= 0 else None
+            if x_start is not None and x_start >= pos:
+                x = s[x_start : m.start()].strip()
+                # flush text before the left operand
+                out.append(s[pos:x_start])
+                nullp = (
+                    f"EXISTS (SELECT 1 FROM ({q}) AS __qn(__v)"
+                    f" WHERE __v IS NULL OR ({x}) IS NULL)"
                 )
-            else:
-                repl = None
-        if agg:
-            repl = f"{op} (SELECT {agg}(__qc.c1) FROM ({q}) AS __qc(c1))"
+                if case_kind == "any":
+                    probe = (
+                        f"EXISTS (SELECT 1 FROM ({q}) AS __qw(__v)"
+                        f" WHERE ({x}) {op} __v)"
+                    )
+                    repl_full = (
+                        f"(CASE WHEN {probe} THEN TRUE"
+                        f" WHEN {nullp} THEN CAST(NULL AS BOOLEAN)"
+                        f" ELSE FALSE END)"
+                    )
+                else:
+                    cop = _NEG_OP.get(op, "<>")
+                    probe = (
+                        f"EXISTS (SELECT 1 FROM ({q}) AS __qw(__v)"
+                        f" WHERE __v IS NOT NULL AND ({x}) IS NOT NULL"
+                        f" AND ({x}) {cop} __v)"
+                    )
+                    repl_full = (
+                        f"(CASE WHEN {probe} THEN FALSE"
+                        f" WHEN {nullp} THEN CAST(NULL AS BOOLEAN)"
+                        f" ELSE TRUE END)"
+                    )
+                out.append(repl_full)
+                pos = i + 1
+                continue
         if repl is None:
             out.append(s[pos : i + 1])
         else:
@@ -1634,8 +1977,11 @@ def rewrite_databend_sql(sql: str) -> str:
         )
     masked = _rewrite_insert_values_with_exprs(masked)
     masked = _rewrite_quantified_comparisons(masked)
+    masked = _rewrite_projected_in_subquery(masked)
     if _ASOF_JOIN.search(masked):
         masked = _rewrite_asof_join(masked)
+    if re.search(r"\bRIGHT\s+(SEMI|ANTI)\s+JOIN\b", masked, re.I):
+        masked = _rewrite_right_semi_anti(masked)
     if "->" in masked or "#>" in masked:
         masked = _rewrite_json_arrows(masked)
     if re.search(r"\bESCAPE\b|\bILIKE\s+(ANY|ALL)\b", masked, re.I):
@@ -1655,6 +2001,10 @@ def rewrite_databend_sql(sql: str) -> str:
         masked = _rewrite_grouping_multi(masked)
     # DuckDB double-quoted aliases → backticks
     masked = _QUOTED_ALIAS.sub(lambda m: "AS `" + m.group(1) + "`", masked)
+    # double-quoted identifiers (SQL standard / the reference's dialect)
+    # → backticks; string literals are single-quoted and already masked
+    if '"' in masked:
+        masked = re.sub(r'"([^"\n]+)"', r"`\1`", masked)
     if "[" in masked:
         masked = _rewrite_variant_subscripts(masked)
         masked = _rewrite_brackets(masked)
@@ -1699,12 +2049,17 @@ def rewrite_databend_sql(sql: str) -> str:
             masked = pat.sub("", masked)
         if not _is_ctas:
             masked = _rewrite_ddl_nested_types(masked)
+        elif masked[_is_ctas.end() - 6 : _is_ctas.end()].upper() == "SELECT":
+            # a bare NULL select item makes a VOID column Spark's v1
+            # writers refuse; the reference types it as nullable string
+            masked = _rewrite_ctas_null_items(masked, _is_ctas.end())
     # Databend function aliases → Spark names + expression macros
     from databend_spark.functions.registry import (
         expand_sql_macros,
         rewrite_function_names,
     )
 
+    masked = _rewrite_order_by_nulls(masked)
     masked = rewrite_function_names(masked)
     # literal-inspecting macros (array_aggregate's op name, array_sort's
     # direction, …) need to see through the masking placeholders

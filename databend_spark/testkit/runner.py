@@ -339,7 +339,7 @@ def run_slt_file(
     register_variant_udfs(spark)
 
     _or_replace_tbl = re.compile(
-        r"^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([\w.]+)", re.I
+        r"^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([\w.`]+)", re.I
     )
     _or_replace_db = re.compile(
         r"^\s*CREATE\s+OR\s+REPLACE\s+DATABASE\s+([\w.]+)", re.I
@@ -666,6 +666,8 @@ def run_slt_file(
                 except Exception:
                     pass
         return dsize
+
+    setop_limit = [0]  # SET max_set_operator_count emulation
 
     # query-result-cache emulation (reference
     # storages/system/src/query_cache_table.rs + result_cache settings)
@@ -1022,6 +1024,22 @@ def run_slt_file(
                 _refresh_system_catalog()
             except Exception:
                 pass
+        if setop_limit[0]:
+            depth, nops = 0, 0
+            for mm in re.finditer(
+                r"[()]|\b(UNION|EXCEPT|INTERSECT)\b", sql, re.I
+            ):
+                if mm.group(0) == "(":
+                    depth += 1
+                elif mm.group(0) == ")":
+                    depth -= 1
+                elif depth == 0:
+                    nops += 1
+            if nops > setop_limit[0]:
+                raise RuntimeError(
+                    f"The number of set operations: {nops} exceeds the "
+                    f"limit: {setop_limit[0]}"
+                )
         mrec = re.match(
             r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+RECLUSTER\b(?:\s+FINAL)?"
             r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
@@ -2037,6 +2055,17 @@ def run_slt_file(
                 result_limit[0] = int(mrr.group(1))
                 rep.passed += 1
                 continue
+            ms = re.match(
+                r"^\s*(UN)?SET\s+max_set_operator_count(?:\s*=\s*(\d+))?",
+                sql,
+                re.I,
+            )
+            if ms:
+                setop_limit[0] = (
+                    0 if ms.group(1) or not ms.group(2) else int(ms.group(2))
+                )
+                rep.passed += 1
+                continue
             qc = re.match(
                 r"^\s*SET\s+(enable_query_result_cache|"
                 r"query_result_cache_min_execute_secs)\s*=\s*(\d+)",
@@ -2089,6 +2118,18 @@ def run_slt_file(
             if pending_skip or any(r.search(sql) for r in skip_res):
                 pending_skip = False
                 rep.skipped += 1
+                continue
+            if len(header) > 1 and header[1].lower() == "error":
+                # `query error [pattern]` — the query must fail
+                try:
+                    _run_limited(lambda: run_sql(sql).collect())
+                except Exception:  # noqa: BLE001
+                    rep.passed += 1
+                else:
+                    rep.failed += 1
+                    rep.failures.append(
+                        f"expected error, got success: {sql[:120]}"
+                    )
                 continue
             try:
                 rows = _run_limited(lambda: _collect_for_compare(run_sql(sql)))
