@@ -755,11 +755,12 @@ def _trunc_bare_unit(args: list[str]) -> str | None:
     return f"tru\x03nc({args[0]}, '{args[1].strip()}')"
 
 
-# Databend prints type names uppercase with VARCHAR for strings;
-# unsigned widths can't round-trip (Spark has no unsigned types)
+# Databend prints type names uppercase with VARCHAR for strings and a
+# space after commas (DECIMAL(38, 15)); unsigned widths can't
+# round-trip (Spark has no unsigned types)
 SQL_MACROS["typeof"] = (
     "CASE upper(t\x03ypeof({0})) WHEN 'STRING' THEN 'VARCHAR'"
-    " ELSE upper(t\x03ypeof({0})) END"
+    " ELSE regexp_replace(upper(t\x03ypeof({0})), ',\\\\s*', ', ') END"
 )
 
 SQL_MACROS["cast"] = _cast_two_arg

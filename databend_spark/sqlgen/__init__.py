@@ -124,6 +124,8 @@ _TYPE_ALIASES = [
     (re.compile(r"\bVARIANT\b", re.I), "STRING"),
     # JSON as a declared type (not the json_* function family)
     (re.compile(r"\bJSON\b(?!\s*\()", re.I), "STRING"),
+    # Vector(N) → float array (reference types/vector.rs)
+    (re.compile(r"\bVECTOR\s*\(\s*\d+\s*\)", re.I), "ARRAY<FLOAT>"),
     # bitmap model: sorted array of distinct int64 (functions/bitmap.py)
     (re.compile(r"\bBITMAP\b", re.I), "ARRAY<BIGINT>"),
     (
@@ -547,9 +549,9 @@ def _rewrite_order_by_nulls(s: str) -> str:
                 r"\bNULLS\s+(FIRST|LAST)\s*$", body, re.I
             ):
                 out.append(it)
-            elif re.search(r"\bDESC\s*$", body, re.I):
-                out.append(body + " NULLS FIRST" + tail)
             else:
+                # Databend sorts NULLS LAST in BOTH directions unless
+                # told otherwise (query/order.test, top_n.test goldens)
                 out.append(body + " NULLS LAST" + tail)
         s = s[:start] + ", ".join(out) + s[end:]
     return s

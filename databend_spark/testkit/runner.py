@@ -303,8 +303,21 @@ def _bootstrap_system_db(spark: SparkSession) -> None:
         for e in ["DELTA", "FUSE", "ICEBERG", "MEMORY", "NULL", "RANDOM",
                   "STREAM", "VIEW"]
     )
+    settings_rows = ", ".join(
+        f"('{n}', '{v}', '{v}', 'SESSION')"
+        for n, v in [
+            ("max_threads", "32"), ("max_memory_usage", "0"),
+            ("timezone", "UTC"), ("sql_dialect", "PostgreSQL"),
+            ("enable_query_result_cache", "0"),
+            ("query_result_cache_min_execute_secs", "5"),
+            ("max_block_size", "65536"), ("group_by_two_level_threshold",
+             "20000"),
+        ]
+    )
     stmts = [
         "CREATE OR REPLACE VIEW system.one AS SELECT 1 AS dummy",
+        f"CREATE OR REPLACE VIEW system.settings AS SELECT * FROM VALUES "
+        f"{settings_rows} AS t(name, value, `default`, level)",
         f"CREATE OR REPLACE VIEW system.engines AS "
         f"SELECT * FROM VALUES {engines} AS t(`Engine`, `Comment`)",
         "CREATE OR REPLACE VIEW system.clusters AS SELECT * FROM VALUES "
@@ -345,7 +358,8 @@ def run_slt_file(
         r"^\s*CREATE\s+OR\s+REPLACE\s+DATABASE\s+([\w.]+)", re.I
     )
     _delete_stmt = re.compile(
-        r"^\s*DELETE\s+FROM\s+([\w.`]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+        r"^\s*DELETE\s+FROM\s+([\w.`]+)(?:\s+(?:AS\s+)?"
+        r"(?!WHERE\b)([A-Za-z_]\w*))?(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
         re.I | re.S,
     )
     _update_stmt = re.compile(
@@ -902,20 +916,24 @@ def run_slt_file(
     _drop_stage = re.compile(
         r"^\s*DROP\s+STAGE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
     )
-    _remove_stage = re.compile(r"^\s*REMOVE\s+@(\w+)\s*;?\s*$", re.I)
+    _remove_stage = re.compile(r"^\s*REMOVE\s+@([\w~]+)\s*;?\s*$", re.I)
     _copy_to_stage = re.compile(
-        r"^\s*COPY\s+INTO\s+@(\w+)\s+FROM\s+(.*?)\s*;?\s*$", re.I | re.S
+        r"^\s*COPY\s+INTO\s+@([\w~]+)(?:/[\w/]*)?\s+FROM\s+(.*?)"
+        r"(?:\s+FILE_FORMAT\s*=\s*\(\s*TYPE\s*=\s*\'?(\w+)\'?\s*\))?\s*;?\s*$", re.I | re.S
     )
     _copy_from_stage = re.compile(
-        r"^\s*COPY\s+INTO\s+([\w.`]+)\s+FROM\s+@(\w+)\b.*$", re.I | re.S
+        r"^\s*COPY\s+INTO\s+([\w.`]+)\s+FROM\s+@([\w~]+)(?![\w~]).*$", re.I | re.S
     )
 
     def _stage_dir(name: str) -> str:
         import os as _os
 
-        d = _os.path.join(_stage_root, name)
+        d = _os.path.join(_stage_root, name.replace("~", "user_tilde"))
         _os.makedirs(d, exist_ok=True)
         return d
+
+    # the user stage `@~` always exists (reference user_stage.rs)
+    stages["~"] = (_stage_dir("~"), "CSV")
 
     def _resolve_stage_refs(sql: str) -> str:
         positional = bool(re.search(r"\$\d+", sql))
@@ -1040,6 +1058,23 @@ def run_slt_file(
                     f"The number of set operations: {nops} exceeds the "
                     f"limit: {setop_limit[0]}"
                 )
+        if re.match(
+            r"^\s*DROP\s+(DATABASE|SCHEMA)\s+(IF\s+EXISTS\s+)?"
+            r"(system|information_schema)\b",
+            sql,
+            re.I,
+        ):
+            raise RuntimeError("1002: system database can not be dropped")
+        if re.match(
+            r"^\s*CREATE\s+OR\s+REPLACE\s+(DATABASE|SCHEMA|TABLE|VIEW)\s+"
+            r"IF\s+NOT\s+EXISTS\b",
+            sql,
+            re.I,
+        ):
+            raise RuntimeError(
+                "1005: CREATE OR REPLACE and IF NOT EXISTS "
+                "cannot be used together"
+            )
         mrec = re.match(
             r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+RECLUSTER\b(?:\s+FINAL)?"
             r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
@@ -1238,6 +1273,8 @@ def run_slt_file(
         if m:
             name, src = m.group(1), m.group(2).strip()
             d, fmt = stages[name]
+            if m.group(3):
+                fmt = m.group(3).upper()
             if src.startswith("("):
                 src = src[1:-1]
             else:
@@ -1250,10 +1287,12 @@ def run_slt_file(
         if m and m.group(2) in stages:
             tbl, name = m.group(1), m.group(2)
             d, fmt = stages[name]
-            reader = (
-                spark.read.parquet(d) if fmt == "PARQUET" else spark.read.csv(d)
-            )
             schema = spark.table(tbl).schema
+            reader = (
+                spark.read.parquet(d)
+                if fmt == "PARQUET"
+                else spark.read.schema(schema).csv(d)
+            )
             from pyspark.sql import functions as F
 
             cols = [
@@ -1467,11 +1506,22 @@ def run_slt_file(
             if ctes:
                 t, cond = t_g, c_g
             else:
-                t, cond = m.group(1), m.group(2)
+                t, cond = m.group(1), m.group(3)
+                alias = m.group(2)
+                if alias and cond:
+                    # DELETE FROM t AS a WHERE a.x … — resolve the alias
+                    cond = re.sub(
+                        rf"\b{re.escape(alias)}\.", f"{t}.", cond,
+                        flags=re.I,
+                    )
             hit = f"coalesce(({cond}), false)" if cond else "true"
-            # Databend DELETE returns the affected-row count
+            # Databend DELETE returns the affected-row count; the cond
+            # may use dialect constructs (numbers(), ::casts) — route
+            # through the rewriter
             n = spark.sql(
-                f"{ctes}SELECT count(*) AS n FROM {t} WHERE {hit}"
+                rewrite_databend_sql(
+                    f"{ctes}SELECT count(*) AS n FROM {t} WHERE {hit}"
+                )
             ).first()["n"]
             _replace_table(t, f"{ctes}SELECT * FROM {t} WHERE NOT ({hit})")
             _bump_commit(t)
