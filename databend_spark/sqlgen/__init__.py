@@ -489,6 +489,133 @@ def _rewrite_right_semi_anti(s: str) -> str:
     return s
 
 
+_FRAME_BOUNDS = re.compile(
+    r"\bBETWEEN\s+(\d+)\s+(PRECEDING|FOLLOWING)\s+AND\s+(\d+)\s+"
+    r"(PRECEDING|FOLLOWING)\b",
+    re.I,
+)
+
+
+def _rewrite_empty_window_frames(s: str) -> str:
+    """A frame whose lower bound exceeds its upper (``BETWEEN 1
+    PRECEDING AND 2 PRECEDING``) is a constant-empty window: Spark
+    rejects it outright, the reference evaluates it (sum→NULL, count→0,
+    duckdb/window SLT goldens). Replace the whole ``fn(...) OVER (...)``
+    with the empty-frame constant."""
+    while True:
+        fm = None
+        for m in _FRAME_BOUNDS.finditer(s):
+            lo = int(m.group(1)) * (
+                -1 if m.group(2).upper() == "PRECEDING" else 1
+            )
+            hi = int(m.group(3)) * (
+                -1 if m.group(4).upper() == "PRECEDING" else 1
+            )
+            if lo > hi:
+                fm = m
+                break
+        if fm is None:
+            return s
+        # enclosing OVER( ... ) span
+        depth, start_paren = 0, None
+        for i in range(fm.start() - 1, -1, -1):
+            c = s[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    start_paren = i
+                    break
+                depth -= 1
+        if start_paren is None or not re.search(
+            r"\bOVER\s*$", s[:start_paren], re.I
+        ):
+            return s  # not inside an OVER — give up (shouldn't happen)
+        depth, end_paren = 0, None
+        for i in range(start_paren, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    end_paren = i
+                    break
+        if end_paren is None:
+            return s
+        om = re.search(r"\bOVER\s*$", s[:start_paren], re.I)
+        k = om.start() - 1
+        while k >= 0 and s[k] in " \t\n":
+            k -= 1
+        fn_start = _scan_operand_back(s, k)
+        if fn_start is None:
+            return s
+        # `sum (a)` — callee separated from its args by whitespace
+        if s[fn_start] == "(":
+            j2 = fn_start - 1
+            while j2 >= 0 and s[j2] in " \t\n":
+                j2 -= 1
+            j3 = j2
+            while j3 >= 0 and (s[j3].isalnum() or s[j3] == "_"):
+                j3 -= 1
+            if j3 < j2 and s[j3 + 1 : j2 + 1].upper() not in (
+                "OVER", "AND", "OR", "WHEN", "THEN", "ELSE", "SELECT",
+                "WHERE", "BY", "ON", "FROM",
+            ):
+                fn_start = j3 + 1
+        fn_txt = s[fn_start : om.start()].strip()
+        fname = fn_txt.split("(")[0].strip().lower()
+        spec = s[start_paren + 1 : end_paren]
+        mode_m = re.search(r"\b(ROWS|RANGE)\s+BETWEEN\b", spec, re.I)
+        is_range = bool(mode_m) and mode_m.group(1).upper() == "RANGE"
+        pb = re.search(
+            r"PARTITION\s+BY\s+(.*?)(?=ORDER\s+BY|ROWS\b|RANGE\b|$)",
+            spec,
+            re.I | re.S,
+        )
+        ob = re.search(
+            r"ORDER\s+BY\s+(.*?)(?=ROWS\b|RANGE\b|$)", spec, re.I | re.S
+        )
+        okey = None
+        if ob:
+            okey = re.sub(
+                r"\s+(ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST)\b",
+                "",
+                ob.group(1).strip(),
+                flags=re.I,
+            ).strip()
+        if is_range and okey and "," not in okey:
+            # RANGE: NULL order keys form one peer group where offsets
+            # don't apply — the frame is the whole NULL group; non-null
+            # keys get the empty frame (reference window_range goldens)
+            part = f"PARTITION BY {pb.group(1).strip()}" if pb else ""
+            am = re.match(r"[\w ]+\((.*)\)\s*$", fn_txt, re.S)
+            arg = am.group(1).strip() if am else "1"
+            if fname in ("count", "count_if") or arg in ("", "*"):
+                inner = (
+                    f"count(CASE WHEN ({okey}) IS NULL THEN 1 END)"
+                    f" OVER ({part})"
+                )
+                repl = (
+                    f"(CASE WHEN ({okey}) IS NULL THEN {inner}"
+                    f" ELSE 0 END)"
+                )
+            else:
+                inner = (
+                    f"{fname}(CASE WHEN ({okey}) IS NULL THEN ({arg})"
+                    f" END) OVER ({part})"
+                )
+                repl = (
+                    f"(CASE WHEN ({okey}) IS NULL THEN {inner}"
+                    f" ELSE NULL END)"
+                )
+        elif fname in ("count", "count_if"):
+            repl = "CAST(0 AS BIGINT)"
+        else:
+            repl = "CAST(NULL AS DOUBLE)"
+        s = s[:fn_start] + repl + s[end_paren + 1 :]
+    return s
+
+
 def _rewrite_order_by_nulls(s: str) -> str:
     """ORDER BY items (top level and subqueries) get explicit null
     ordering: Databend defaults to NULLS LAST on ASC / NULLS FIRST on
@@ -1958,6 +2085,26 @@ def rewrite_databend_sql(sql: str) -> str:
         masked,
         flags=re.I,
     )
+    # lag/lead need an ordered window in Spark; Databend defaults to the
+    # partition order — same injection for argument-taking functions
+    masked = re.sub(
+        r"\b(lag|lead|ntile|first_value|last_value|nth_value)\s*"
+        r"(\((?:[^()]|\([^()]*\))*\))\s*"
+        r"OVER\s*\(\s*PARTITION\s+BY\s+(?![^()]*\bORDER\b)([^()]+?)\s*\)",
+        r"\1\2 OVER (PARTITION BY \3 ORDER BY \3)",
+        masked,
+        flags=re.I,
+    )
+    # ranking functions ignore frame clauses in the reference; Spark
+    # rejects them — strip the frame
+    masked = re.sub(
+        r"\b(row_number|rank|dense_rank|percent_rank|cume_dist|ntile)\s*"
+        r"(\([^()]*\))\s*OVER\s*\(([^()]*?)\s*"
+        r"(ROWS|RANGE)\s+BETWEEN\s+[^()]*\)",
+        r"\1\2 OVER (\3)",
+        masked,
+        flags=re.I,
+    )
     # CTAS from bare VALUES: DuckDB/Databend name columns col0, col1…
     # (Spark: col1, col2…) — route through an aliased derived table
     ctas_vals = re.search(r"\bAS\s+VALUES\s*\(", masked, re.I)
@@ -1999,6 +2146,8 @@ def rewrite_databend_sql(sql: str) -> str:
         masked = _rewrite_qualify(masked)
     if _WINDOW_CLAUSE.search(masked):
         masked = _rewrite_named_windows(masked)
+    if re.search(r"\b(PRECEDING|FOLLOWING)\b", masked, re.I):
+        masked = _rewrite_empty_window_frames(masked)
     if re.search(r"\bgrouping\s*\(", masked, re.I):
         masked = _rewrite_grouping_multi(masked)
     # DuckDB double-quoted aliases → backticks
