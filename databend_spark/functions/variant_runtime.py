@@ -656,6 +656,73 @@ def jaro_winkler(s1, s2):
     return jaro + prefix * 0.1 * (1 - jaro)
 
 
+class FlattenUDTF:
+    """Snowflake/Databend FLATTEN table function (reference
+    srfs/variant.rs:436 flatten; FlattenGenerator srfs/variant.rs:627-922):
+    walks a variant value and emits one row per element with columns
+    (seq, key, path, index, value, this). ``seq`` is the 1-based input
+    row number within the partition (reference: (row + 1), variant.rs:402);
+    ``outer`` emits a single all-NULL row for empty input; ``recursive``
+    descends into nested containers; ``mode`` restricts flattening to
+    'object' / 'array' / 'both'."""
+
+    def __init__(self) -> None:
+        self._row = 0
+
+    def _walk_out(self, v, path, mode, recursive, out) -> None:
+        if isinstance(v, list) and mode in ("both", "array"):
+            this = _canon(v)
+            for i, val in enumerate(v):
+                inner = f"{path}[{i}]"
+                out.append((None, inner, i, _canon(val), this))
+                if recursive:
+                    self._walk_out(val, inner, mode, recursive, out)
+        if isinstance(v, dict) and mode in ("both", "object"):
+            this = _canon(v)
+            for k in sorted(v):
+                val = v[k]
+                inner = f"{path}.{k}" if path else k
+                out.append((k, inner, None, _canon(val), this))
+                if recursive:
+                    self._walk_out(val, inner, mode, recursive, out)
+
+    def eval(self, input, path, outer, recursive, mode):  # noqa: A002
+        self._row += 1
+        seq = self._row
+        mode = (mode or "both").lower()
+        if mode not in ("both", "object", "array"):
+            raise ValueError(f"Invalid mode '{mode}'")
+        if input is None:
+            return
+        try:
+            doc = json.loads(input)
+        except (ValueError, TypeError):
+            return
+        start = path or ""
+        missing = False
+        if start:
+            steps = _parse_path(start)
+            if steps is None:
+                raise ValueError(f"Select json path failed err: '{start}'")
+            found, doc = _walk(doc, steps)
+            missing = not found
+        rows: list[tuple] = []
+        if not missing:
+            self._walk_out(doc, start, mode, bool(recursive), rows)
+        if not rows:
+            if outer:
+                yield (seq, None, None, None, None, None)
+            return
+        for key, pth, idx, val, this in rows:
+            yield (seq, key, pth, idx, val, this)
+
+
+FLATTEN_SCHEMA = (
+    "seq bigint, key string, path string, index bigint,"
+    " value string, this string"
+)
+
+
 def register_variant_udfs(spark: SparkSession) -> None:
     """Idempotently register the accessor UDFs on a session."""
     from pyspark.sql.types import DoubleType, StringType
@@ -664,3 +731,9 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__variant_path_query", variant_path_query, StringType())
     spark.udf.register("__check_json", check_json, StringType())
     spark.udf.register("__jaro_winkler", jaro_winkler, DoubleType())
+    try:
+        from pyspark.sql.functions import udtf
+
+        spark.udtf.register("flatten", udtf(FlattenUDTF, returnType=FLATTEN_SCHEMA))
+    except Exception:  # noqa: BLE001 — older pyspark without udtf
+        pass

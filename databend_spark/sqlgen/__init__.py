@@ -393,6 +393,198 @@ _OB_END_KW = re.compile(
 )
 
 
+_FLATTEN_CALL = re.compile(r"(?<![\w.$])FLATTEN\s*\(", re.I)
+_FLATTEN_ARG_ORDER = ("input", "path", "outer", "recursive", "mode")
+
+
+def _rewrite_lateral_flatten(s: str, literals: list[str] | None = None) -> str:
+    """Snowflake-style ``[LATERAL] FLATTEN(input => expr, path => 'p',
+    outer => b, recursive => b, mode => 'm') f`` (reference
+    srfs/variant.rs:436 flatten) → the registered ``flatten`` Python
+    UDTF (variant_runtime.FlattenUDTF) with all five args positional.
+    Only table-position calls are rewritten (preceded by FROM / LATERAL
+    / JOIN / a relation comma, or carrying an ``input =>`` named arg) so
+    scalar array ``flatten`` expressions pass through."""
+    from databend_spark.functions.registry import _split_top_level_args
+
+    def lit(v: str) -> str:
+        if literals is None:
+            return v
+        literals.append(v)
+        return f"\x00{len(literals) - 1}\x00"
+
+    pos = 0
+    aliases: list[str] = []
+    while True:
+        m = _FLATTEN_CALL.search(s, pos)
+        if not m:
+            break
+        parsed = _split_top_level_args(s, m.end())
+        if parsed is None:
+            break
+        raw_args, after = parsed
+        prefix = s[: m.start()].rstrip()
+        in_table_pos = bool(
+            re.search(r"(\bFROM|\bLATERAL|\bJOIN|,)$", prefix, re.I)
+        )
+        has_named = any(
+            re.match(r"\s*input\s*=>", a, re.I) for a in raw_args
+        )
+        if not (in_table_pos or has_named):
+            pos = after
+            continue
+        named: dict[str, str] = {}
+        positional: list[str] = []
+        bad = False
+        for a in raw_args:
+            nm = re.match(r"\s*(\w+)\s*=>\s*(.*)$", a, re.S)
+            if nm:
+                named[nm.group(1).lower()] = nm.group(2).strip()
+            elif named:
+                bad = True  # positional after named
+            else:
+                positional.append(a.strip())
+        if bad or len(positional) > 5 or "input" in named and positional:
+            pos = after
+            continue
+        for i, p in enumerate(positional):
+            named.setdefault(_FLATTEN_ARG_ORDER[i], p)
+        x = named.get("input")
+        if x is None:
+            pos = after
+            continue
+        call = (
+            f"flatten(CAST(({x}) AS STRING),"
+            f" {named.get('path') or lit(chr(39) * 2)},"
+            f" CAST(({named.get('outer', 'false')}) AS BOOLEAN),"
+            f" CAST(({named.get('recursive', 'false')}) AS BOOLEAN),"
+            f" {named.get('mode') or lit(chr(39) + 'both' + chr(39))})"
+        )
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", s[after:], re.I)
+        if am and am.group(1).upper() not in (
+            "ON", "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "LEFT",
+            "RIGHT", "INNER", "CROSS", "UNION", "HAVING", "LATERAL",
+            "AS", "SELECT", "SET", "FULL", "SEMI", "ANTI", "USING",
+            "QUALIFY", "WINDOW", "EXCEPT", "INTERSECT",
+        ):
+            aliases.append(am.group(1))
+        s = s[: m.start()] + call + s[after:]
+        pos = m.start() + len(call)
+    for alias in aliases:
+        # `f.value:a.b` / `f.this:k` — path access on the flatten output
+        # keeps variant (quoted-JSON) semantics; a trailing ::STRING cast
+        # folds to text mode (variant→string cast unquotes, reference
+        # scalars/variant.rs as_string)
+        acc = re.compile(
+            rf"\b{re.escape(alias)}\.(value|this)\s*:(?!:)\s*"
+            rf"({_VARIANT_SEG}(?:[.:]{_VARIANT_SEG}"
+            rf"|\[\s*(?:\x00\d+\x00|\d+)\s*\])*)"
+            rf"(\s*::\s*(?:STRING|VARCHAR|TEXT)\b)?",
+            re.I,
+        )
+
+        def acc_repl(m: re.Match) -> str:
+            path = m.group(2).replace(":", ".")
+            path = re.sub(
+                "\\[\\s*\x00(\\d+)\x00\\s*\\]",
+                lambda sm: "["
+                + (
+                    literals[int(sm.group(1))]
+                    if literals and int(sm.group(1)) < len(literals)
+                    else sm.group(0)
+                )
+                + "]",
+                path,
+            )
+            text = "true" if m.group(3) else "false"
+            path_lit = lit("'" + path.replace("'", "''") + "'")
+            return (
+                f"__variant_access({alias}.{m.group(1)},"
+                f" {lit(chr(39) + 'path' + chr(39))}, {path_lit}, {text})"
+            )
+
+        s = acc.sub(acc_repl, s)
+        # `f.value::STRING` unquotes variant strings (variant→string
+        # cast semantics, reference scalars/variant.rs as_string)
+        s = re.sub(
+            rf"\b{re.escape(alias)}\.value\s*::\s*(STRING|VARCHAR|TEXT)\b",
+            f"__variant_access({alias}.value, {lit(chr(39) * 2)},"
+            f" {lit(chr(39) * 2)}, true)",
+            s,
+            flags=re.I,
+        )
+        # variant-vs-string-literal comparison: unquote the variant side
+        s = re.sub(
+            rf"(\b{re.escape(alias)}\.value)\s*(=|<>|!=)\s*(\x00\d+\x00)",
+            rf"__variant_access(\1, {lit(chr(39) * 2)},"
+            rf" {lit(chr(39) * 2)}, true) \2 \3",
+            s,
+        )
+    return s
+
+
+_LATERAL_VALUES = re.compile(r"\bLATERAL\s*\(\s*VALUES\b", re.I)
+
+
+def _rewrite_lateral_values(s: str) -> str:
+    """Correlated ``LATERAL (VALUES (e1, e2), …) AS v (c1, c2)``
+    (reference binder bind_table_reference lateral VALUES) → a lateral
+    subquery of UNION ALL selects — Spark refuses outer references
+    inside inline tables but allows them in lateral subqueries."""
+    from databend_spark.functions.registry import _split_top_level_args
+
+    while True:
+        m = _LATERAL_VALUES.search(s)
+        if not m:
+            return s
+        # scan row tuples: ( ... ) [, ( ... )]* then the closing paren
+        i = m.end()
+        rows: list[list[str]] = []
+        n = len(s)
+        while True:
+            while i < n and s[i] in " \t\r\n,":
+                i += 1
+            if i >= n:
+                return s
+            if s[i] == ")":
+                i += 1
+                break
+            if s[i] != "(":
+                return s
+            parsed = _split_top_level_args(s, i + 1)
+            if parsed is None:
+                return s
+            args, i = parsed
+            rows.append(args)
+        rest = s[i:]
+        am = re.match(
+            r"\s*(?:AS\s+)?([A-Za-z_]\w*|`[^`]+`)\s*\(([^()]*)\)",
+            rest,
+            re.I,
+        )
+        if not am or not rows:
+            return s
+        alias, colcsv = am.group(1), am.group(2)
+        cols = [c.strip() for c in colcsv.split(",") if c.strip()]
+        selects = []
+        for ri, row in enumerate(rows):
+            if ri == 0:
+                items = [
+                    f"({e}) AS {c}" for e, c in zip(row, cols)
+                ] + [f"NULL AS {c}" for c in cols[len(row) :]]
+            else:
+                items = [f"({e})" for e in row] + [
+                    "NULL" for _ in cols[len(row) :]
+                ]
+            selects.append("SELECT " + ", ".join(items))
+        sub = (
+            "LATERAL ("
+            + " UNION ALL ".join(selects)
+            + f") AS {alias}"
+        )
+        s = s[: m.start()] + sub + rest[am.end() :]
+
+
 _RIGHT_SA = re.compile(r"\bRIGHT\s+(SEMI|ANTI)\s+JOIN\b", re.I)
 _REL_BACK = re.compile(
     r"((?:\((?:[^()]|\([^()]*\))*\)|[\w.`]+)"
@@ -2131,6 +2323,10 @@ def rewrite_databend_sql(sql: str) -> str:
         masked = _rewrite_asof_join(masked)
     if re.search(r"\bRIGHT\s+(SEMI|ANTI)\s+JOIN\b", masked, re.I):
         masked = _rewrite_right_semi_anti(masked)
+    if re.search(r"\bFLATTEN\s*\(", masked, re.I):
+        masked = _rewrite_lateral_flatten(masked, literals)
+    if _LATERAL_VALUES.search(masked):
+        masked = _rewrite_lateral_values(masked)
     if "->" in masked or "#>" in masked:
         masked = _rewrite_json_arrows(masked)
     if re.search(r"\bESCAPE\b|\bILIKE\s+(ANY|ALL)\b", masked, re.I):

@@ -1866,6 +1866,39 @@ def run_slt_file(
                         return spark.sql(forced)
                     except Exception:  # noqa: BLE001
                         pass
+            if (
+                "UNEXPECTED_INPUT_TYPE" in msg
+                and 'Cannot resolve "explode(' in msg
+                and re.search(r"\bunnest\s*\(", sql, re.I)
+            ):
+                # unnest() over a VARIANT (JSON-string) array: in table
+                # position the reference exposes a variant `value`
+                # column — route through the flatten UDTF; in scalar
+                # position explode the parsed JSON list
+                from databend_spark.functions.registry import rewrite_call
+
+                tbl = re.sub(
+                    r"\b(LATERAL\s+|FROM\s+|,\s*)unnest\s*\(",
+                    r"\1flatten(input => ",
+                    sql,
+                    flags=re.I,
+                )
+                for alt in (tbl, None):
+                    if alt is None:
+                        alt = rewrite_call(
+                            sql,
+                            "unnest",
+                            "explode(from_json(__variant_path_query("
+                            "CAST(({0}) AS STRING), '$[*]', 'list'),"
+                            " 'array<string>'))",
+                            arity=1,
+                        )
+                    forced = rewrite_databend_sql(alt)
+                    if forced != rewritten:
+                        try:
+                            return spark.sql(forced)
+                        except Exception:  # noqa: BLE001
+                            pass
             if "UNEXPECTED_INPUT_TYPE" in msg and (
                 'Cannot resolve "length(' in msg
                 or 'Cannot resolve "contains(' in msg

@@ -97,8 +97,12 @@ def test_quoted_alias_to_backticks():
 
 
 def test_eq_all_desugar():
+    # NULL-correct desugar: FALSE if any non-null row differs, NULL if
+    # any row (or the probe) is NULL, else TRUE
     out = R("select 1 = all(select 1)")
-    assert "min(__qa.c1) = max(__qa.c1)" in out
+    assert "CASE WHEN EXISTS" in out
+    assert "<>" in out
+    assert "CAST(NULL AS BOOLEAN)" in out
 
 
 def test_inline_select_aliases_substitutes_in_aggs():
