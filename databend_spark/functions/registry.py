@@ -231,8 +231,10 @@ SQL_MACROS: dict[str, str] = {
     "unicode": "ascii({0})",
     "object_keys": "json_object_keys({0})",
     # our Variant model keeps JSON as strings (COMPOSED parse_json_variant)
-    "parse_json": {1: "({0})"},
-    "try_parse_json": {1: "({0})"},
+    # canonical JSONB text (sorted keys, compact; errors / NULLs on
+    # malformed input) — reference scalars/variant.rs parse_json
+    "parse_json": {1: "__parse_json_strict({0})"},
+    "try_parse_json": {1: "__variant_access(({0}), '', '', false)"},
     # to_decimal(p, s)(x) arrives as to_decimal(x, p, s) after the
     # parameterized-call normalization
     "try_to_decimal": {3: "try_cast({0} AS DECIMAL({1}, {2}))"},
@@ -1220,23 +1222,152 @@ def _variant_access_sql(v: str, mode: str, arg: str, text: bool) -> str:
     )
 
 
-def _object_construct(args: list[str]) -> str | None:
-    """object_construct(k1, v1, …) → canonical JSONB object text.
-    Keys must be literals (named_struct needs literal field names)."""
-    if len(args) % 2:
-        return None
-    if not args or (len(args) == 1 and not args[0]):
-        return "'{{}}'"
-    fields = []
-    for i in range(0, len(args), 2):
-        k = _literal_text(args[i]).strip()
-        if not (k.startswith("'") and k.endswith("'")):
+_JSON_ENC_VARIANTISH = re.compile(
+    r"^\s*((try_)?parse_json\s*\(|__variant_access\s*\(|__variant_\w+\s*\("
+    r"|(try_)?(json_)?(object_construct|array_construct|object_insert"
+    r"|object_delete|object_pick)\w*\s*\("
+    r"|CAST\s*\(.*AS\s+STRING\s*\)\s*$"
+    r"|.*::\s*STRING\s*$)",
+    re.I | re.S,
+)
+
+
+def _json_enc(e: str) -> str:
+    """SQL expression producing the JSON encoding of one value: SQL NULL
+    literal → JSON null, variant-ish text → passthrough, anything else →
+    to_json over a 1-element array with the brackets stripped (encodes
+    any Spark type, escape-correct)."""
+    t = e.strip()
+    if re.fullmatch(r"NULL", t, re.I):
+        return "'null'"
+    if _JSON_ENC_VARIANTISH.match(t):
+        return f"CAST(({t}) AS STRING)"
+    tj = f"to_json(array({t}))"
+    return f"substr({tj}, 2, length({tj}) - 2)"
+
+
+def _object_construct_mode(keep_null: bool, try_: bool):
+    """object_construct family (reference scalars/variant.rs
+    object_construct / _keep_null / try_ variants): canonical sorted
+    JSONB object text; plain form drops SQL-NULL values, keep_null keeps
+    them as JSON nulls; try_ returns NULL on odd arity instead of
+    erroring."""
+
+    def build(args: list[str]) -> str | None:
+        if not args or (len(args) == 1 and not args[0]):
+            return "'{}'"
+        if len(args) % 2:
+            return "CAST(NULL AS STRING)" if try_ else None
+        segs = []
+        for i in range(0, len(args), 2):
+            k = f"CAST(({args[i]}) AS STRING)"
+            v = args[i + 1]
+            enc = _json_enc(v)
+            if keep_null:
+                seg = (
+                    f"concat(to_json(array({k})), ':',"
+                    f" coalesce({enc}, 'null'))"
+                )
+            else:
+                seg = (
+                    f"CASE WHEN ({v}) IS NULL THEN NULL ELSE"
+                    f" concat(to_json(array({k})), ':', {enc}) END"
+                )
+            # to_json(array(k)) = ["k"]; trim the brackets to quote the key
+            seg = seg.replace(
+                f"to_json(array({k}))",
+                f"substr(to_json(array({k})), 2,"
+                f" length(to_json(array({k}))) - 2)",
+            )
+            segs.append(seg)
+        return (
+            "__variant_access(concat('{', concat_ws(',', "
+            + ", ".join(segs)
+            + "), '}'), '', '', false)"
+        )
+
+    return build
+
+
+def _any_variantish(args: list[str]) -> bool:
+    return any(_JSON_ENC_VARIANTISH.match(a.strip()) for a in args)
+
+
+def _va_dispatch(va_tpl: str, plain):
+    """Array-function dispatcher: textually variant arguments route to
+    the __va_* JSONB implementation (reference scalars/variant.rs,
+    0-based multiset semantics); native Spark arrays keep the plain
+    template. Runtime variant columns are caught by the testkit's
+    type-error retry."""
+
+    def build(args: list[str]) -> str | None:
+        if _any_variantish(args):
+            cast = [f"CAST(({a}) AS STRING)" for a in args]
+            # {eN} placeholders JSON-encode the raw argument (for value
+            # operands: plain SQL values become their JSON text)
+            enc = {f"e{i}": _json_enc(a) for i, a in enumerate(args)}
+            t = va_tpl.get(len(args)) if isinstance(va_tpl, dict) else va_tpl
+            if t is None:
+                return None
+            try:
+                return t.format(*cast, **enc)
+            except (IndexError, KeyError):
+                return None
+        t = plain.get(len(args)) if isinstance(plain, dict) else plain
+        if t is None:
             return None
-        fields.append(f"{k}, {args[i + 1]}")
+        if callable(t):
+            return t(args)
+        try:
+            return t.format(*args)
+        except IndexError:
+            return None
+
+    return build
+
+
+def _object_insert_macro(args: list[str]) -> str | None:
+    """object_insert(obj, key, value[, update]) → __object_insert UDF
+    (reference scalars/variant.rs object_insert); the value is
+    JSON-encoded macro-side so SQL NULL and JSON null stay distinct."""
+    if len(args) not in (3, 4):
+        return None
+    upd = args[3] if len(args) == 4 else "CAST(NULL AS BOOLEAN)"
     return (
-        "__variant_access(to_json(named_struct("
-        + ", ".join(fields)
-        + ")), '', '', false)"
+        f"__object_insert(CAST(({args[0]}) AS STRING),"
+        f" CAST(({args[1]}) AS STRING), "
+        + (
+            "CAST(NULL AS STRING)"
+            if re.fullmatch(r"NULL", args[2].strip(), re.I)
+            else _json_enc(args[2])
+        )
+        + f", CAST(({upd}) AS BOOLEAN))"
+    )
+
+
+def _object_keys_macro(fn: str):
+    def build(args: list[str]) -> str | None:
+        if len(args) < 2:
+            return None
+        keys = ", ".join(f"CAST(({k}) AS STRING)" for k in args[1:])
+        return (
+            f"{fn}(CAST(({args[0]}) AS STRING),"
+            f" to_json(array({keys})))"
+        )
+
+    return build
+
+
+def _array_construct(args: list[str]) -> str | None:
+    """array_construct(…) → canonical JSONB array text (reference
+    scalars/variant.rs array_construct: the result is a VARIANT array,
+    so mixed element types are allowed)."""
+    if not args or (len(args) == 1 and not args[0]):
+        return "'[]'"
+    return (
+        "concat('[', concat_ws(',', "
+        + ", ".join(f"coalesce({_json_enc(a)}, 'null')" for a in args)
+        + "), ']')"
     )
 
 
@@ -1297,20 +1428,132 @@ SQL_MACROS.update(
             " AS BOOLEAN)"
         ),
         "json_array_elements": (
-            "explode(from_json(__variant_path_query(CAST(({0}) AS STRING),"
-            " '$[*]', 'list'), 'array<string>'))"
+            "explode(from_json(CASE WHEN ltrim(CAST(({0}) AS STRING))"
+            " LIKE '[%' THEN __variant_path_query(CAST(({0}) AS STRING),"
+            " '$[*]', 'list') END, 'array<string>'))"
+        ),
+        # jq SRF in select position (reference srfs/variant.rs:439);
+        # table position is routed to the __jq_table UDTF by sqlgen
+        "jq": "explode(__jq_list(({0}), CAST(({1}) AS STRING)))",
+        # variant array functions (reference scalars/variant.rs) — the
+        # json_-prefixed names are always variant-typed
+        "json_array_insert": (
+            "__va_insert(CAST(({0}) AS STRING), ({1}),"
+            " CAST(({2}) AS STRING))"
+        ),
+        "json_array_distinct": "__va_distinct(CAST(({0}) AS STRING))",
+        "json_array_except": (
+            "__va_except(CAST(({0}) AS STRING), CAST(({1}) AS STRING))"
+        ),
+        "json_array_intersection": (
+            "__va_intersection(CAST(({0}) AS STRING),"
+            " CAST(({1}) AS STRING))"
+        ),
+        "json_array_overlap": (
+            "__va_overlap(CAST(({0}) AS STRING), CAST(({1}) AS STRING))"
         ),
         # misc sweep gaps (reference scalars/{string,array,map}.rs)
         "regexp_split_to_array": "split({0}, {1})",
         "regexp_split_to_table": "explode(split({0}, {1}))",
-        "array_construct": lambda args: "array(" + ", ".join(args) + ")",
+        "array_construct": _array_construct,
+        "json_array": _array_construct,
         "array_intersection": "array_intersect({0}, {1})",
         "map_transform_values": "transform_values({0}, {1})",
         "map_transform_keys": "transform_keys({0}, {1})",
         "jaro_winkler": "__jaro_winkler(CAST({0} AS STRING), CAST({1} AS STRING))",
-        "object_construct": _object_construct,
-        "try_object_construct": _object_construct,
-        "object_construct_keep_null": _object_construct,
+        "object_construct": _object_construct_mode(False, False),
+        "json_object": _object_construct_mode(False, False),
+        "try_object_construct": _object_construct_mode(False, True),
+        "object_construct_keep_null": _object_construct_mode(True, False),
+        "json_object_keep_null": _object_construct_mode(True, False),
+        "try_object_construct_keep_null": _object_construct_mode(True, True),
+        # variant function tail (reference scalars/variant.rs)
+        "json_typeof": "__json_typeof(CAST(({0}) AS STRING))",
+        "json_strip_nulls": "__json_strip_nulls(CAST(({0}) AS STRING))",
+        "json_each": "explode(__json_each_list(CAST(({0}) AS STRING)))",
+        "array_reverse": "reverse({0})",
+        "object_insert": _object_insert_macro,
+        "json_object_insert": _object_insert_macro,
+        "object_delete": _object_keys_macro("__object_delete"),
+        "json_object_delete": _object_keys_macro("__object_delete"),
+        "object_pick": _object_keys_macro("__object_pick"),
+        "json_object_pick": _object_keys_macro("__object_pick"),
+        # variant-vs-native array function dispatch
+        "array_insert": lambda args: (
+            f"__va_insert(CAST(({args[0]}) AS STRING), ({args[1]}),"
+            f" {_json_enc(args[2])})"
+            if len(args) == 3
+            else None
+        ),
+        "array_concat": _va_dispatch(
+            "__va_concat({0}, {1})", "concat({0}, {1})"
+        ),
+        "array_distinct": _va_dispatch(
+            "__va_distinct({0})",
+            "array_d\x03istinct(filter({0}, x -> x IS NOT NULL))",
+        ),
+        "array_except": _va_dispatch(
+            "__va_except({0}, {1})", "array_e\x03xcept({0}, {1})"
+        ),
+        "array_intersection": _va_dispatch(
+            "__va_intersection({0}, {1})", "array_intersect({0}, {1})"
+        ),
+        "array_overlap": _va_dispatch(
+            "__va_overlap({0}, {1})", "arrays_overlap({0}, {1})"
+        ),
+        "array_append": _va_dispatch(
+            "__va_append({0}, {e1})", "array_append({0}, {1})"
+        ),
+        "array_prepend": _va_dispatch(
+            "__va_prepend({e0}, {1})", "array_prepend({1}, {0})"
+        ),
+        "array_contains": _va_dispatch(
+            "__va_contains({0}, {e1})", "array_contains({0}, {1})"
+        ),
+        "array_remove": _va_dispatch(
+            "__va_remove({0}, {e1})", "array_remove({0}, {1})"
+        ),
+        "array_unique": _va_dispatch(
+            "__va_unique({0})", "size(array_d\x03istinct({0}))"
+        ),
+        "array_indexof": _va_dispatch(
+            "__va_indexof({0}, {e1})",
+            (
+                "CASE WHEN ({0}) IS NULL THEN NULL"
+                " WHEN ({1}) IS NULL THEN"
+                " coalesce(array_position(transform({0}, x -> x IS NULL),"
+                " true), 0)"
+                " ELSE array_position({0}, {1}) END"
+            ),
+        ),
+        "array_compact": _va_dispatch(
+            "__va_compact({0})", "array_compact({0})"
+        ),
+        "array_flatten": _va_dispatch("__va_flatten({0})", "flatten({0})"),
+        "array_remove_first": _va_dispatch(
+            "__va_remove_first({0})", "slice({0}, 2, size({0}))"
+        ),
+        "array_remove_last": _va_dispatch(
+            "__va_remove_last({0})", "slice({0}, 1, size({0}) - 1)"
+        ),
+        "array_reverse": _va_dispatch("__va_reverse({0})", "reverse({0})"),
+        "strip_null_value": (
+            "CASE WHEN CAST(({0}) AS STRING) = 'null' THEN NULL"
+            " ELSE CAST(({0}) AS STRING) END"
+        ),
+        "array_slice": _va_dispatch(
+            {
+                2: "__va_slice({0}, {1}, CAST(NULL AS STRING))",
+                3: "__va_slice({0}, {1}, {2})",
+            },
+            {
+                2: (
+                    "sl\x03ice({0}, {1}, CASE WHEN ({1}) < 0 THEN -({1})"
+                    " ELSE size({0}) - ({1}) + 1 END)"
+                ),
+                3: "sl\x03ice({0}, {1}, ({2}) - ({1}) + 1)",
+            },
+        ),
     }
 )
 

@@ -543,16 +543,27 @@ def _cmp_vals(op, a, b) -> bool:
         return False
 
 
-def _jp_match_eval(doc, expr: str) -> bool:
+def _jp_match_eval(doc, expr: str) -> bool | None:
     """jsonb path-predicate (@@ / json_path_match): '$path op literal'
-    terms joined by && / ||; a term is true when ANY match satisfies."""
+    terms joined by && / ||; a term is true when ANY match satisfies,
+    and NULL (SQL unknown) when the path yields no candidates —
+    three-valued AND/OR combine as in SQL."""
+    any_true = False
+    any_null = False
     for part in _split_jp(expr, "||"):
-        if all(_jp_match_term(doc, t) for t in _split_jp(part, "&&")):
-            return True
-    return False
+        vals = [_jp_match_term(doc, t) for t in _split_jp(part, "&&")]
+        if any(v is False for v in vals):
+            continue
+        if any(v is None for v in vals):
+            any_null = True
+        else:
+            any_true = True
+    if any_true:
+        return True
+    return None if any_null else False
 
 
-def _jp_match_term(doc, term: str) -> bool:
+def _jp_match_term(doc, term: str) -> bool | None:
     term = term.strip()
     m = _find_cmp_outside(term)
     if not m:
@@ -562,9 +573,15 @@ def _jp_match_term(doc, term: str) -> bool:
     steps = _jp_parse(lhs)
     if steps is None:
         raise ValueError(f"Invalid jsonpath predicate '{term}'")
+    # a root array wildcard over a non-array base is SQL unknown; a
+    # plain missing member/index is simply false (pg jsonb_path_match)
+    if re.match(r"\$\s*\[\s*\*\s*\]", lhs) and not isinstance(doc, list):
+        return None
     vals = []
     for v in _jp_apply(doc, steps):
         vals.extend(v if isinstance(v, list) else [v])
+    if not vals:
+        return None if "[*]" in lhs and not isinstance(doc, list) else False
     return any(_cmp_vals(op, v, rhs) for v in vals)
 
 
@@ -595,7 +612,8 @@ def variant_path_query(v, path, mode):
     except (ValueError, TypeError):
         return None
     if mode == "match":
-        return "true" if _jp_match_eval(doc, path.strip()) else "false"
+        r = _jp_match_eval(doc, path.strip())
+        return None if r is None else ("true" if r else "false")
     steps = _jp_parse(path.strip())
     if steps is None:
         # not plain-path syntax: arithmetic expression form
@@ -654,6 +672,597 @@ def jaro_winkler(s1, s2):
             break
         prefix += 1
     return jaro + prefix * 0.1 * (1 - jaro)
+
+
+class _LenientJson:
+    """The reference's jsonb text parser is tolerant (reference jsonb
+    crate via scalars/variant.rs parse_json): `+1`, leading zeros,
+    `1.` / `.2`, hex numbers, NULL/True any case, nan/±infinity → null,
+    array holes → null, single-quoted strings, unquoted object keys."""
+
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def ws(self):
+        while self.i < len(self.s) and self.s[self.i] in " \t\r\n":
+            self.i += 1
+
+    def parse(self):
+        v = self.value()
+        self.ws()
+        if self.i < len(self.s):
+            raise ValueError("trailing input")
+        return v
+
+    def value(self):
+        self.ws()
+        if self.i >= len(self.s):
+            return None
+        c = self.s[self.i]
+        if c == "{":
+            return self.obj()
+        if c == "[":
+            return self.arr()
+        if c in "\"'":
+            return self.string(c)
+        return self.scalar()
+
+    def obj(self):
+        self.i += 1
+        out: dict = {}
+        self.ws()
+        if self.s[self.i : self.i + 1] == "}":
+            self.i += 1
+            return out
+        while True:
+            self.ws()
+            c = self.s[self.i : self.i + 1]
+            if c in "\"'":
+                k = self.string(c)
+            else:
+                j = self.i
+                while j < len(self.s) and self.s[j] not in ':,}{[]" \t\r\n':
+                    j += 1
+                k = self.s[self.i : j]
+                if not k:
+                    raise ValueError("bad object key")
+                self.i = j
+            self.ws()
+            if self.s[self.i : self.i + 1] != ":":
+                raise ValueError("expected ':'")
+            self.i += 1
+            out[k] = self.value()
+            self.ws()
+            c = self.s[self.i : self.i + 1]
+            if c == ",":
+                self.i += 1
+                continue
+            if c == "}":
+                self.i += 1
+                return out
+            raise ValueError("bad object")
+
+    def arr(self):
+        self.i += 1
+        out: list = []
+        expecting = True
+        while True:
+            self.ws()
+            c = self.s[self.i : self.i + 1]
+            if c == "":
+                raise ValueError("unterminated array")
+            if c == "]":
+                self.i += 1
+                if expecting and out:
+                    out.append(None)
+                return out
+            if c == ",":
+                self.i += 1
+                if expecting:
+                    out.append(None)
+                expecting = True
+                continue
+            out.append(self.value())
+            expecting = False
+
+    def string(self, q):
+        self.i += 1
+        buf = []
+        while self.i < len(self.s):
+            c = self.s[self.i]
+            if c == "\\":
+                nxt = self.s[self.i + 1 : self.i + 2]
+                if nxt == "u":
+                    buf.append(chr(int(self.s[self.i + 2 : self.i + 6], 16)))
+                    self.i += 6
+                    continue
+                buf.append(
+                    {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}.get(
+                        nxt, nxt
+                    )
+                )
+                self.i += 2
+                continue
+            if c == q:
+                self.i += 1
+                return "".join(buf)
+            buf.append(c)
+            self.i += 1
+        raise ValueError("unterminated string")
+
+    def scalar(self):
+        j = self.i
+        while j < len(self.s) and self.s[j] not in ",]}":
+            j += 1
+        tok = self.s[self.i : j].strip()
+        self.i = j
+        low = tok.lower()
+        if low in (
+            "null", "nan", "+nan", "-nan", "inf", "+inf", "-inf",
+            "infinity", "+infinity", "-infinity",
+        ):
+            return None
+        if low == "true":
+            return True
+        if low == "false":
+            return False
+        m = re.fullmatch(r"([+-]?)0x([0-9a-f]+)(?:\.([0-9a-f]+))?", low)
+        if m:
+            val = float(int(m.group(2), 16))
+            if m.group(3):
+                val += int(m.group(3), 16) / (16.0 ** len(m.group(3)))
+            else:
+                val = int(m.group(2), 16)
+            return -val if m.group(1) == "-" else val
+        try:
+            f = float(tok)
+        except ValueError:
+            raise ValueError(f"bad token {tok!r}") from None
+        if f.is_integer() and "e" not in low:
+            # integral with no exponent: 1., 0012, +1 → integer
+            frac = low.split(".", 1)[1] if "." in low else ""
+            if frac.strip("0") == "":
+                return int(f)
+        return f
+
+
+def parse_json_strict(v):
+    """parse_json: canonical JSONB text (sorted keys, compact), raising
+    on malformed input; falls back to the reference's lenient jsonb text
+    grammar when strict JSON parsing fails (scalars/variant.rs)."""
+    if v is None:
+        return None
+    try:
+        return _canon(json.loads(v))
+    except (ValueError, TypeError):
+        pass
+    try:
+        return _canon(_LenientJson(v).parse())
+    except ValueError as e:
+        raise ValueError(f"[1006] invalid JSON text: {v[:80]!r}") from e
+
+
+def json_typeof(v):
+    """Databend json type names (reference scalars/variant.rs:2538
+    json_typeof): NULL_VALUE / BOOLEAN / STRING / INTEGER / DECIMAL /
+    DOUBLE / ARRAY / OBJECT."""
+    if v is None:
+        return None
+    try:
+        doc = json.loads(v)
+    except (ValueError, TypeError):
+        return None
+    if doc is None:
+        return "NULL_VALUE"
+    if isinstance(doc, bool):
+        return "BOOLEAN"
+    if isinstance(doc, int):
+        return "INTEGER"
+    if isinstance(doc, float):
+        # integral floats only arise from exponent/overflow forms
+        return "DOUBLE" if doc.is_integer() else "DECIMAL"
+    if isinstance(doc, str):
+        return "STRING"
+    if isinstance(doc, list):
+        return "ARRAY"
+    return "OBJECT"
+
+
+def json_strip_nulls(v):
+    """Recursively remove null-valued object fields (reference
+    scalars/variant.rs json_strip_nulls)."""
+    if v is None:
+        return None
+
+    def strip(x):
+        if isinstance(x, dict):
+            return {k: strip(val) for k, val in x.items() if val is not None}
+        if isinstance(x, list):
+            return [strip(e) for e in x]
+        return x
+
+    try:
+        return _canon(strip(json.loads(v)))
+    except (ValueError, TypeError):
+        return None
+
+
+def variant_has(v, keys_json, mode):
+    """jsonb ``?`` / ``?|`` / ``?&`` (reference scalars/variant.rs
+    json_exists_key family): object → key membership, array → string
+    element membership, scalar → false. NULL operand → NULL."""
+    if v is None or keys_json is None:
+        return None
+    try:
+        doc = json.loads(v)
+        keys = json.loads(keys_json)
+    except (ValueError, TypeError):
+        return None
+    if any(k is None for k in keys):
+        return None
+    def has(k):
+        if isinstance(doc, dict):
+            return k in doc
+        if isinstance(doc, list):
+            return k in [e for e in doc if isinstance(e, str)]
+        return False
+    if mode == "all":
+        return all(has(k) for k in keys)
+    return any(has(k) for k in keys)
+
+
+def variant_contains(a, b):
+    """jsonb ``@>`` containment (reference scalars/variant.rs
+    contains_in_left; Postgres jsonb semantics): objects recursively
+    contain sub-objects, arrays contain every element of the right
+    side, and at top level an array contains a matching scalar."""
+    if a is None or b is None:
+        return None
+    try:
+        da, db = json.loads(a), json.loads(b)
+    except (ValueError, TypeError):
+        return None
+
+    def contains(x, y, top):
+        if isinstance(x, dict) and isinstance(y, dict):
+            return all(
+                k in x and contains(x[k], v, False) for k, v in y.items()
+            )
+        if isinstance(x, list) and isinstance(y, list):
+            return all(
+                any(contains(e, f, False) for e in x) for f in y
+            )
+        if isinstance(x, list) and top and not isinstance(y, (list, dict)):
+            return any(contains(e, y, False) for e in x)
+        if isinstance(x, bool) != isinstance(y, bool):
+            return False
+        return x == y
+
+    return contains(da, db, True)
+
+
+def _va_parse(v):
+    """Variant array-function operand: a non-array value acts as a
+    1-element array (reference scalars/variant.rs array functions)."""
+    doc = json.loads(v)
+    return doc if isinstance(doc, list) else [doc]
+
+
+def va_insert(v, idx, val_json):
+    if v is None or idx is None or val_json is None:
+        return None
+    doc = _va_parse(v)
+    i = int(idx)
+    i = max(0, i + len(doc)) if i < 0 else min(i, len(doc))
+    return _canon(doc[:i] + [json.loads(val_json)] + doc[i:])
+
+
+def va_distinct(v):
+    if v is None:
+        return None
+    seen, out = set(), []
+    for e in _va_parse(v):
+        c = _canon(e)
+        if c not in seen:
+            seen.add(c)
+            out.append(e)
+    return _canon(out)
+
+
+def va_intersection(a, b):
+    """Multiset intersection preserving left order (reference
+    scalars/variant.rs array_intersection)."""
+    if a is None or b is None:
+        return None
+    from collections import Counter
+
+    counts = Counter(_canon(e) for e in _va_parse(b))
+    out = []
+    for e in _va_parse(a):
+        c = _canon(e)
+        if counts.get(c, 0) > 0:
+            counts[c] -= 1
+            out.append(e)
+    return _canon(out)
+
+
+def va_except(a, b):
+    """Multiset difference preserving left order (reference
+    scalars/variant.rs array_except)."""
+    if a is None or b is None:
+        return None
+    from collections import Counter
+
+    counts = Counter(_canon(e) for e in _va_parse(b))
+    out = []
+    for e in _va_parse(a):
+        c = _canon(e)
+        if counts.get(c, 0) > 0:
+            counts[c] -= 1
+        else:
+            out.append(e)
+    return _canon(out)
+
+
+def va_overlap(a, b):
+    if a is None or b is None:
+        return None
+    left = {_canon(e) for e in _va_parse(a)}
+    return any(_canon(e) in left for e in _va_parse(b))
+
+
+def va_slice(v, lo, hi):
+    if v is None:
+        return None
+    doc = _va_parse(v)
+    return _canon(
+        doc[int(lo) if lo is not None else 0 : int(hi) if hi is not None else len(doc)]
+    )
+
+
+def va_concat(a, b):
+    if a is None or b is None:
+        return None
+    return _canon(_va_parse(a) + _va_parse(b))
+
+
+def va_append(v, val_json):
+    if v is None or val_json is None:
+        return None
+    return _canon(_va_parse(v) + [json.loads(val_json)])
+
+
+def va_prepend(val_json, v):
+    if v is None or val_json is None:
+        return None
+    return _canon([json.loads(val_json)] + _va_parse(v))
+
+
+def va_compact(v):
+    if v is None:
+        return None
+    doc = json.loads(v)
+    if not isinstance(doc, list):
+        raise ValueError("[1006] array_compact requires an ARRAY value")
+    return _canon([e for e in doc if e is not None])
+
+
+def va_contains(v, val_json):
+    if v is None or val_json is None:
+        return None
+    needle = _canon(json.loads(val_json))
+    return any(_canon(e) == needle for e in _va_parse(v))
+
+
+def va_flatten(v):
+    if v is None:
+        return None
+    doc = json.loads(v)
+    if not isinstance(doc, list) or not all(isinstance(e, list) for e in doc):
+        raise ValueError("[1006] array_flatten requires an ARRAY of arrays")
+    return _canon([x for e in doc for x in e])
+
+
+def va_indexof(v, val_json):
+    """0-based first index, NULL when absent (reference
+    scalars/variant.rs array_indexof)."""
+    if v is None or val_json is None:
+        return None
+    needle = _canon(json.loads(val_json))
+    for i, e in enumerate(_va_parse(v)):
+        if _canon(e) == needle:
+            return i
+    return None
+
+
+def va_remove(v, val_json):
+    if v is None or val_json is None:
+        return None
+    needle = _canon(json.loads(val_json))
+    return _canon([e for e in _va_parse(v) if _canon(e) != needle])
+
+
+def va_remove_first(v):
+    if v is None:
+        return None
+    return _canon(_va_parse(v)[1:])
+
+
+def va_remove_last(v):
+    if v is None:
+        return None
+    return _canon(_va_parse(v)[:-1])
+
+
+def va_unique(v):
+    if v is None:
+        return None
+    return len({_canon(e) for e in _va_parse(v)})
+
+
+def va_reverse(v):
+    if v is None:
+        return None
+    return _canon(_va_parse(v)[::-1])
+
+
+def variant_concat(a, b):
+    """jsonb ``||`` (reference scalars/variant.rs concat): two objects
+    merge (right wins); otherwise both sides are arrays-or-wrapped and
+    concatenated."""
+    if a is None or b is None:
+        return None
+    da, db = json.loads(a), json.loads(b)
+    if isinstance(da, dict) and isinstance(db, dict):
+        out = dict(da)
+        out.update(db)
+        return _canon(out)
+    la = da if isinstance(da, list) else [da]
+    lb = db if isinstance(db, list) else [db]
+    return _canon(la + lb)
+
+
+def variant_minus(v, k, is_int):
+    """jsonb ``-`` (reference scalars/variant.rs delete_by_name /
+    delete_by_index): int → delete array index (negative from end);
+    string → delete object key or equal array string elements."""
+    if v is None or k is None:
+        return None
+    try:
+        doc = json.loads(v)
+    except (ValueError, TypeError):
+        return None
+    if is_int:
+        i = int(k)
+        if not isinstance(doc, list):
+            raise ValueError("[1006] cannot delete from non-array by index")
+        j = i + len(doc) if i < 0 else i
+        if 0 <= j < len(doc):
+            doc = doc[:j] + doc[j + 1 :]
+        return _canon(doc)
+    if isinstance(doc, dict):
+        doc.pop(k, None)
+        return _canon(doc)
+    if isinstance(doc, list):
+        return _canon([e for e in doc if not (isinstance(e, str) and e == k)])
+    raise ValueError("[1006] cannot delete from a scalar")
+
+
+def variant_delete_path(v, pgpath):
+    """jsonb ``#-`` with a Postgres ``'{a,1}'`` path (reference
+    scalars/variant.rs delete_by_keypath)."""
+    if v is None or pgpath is None:
+        return None
+    t = pgpath.strip()
+    if not (t.startswith("{") and t.endswith("}")):
+        return None
+    toks = [x.strip() for x in t[1:-1].split(",") if x.strip()] if t != "{}" else []
+    try:
+        doc = json.loads(v)
+    except (ValueError, TypeError):
+        return None
+    if not toks:
+        return _canon(doc)
+
+    def delete(cur, path):
+        head, rest = path[0], path[1:]
+        if isinstance(cur, dict):
+            if head in cur:
+                if rest:
+                    delete(cur[head], rest)
+                else:
+                    del cur[head]
+        elif isinstance(cur, list):
+            try:
+                i = int(head)
+            except ValueError:
+                return
+            j = i + len(cur) if i < 0 else i
+            if 0 <= j < len(cur):
+                if rest:
+                    delete(cur[j], rest)
+                else:
+                    del cur[j]
+
+    delete(doc, toks)
+    return _canon(doc)
+
+
+def object_insert(v, key, val_json, update):
+    """object_insert(obj, key, value[, update]) (reference
+    scalars/variant.rs object_insert): errors on non-objects and on an
+    existing key without update=true; SQL-NULL value inserts nothing
+    (update=true deletes the key); JSON null is kept."""
+    if v is None or key is None:
+        return None
+    doc = json.loads(v)
+    if not isinstance(doc, dict):
+        raise ValueError("[1006] object_insert requires an OBJECT value")
+    if val_json is None:
+        if update:
+            doc.pop(key, None)
+        return _canon(doc)
+    if key in doc and not update:
+        raise ValueError(f"[1006] object key {key} already exists")
+    doc[key] = json.loads(val_json)
+    return _canon(doc)
+
+
+def object_delete(v, keys_json):
+    """object_delete(obj, k1, k2, …) (reference scalars/variant.rs)."""
+    if v is None:
+        return None
+    doc = json.loads(v)
+    if not isinstance(doc, dict):
+        raise ValueError("[1006] object_delete requires an OBJECT value")
+    keys = {k for k in json.loads(keys_json or "[]") if k is not None}
+    return _canon({k: x for k, x in doc.items() if k not in keys})
+
+
+def object_pick(v, keys_json):
+    """object_pick(obj, k1, k2, …) (reference scalars/variant.rs)."""
+    if v is None:
+        return None
+    doc = json.loads(v)
+    if not isinstance(doc, dict):
+        raise ValueError("[1006] object_pick requires an OBJECT value")
+    keys = {k for k in json.loads(keys_json or "[]") if k is not None}
+    return _canon({k: x for k, x in doc.items() if k in keys})
+
+
+def json_each_list(v):
+    """Select-position json_each: the object's entries pre-rendered in
+    the reference's tuple display form ``("key",value)``."""
+    if v is None:
+        return None
+    try:
+        doc = json.loads(v)
+    except (ValueError, TypeError):
+        return None
+    if not isinstance(doc, dict):
+        return []
+    return [
+        "(" + json.dumps(k, ensure_ascii=False) + "," + _canon(doc[k]) + ")"
+        for k in sorted(doc)
+    ]
+
+
+class JsonEachUDTF:
+    """Table-position ``json_each(variant)`` (reference
+    srfs/variant.rs json_each): one (key, value) row per object entry."""
+
+    def eval(self, v):
+        if v is None:
+            return
+        try:
+            doc = json.loads(v)
+        except (ValueError, TypeError):
+            return
+        if not isinstance(doc, dict):
+            return
+        for k in sorted(doc):
+            yield (k, _canon(doc[k]))
 
 
 class FlattenUDTF:
@@ -723,6 +1332,33 @@ FLATTEN_SCHEMA = (
 )
 
 
+class JqUDTF:
+    """``jq(filter, variant)`` set-returning function (reference
+    srfs/variant.rs:439-562): runs the jq filter over each input row's
+    JSON value and emits one variant row per jq output. NULL input
+    emits no rows; a malformed filter raises."""
+
+    def eval(self, filter_text, input):  # noqa: A002
+        from databend_spark.functions.jq_runtime import jq_run
+
+        if filter_text is None or input is None:
+            return
+        doc = json.loads(input)
+        for out in jq_run(filter_text, doc):
+            yield (_canon(out),)
+
+
+def jq_list(filter_text, input):  # noqa: A002
+    """Scalar form backing select-position ``jq(...)``: the jq output
+    stream as an array (exploded by the sqlgen macro)."""
+    from databend_spark.functions.jq_runtime import jq_run
+
+    if filter_text is None or input is None:
+        return None
+    doc = json.loads(input)
+    return [_canon(out) for out in jq_run(filter_text, doc)]
+
+
 def register_variant_udfs(spark: SparkSession) -> None:
     """Idempotently register the accessor UDFs on a session."""
     from pyspark.sql.types import DoubleType, StringType
@@ -731,9 +1367,46 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__variant_path_query", variant_path_query, StringType())
     spark.udf.register("__check_json", check_json, StringType())
     spark.udf.register("__jaro_winkler", jaro_winkler, DoubleType())
+    from pyspark.sql.types import ArrayType, BooleanType, LongType
+
+    spark.udf.register("__jq_list", jq_list, ArrayType(StringType()))
+    spark.udf.register("__parse_json_strict", parse_json_strict, StringType())
+    spark.udf.register("__json_typeof", json_typeof, StringType())
+    spark.udf.register("__json_strip_nulls", json_strip_nulls, StringType())
+    spark.udf.register("__variant_has", variant_has, BooleanType())
+    spark.udf.register("__variant_contains", variant_contains, BooleanType())
+    spark.udf.register("__variant_concat", variant_concat, StringType())
+    spark.udf.register("__va_insert", va_insert, StringType())
+    spark.udf.register("__va_distinct", va_distinct, StringType())
+    spark.udf.register("__va_intersection", va_intersection, StringType())
+    spark.udf.register("__va_except", va_except, StringType())
+    spark.udf.register("__va_overlap", va_overlap, BooleanType())
+    spark.udf.register("__va_slice", va_slice, StringType())
+    spark.udf.register("__va_concat", va_concat, StringType())
+    spark.udf.register("__va_append", va_append, StringType())
+    spark.udf.register("__va_prepend", va_prepend, StringType())
+    spark.udf.register("__va_compact", va_compact, StringType())
+    spark.udf.register("__va_contains", va_contains, BooleanType())
+    spark.udf.register("__va_flatten", va_flatten, StringType())
+    spark.udf.register("__va_indexof", va_indexof, LongType())
+    spark.udf.register("__va_remove", va_remove, StringType())
+    spark.udf.register("__va_remove_first", va_remove_first, StringType())
+    spark.udf.register("__va_remove_last", va_remove_last, StringType())
+    spark.udf.register("__va_unique", va_unique, LongType())
+    spark.udf.register("__va_reverse", va_reverse, StringType())
+    spark.udf.register("__variant_minus", variant_minus, StringType())
+    spark.udf.register("__variant_delete_path", variant_delete_path, StringType())
+    spark.udf.register("__object_insert", object_insert, StringType())
+    spark.udf.register("__object_delete", object_delete, StringType())
+    spark.udf.register("__object_pick", object_pick, StringType())
+    spark.udf.register("__json_each_list", json_each_list, ArrayType(StringType()))
     try:
         from pyspark.sql.functions import udtf
 
         spark.udtf.register("flatten", udtf(FlattenUDTF, returnType=FLATTEN_SCHEMA))
+        spark.udtf.register("__jq_table", udtf(JqUDTF, returnType="jq string"))
+        spark.udtf.register(
+            "__json_each_table", udtf(JsonEachUDTF, returnType="key string, value string")
+        )
     except Exception:  # noqa: BLE001 — older pyspark without udtf
         pass

@@ -59,6 +59,42 @@ def variant_paths_to_json(sql: str) -> str:
     return _unmask_strings(_VARIANT_PATH.sub(repl, masked), lits)
 
 
+def variant_paths_to_access(sql: str) -> str:
+    """`col:a.b` → quote-preserving ``__variant_access(col, 'path', …)``
+    — keeps variant display semantics (strings stay JSON-quoted), unlike
+    the get_json_object fallback. A trailing ``::STRING`` cast folds to
+    text mode; accessors feeding a comparison keep get_json_object
+    semantics elsewhere, so this rewrite only touches accessors NOT
+    immediately followed by a comparison operator."""
+    masked, lits = _mask_strings(sql)
+
+    def repl(m: re.Match) -> str:
+        tail = masked[m.end() :]
+        cm = re.match(r"\s*::\s*(STRING|VARCHAR|TEXT)\b", tail, re.I)
+        after = tail[cm.end() :] if cm else tail
+        if re.match(r"\s*(=|<>|!=|<=|>=|<|>|\bIN\b|\bLIKE\b)", after, re.I):
+            return m.group(0)
+        path = m.group(2).replace(":", ".")
+
+        def seg(sm: re.Match) -> str:
+            i = int(sm.group(1))
+            return "[" + lits[i] + "]" if i < len(lits) else sm.group(0)
+
+        path = re.sub("\\[\\s*\x00(\\d+)\x00\\s*\\]", seg, path)
+        path_lit = "'" + path.replace("'", "''") + "'"
+        text = "true" if cm else "false"
+        return (
+            f"__variant_access(CAST({m.group(1)} AS STRING), 'path',"
+            f" {path_lit}, {text})" + ("\x04" if cm else "")
+        )
+
+    out = _VARIANT_PATH.sub(repl, masked)
+    # \x04 marks a folded ::STRING cast — drop the cast text
+    out = re.sub("\x04\\s*::\\s*(STRING|VARCHAR|TEXT)\\b", "", out, flags=re.I)
+    out = out.replace("\x04", "")
+    return _unmask_strings(out, lits)
+
+
 def variant_paths_to_struct(sql: str) -> str:
     """`col:a.b` → col.`a`.`b` — the fallback when the column is a named
     TUPLE (Databend's `:` also reads tuple fields)."""
@@ -524,6 +560,39 @@ def _rewrite_lateral_flatten(s: str, literals: list[str] | None = None) -> str:
 
 
 _LATERAL_VALUES = re.compile(r"\bLATERAL\s*\(\s*VALUES\b", re.I)
+_JQ_TVF = re.compile(r"(\bFROM\s+|\bLATERAL\s+)(jq|json_each)\s*\(", re.I)
+
+
+def _rewrite_jq_tvf(s: str) -> str:
+    """Table-position variant SRFs: ``FROM jq(filter, doc)`` (reference
+    srfs/variant.rs:439) → the ``__jq_table`` Python UDTF, ``FROM
+    json_each(doc)`` → ``__json_each_table``; variant args are cast to
+    their JSON text. Select-position forms go through the
+    expression-macro registry (explode over the _list UDFs)."""
+    from databend_spark.functions.registry import _split_top_level_args
+
+    while True:
+        m = _JQ_TVF.search(s)
+        if not m:
+            return s
+        parsed = _split_top_level_args(s, m.end())
+        if parsed is None:
+            return s
+        args, after = parsed
+        name = m.group(2).lower()
+        if name == "jq" and len(args) == 2:
+            call = (
+                f"{m.group(1)}__jq_table({args[0]},"
+                f" CAST(({args[1]}) AS STRING))"
+            )
+        elif name == "json_each" and len(args) == 1:
+            call = (
+                f"{m.group(1)}__json_each_table("
+                f"CAST(({args[0]}) AS STRING))"
+            )
+        else:
+            return s
+        s = s[: m.start()] + call + s[after:]
 
 
 def _rewrite_lateral_values(s: str) -> str:
@@ -1763,6 +1832,176 @@ def _rewrite_json_arrows(s: str) -> str:
     return s
 
 
+_JSONB_OP = re.compile(r"@\?|@@|@>|<@|\?\||\?&|#-|\?")
+_JSONB_RHS = re.compile(r"(\x00\d+\x00|NULL\b|-?\d+|[\w.`]+)", re.I)
+
+
+def _scan_rhs(s: str, j: int) -> tuple[str, int] | None:
+    """RHS operand starting at ``j``: NULL, a masked literal, a number,
+    or an identifier optionally followed by a balanced call."""
+    m = re.match(r"(\x00\d+\x00|NULL\b|-?\d+(?!\w))", s[j:], re.I)
+    if m:
+        return m.group(1), j + m.end()
+    m = re.match(r"[\w.`]+", s[j:])
+    if not m:
+        return None
+    e = j + m.end()
+    k = e
+    while k < len(s) and s[k] in " \t\n":
+        k += 1
+    if s[k : k + 1] == "(":
+        depth = 0
+        while k < len(s):
+            if s[k] == "(":
+                depth += 1
+            elif s[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    return s[j : k + 1], k + 1
+            k += 1
+        return None
+    return s[j:e], e
+_PJ_MINUS = re.compile(r"(?<![\w$])((?:try_)?parse_json)\s*\(", re.I)
+
+
+def _rewrite_jsonb_ops(s: str) -> str:
+    """jsonb operators (reference scalars/variant.rs): ``@?`` path
+    exists, ``@@`` path predicate, ``?`` key/element exists, ``?|`` any
+    key, ``?&`` all keys, ``#-`` delete path, and variant ``- key`` /
+    ``- index`` deletion on a parse_json receiver — all →
+    __variant_* UDF calls (functions/variant_runtime.py)."""
+    pos = 0
+    while True:
+        m = _JSONB_OP.search(s, pos)
+        if not m:
+            break
+        op = m.group(0)
+        k = m.start() - 1
+        while k >= 0 and s[k] in " \t\n":
+            k -= 1
+        start = _scan_operand_back(s, k) if k >= 0 else None
+        if start is None:
+            pos = m.end()
+            continue
+        recv = _strip_variant_cast(s[start : m.start()].strip())
+        j = m.end()
+        while j < len(s) and s[j] in " \t\n":
+            j += 1
+        if op in ("?|", "?&"):
+            if s[j : j + 1] == "[":
+                depth, e = 0, j
+                while e < len(s):
+                    if s[e] == "[":
+                        depth += 1
+                    elif s[e] == "]":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    e += 1
+                if e >= len(s):
+                    pos = m.end()
+                    continue
+                rhs_sql, rhs_end = f"to_json(array({s[j + 1 : e]}))", e + 1
+            elif re.match(r"NULL\b", s[j:], re.I):
+                rhs_sql, rhs_end = "CAST(NULL AS STRING)", j + 4
+            else:
+                pos = m.end()
+                continue
+            mode = "any" if op == "?|" else "all"
+            repl = (
+                f"__variant_has(CAST(({recv}) AS STRING),"
+                f" {rhs_sql}, '{mode}')"
+            )
+        else:
+            scanned = _scan_rhs(s, j)
+            if scanned is None:
+                pos = m.end()
+                continue
+            rhs, rhs_end = scanned
+            if op in ("@>", "<@"):
+                lhs_c = f"CAST(({recv}) AS STRING)"
+                rhs_c = f"CAST(({rhs}) AS STRING)"
+                if op == "<@":
+                    lhs_c, rhs_c = rhs_c, lhs_c
+                repl = f"__variant_contains({lhs_c}, {rhs_c})"
+            elif op == "?":
+                repl = (
+                    f"__variant_has(CAST(({recv}) AS STRING),"
+                    f" to_json(array(CAST(({rhs}) AS STRING))), 'any')"
+                )
+            elif op in ("@?", "@@"):
+                mode = "exists" if op == "@?" else "match"
+                repl = (
+                    f"CAST(__variant_path_query(CAST(({recv}) AS"
+                    f" STRING), ({rhs}), '{mode}') AS BOOLEAN)"
+                )
+            else:  # '#-'
+                repl = (
+                    f"__variant_delete_path(CAST(({recv}) AS STRING),"
+                    f" ({rhs}))"
+                )
+        s = s[:start] + repl + s[rhs_end:]
+        pos = start + len(repl)
+    # variant `-` deletion: parse_json(...) receiver only (a bare `-`
+    # on arbitrary operands is arithmetic)
+    pos = 0
+    while True:
+        m = _PJ_MINUS.search(s, pos)
+        if not m:
+            break
+        depth, e = 0, m.end() - 1
+        while e < len(s):
+            if s[e] == "(":
+                depth += 1
+            elif s[e] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            e += 1
+        if e >= len(s):
+            break
+        recv = s[m.start() : e + 1]
+        j = e + 1
+        while j < len(s) and s[j] in " \t\n":
+            j += 1
+        if s[j : j + 2] == "||":
+            # jsonb `||` concat (objects merge, arrays append)
+            j2 = j + 2
+            while j2 < len(s) and s[j2] in " \t\n":
+                j2 += 1
+            scanned = _scan_rhs(s, j2)
+            if scanned is None:
+                pos = e + 1
+                continue
+            rhs, rhs_end = scanned
+            repl = (
+                f"__variant_concat(CAST(({recv}) AS STRING),"
+                f" CAST(({rhs}) AS STRING))"
+            )
+            s = s[: m.start()] + repl + s[rhs_end:]
+            pos = m.start()
+            continue
+        if s[j : j + 1] != "-" or s[j : j + 2] in ("->", "--"):
+            pos = e + 1
+            continue
+        j2 = j + 1
+        while j2 < len(s) and s[j2] in " \t\n":
+            j2 += 1
+        rm = re.match(r"(-?\d+|\x00\d+\x00|NULL\b)", s[j2:], re.I)
+        if not rm:
+            pos = e + 1
+            continue
+        rhs = rm.group(1)
+        is_int = "true" if re.fullmatch(r"-?\d+", rhs) else "false"
+        repl = (
+            f"__variant_minus(CAST(({recv}) AS STRING),"
+            f" CAST(({rhs}) AS STRING), {is_int})"
+        )
+        s = s[: m.start()] + repl + s[j2 + rm.end() :]
+        pos = m.start() + len(repl)
+    return s
+
+
 _CAST_PAREN_T = re.compile(
     r"(::\s*|\bAS\s+)(Nullable|Array|Map|Tuple)\s*\(", re.I
 )
@@ -2144,6 +2383,14 @@ def _rewrite_asof_outer(s, m, kind, rel, alias, i, on, um):
 def rewrite_databend_sql(sql: str) -> str:
     """Rewrite the Databend-only constructs we support; raise a clear
     error on the ones we don't (never silently mis-parse)."""
+    # dollar-quoted strings $$…$$ → standard literals (pre-masking)
+    if "$$" in sql:
+        sql = re.sub(
+            r"\$\$(.*?)\$\$",
+            lambda m: "'" + m.group(1).replace("'", "''") + "'",
+            sql,
+            flags=re.S,
+        )
     # strftime %-patterns in temporal format args → Java patterns
     # (runs pre-masking to edit the literal)
     sql = _STRFTIME_FN.sub(_strftime_repl, sql)
@@ -2327,6 +2574,14 @@ def rewrite_databend_sql(sql: str) -> str:
         masked = _rewrite_lateral_flatten(masked, literals)
     if _LATERAL_VALUES.search(masked):
         masked = _rewrite_lateral_values(masked)
+    if _JQ_TVF.search(masked):
+        masked = _rewrite_jq_tvf(masked)
+    if re.search(
+        r"@\?|@@|@>|<@|\?[|&]|#-|\?|parse_json\s*\([^()]*\)\s*(-|\|\|)",
+        masked,
+        re.I,
+    ):
+        masked = _rewrite_jsonb_ops(masked)
     if "->" in masked or "#>" in masked:
         masked = _rewrite_json_arrows(masked)
     if re.search(r"\bESCAPE\b|\bILIKE\s+(ANY|ALL)\b", masked, re.I):
@@ -2428,9 +2683,11 @@ def inline_select_aliases(sql: str) -> str:
     LATERAL_COLUMN_ALIAS_IN_AGGREGATE_FUNC."""
     masked, literals = _mask_strings(sql)
     sel = re.search(r"\bSELECT\b", masked, re.I)
-    f = _find_depth0(masked, "FROM")
-    if not sel or f == -1:
+    if not sel:
         return sql
+    f = _find_depth0(masked, "FROM")
+    if f == -1:
+        f = len(masked)  # SELECT with no FROM still resolves aliases
     head, body, tail = masked[: sel.end()], masked[sel.end() : f], masked[f:]
     # split select list on depth-0 commas
     items, depth, start = [], 0, 0
@@ -2446,6 +2703,9 @@ def inline_select_aliases(sql: str) -> str:
     aliases = {}
     for it in items:
         m = re.match(r"^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", it, re.I | re.S)
+        if not m:
+            # bare alias: a call expression followed by an identifier
+            m = re.match(r"^(.*\))\s+([A-Za-z_]\w*)\s*$", it, re.S)
         if m:
             aliases[m.group(2)] = m.group(1).strip()
     if not aliases:
@@ -2453,6 +2713,8 @@ def inline_select_aliases(sql: str) -> str:
     new_items = []
     for it in items:
         m = re.match(r"^(.*?)(\s+AS\s+[A-Za-z_]\w*\s*)$", it, re.I | re.S)
+        if not m:
+            m = re.match(r"^(.*\))(\s+[A-Za-z_]\w*\s*)$", it, re.S)
         expr, suffix = (m.group(1), m.group(2)) if m else (it, "")
         for name, repl in aliases.items():
             if repl == expr.strip():

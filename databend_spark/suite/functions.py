@@ -73,7 +73,7 @@ sql_query(
            round(l_extendedprice, 1)            AS rounded,
            sqrt(l_quantity)                     AS root,
            l_quantity * l_quantity              AS squared,
-           sign(l_extendedprice - 50000.0)      AS sgn,
+           CAST(sign(l_extendedprice - 50000.0) AS BIGINT) AS sgn,
            CAST(l_orderkey % 97 AS BIGINT)      AS hash_mod,
            greatest(l_quantity, l_discount * 100.0) AS big,
            least(l_quantity, l_discount * 100.0)    AS small

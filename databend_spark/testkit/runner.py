@@ -1832,12 +1832,14 @@ def run_slt_file(
                 # native `:` needs true VARIANT. Retry as struct access,
                 # then as get_json_object over the JSON text.
                 from databend_spark.sqlgen import (
+                    variant_paths_to_access,
                     variant_paths_to_json,
                     variant_paths_to_struct,
                 )
 
                 for alt in (
                     variant_paths_to_struct(sql),
+                    variant_paths_to_json(variant_paths_to_access(sql)),
                     variant_paths_to_json(sql),
                 ):
                     forced = rewrite_databend_sql(alt)
@@ -1899,6 +1901,95 @@ def run_slt_file(
                             return spark.sql(forced)
                         except Exception:  # noqa: BLE001
                             pass
+            if ("DATATYPE_MISMATCH" in msg or "CAST_INVALID_INPUT" in msg) and re.search(
+                r"\barray_(insert|distinct|intersection|except|overlap"
+                r"|slice|concat|append|prepend|compact|contains|flatten"
+                r"|indexof|remove|remove_first|remove_last|reverse"
+                r"|unique)\s*\(",
+                sql,
+                re.I,
+            ):
+                # array functions over VARIANT columns: the macro's
+                # textual dispatch can't see runtime types — force the
+                # JSONB implementations (reference scalars/variant.rs)
+                from databend_spark.functions.registry import rewrite_call
+
+                alt = sql
+                for name, tpl, ar in (
+                    ("array_insert", "__va_insert(CAST(({0}) AS STRING),"
+                     " ({1}), CAST(({2}) AS STRING))", 3),
+                    ("array_distinct", "__va_distinct(CAST(({0}) AS"
+                     " STRING))", 1),
+                    ("array_intersection", "__va_intersection(CAST(({0})"
+                     " AS STRING), CAST(({1}) AS STRING))", 2),
+                    ("array_except", "__va_except(CAST(({0}) AS STRING),"
+                     " CAST(({1}) AS STRING))", 2),
+                    ("array_overlap", "__va_overlap(CAST(({0}) AS STRING),"
+                     " CAST(({1}) AS STRING))", 2),
+                    ("array_slice", "__va_slice(CAST(({0}) AS STRING),"
+                     " ({1}), ({2}))", 3),
+                    ("array_concat", "__va_concat(CAST(({0}) AS STRING),"
+                     " CAST(({1}) AS STRING))", 2),
+                    ("array_append", "__va_append(CAST(({0}) AS STRING),"
+                     " CAST(({1}) AS STRING))", 2),
+                    ("array_prepend", "__va_prepend(CAST(({0}) AS"
+                     " STRING), CAST(({1}) AS STRING))", 2),
+                    ("array_compact", "__va_compact(CAST(({0}) AS"
+                     " STRING))", 1),
+                    ("array_contains", "__va_contains(CAST(({0}) AS"
+                     " STRING), CAST(({1}) AS STRING))", 2),
+                    ("array_flatten", "__va_flatten(CAST(({0}) AS"
+                     " STRING))", 1),
+                    ("array_indexof", "__va_indexof(CAST(({0}) AS"
+                     " STRING), CAST(({1}) AS STRING))", 2),
+                    ("array_remove", "__va_remove(CAST(({0}) AS STRING),"
+                     " CAST(({1}) AS STRING))", 2),
+                    ("array_remove_first", "__va_remove_first(CAST(({0})"
+                     " AS STRING))", 1),
+                    ("array_remove_last", "__va_remove_last(CAST(({0})"
+                     " AS STRING))", 1),
+                    ("array_reverse", "__va_reverse(CAST(({0}) AS"
+                     " STRING))", 1),
+                    ("array_unique", "__va_unique(CAST(({0}) AS"
+                     " STRING))", 1),
+                ):
+                    alt = rewrite_call(alt, name, tpl, arity=ar)
+                forced = rewrite_databend_sql(alt)
+                if forced != rewritten:
+                    try:
+                        return spark.sql(forced)
+                    except Exception:  # noqa: BLE001
+                        pass
+            if "INTERNAL_ERROR" in msg or "LATERAL_COLUMN_ALIAS" in msg:
+                # SRFs over a lateral select-list alias: inline the
+                # aliased expression and retry (with the variant-path
+                # fallbacks, since the inlined expr may carry `:` paths)
+                from databend_spark.sqlgen import (
+                    inline_select_aliases,
+                    variant_paths_to_access,
+                    variant_paths_to_json,
+                )
+
+                inl = inline_select_aliases(sql)
+                if inl != sql:
+                    for alt in (
+                        inl,
+                        variant_paths_to_json(variant_paths_to_access(inl)),
+                        # accessors first (identifier receivers), then
+                        # inline the aliases inside the rewritten calls
+                        inline_select_aliases(
+                            variant_paths_to_json(variant_paths_to_access(sql))
+                        ),
+                    ):
+                        try:
+                            forced = rewrite_databend_sql(alt)
+                        except Exception:  # noqa: BLE001
+                            continue
+                        if forced != rewritten:
+                            try:
+                                return spark.sql(forced)
+                            except Exception:  # noqa: BLE001
+                                pass
             if "UNEXPECTED_INPUT_TYPE" in msg and (
                 'Cannot resolve "length(' in msg
                 or 'Cannot resolve "contains(' in msg
