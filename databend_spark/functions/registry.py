@@ -44,7 +44,6 @@ RENAME: dict[str, str] = {
     "rlike": "rlike",
     "to_base64": "base64",
     "from_base64": "unbase64",
-    "to_hex": "hex",
     "from_hex": "unhex",
     "ord": "ascii",
     "insert": "overlay",
@@ -365,9 +364,18 @@ SQL_MACROS: dict[str, str] = {
     "to_binary": {1: "CAST({0} AS BINARY)"},
     # numeric truncate-toward-zero (Spark's trunc is date-only); BIGINT
     # cast truncates toward zero for both signs
+    # truncate-toward-zero; the modulo form avoids BIGINT overflow on
+    # values beyond int64 (doubles that large have no fraction anyway)
     "truncate": {
-        1: "CAST(CAST({0} AS BIGINT) AS DOUBLE)",
-        2: "(CAST(({0}) * POW(10, {1}) AS BIGINT) / POW(10, {1}))",
+        1: (
+            "CASE WHEN abs({0}) < 9e18 THEN CAST(CAST({0} AS BIGINT)"
+            " AS DOUBLE) ELSE CAST({0} AS DOUBLE) END"
+        ),
+        2: (
+            "CASE WHEN abs(({0}) * POW(10, {1})) < 9e18 THEN"
+            " (CAST(({0}) * POW(10, {1}) AS BIGINT) / POW(10, {1}))"
+            " ELSE ({0}) - (({0}) % POW(10, -({1}))) END"
+        ),
     },
     # 3-arg unit-first date_sub (date_add's unit form is rewritten in
     # sqlgen pre-masking; this one needs arg reorder so lives here)
@@ -716,6 +724,11 @@ def _to_bitmap(args: list[str]) -> str | None:
 
 
 SQL_MACROS["to_bitmap"] = _to_bitmap
+# build_bitmap(array) (reference scalars/bitmap.rs) — sorted-array model
+SQL_MACROS["build_bitmap"] = (
+    "array_sort(array_d\x03istinct(transform({0},"
+    " x -> CAST(x AS BIGINT))))"
+)
 # Databend stddev/std default to POPULATION (aggregate_stddev.rs);
 # Spark's default is sample
 SQL_MACROS["stddev"] = "stddev_pop({0})"
@@ -1289,6 +1302,37 @@ def _object_construct_mode(keep_null: bool, try_: bool):
     return build
 
 
+def _regexp_split_sql(args: list[str], explode: bool) -> str | None:
+    """regexp_split_to_array/table (reference scalars/string.rs): an
+    optional 3rd flags argument is folded into the pattern as (?flags),
+    and a pattern that can match the empty string drops the empty
+    fragments Spark's split leaves behind (pg semantics)."""
+    if len(args) not in (2, 3):
+        return None
+    pat_lit = _literal_text(args[1]).strip()
+    pat_sql = args[1]
+    is_lit = pat_lit.startswith("'") and pat_lit.endswith("'")
+    raw = pat_lit[1:-1].replace("''", "'") if is_lit else None
+    if len(args) == 3:
+        flag_lit = _literal_text(args[2]).strip()
+        if not (is_lit and flag_lit.startswith("'")):
+            return None
+        flags = flag_lit.strip("'").replace("g", "")
+        raw = (f"(?{flags})" if flags else "") + raw
+        CURRENT_LITERALS.append("'" + raw.replace("'", "''") + "'")
+        pat_sql = f"\x00{len(CURRENT_LITERALS) - 1}\x00"
+    base = f"split({args[0]}, {pat_sql})"
+    if raw is not None:
+        try:
+            matches_empty = re.match(raw.replace("\\\\", "\\"), "") is not None
+        except re.error:
+            matches_empty = False
+        if matches_empty:
+            base = f"filter({base}, x -> x != '')"
+    return f"explode({base})" if explode else base
+    return any(_JSON_ENC_VARIANTISH.match(a.strip()) for a in args)
+
+
 def _any_variantish(args: list[str]) -> bool:
     return any(_JSON_ENC_VARIANTISH.match(a.strip()) for a in args)
 
@@ -1453,8 +1497,8 @@ SQL_MACROS.update(
             "__va_overlap(CAST(({0}) AS STRING), CAST(({1}) AS STRING))"
         ),
         # misc sweep gaps (reference scalars/{string,array,map}.rs)
-        "regexp_split_to_array": "split({0}, {1})",
-        "regexp_split_to_table": "explode(split({0}, {1}))",
+        "regexp_split_to_array": lambda args: _regexp_split_sql(args, False),
+        "regexp_split_to_table": lambda args: _regexp_split_sql(args, True),
         "array_construct": _array_construct,
         "json_array": _array_construct,
         "array_intersection": "array_intersect({0}, {1})",
@@ -1478,6 +1522,20 @@ SQL_MACROS.update(
         "json_object_delete": _object_keys_macro("__object_delete"),
         "object_pick": _object_keys_macro("__object_pick"),
         "json_object_pick": _object_keys_macro("__object_pick"),
+        "time_slice": {
+            3: "__time_slice({0}, {1}, {2}, 'start')",
+            4: "__time_slice({0}, {1}, {2}, {3})",
+        },
+        # type-aware hex: ints uppercase two's-complement, bytes/strings
+        # lowercase (reference scalars/string.rs hex)
+        "to_hex": {1: "__to_hex({0})"},
+        "hex": {1: "__to_hex({0})"},
+        # length(variant) → container element count
+        "length": lambda args: (
+            f"__json_length(CAST(({args[0]}) AS STRING))"
+            if len(args) == 1 and _any_variantish(args)
+            else (f"len\x03gth({args[0]})" if len(args) == 1 else None)
+        ),
         # variant-vs-native array function dispatch
         "array_insert": lambda args: (
             f"__va_insert(CAST(({args[0]}) AS STRING), ({args[1]}),"
@@ -1502,16 +1560,16 @@ SQL_MACROS.update(
             "__va_overlap({0}, {1})", "arrays_overlap({0}, {1})"
         ),
         "array_append": _va_dispatch(
-            "__va_append({0}, {e1})", "array_append({0}, {1})"
+            "__va_append({0}, {e1})", "array_a\x03ppend({0}, {1})"
         ),
         "array_prepend": _va_dispatch(
-            "__va_prepend({e0}, {1})", "array_prepend({1}, {0})"
+            "__va_prepend({e0}, {1})", "array_p\x03repend({1}, {0})"
         ),
         "array_contains": _va_dispatch(
-            "__va_contains({0}, {e1})", "array_contains({0}, {1})"
+            "__va_contains({0}, {e1})", "array_c\x03ontains({0}, {1})"
         ),
         "array_remove": _va_dispatch(
-            "__va_remove({0}, {e1})", "array_remove({0}, {1})"
+            "__va_remove({0}, {e1})", "array_r\x03emove({0}, {1})"
         ),
         "array_unique": _va_dispatch(
             "__va_unique({0})", "size(array_d\x03istinct({0}))"
@@ -1527,7 +1585,7 @@ SQL_MACROS.update(
             ),
         ),
         "array_compact": _va_dispatch(
-            "__va_compact({0})", "array_compact({0})"
+            "__va_compact({0})", "array_c\x03ompact({0})"
         ),
         "array_flatten": _va_dispatch("__va_flatten({0})", "flatten({0})"),
         "array_remove_first": _va_dispatch(

@@ -633,11 +633,13 @@ def variant_path_query(v, path, mode):
 
 def jaro_winkler(s1, s2):
     """Jaro-Winkler similarity (reference scalars/string.rs jaro_winkler,
-    standard prefix weight 0.1, max prefix 4)."""
+    standard prefix weight 0.1, max prefix 4) — computed over UTF-8
+    bytes like the reference's &[u8] implementation."""
     if s1 is None or s2 is None:
         return None
     if s1 == s2:
         return 1.0
+    s1, s2 = s1.encode("utf-8"), s2.encode("utf-8")
     n1, n2 = len(s1), len(s2)
     if not n1 or not n2:
         return 0.0
@@ -841,6 +843,85 @@ def parse_json_strict(v):
         return _canon(_LenientJson(v).parse())
     except ValueError as e:
         raise ValueError(f"[1006] invalid JSON text: {v[:80]!r}") from e
+
+
+def json_length(v):
+    """length(variant): array/object element count; other values fall
+    back to the text length (reference scalars/variant.rs length)."""
+    if v is None:
+        return None
+    try:
+        doc = json.loads(v)
+    except (ValueError, TypeError):
+        return len(v)
+    if isinstance(doc, (list, dict)):
+        return len(doc)
+    return len(v)
+
+
+def time_slice(x, n, unit, kind):
+    """TIME_SLICE(ts, n, unit[, 'START'|'END']) (reference
+    scalars/datetime.rs time_slice; Snowflake semantics): epoch-aligned
+    n-unit buckets — weeks align to the epoch Monday 1969-12-29. The
+    result renders in the input's own display type (date vs timestamp)."""
+    import datetime as _dt
+
+    if x is None or n is None:
+        return None
+    n = int(n)
+    unit = (unit or "").lower()
+    kind = (kind or "start").lower()
+    if kind not in ("start", "end"):
+        raise ValueError(f"[1006] invalid TIME_SLICE kind '{kind}'")
+    end = kind == "end"
+    is_date = isinstance(x, _dt.date) and not isinstance(x, _dt.datetime)
+    dt = x if isinstance(x, _dt.datetime) else _dt.datetime(x.year, x.month, x.day)
+
+    def out(res: _dt.datetime) -> str:
+        if is_date:
+            return res.date().isoformat()
+        return res.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    if unit == "year":
+        y = 1970 + (dt.year - 1970) // n * n + (n if end else 0)
+        return out(_dt.datetime(y, 1, 1))
+    if unit in ("quarter", "month"):
+        per = 3 if unit == "quarter" else 1
+        months = (dt.year - 1970) * 12 + dt.month - 1
+        sl = months // (per * n) * (per * n) + (per * n if end else 0)
+        return out(_dt.datetime(1970 + sl // 12, sl % 12 + 1, 1))
+    if unit == "week":
+        base = _dt.datetime(1969, 12, 29)
+        days = (dt - base).days
+        sl = days // (7 * n) * (7 * n) + (7 * n if end else 0)
+        return out(base + _dt.timedelta(days=sl))
+    if unit == "day":
+        base = _dt.datetime(1970, 1, 1)
+        days = (dt - base).days
+        sl = days // n * n + (n if end else 0)
+        return out(base + _dt.timedelta(days=sl))
+    if unit in ("hour", "minute", "second"):
+        secs = {"hour": 3600, "minute": 60, "second": 1}[unit] * n
+        base = _dt.datetime(1970, 1, 1)
+        total = int((dt - base).total_seconds())
+        sl = total // secs * secs + (secs if end else 0)
+        return out(base + _dt.timedelta(seconds=sl))
+    raise ValueError(f"[1006] invalid TIME_SLICE unit '{unit}'")
+
+
+def to_hex(v):
+    """hex()/to_hex() (reference scalars/string.rs hex): integers render
+    uppercase two's-complement (Spark-compatible), strings and binary
+    render lowercase byte hex."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        v = int(v)
+    if isinstance(v, int):
+        return format(v if v >= 0 else (1 << 64) + v, "X")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v).encode("utf-8").hex()
 
 
 def json_typeof(v):
@@ -1372,6 +1453,9 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__jq_list", jq_list, ArrayType(StringType()))
     spark.udf.register("__parse_json_strict", parse_json_strict, StringType())
     spark.udf.register("__json_typeof", json_typeof, StringType())
+    spark.udf.register("__json_length", json_length, LongType())
+    spark.udf.register("__time_slice", time_slice, StringType())
+    spark.udf.register("__to_hex", to_hex, StringType())
     spark.udf.register("__json_strip_nulls", json_strip_nulls, StringType())
     spark.udf.register("__variant_has", variant_has, BooleanType())
     spark.udf.register("__variant_contains", variant_contains, BooleanType())

@@ -1981,6 +1981,16 @@ def _rewrite_jsonb_ops(s: str) -> str:
             s = s[: m.start()] + repl + s[rhs_end:]
             pos = m.start()
             continue
+        if s[j : j + 1] in ("+", "*", "/") and s[j : j + 2] != "**":
+            # variant arithmetic: unquote + numeric coercion, NULL when
+            # not a number (reference auto-parse semantics)
+            repl = (
+                "TRY_CAST(__variant_access(CAST((" + recv + ") AS"
+                " STRING), '', '', true) AS BIGINT)"
+            )
+            s = s[: m.start()] + repl + s[e + 1 :]
+            pos = m.start() + len(repl)
+            continue
         if s[j : j + 1] != "-" or s[j : j + 2] in ("->", "--"):
             pos = e + 1
             continue
@@ -2391,6 +2401,28 @@ def rewrite_databend_sql(sql: str) -> str:
             sql,
             flags=re.S,
         )
+    # zero dates parse to the epoch in the reference (pre-masking)
+    if "0000-00-00" in sql:
+        sql = re.sub(
+            r"'0000-00-00[^']*'\s*::\s*DATE\b|DATE\s*'0000-00-00[^']*'",
+            "DATE'1970-01-01'",
+            sql,
+            flags=re.I,
+        )
+        sql = re.sub(
+            r"'0000-00-00[^']*'\s*::\s*TIMESTAMP\b|TIMESTAMP\s*'0000-00-00[^']*'",
+            "TIMESTAMP'1970-01-01 00:00:00'",
+            sql,
+            flags=re.I,
+        )
+    # TIMESTAMP_TZ literals render as '<ts micro> +0000' text
+    sql = re.sub(
+        r"\btimestamp_tz\s*'([^']*)'",
+        r"concat(date_format(timestamp '\1',"
+        r" 'yyyy-MM-dd HH:mm:ss.SSSSSS'), ' +0000')",
+        sql,
+        flags=re.I,
+    )
     # strftime %-patterns in temporal format args → Java patterns
     # (runs pre-masking to edit the literal)
     sql = _STRFTIME_FN.sub(_strftime_repl, sql)
@@ -2439,6 +2471,32 @@ def rewrite_databend_sql(sql: str) -> str:
         if new == masked:
             break
         masked = new
+    # Snowflake/Databend `* EXCLUDE(a, b)` / `* EXCLUDE a` → Spark's
+    # `* EXCEPT(a, b)` star modifier
+    if re.search(r"\*\s*EXCLUDE\b", masked, re.I):
+        masked = re.sub(
+            r"\*\s*EXCLUDE\s*\(([^()]*)\)", r"* EXCEPT(\1)", masked, flags=re.I
+        )
+        masked = re.sub(
+            r"\*\s*EXCLUDE\s+([A-Za-z_]\w*)", r"* EXCEPT(\1)", masked, flags=re.I
+        )
+    # a scalar cast straight off parse_json unquotes (variant→scalar
+    # cast semantics, reference scalars/variant.rs as_* casts)
+    masked = re.sub(
+        r"((?:try_)?parse_json\s*\((?:[^()]|\([^()]*\))*\))\s*::\s*"
+        r"(BOOLEAN|TINYINT|SMALLINT|INTEGER|INT|BIGINT|FLOAT|DOUBLE"
+        r"|DATE|TIMESTAMP)\b",
+        r"__variant_access((\1), '', '', true)::\2",
+        masked,
+        flags=re.I,
+    )
+    # `CASE WHEN NULL THEN …` — Spark rejects a VOID condition
+    masked = re.sub(
+        r"\bWHEN\s+NULL\s+THEN\b",
+        "WHEN CAST(NULL AS BOOLEAN) THEN",
+        masked,
+        flags=re.I,
+    )
     # `x = NOT <bool>` parses in Databend/DuckDB, not Spark; the operand
     # may be a literal, masked string, or either with a `::type` cast
     masked = re.sub(
@@ -2577,7 +2635,8 @@ def rewrite_databend_sql(sql: str) -> str:
     if _JQ_TVF.search(masked):
         masked = _rewrite_jq_tvf(masked)
     if re.search(
-        r"@\?|@@|@>|<@|\?[|&]|#-|\?|parse_json\s*\([^()]*\)\s*(-|\|\|)",
+        r"@\?|@@|@>|<@|\?[|&]|#-|\?"
+        r"|parse_json\s*\([^()]*\)\s*(-|\|\||[+*/])",
         masked,
         re.I,
     ):
