@@ -87,20 +87,54 @@ def main() -> None:
         times[name] = round(statistics.median(samples), 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "total_excl_ev_funnel": round(
-                    total - times.get("ev_funnel", 0.0), 3
-                ),
-                "sf": float(sf),
-            }
-        )
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "total_excl_ev_funnel": round(
+            total - times.get("ev_funnel", 0.0), 3
+        ),
+        "sf": float(sf),
+    }
+
+    # primary scale: sf1 (facts replicated 10×, tools/gen_scale.py) —
+    # the sf0.1 numbers above are the fixed-overhead floor check; the
+    # sf1 run shows throughput once Spark's per-query floor amortizes
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data", "sf1"),
     )
+    if not os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        try:  # build once from the sf0.1 parquet (tools/gen_scale.py)
+            from tools.gen_scale import main as _gen
+
+            _argv, sys.argv = sys.argv, ["gen_scale", "10", SF_DIR, sf1_dir]
+            try:
+                _gen()
+            finally:
+                sys.argv = _argv
+        except Exception:  # noqa: BLE001 — sf1 is optional
+            pass
+    if os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        sf1_times: dict[str, float] = {}
+        for name in HEADLINE:
+            samples = []
+            for _ in range(max(2, N_ITER - 1)):
+                t0 = time.perf_counter()
+                qs[name](spark, sf1_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                samples.append(time.perf_counter() - t0)
+            sf1_times[name] = round(statistics.median(samples), 3)
+        sf1_total = round(sum(sf1_times.values()), 3)
+        out["sf1_total"] = sf1_total
+        out["sf1_queries"] = sf1_times
+        out["sf1_total_excl_ev_funnel"] = round(
+            sf1_total - sf1_times.get("ev_funnel", 0.0), 3
+        )
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -754,7 +754,7 @@ def run_slt_file(
             except Exception:
                 continue
             for t in tbls:
-                if t.isTemporary:
+                if t.isTemporary or t.name.startswith("__dropped_"):
                     continue
                 fq = f"`{db.name}`.`{t.name}`"
                 try:
@@ -1017,6 +1017,11 @@ def run_slt_file(
     # (reference: storages/system/src/databases_table.rs WithHistory)
     dropped_dbs: list[tuple[str, float]] = []
     dropped_tbls: list[tuple[str, str, float]] = []
+    # UNDROP TABLE stack: (db, tbl) → [("tbl", hidden_name) | ("empty",
+    # cols_ddl)]; UNDROP DATABASE stash: db → [(tbl, schema, rows)]
+    undrop_stack: dict[tuple[str, str], list] = {}
+    undrop_seq = [0]
+    db_stash: dict[str, list] = {}
 
     # per-table write-commit counter feeding fuse_snapshot(): every
     # INSERT/TRUNCATE/UPDATE/DELETE commit = one snapshot in the chain
@@ -1273,20 +1278,115 @@ def run_slt_file(
             name = mdrop.group(1).strip("`")
             if any(d.name == name for d in spark.catalog.listDatabases()):
                 dropped_dbs.append((name, _time.time()))
+                # stash small tables so UNDROP DATABASE can restore
+                # them (reference undrop database); bounded to keep
+                # ordinary cleanup drops cheap
+                stash = []
+                try:
+                    # hidden __dropped_ stashes restore too, so a
+                    # table-level UNDROP still works after the database
+                    # itself is undropped
+                    tbls = [
+                        t
+                        for t in spark.catalog.listTables(name)
+                        if not t.isTemporary
+                    ]
+                    if len(tbls) <= 8:
+                        for t in tbls:
+                            rows = (
+                                spark.table(f"`{name}`.`{t.name}`")
+                                .limit(10001)
+                                .collect()
+                            )
+                            if len(rows) > 10000:
+                                stash = []
+                                break
+                            stash.append(
+                                (
+                                    t.name,
+                                    spark.table(
+                                        f"`{name}`.`{t.name}`"
+                                    ).schema,
+                                    rows,
+                                )
+                            )
+                except Exception:  # noqa: BLE001
+                    stash = []
+                if stash:
+                    db_stash[name] = stash
         mtdrop = re.match(
-            r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)", sql, re.I
+            r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*(ALL)?"
+            r"\s*;?\s*$",
+            sql,
+            re.I,
         )
-        if mtdrop:
-            import time as _time
-
-            k = _commit_key(mtdrop.group(1))
+        if mtdrop and not re.match(
+            r"`?(system|information_schema)`?\.", mtdrop.group(2), re.I
+        ):
+            # rename-stash instead of dropping so UNDROP TABLE can
+            # restore it (reference fuse drop_table_ctx / undrop); ALL
+            # purges data but keeps the schema restorable
+            k = _commit_key(mtdrop.group(2))
+            full = f"{k[0]}.{k[1]}"
             try:
-                if spark.catalog.tableExists(
-                    f"{k[0]}.{k[1]}" if k[0] else k[1]
-                ):
-                    dropped_tbls.append((k[0], k[1], _time.time()))
+                exists = spark.catalog.tableExists(full)
             except Exception:  # noqa: BLE001
-                pass
+                exists = False
+            if exists:
+                dropped_tbls.append((k[0], k[1], time.time()))
+                stack = undrop_stack.setdefault(k, [])
+                if mtdrop.group(3):  # DROP TABLE t ALL
+                    ddl = spark.table(full).schema.simpleString()[7:-1]
+                    stack.append(("empty", ddl))
+                    spark.sql(f"DROP TABLE {full}")
+                else:
+                    undrop_seq[0] += 1
+                    hidden = f"__dropped_{k[1]}_{undrop_seq[0]}"
+                    spark.sql(
+                        f"ALTER TABLE {full} RENAME TO {k[0]}.{hidden}"
+                    )
+                    stack.append(("tbl", hidden))
+                    if len(stack) > 3:  # bound catalog growth
+                        old = stack.pop(0)
+                        if old[0] == "tbl":
+                            spark.sql(
+                                f"DROP TABLE IF EXISTS {k[0]}.{old[1]}"
+                            )
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            if mtdrop.group(1):
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            raise ValueError(f"[1025] Unknown table {full}")
+        mudb = re.match(
+            r"^\s*UNDROP\s+(DATABASE|SCHEMA)\s+([\w`]+)\s*;?\s*$", sql, re.I
+        )
+        if mudb:
+            name = mudb.group(2).strip("`")
+            if any(d.name == name for d in spark.catalog.listDatabases()):
+                raise ValueError(f"[2301] database {name} already exists")
+            spark.sql(f"CREATE DATABASE `{name}`")
+            for tbl, schema, rows in db_stash.pop(name, []):
+                df = spark.createDataFrame(rows, schema)
+                df.write.mode("overwrite").saveAsTable(f"`{name}`.`{tbl}`")
+            dropped_dbs[:] = [d for d in dropped_dbs if d[0] != name]
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        mundrop = re.match(
+            r"^\s*UNDROP\s+TABLE\s+([\w.`]+)\s*;?\s*$", sql, re.I
+        )
+        if mundrop:
+            k = _commit_key(mundrop.group(1))
+            full = f"{k[0]}.{k[1]}"
+            stack = undrop_stack.get(k, [])
+            if not stack:
+                raise ValueError(f"[1025] no dropped table {full}")
+            if spark.catalog.tableExists(full):
+                raise ValueError(f"[2308] table {full} already exists")
+            kind, payload = stack.pop()
+            if kind == "tbl":
+                spark.sql(f"ALTER TABLE {k[0]}.{payload} RENAME TO {full}")
+            else:
+                cols = payload.replace(":", " ")
+                spark.sql(f"CREATE TABLE {full} ({cols})")
+            return spark.sql("SELECT 1 AS ok WHERE false")
         if "tables_with_history" in sql.lower():
             rows = []
             for d in spark.catalog.listDatabases():
@@ -1294,7 +1394,8 @@ def run_slt_file(
                     continue
                 try:
                     for t in spark.catalog.listTables(d.name):
-                        rows.append((d.name, t.name, "NULL"))
+                        if not t.name.startswith("__dropped_"):
+                            rows.append((d.name, t.name, "NULL"))
                 except Exception:  # noqa: BLE001
                     pass
             rows += [(db, n, repr(ts)) for db, n, ts in dropped_tbls]
@@ -1510,7 +1611,7 @@ def run_slt_file(
             names = [
                 (t.name,)
                 for t in spark.catalog.listTables(db)
-                if not t.isTemporary
+                if not t.isTemporary and not t.name.startswith("__dropped_")
             ]
             df = spark.createDataFrame(
                 names or [("",)], f"`Tables_in_{db}` string"
@@ -1871,10 +1972,38 @@ def run_slt_file(
                 + f"{left} {kind} JOIN {right_ref} USING ({using})"
                 + rest[consumed:]
             )
-        # Spark v1 tables have no OR REPLACE — emulate with a pre-drop
+        # Spark v1 tables have no OR REPLACE — emulate. A CTAS body
+        # builds into a temp table first so a failing SELECT leaves the
+        # old table intact (reference: atomic replace, issue_15664)
         m = _or_replace_tbl.match(sql)
         if m:
-            spark.sql(f"DROP TABLE IF EXISTS {m.group(1)}")
+            tgt = m.group(1)
+            is_ctas = re.search(r"\bAS\s*\(?\s*(SELECT|WITH)\b", sql, re.I)
+            exists = False
+            try:
+                k = _commit_key(tgt)
+                exists = spark.catalog.tableExists(f"{k[0]}.{k[1]}")
+            except Exception:  # noqa: BLE001
+                pass
+            if is_ctas and exists:
+                undrop_seq[0] += 1
+                tmp = f"__cr_tmp_{undrop_seq[0]}"
+                tmp_sql = re.sub(
+                    rf"^(\s*CREATE\s+)OR\s+REPLACE\s+(TABLE\s+)"
+                    rf"{re.escape(tgt)}",
+                    rf"\g<1>\g<2>{k[0]}.{tmp}",
+                    sql,
+                    count=1,
+                    flags=re.I,
+                )
+                run_sql(tmp_sql)  # errors propagate before any swap
+                spark.sql(f"DROP TABLE {k[0]}.{k[1]}")
+                spark.sql(
+                    f"ALTER TABLE {k[0]}.{tmp} RENAME TO {k[0]}.{k[1]}"
+                )
+                _bump_commit(tgt)
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            spark.sql(f"DROP TABLE IF EXISTS {tgt}")
             sql = re.sub(r"OR\s+REPLACE\s+", "", sql, count=1, flags=re.I)
         m = _or_replace_db.match(sql)
         if m:
