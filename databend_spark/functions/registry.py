@@ -770,13 +770,50 @@ def _trunc_bare_unit(args: list[str]) -> str | None:
     return f"tru\x03nc({args[0]}, '{args[1].strip()}')"
 
 
-# Databend prints type names uppercase with VARCHAR for strings and a
-# space after commas (DECIMAL(38, 15)); unsigned widths can't
-# round-trip (Spark has no unsigned types)
-SQL_MACROS["typeof"] = (
-    "CASE upper(t\x03ypeof({0})) WHEN 'STRING' THEN 'VARCHAR'"
-    " ELSE regexp_replace(upper(t\x03ypeof({0})), ',\\\\s*', ', ') END"
-)
+def databend_int_literal_type(txt: str) -> str:
+    """Databend's integer-literal type inference (reference
+    src/query/ast literal typing: narrowest unsigned width for
+    non-negative values, narrowest signed width for negatives, DECIMAL
+    beyond u64/i64)."""
+    v = int(txt)
+    if v >= 0:
+        for hi, name in (
+            (255, "TINYINT UNSIGNED"),
+            (65535, "SMALLINT UNSIGNED"),
+            (4294967295, "INT UNSIGNED"),
+            (18446744073709551615, "BIGINT UNSIGNED"),
+        ):
+            if v <= hi:
+                return name
+    else:
+        for lo, name in (
+            (-128, "TINYINT"),
+            (-32768, "SMALLINT"),
+            (-2147483648, "INT"),
+            (-9223372036854775808, "BIGINT"),
+        ):
+            if v >= lo:
+                return name
+    return f"DECIMAL({len(txt.lstrip('-'))}, 0)"
+
+
+def _typeof_macro(args: list[str]) -> str | None:
+    """typeof: uppercase Databend names (VARCHAR for strings, comma
+    spacing); an integer-literal argument reports the reference's
+    literal inference, which Spark's uniform-INT typing loses."""
+    if len(args) != 1:
+        return None
+    t = args[0].strip()
+    if re.fullmatch(r"-?\d+", t):
+        return "'" + databend_int_literal_type(t) + "'"
+    return (
+        f"CASE upper(t\x03ypeof({t})) WHEN 'STRING' THEN 'VARCHAR'"
+        f" ELSE regexp_replace(upper(t\x03ypeof({t})), ',\\\\s*', ', ')"
+        " END"
+    )
+
+
+SQL_MACROS["typeof"] = _typeof_macro
 
 SQL_MACROS["cast"] = _cast_two_arg
 SQL_MACROS["try_cast"] = _cast_two_arg

@@ -1434,6 +1434,156 @@ def _subst_select_aliases(s: str, cond: str) -> str:
     return cond
 
 
+def _rewrite_unnest_hoist(s: str, literals: list[str] | None = None) -> str:
+    """unnest() used under GROUP BY or nested inside another function
+    (reference SRF-in-aggregation: binds the exploded value) → hoist
+    each distinct unnest argument into a LATERAL VIEW explode and
+    reference the generated column. Duplicate calls are matched by
+    their literal-resolved text (masking assigns distinct tokens to
+    equal literals)."""
+    sel = re.search(r"^\s*SELECT\b", s, re.I)
+    if not sel:
+        return s
+    f = _find_depth0(s, "FROM")
+    if f == -1:
+        return s
+    g = _find_depth0(s, "GROUP")
+    has_group = g != -1 and g > f
+
+    def resolve(t: str) -> str:
+        t = " ".join(t.split())
+        if literals:
+            t = re.sub(
+                "\x00(\\d+)\x00",
+                lambda m: literals[int(m.group(1))]
+                if int(m.group(1)) < len(literals)
+                else m.group(0),
+                t,
+            )
+        return t
+
+    def find_calls(seg: str) -> list[tuple[int, int, str]]:
+        out = []
+        for m in re.finditer(r"\bunnest\s*\(", seg, re.I):
+            depth, j = 0, m.end() - 1
+            while j < len(seg):
+                if seg[j] == "(":
+                    depth += 1
+                elif seg[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        out.append((m.start(), j + 1, seg[m.end() : j]))
+                        break
+                j += 1
+        return out
+
+    body = s[sel.end() : f]
+    tail = s[f:]
+    body_calls = find_calls(body)
+    # GROUP BY clause unnest calls (within the tail)
+    tail_calls = find_calls(tail) if has_group else []
+    if not body_calls and not tail_calls:
+        return s
+    nested = any(
+        re.search(r"\w\s*\(\s*$", body[: c[0]]) for c in body_calls
+    )
+    if not (has_group or nested):
+        return s
+    uniq: dict[str, tuple[str, str]] = {}  # resolved → (alias, raw args)
+    for _, _, args in body_calls + tail_calls:
+        key = resolve(args)
+        if key not in uniq:
+            uniq[key] = (f"__ue{len(uniq)}", args)
+
+    def subst(seg: str, calls: list[tuple[int, int, str]]) -> str:
+        out, last = [], 0
+        for start, end, args in calls:
+            out.append(seg[last:start])
+            out.append(uniq[resolve(args)][0])
+            last = end
+        out.append(seg[last:])
+        return "".join(out)
+
+    new_body = subst(body, body_calls)
+    tail = subst(tail, tail_calls)
+    em = _CLAUSE_END_GB2.search(tail, len("FROM"))
+    insert_at = em.start() if em else len(tail)
+    lvs = "".join(
+        f" LATERAL VIEW explode({raw}) __lv_{alias} AS {alias}"
+        for alias, raw in uniq.values()
+    )
+    tail = tail[:insert_at].rstrip() + lvs + " " + tail[insert_at:]
+    return s[: sel.end()] + new_body + tail
+
+
+_CLAUSE_END_GB2 = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|QUALIFY"
+    r"|WINDOW|UNION|EXCEPT|INTERSECT)\b",
+    re.I,
+)
+
+
+def _rewrite_groupby_alias_shadow(s: str) -> str:
+    """``SELECT x % 3 AS x … GROUP BY x`` — the reference binds the
+    select ALIAS in GROUP BY; Spark binds the source column. Substitute
+    the alias expression for group keys whose alias shadows a column it
+    references (top-level select only)."""
+    sel = re.search(r"^\s*SELECT\b", s, re.I)
+    if not sel:
+        return s
+    f = _find_depth0(s, "FROM")
+    g = _find_depth0(s, "GROUP")
+    if f == -1 or g == -1 or g < f:
+        return s
+    body = s[sel.end() : f]
+    items, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(body[start:i])
+            start = i + 1
+    items.append(body[start:])
+    shadows = {}
+    for it in items:
+        m = re.match(r"^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", it, re.I | re.S)
+        if not m:
+            continue
+        expr, name = m.group(1).strip(), m.group(2)
+        # the reference binds GROUP BY identifiers to select aliases
+        # before source columns; substituting the expression matches
+        # both resolutions (Spark prefers the column on a name clash)
+        if expr != name and "OVER" not in expr.upper():
+            shadows[name] = expr
+    if not shadows:
+        return s
+    by = re.match(r"GROUP\s+BY\b", s[g:], re.I)
+    if not by:
+        return s
+    gstart = g + by.end()
+    gend = len(s)
+    m = _CLAUSE_END_GB.search(s, gstart)
+    if m:
+        gend = m.start()
+    keys = s[gstart:gend]
+    for name, expr in shadows.items():
+        keys = re.sub(
+            rf"(?<![\w.`]){re.escape(name)}(?![\w.`(])",
+            lambda _m, e=expr: f"({e})",
+            keys,
+        )
+    return s[:gstart] + keys + s[gend:]
+
+
+_CLAUSE_END_GB = re.compile(
+    r"\b(HAVING|ORDER\s+BY|LIMIT|OFFSET|QUALIFY|WINDOW|UNION|EXCEPT"
+    r"|INTERSECT)\b",
+    re.I,
+)
+
+
 def _rewrite_qualify(s: str) -> str:
     """Depth-0 ``QUALIFY <cond>`` → project the condition as a hidden
     column inside the (possibly grouped/windowed) select, filter on it
@@ -2650,6 +2800,10 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = _rewrite_values_relation_alias(masked)
     # Databend allows HAVING as a row filter / global-agg filter without
     # GROUP BY; QUALIFY filters window/grouping output
+    if re.search(r"\bunnest\s*\(", masked, re.I):
+        masked = _rewrite_unnest_hoist(masked, literals)
+    if re.search(r"\bGROUP\s+BY\b", masked, re.I):
+        masked = _rewrite_groupby_alias_shadow(masked)
     if re.search(r"\bHAVING\b", masked, re.I):
         masked = _rewrite_scalar_having(masked)
     if _QUALIFY.search(masked):

