@@ -54,3 +54,7 @@ try:
     import databend_spark.suite.geo  # noqa: F401
 except ImportError:
     pass
+try:
+    import databend_spark.suite.variant_suite  # noqa: F401
+except ImportError:
+    pass
