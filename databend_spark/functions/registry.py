@@ -45,7 +45,6 @@ RENAME: dict[str, str] = {
     "to_base64": "base64",
     "from_base64": "unbase64",
     "from_hex": "unhex",
-    "ord": "ascii",
     "insert": "overlay",
     # math
     "ceiling": "ceil",
@@ -228,6 +227,9 @@ SQL_MACROS: dict[str, str] = {
         3: "explode(sequence({0}, {1}, {2}))",
     },
     "unicode": "ascii({0})",
+    # MySQL ord: big-endian integer of the first character's UTF-8
+    # bytes (reference scalars/string.rs:830)
+    "ord": "CASE WHEN ({0}) IS NULL THEN NULL ELSE coalesce(CAST(conv(hex(encode(left(CAST({0} AS STRING), 1), 'utf-8')), 16, 10) AS BIGINT), 0) END",
     "object_keys": "json_object_keys({0})",
     # our Variant model keeps JSON as strings (COMPOSED parse_json_variant)
     # canonical JSONB text (sorted keys, compact; errors / NULLs on
@@ -235,9 +237,11 @@ SQL_MACROS: dict[str, str] = {
     "parse_json": {1: "__parse_json_strict({0})"},
     "try_parse_json": {1: "__variant_access(({0}), '', '', false)"},
     # to_decimal(p, s)(x) arrives as to_decimal(x, p, s) after the
-    # parameterized-call normalization
-    "try_to_decimal": {3: "try_cast({0} AS DECIMAL({1}, {2}))"},
-    "to_decimal": {3: "CAST({0} AS DECIMAL({1}, {2}))"},
+    # parameterized-call normalization; precision beyond Spark's 38
+    # ceiling goes through the exact-expansion __decimal_text UDF
+    # (reference supports precision ≤ 76)
+    "try_to_decimal": lambda args: _to_decimal_sql(args, "try_cast"),
+    "to_decimal": lambda args: _to_decimal_sql(args, "CAST"),
     "nvl2": "CASE WHEN {0} IS NOT NULL THEN {1} ELSE {2} END",
     "div0": "CASE WHEN {1} = 0 THEN 0.0 ELSE {0} / {1} END",
     "divnull": "{0} / nullif({1}, 0)",
@@ -357,6 +361,15 @@ SQL_MACROS: dict[str, str] = {
     ),
     "database": "current_database()",
     "currentdatabase": "current_database()",
+    # session context (reference scalars/other.rs): fixed root identity
+    # and the pinned UTC session timezone
+    "current_user": "'''root''@''%'''",
+    "user": "'''root''@''%'''",
+    "timezone": "'UTC'",
+    "gen_random_uuid": "uuid()",
+    # IGNORE(...) evaluates and discards, always 0 (reference
+    # scalars/other.rs ignore)
+    "ignore": lambda args: "0",
     # no-op pacing stub: the reference sleeps server-side; tests only
     # check the statement succeeds
     "sleep": "(0 * CAST(({0}) AS INT))",
@@ -806,6 +819,21 @@ def _typeof_macro(args: list[str]) -> str | None:
     t = args[0].strip()
     if re.fullmatch(r"-?\d+", t):
         return "'" + databend_int_literal_type(t) + "'"
+    # unary +/- over a folded to_<type>(literal): the reference folds the
+    # constant and re-infers the literal's minimal type (unary + keeps
+    # the operand's type; unary - over float keeps the float width)
+    mu = re.fullmatch(
+        r"([-+])\s*to_(uint|int|float)(8|16|32|64)\s*\(\s*(-?\d+)\s*\)", t
+    )
+    if mu:
+        sign, base, width, lit = mu.groups()
+        if base == "float":
+            return "'FLOAT'" if width == "32" else "'DOUBLE'"
+        if sign == "+":
+            names = {"8": "TINYINT", "16": "SMALLINT", "32": "INT", "64": "BIGINT"}
+            name = names[width]
+            return "'" + (name + " UNSIGNED" if base == "uint" else name) + "'"
+        return "'" + databend_int_literal_type(str(-int(lit))) + "'"
     return (
         f"CASE upper(t\x03ypeof({t})) WHEN 'STRING' THEN 'VARCHAR'"
         f" ELSE regexp_replace(upper(t\x03ypeof({t})), ',\\\\s*', ', ')"
@@ -1337,6 +1365,21 @@ def _object_construct_mode(keep_null: bool, try_: bool):
         )
 
     return build
+
+
+def _to_decimal_sql(args: list[str], cast_kw: str) -> str | None:
+    """to_decimal / try_to_decimal with precision above DECIMAL(38):
+    exact double→decimal text via __decimal_text (a double is dyadic,
+    so the expansion is exact at any scale)."""
+    if len(args) != 3:
+        return None
+    try:
+        prec = int(args[1].strip())
+    except ValueError:
+        prec = 0
+    if prec > 38:
+        return f"__decimal_text(CAST({args[0]} AS DOUBLE), {args[2]})"
+    return f"{cast_kw}({args[0]} AS DECIMAL({args[1]}, {args[2]}))"
 
 
 def _regexp_split_sql(args: list[str], explode: bool) -> str | None:
@@ -1913,7 +1956,6 @@ _SQL_SAFE_RENAMES = {
     "to_base64": "base64",
     "to_hex": "hex",
     "from_hex": "unhex",
-    "ord": "ascii",
     "arg_max": "max_by",
     "arg_min": "min_by",
     "group_concat": "listagg",

@@ -631,6 +631,28 @@ def variant_path_query(v, path, mode):
     return json.dumps([_canon(m) for m in matches], ensure_ascii=False)
 
 
+def decimal_text(x, scale):
+    """Exact double→decimal text at scales beyond Spark's DECIMAL(38)
+    ceiling (reference to_decimal supports precision ≤ 76,
+    src/query/expression/src/types/decimal.rs). A double is a dyadic
+    rational, so its decimal expansion is exact; quantize at the asked
+    scale with banker's rounding like the reference."""
+    if x is None or scale is None:
+        return None
+    import decimal
+
+    try:
+        with decimal.localcontext() as ctx:
+            ctx.prec = 120
+            d = decimal.Decimal(float(x)).quantize(
+                decimal.Decimal(1).scaleb(-int(scale)),
+                rounding=decimal.ROUND_HALF_EVEN,
+            )
+        return format(d, "f")
+    except (decimal.InvalidOperation, ValueError, OverflowError):
+        return None
+
+
 def jaro_winkler(s1, s2):
     """Jaro-Winkler similarity (reference scalars/string.rs jaro_winkler,
     standard prefix weight 0.1, max prefix 4) — computed over UTF-8
@@ -1448,6 +1470,7 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__variant_path_query", variant_path_query, StringType())
     spark.udf.register("__check_json", check_json, StringType())
     spark.udf.register("__jaro_winkler", jaro_winkler, DoubleType())
+    spark.udf.register("__decimal_text", decimal_text, StringType())
     from pyspark.sql.types import ArrayType, BooleanType, LongType
 
     spark.udf.register("__jq_list", jq_list, ArrayType(StringType()))

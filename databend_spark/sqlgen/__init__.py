@@ -1354,6 +1354,96 @@ def _find_depth0(s: str, word: str, start: int = 0) -> int:
     return -1
 
 
+def _balanced_call(s: str, open_idx: int) -> int:
+    """End index (exclusive) of the paren group opening at ``open_idx``."""
+    depth = 0
+    for j in range(open_idx, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    return -1
+
+
+def _rewrite_srf_post(s: str) -> str:
+    """Post-macro-expansion SRF fixes (reference ProjectSet semantics,
+    src/query/sql/src/planner/semantic/project_set.rs):
+
+    * ``count(explode(X))`` — the reference expands the SRF then counts
+      its rows; Spark rejects a generator inside an aggregate. Rewrite
+      to ``size(filter(X, nn -> nn IS NOT NULL))`` (count skips NULLs).
+    * Two or more ``explode(..)`` items in one select list — the
+      reference zips SRFs positionally with NULL padding (pg-style);
+      Spark would reject multiple generators. Rewrite to one
+      ``inline(zip_with(...))`` over NULL-padded struct arrays.
+    """
+    # count(explode(X)) → size(filter(X, …))
+    out = []
+    i = 0
+    while True:
+        m = re.search(r"\bcount\s*\(\s*explode\s*(\()", s[i:], re.I)
+        if not m:
+            out.append(s[i:])
+            break
+        arg_open = i + m.start(1)
+        arg_end = _balanced_call(s, arg_open)
+        close = s.find(")", arg_end)
+        if arg_end == -1 or close == -1 or s[arg_end:close].strip():
+            out.append(s[i : i + m.end()])
+            i += m.end()
+            continue
+        arr = s[arg_open + 1 : arg_end - 1]
+        out.append(s[i : i + m.start()])
+        out.append(f"size(filter(({arr}), __cnt_e -> __cnt_e IS NOT NULL))")
+        i = close + 1
+    s = "".join(out)
+
+    # multi-SRF select list → inline(zip_with(...))
+    sel = re.match(r"^\s*SELECT\s+", s, re.I)
+    if not sel:
+        return s
+    f = _find_depth0(s, "FROM")
+    body = s[sel.end() : f] if f != -1 else s[sel.end() :]
+    # split on depth-0 commas
+    items, depth, start = [], 0, 0
+    for j, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(body[start:j])
+            start = j + 1
+    items.append(body[start:])
+    srf_args = []
+    for it in items:
+        m = re.match(
+            r"^\s*explode\s*(\()", it, re.I
+        )
+        if not m:
+            return s
+        end = _balanced_call(it, m.start(1))
+        if end == -1 or (
+            it[end:].strip()
+            and not re.match(r"^\s*(AS\s+)?[A-Za-z_]\w*\s*$", it[end:], re.I)
+        ):
+            return s
+        srf_args.append(it[m.start(1) + 1 : end - 1])
+    if len(srf_args) < 2:
+        return s
+    zipped = f"transform(({srf_args[0]}), __z0 -> struct(__z0 AS c0))"
+    for k, arg in enumerate(srf_args[1:], start=1):
+        fields = ", ".join(f"__zs.c{j} AS c{j}" for j in range(k))
+        zipped = (
+            f"zip_with({zipped}, ({arg}),"
+            f" (__zs, __z{k}) -> struct({fields}, __z{k} AS c{k}))"
+        )
+    new_body = f"inline({zipped}) "
+    return s[: sel.end()] + new_body + (s[f:] if f != -1 else "")
+
+
 _AGG_CALL = re.compile(
     r"\b(sum|count|avg|mean|min|max|median|mode|stddev\w*|std|var\w*|corr|"
     r"covar\w*|skewness|kurtosis\w*|percentile\w*|approx_\w+|string_agg|"
@@ -2676,6 +2766,20 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = _rewrite_cast_paren_types(masked)
     for pat, repl in _TYPE_ALIASES:
         masked = pat.sub(repl, masked)
+    # reference decimals reach precision 76 (decimal256); Spark caps at
+    # 38 — clamp the type token, keeping as much scale as the integer
+    # digits allow (text output is identical whenever the value fits)
+    masked = re.sub(
+        r"\bDECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
+        lambda m: (
+            m.group(0)
+            if int(m.group(1)) <= 38
+            else "DECIMAL(38, %d)"
+            % max(0, min(int(m.group(2)), 38 - min(int(m.group(1)) - int(m.group(2)), 38)))
+        ),
+        masked,
+        flags=re.I,
+    )
     # Databend positional tuple access `t.1` → Spark struct field `t.`1``
     masked = _TUPLE_FIELD.sub(r"\1.`\2`", masked)
     # numbers(N) table function → range(N) with the reference column name
@@ -2842,10 +2946,29 @@ def rewrite_databend_sql(sql: str) -> str:
     # ClickHouse-style parameterized aggregates fn(p)(x) → fn(x, p)
     masked = _PARAM_AGG.sub(r"\1(\3, \2)", masked)
     masked = _BMP_TO_STRING.sub(_bmp_to_string_repl, masked)
+    # PostgreSQL-style math operators (reference parser token rules):
+    # postfix ! factorial, prefix @ absolute value, infix # xor
+    masked = re.sub(
+        r"(\d+(?:\.\d+)?)\s*!(?![=~])",
+        r"factorial(\1)",
+        masked,
+    )
+    masked = re.sub(
+        r"(?<![\w<>!=@#^|])@\s*(?![?>@~=])(-?[\w.]+(?:\([^()]*\))?)",
+        r"abs(\1)",
+        masked,
+    )
+    # a # b → bitwise xor; \x04 dodges the ^-is-pow rewrite below
+    masked = re.sub(
+        r"([\w.)]+)\s*#\s*(?![>-])(-?[\w.(]+)",
+        "\\1 \x04 \\2",
+        masked,
+    )
     # Databend integer division a // b (strings are masked out)
     masked = masked.replace("//", " div ")
     # ^ is exponentiation (Spark: bitxor); |/ is square root
     masked = _CARET_POW.sub(r"pow(\1, \2)", masked)
+    masked = masked.replace("\x04", "^")
     masked = _CBRT_OP.sub(r"cbrt(\1)", masked)
     masked = _SQRT_OP.sub(r"sqrt(\1)", masked)
     # per-query settings prefix → engine defaults apply
@@ -2885,6 +3008,8 @@ def rewrite_databend_sql(sql: str) -> str:
         masked = expand_sql_macros(masked)
     finally:
         _reg.CURRENT_LITERALS = []
+    if re.search(r"\bexplode\s*\(", masked, re.I):
+        masked = _rewrite_srf_post(masked)
     return _unmask_strings(masked, literals)
 
 

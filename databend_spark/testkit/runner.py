@@ -726,6 +726,9 @@ def run_slt_file(
         return dsize
 
     setop_limit = [0]  # SET max_set_operator_count emulation
+    # SET binary_input_format: string literals inserted into BINARY
+    # columns decode per this format (reference settings_default.rs)
+    bin_input: list[str | None] = [None]
 
     # query-result-cache emulation (reference
     # storages/system/src/query_cache_table.rs + result_cache settings)
@@ -1058,6 +1061,43 @@ def run_slt_file(
             # really pace — AT(offset) time travel depends on wall time
             time.sleep(min(float(ms.group(1)), 5.0))
             return spark.sql("SELECT 0 AS sleep")
+        if bin_input[0] in ("hex", "base64"):
+            mi = re.match(
+                r"^\s*INSERT\s+INTO\s+([\w.`]+)\s*(\([^)]*\))?\s*"
+                r"VALUES\s*(.*)$",
+                sql,
+                re.I | re.S,
+            )
+            if mi:
+                try:
+                    schema = spark.table(mi.group(1)).schema
+                except Exception:  # noqa: BLE001
+                    schema = None
+                binset = {
+                    f.name.lower()
+                    for f in (schema.fields if schema else [])
+                    if f.dataType.simpleString() == "binary"
+                }
+                if binset:
+                    cols = (
+                        [
+                            c.strip().strip("`")
+                            for c in mi.group(2)[1:-1].split(",")
+                        ]
+                        if mi.group(2)
+                        else [f.name for f in schema.fields]
+                    )
+                    dec = "unhex" if bin_input[0] == "hex" else "unbase64"
+                    exprs = ", ".join(
+                        f"{dec}(c{i})" if c.lower() in binset else f"c{i}"
+                        for i, c in enumerate(cols)
+                    )
+                    alias = ", ".join(f"c{i}" for i in range(len(cols)))
+                    sql = (
+                        f"INSERT INTO {mi.group(1)} {mi.group(2) or ''} "
+                        f"SELECT {exprs} FROM (VALUES {mi.group(3)}) "
+                        f"AS __bi({alias})"
+                    )
         atm = re.search(
             r"\bFROM\s+([\w.`]+)\s+at\s*\(\s*(offset|timestamp)\s*=>\s*"
             r"((?:[^()]|\([^()]*\))*)\)",
@@ -2407,6 +2447,30 @@ def run_slt_file(
                         return spark.sql(forced)
                     except Exception:  # noqa: BLE001
                         pass
+            if re.search(
+                r'cannot cast "(TINYINT|SMALLINT|INT|BIGINT)" to "DATE"', msg
+            ):
+                # integer ::Date cast on a column (Databend: days since
+                # epoch); Spark refuses BIGINT→DATE — hop through
+                # date_add like the literal form in rewrite_databend_sql
+                alt = re.sub(
+                    r"([\w.`]+)\s*::\s*Date\b",
+                    r"date_add(DATE'1970-01-01', CAST(\1 AS INT))",
+                    sql,
+                    flags=re.I,
+                )
+                alt = re.sub(
+                    r"\bCAST\s*\(\s*([\w.`]+)\s+AS\s+DATE\s*\)",
+                    r"date_add(DATE'1970-01-01', CAST(\1 AS INT))",
+                    alt,
+                    flags=re.I,
+                )
+                forced = rewrite_databend_sql(alt)
+                if forced != rewritten:
+                    try:
+                        return spark.sql(forced)
+                    except Exception:  # noqa: BLE001
+                        pass
             if "CAST_INVALID_INPUT" in msg and "The value ''" in msg and (
                 '"DATE"' in msg or '"TIMESTAMP' in msg
             ):
@@ -2418,6 +2482,43 @@ def run_slt_file(
                 )
                 forced = rewrite_databend_sql(sql.replace("''", repl))
                 if forced != rewritten:
+                    try:
+                        return spark.sql(forced)
+                    except Exception:  # noqa: BLE001
+                        pass
+            if "NONDETERMINISTIC" in msg and re.search(
+                r"\b(gen_random_uuid|uuid|rand(om)?)\s*\(\s*\)", sql, re.I
+            ):
+                # the reference evaluates per-row nondeterministic calls
+                # inside aggregates; Spark refuses — hoist each call into
+                # a derived column of the relation and aggregate over it
+                smatch = re.match(r"^\s*SELECT\s+", sql, re.I)
+                fmatch = re.search(
+                    r"\bFROM\s+([\w.`()]+(?:\s*\(\s*\d*\s*\))?)\s*;?\s*$",
+                    sql,
+                    re.I,
+                )
+                if smatch and fmatch:
+                    body = sql[smatch.end() : fmatch.start()]
+                    nd_cols = []
+
+                    def _hoist(m):
+                        nd_cols.append(m.group(0))
+                        return f"__nd{len(nd_cols) - 1}"
+
+                    body = re.sub(
+                        r"\b(gen_random_uuid|uuid|rand(?:om)?)\s*\(\s*\)",
+                        _hoist,
+                        body,
+                        flags=re.I,
+                    )
+                    rel = fmatch.group(1)
+                    adds = ", ".join(
+                        f"{c} AS __nd{i}" for i, c in enumerate(nd_cols)
+                    )
+                    forced = rewrite_databend_sql(
+                        f"SELECT {body} FROM (SELECT *, {adds} FROM {rel})"
+                    )
                     try:
                         return spark.sql(forced)
                     except Exception:  # noqa: BLE001
@@ -2620,6 +2721,15 @@ def run_slt_file(
                     qcache["enabled"] = bool(int(qc.group(2)))
                 else:
                     qcache["min_secs"] = int(qc.group(2))
+                rep.passed += 1
+                continue
+            bi = re.match(
+                r"^\s*(UN)?SET\s+binary_input_format(?:\s*=\s*'(\w+[-\w]*)')?",
+                sql,
+                re.I,
+            )
+            if bi:
+                bin_input[0] = None if bi.group(1) else (bi.group(2) or "").lower()
                 rep.passed += 1
                 continue
             if _SETTINGS_STMT.match(sql):
