@@ -54,7 +54,6 @@ RENAME: dict[str, str] = {
     "crc32": "crc32",
     # date/time
     "to_datetime": "to_timestamp",
-    "to_day_of_week": "dayofweek",
     "to_day_of_month": "dayofmonth",
     "to_day_of_year": "dayofyear",
     "to_hour": "hour",
@@ -66,7 +65,6 @@ RENAME: dict[str, str] = {
     "to_week_of_year": "weekofyear",
     "date_format": "date_format",
     "str_to_date": "to_date",
-    "date_diff": "datediff",
     "subtract_days": "date_sub",
     "add_days": "date_add",
     # aggregates (Databend name -> Spark agg)
@@ -193,7 +191,14 @@ def databend_fn(name: str) -> Callable[..., Column]:
 # Used by sqlgen for functions that need expression rewrites (not just a
 # rename). {0},{1}… are the call's top-level arguments.
 SQL_MACROS: dict[str, str] = {
-    "to_string": "CAST({0} AS STRING)",
+    "to_string": {
+        1: "CAST({0} AS STRING)",
+        2: "date_format(CAST({0} AS TIMESTAMP), {1})",
+    },
+    "to_char": {
+        1: "CAST({0} AS STRING)",
+        2: "date_format(CAST({0} AS TIMESTAMP), {1})",
+    },
     "to_varchar": "CAST({0} AS STRING)",
     "to_text": "CAST({0} AS STRING)",
     "to_int8": "CAST({0} AS TINYINT)",
@@ -214,11 +219,36 @@ SQL_MACROS: dict[str, str] = {
     "to_start_of_month": "trunc({0}, 'month')",
     "to_start_of_quarter": "trunc({0}, 'quarter')",
     "to_start_of_year": "trunc({0}, 'year')",
-    "to_start_of_week": "trunc({0}, 'week')",
     "to_start_of_day": "date_trunc('day', {0})",
     "to_start_of_hour": "date_trunc('hour', {0})",
     "to_start_of_minute": "date_trunc('minute', {0})",
     "between_days": "datediff({1}, {0})",
+    # ISO day-of-week Monday=1..Sunday=7 (reference date_helper.rs
+    # ToDayOfWeek); Spark's dayofweek is Sunday=1
+    "to_day_of_week": "(CAST(weekday({0}) AS INT) + 1)",
+    "dayofweek": "(CAST(weekday({0}) AS INT) + 1)",
+    # Databend's default week starts Sunday (mode 0); mode 1 = Monday
+    "to_start_of_week": {
+        1: "date_sub(CAST({0} AS DATE),"
+           " CAST(dayo\x03fweek({0}) AS INT) - 1)",
+        2: "CASE WHEN ({1}) >= 1 THEN date_sub(CAST({0} AS DATE),"
+           " CAST(weekday({0}) AS INT)) ELSE date_sub(CAST({0} AS DATE),"
+           " CAST(dayo\x03fweek({0}) AS INT) - 1) END",
+    },
+    # exact ratio, no 8-digit rounding (reference months_between)
+    "months_between": "months_be\x03tween({0}, {1}, false)",
+    # robust ISO parse (offsets, T separator) via CAST
+    "to_unix_timestamp": "unix_seconds(CAST(({0}) AS TIMESTAMP))",
+    # fractional seconds since the epoch (reference EPOCH extract)
+    "epoch": "(CAST(unix_micros(CAST(({0}) AS TIMESTAMP)) AS DOUBLE)"
+             " / 1000000.0)",
+    # extract-field helpers (reference date_helper.rs To*Impl)
+    "week": "weekofyear({0})",
+    "dow": "(CAST(dayo\x03fweek(CAST({0} AS DATE)) AS INT) - 1)",
+    "isodow": "(CAST(weekday(CAST({0} AS DATE)) AS INT) + 1)",
+    "yearweek": "(extract(YEAROFWEEK FROM CAST({0} AS DATE)) * 100"
+                " + weekofyear({0}))",
+    "millennium": "CAST(ceil(year({0}) / 1000.0) AS INT)",
     "ifnull": {1: "({0})", 2: "coalesce({0}, {1})"},
     "nvl": {1: "({0})", 2: "coalesce({0}, {1})"},
     "unnest": "explode({0})",
@@ -366,6 +396,13 @@ SQL_MACROS: dict[str, str] = {
     "current_user": "'''root''@''%'''",
     "user": "'''root''@''%'''",
     "timezone": "'UTC'",
+    # Databend TIME renders as text (typeof VARCHAR)
+    "current_time": lambda args: (
+        "date_format(now(), 'HH:mm:ss.SSSSSS')"
+        if not args or not args[0].strip()
+        else "date_format(now(), concat('HH:mm:ss.',"
+        f" repeat('S', CAST({args[0]} AS INT))))"
+    ),
     "gen_random_uuid": "uuid()",
     # IGNORE(...) evaluates and discards, always 0 (reference
     # scalars/other.rs ignore)
@@ -554,7 +591,7 @@ def _previous_day(args: list[str]) -> str | None:
     if n is None:
         return None
     # largest date strictly before {d} whose dayofweek = n
-    return "date_sub({d}, pmod(dayofweek({d}) - {n} + 6, 7) + 1)".format(
+    return "date_sub({d}, pmod(dayofweek({d}) - {n} + 6, 7) + 1)".format(
         d=args[0], n=n
     )
 
@@ -767,7 +804,14 @@ SQL_MACROS["quantile"] = {2: "percentile({0}, {1})"}
 
 def _cast_two_arg(args: list[str]) -> str | None:
     """Databend's function-style cast(expr, TYPE); the standard
-    cast(x AS t) parses as one argument and passes through."""
+    cast(x AS t) parses as one argument and passes through. A type
+    alias that expanded to DECIMAL(p, s) arrives split on its comma."""
+    if (
+        len(args) == 3
+        and re.fullmatch(r"\s*DECIMAL\s*\(\s*\d+\s*", args[1], re.I)
+        and re.fullmatch(r"\s*\d+\s*\)\s*", args[2])
+    ):
+        return f"CAST({args[0]} AS {args[1]}, {args[2]})"
     if len(args) != 2 or "\x00" in args[1] or "(" in args[1]:
         return None
     if not re.fullmatch(r"[\w<>, ]+", args[1].strip()):
@@ -775,12 +819,29 @@ def _cast_two_arg(args: list[str]) -> str | None:
     return f"CAST({args[0]} AS {args[1]})"
 
 
+_ORACLE_TRUNC_UNITS = {
+    # Oracle-style format units (reference trunc: IW = ISO week, …)
+    "iw": "week", "mm": "month", "mon": "month", "month": "month",
+    "yyyy": "year", "yy": "year", "y": "year", "year": "year",
+    "q": "quarter",
+    "dd": "day", "ddd": "day", "day": "day",
+    "hh": "hour", "hh12": "hour", "hh24": "hour",
+    "mi": "minute", "ss": "second",
+}
+
+
 def _trunc_bare_unit(args: list[str]) -> str | None:
-    if len(args) != 2 or "\x00" in args[1]:
+    if len(args) != 2:
         return None
-    if not args[1].strip().isalpha():
+    unit_txt = _literal_text(args[1]).strip().strip("'\"").lower()
+    if unit_txt not in _ORACLE_TRUNC_UNITS and not (
+        "\x00" not in args[1] and args[1].strip().isalpha()
+    ):
         return None
-    return f"tru\x03nc({args[0]}, '{args[1].strip()}')"
+    mapped = _ORACLE_TRUNC_UNITS.get(unit_txt, unit_txt)
+    if mapped in ("hour", "minute", "second"):
+        return f"date_trunc('{mapped}', {args[0]})"
+    return f"tru\x03nc({args[0]}, '{mapped}')"
 
 
 def databend_int_literal_type(txt: str) -> str:
@@ -819,6 +880,14 @@ def _typeof_macro(args: list[str]) -> str | None:
     t = args[0].strip()
     if re.fullmatch(r"-?\d+", t):
         return "'" + databend_int_literal_type(t) + "'"
+    # date - date is INT (day count), timestamp - timestamp is BIGINT
+    # (microseconds) in the reference
+    if re.search(
+        r"-\s*(today|yesterday|tomorrow|current_date|to_date)\s*\(", t, re.I
+    ):
+        return "'INT'"
+    if re.search(r"-\s*(now|current_timestamp|to_datetime|to_timestamp)\s*\(", t, re.I):
+        return "'BIGINT'"
     # unary +/- over a folded to_<type>(literal): the reference folds the
     # constant and re-infers the literal's minimal type (unary + keeps
     # the operand's type; unary - over float keeps the float width)
@@ -918,6 +987,7 @@ def _try_to_date(args: list[str]) -> str | None:
         f" NULL THEN CAST(timestamp_seconds(try_cast({x} AS BIGINT))"
         " AS DATE) END"
     )
+    tries.append(f"try_to_d\x03ate({x}, 'd/M/yyyy')")
     tries.append(f"try_to_d\x03ate({x})")
     return "coalesce(" + ", ".join(tries) + ")"
 
@@ -926,7 +996,24 @@ def _try_to_timestamp(args: list[str]) -> str | None:
     if len(args) != 1:
         return None
     x = args[0]
-    tries = [f"try_to_t\x03imestamp({x}, '{f}')" for f in _TS_FMTS]
+    # Spark ≥3 rejects day-name patterns when parsing — strip the weekday
+    # prefix textually and parse the remainder instead of using EEE
+    tries = []
+    for f in _TS_FMTS:
+        if f.startswith("EEE, "):
+            src = f"regexp_replace({x}, '^[A-Za-z]+,\\\\s*', '')"
+            tries.append(f"try_to_t\x03imestamp({src}, '{f[5:]}')")
+        elif f.startswith("EEE "):
+            src = (
+                f"regexp_replace({x},"
+                " '^[A-Za-z]{3}\\\\s+(?=[A-Za-z]{3}\\\\s)', '')"
+            )
+            tries.append(f"try_to_t\x03imestamp({src}, '{f[4:]}')")
+        else:
+            tries.append(f"try_to_t\x03imestamp({x}, '{f}')")
+    tries.append(
+        f"try_to_t\x03imestamp({x}, 'd/M/yyyy[ H:m:s[.SSSSSS]]')"
+    )
     tries.append(
         f"CASE WHEN length({x}) NOT IN (8, 14) AND try_cast({x} AS"
         " BIGINT) IS NOT NULL THEN CASE"
@@ -1365,6 +1452,77 @@ def _object_construct_mode(keep_null: bool, try_: bool):
         )
 
     return build
+
+
+def _date_diff_sql(args: list[str]) -> str | None:
+    """date_diff/datediff(unit, start, end): boundary crossings, not
+    elapsed units (reference date_helper.rs Eval*Impl::eval_date_diff —
+    year/quarter/month compare calendar components, week counts
+    Sunday-start week indexes from the epoch, day/hour/minute/second
+    count truncated-unit boundaries)."""
+    if len(args) == 2:
+        # bare 2-arg datediff(end, start) = day difference
+        return (
+            f"datedi\x03ff(CAST({args[0]} AS DATE), CAST({args[1]} AS DATE))"
+        )
+    if len(args) != 3:
+        return None
+    unit = args[0].strip().strip("'\"").lower()
+    a, b = args[1], args[2]
+
+    def day(x: str) -> str:
+        return f"datedi\x03ff(CAST({x} AS DATE), DATE'1970-01-01')"
+
+    def epoch(x: str) -> str:
+        return f"unix_micros(CAST({x} AS TIMESTAMP))"
+
+    if unit == "year":
+        return f"(year({b}) - year({a}))"
+    if unit == "quarter":
+        return (
+            f"((year({b}) * 4 + quarter({b}))"
+            f" - (year({a}) * 4 + quarter({a})))"
+        )
+    if unit == "month":
+        return (
+            f"((year({b}) * 12 + month({b}))"
+            f" - (year({a}) * 12 + month({a})))"
+        )
+    if unit == "week":
+        wk = (
+            "(CAST(({d}) / 7 AS INT)"
+            " + (CASE WHEN ({d}) % 7 >= 4 THEN 1 ELSE 0 END))"
+        )
+        return f"({wk.format(d=day(b))} - {wk.format(d=day(a))})"
+    if unit in ("day", "dow", "isodow", "doy"):
+        return f"({day(b)} - {day(a)})"
+    if unit == "isoyear":
+        return (
+            f"(extract(YEAROFWEEK FROM CAST({b} AS DATE))"
+            f" - extract(YEAROFWEEK FROM CAST({a} AS DATE)))"
+        )
+    if unit == "millennium":
+        return f"CAST((year({b}) - year({a})) / 1000 AS INT)"
+    if unit == "yearweek":
+        yw = (
+            "(extract(YEAROFWEEK FROM CAST({x} AS DATE)) * 100"
+            " + weekofyear({x}))"
+        )
+        return f"({yw.format(x=b)} - {yw.format(x=a)})"
+    if unit in ("hour", "minute", "second", "epoch", "microsecond",
+                "millisecond"):
+        step = {"hour": 3600_000_000, "minute": 60_000_000,
+                "second": 1_000_000, "epoch": 1_000_000,
+                "millisecond": 1_000, "microsecond": 1}[unit]
+        return (
+            f"(CAST(FLOOR(({epoch(b)}) / {step}) AS BIGINT)"
+            f" - CAST(FLOOR(({epoch(a)}) / {step}) AS BIGINT))"
+        )
+    return None
+
+
+SQL_MACROS["date_diff"] = _date_diff_sql
+SQL_MACROS["datediff"] = _date_diff_sql
 
 
 def _to_decimal_sql(args: list[str], cast_kw: str) -> str | None:
@@ -1941,7 +2099,6 @@ _SQL_SAFE_RENAMES = {
     "lcase": "lower",
     "ucase": "upper",
     "to_datetime": "to_timestamp",
-    "to_day_of_week": "dayofweek",
     "to_day_of_month": "dayofmonth",
     "to_day_of_year": "dayofyear",
     "to_hour": "hour",

@@ -232,6 +232,85 @@ def _strftime_repl(m: re.Match) -> str:
     return f"{m.group(1)}({inner})"
 
 
+# %-codes and Oracle-style tokens → Java pattern pieces (reference
+# src/query/functions/src/scalars/timestamp.rs to_char/to_string;
+# longest-match-first)
+_DT_FMT_TOKENS = [
+    ("%%", "'%'"), ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"),
+    ("%d", "dd"), ("%e", "d"), ("%H", "HH"), ("%I", "hh"), ("%M", "mm"),
+    ("%S", "ss"), ("%f", "SSSSSS"), ("%p", "a"), ("%j", "DDD"),
+    ("%a", "EEE"), ("%b", "MMM"), ("%W", "EEEE"), ("%T", "HH:mm:ss"),
+    ("YYYY", "yyyy"), ("YY", "yy"), ("MONTH", "MMMM"), ("MON", "MMM"),
+    ("MM", "MM"), ("DDD", "DDD"), ("DD", "dd"), ("DY", "EEE"),
+    ("DAY", "EEEE"), ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"),
+    ("MI", "mm"), ("SS", "ss"), ("FF6", "SSSSSS"), ("FF3", "SSS"),
+    ("FF", "SSSSSS"), ("AM", "a"), ("PM", "a"), ("TZH", "XXX"),
+]
+_DT_FMT_ORDER = sorted(_DT_FMT_TOKENS, key=lambda t: -len(t[0]))
+
+
+def convert_dt_format(fmt: str) -> str:
+    """Convert a Databend format literal (%-codes and/or Oracle tokens)
+    to a Java DateTimeFormatter pattern, quoting literal ASCII-letter
+    runs so arbitrary text survives strict parsing."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    n = len(fmt)
+    while i < n:
+        matched = False
+        for tok, java in _DT_FMT_ORDER:
+            if fmt[i : i + len(tok)] == tok or (
+                tok[0] != "%" and fmt[i : i + len(tok)].upper() == tok
+            ):
+                flush()
+                out.append(java)
+                i += len(tok)
+                matched = True
+                break
+        if matched:
+            continue
+        c = fmt[i]
+        if c.isascii() and (c.isalpha() or c == "'"):
+            lit.append(c)
+        else:
+            flush()
+            out.append(c)
+        i += 1
+    flush()
+    return "".join(out)
+
+
+_DT_FMT_CALL = re.compile(
+    r"\b(to_string|to_char|str_to_date|str_to_timestamp|to_date"
+    r"|to_timestamp|try_to_timestamp|try_to_date|date_format)"
+    r"\s*\(((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*?),\s*'((?:[^']|'')*)'\s*\)",
+    re.I,
+)
+
+
+def _dt_fmt_repl(m: re.Match) -> str:
+    fn, fmt = m.group(1).lower(), m.group(3)
+    # convert only when the literal is clearly Databend-style: %-codes,
+    # UPPERCASE Oracle tokens, non-ASCII literal text, or a to_char /
+    # to_string call (those never take Java patterns). A Java pattern
+    # like 'yyyy-MM-dd HH:mm:ss' must pass through untouched.
+    if not (
+        "%" in fmt
+        or fn in ("to_char", "to_string")
+        or re.search(r"[^\x00-\x7f]", fmt)
+        or re.search(r"YYYY|HH24|HH12|MI|DD|MON", fmt)
+    ):
+        return m.group(0)
+    return f"{m.group(1)}({m.group(2)}, '{convert_dt_format(fmt)}')"
+
+
 _STRING_LIT = re.compile(r"'(?:[^']|'')*'")
 
 
@@ -2663,14 +2742,52 @@ def rewrite_databend_sql(sql: str) -> str:
         sql,
         flags=re.I,
     )
+    # partial timestamp literals inside parse calls zero-pad in the
+    # reference ('2024-01-02T', '… 22:', '… 21:59:') — runs pre-masking
+    def _pad_partial_ts(m):
+        fn, d, t = m.group(1), m.group(2), (m.group(3) or "")
+        parts = [p for p in t.strip().split(":") if p != ""]
+        while len(parts) < 3:
+            parts.append("00")
+        hh, mi, ss = (p.zfill(2) for p in parts[:3])
+        return f"{fn}('{d} {hh}:{mi}:{ss}'"
+
+    sql = re.sub(
+        r"\b(to_datetime|to_timestamp|try_to_datetime|try_to_timestamp)"
+        r"\s*\(\s*'(\d{4}-\d{2}-\d{2})"
+        r"(?:[T ]((?:\d{1,2}:){0,2})|T)'",
+        _pad_partial_ts,
+        sql,
+        flags=re.I,
+    )
+    # Databend format literals (%-codes / Oracle tokens) in temporal
+    # format args → Java patterns with quoted literal text (pre-masking)
+    sql = _DT_FMT_CALL.sub(_dt_fmt_repl, sql)
     # strftime %-patterns in temporal format args → Java patterns
     # (runs pre-masking to edit the literal)
     sql = _STRFTIME_FN.sub(_strftime_repl, sql)
     # unit-name string args that must become bare keywords for Spark's
     # timestampdiff (runs pre-masking to see the literal)
     sql = re.sub(
-        r"\b(date_between|date_diff|datediff)\s*\(\s*'(\w+)'",
-        r"\1(\2",
+        r"\b(date_between|date_diff|datediff|date_add|date_sub|dateadd"
+        r"|datesub)\s*\(\s*'(\w+)'\s*,",
+        r"\1(\2,",
+        sql,
+        flags=re.I,
+    )
+    # EXTRACT fields Spark lacks → function-call macros
+    sql = re.sub(
+        r"\bEXTRACT\s*\(\s*(EPOCH|DOW|ISODOW|YEARWEEK|MILLENNIUM|WEEK)"
+        r"\s+FROM\s+((?:[^()]|\([^()]*\))*)\)",
+        lambda m: f"{m.group(1).lower()}({m.group(2)})",
+        sql,
+        flags=re.I,
+    )
+    # bare unit keyword in date_trunc(month, x) → quoted literal
+    sql = re.sub(
+        r"\b(date_trunc)\s*\(\s*(year|quarter|month|week|day|hour"
+        r"|minute|second)\s*,",
+        r"\1('\2',",
         sql,
         flags=re.I,
     )

@@ -202,6 +202,69 @@ def _rows_match(expected: list[list[str]], actual: list[list[str]]) -> bool:
 
 
 _SETTINGS_STMT = re.compile(r"^\s*(un)?set\s+\w+", re.I)
+
+_DATE_CALL = re.compile(
+    r"-\s*(today\s*\(\s*\)|yesterday\s*\(\s*\)|tomorrow\s*\(\s*\)"
+    r"|current_date\s*\(\s*\)|to_date\s*\([^()]*\)|DATE\s*'[^']*')",
+    re.I,
+)
+
+
+def _rewrite_date_minus(sql: str) -> str:
+    """``A - <date expr>`` → ``datediff(A, <date expr>)`` (the reference
+    types date-minus-date as an INT day count; Spark yields an
+    interval). The left operand is scanned back to the nearest
+    expression boundary (depth-0 comma/paren/keyword)."""
+    out = sql
+    # right-to-left so earlier indexes stay valid
+    for m in reversed(list(_DATE_CALL.finditer(sql))):
+        i = m.start()
+        j = i
+        while j > 0:
+            k = j - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k < 0:
+                break
+            c = sql[k]
+            if c == ")":
+                depth = 0
+                while k >= 0:
+                    if sql[k] == ")":
+                        depth += 1
+                    elif sql[k] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k -= 1
+                # include a function name before the paren group
+                e = k
+                while e > 0 and (sql[e - 1].isalnum() or sql[e - 1] in "_."):
+                    e -= 1
+                j = e
+            elif c.isalnum() or c in "_.'`":
+                e = k
+                if c == "'":
+                    e -= 1
+                    while e >= 0 and sql[e] != "'":
+                        e -= 1
+                while e > 0 and (sql[e - 1].isalnum() or sql[e - 1] in "_.'`"):
+                    e -= 1
+                word = sql[e : k + 1].upper()
+                if word in ("SELECT", "WHERE", "AND", "OR", "BY", "THEN",
+                            "ELSE", "WHEN", "AS", "ON", "FROM", "SET"):
+                    break
+                j = e
+            elif c in "+-*/":
+                j = k
+            else:
+                break
+        a = sql[j:i].strip()
+        if not a:
+            continue
+        b = m.group(1)
+        out = out[:j] + f" datediff({a}, {b}) " + out[m.end():]
+    return out
 _SET_TIMEZONE = re.compile(
     r"^\s*set\s+timezone\s*=\s*'([^']+)'\s*;?\s*$", re.I
 )
@@ -2486,6 +2549,88 @@ def run_slt_file(
                         return spark.sql(forced)
                     except Exception:  # noqa: BLE001
                         pass
+            if (
+                "BINARY_OP_DIFF_TYPES" in msg or "UNEXPECTED_INPUT_TYPE" in msg
+            ) and ('"TIMESTAMP"' in msg or "TIMESTAMP OR TIMESTAMP" in msg) and (
+                '"INT"' in msg or '"BIGINT"' in msg or '"SMALLINT"' in msg
+            ):
+                # timestamp ± integer is microsecond arithmetic in the
+                # reference (datetime.rs register_timestamp_plus_int) —
+                # hop through unix_micros
+                alt = re.sub(
+                    r"([\w.`]+\((?:[^()]|\([^()]*\))*\)|[\w.`]+)"
+                    r"\s*([+-])\s*(\d+)\b",
+                    r"timestamp_micros(unix_micros(CAST(\1 AS TIMESTAMP))"
+                    r" \2 \3)",
+                    sql,
+                )
+                if alt != sql:
+                    forced = rewrite_databend_sql(alt)
+                    if forced != rewritten:
+                        try:
+                            return spark.sql(forced)
+                        except Exception:  # noqa: BLE001
+                            pass
+            if "BINARY_OP_DIFF_TYPES" in msg and "INTERVAL DAY" in msg:
+                # date - date is an INT day count in the reference;
+                # Spark yields INTERVAL — turn `A - <date-expr>` into
+                # datediff(A, <date-expr>) by scanning the left operand
+                # back to the nearest depth-0 boundary
+                alt = _rewrite_date_minus(sql)
+                if alt != sql:
+                    forced = rewrite_databend_sql(alt)
+                    if forced != rewritten:
+                        try:
+                            return spark.sql(forced)
+                        except Exception:  # noqa: BLE001
+                            pass
+            if "UNEXPECTED_INPUT_TYPE" in msg and '"date_add(' in msg.replace(
+                "Cannot resolve ", ""
+            ) and '"BIGINT"' in msg:
+                # date + bigint column: Spark's date_add wants INT
+                md = re.search(
+                    r'however "([\w.`]+)" has the type "BIGINT"', msg
+                )
+                if md:
+                    nm = re.escape(md.group(1))
+                    alt = re.sub(
+                        rf"([+-])\s*({nm})\b",
+                        r"\1 CAST(\2 AS INT)",
+                        sql,
+                    )
+                    # the un-blocked expression may still hit the
+                    # date-minus-date interval problem — fix both
+                    alt = _rewrite_date_minus(alt)
+                    if alt != sql:
+                        forced = rewrite_databend_sql(alt)
+                        if forced != rewritten:
+                            try:
+                                return spark.sql(forced)
+                            except Exception:  # noqa: BLE001
+                                pass
+            if "CAST_INVALID_INPUT" in msg and '"TIMESTAMP"' in msg:
+                # partial timestamp literals ('2024-01-02T', '22:',
+                # '21:59:') parse with zero-padding in the reference
+                def _pad_ts(m):
+                    d, t = m.group(1), (m.group(2) or "").strip("T ")
+                    parts = [p for p in t.split(":") if p != ""]
+                    while len(parts) < 3:
+                        parts.append("00")
+                    hh, mi, ss = (p.zfill(2) for p in parts[:3])
+                    return f"'{d} {hh}:{mi}:{ss}'"
+
+                alt = re.sub(
+                    r"'(\d{4}-\d{2}-\d{2})[T ]((?:\d{1,2}:){0,2}(?:\d{1,2})?)?'",
+                    _pad_ts,
+                    sql,
+                )
+                if alt != sql:
+                    forced = rewrite_databend_sql(alt)
+                    if forced != rewritten:
+                        try:
+                            return spark.sql(forced)
+                        except Exception:  # noqa: BLE001
+                            pass
             if "NONDETERMINISTIC" in msg and re.search(
                 r"\b(gen_random_uuid|uuid|rand(om)?)\s*\(\s*\)", sql, re.I
             ):
