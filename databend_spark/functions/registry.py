@@ -242,6 +242,26 @@ SQL_MACROS: dict[str, str] = {
     # fractional seconds since the epoch (reference EPOCH extract)
     "epoch": "(CAST(unix_micros(CAST(({0}) AS TIMESTAMP)) AS DOUBLE)"
              " / 1000000.0)",
+    # timestamp_diff → interval display text h:mm:ss[.ffffff]
+    # (reference datetime.rs timestamp_diff returns IntervalType)
+    "timestamp_diff": (
+        "concat(IF((unix_micros(CAST({0} AS TIMESTAMP))"
+        " - unix_micros(CAST({1} AS TIMESTAMP))) < 0, '-', ''),"
+        " CAST(CAST(abs(unix_micros(CAST({0} AS TIMESTAMP))"
+        " - unix_micros(CAST({1} AS TIMESTAMP))) / 3600000000 AS BIGINT)"
+        " AS STRING), ':',"
+        " lpad(CAST(CAST(abs(unix_micros(CAST({0} AS TIMESTAMP))"
+        " - unix_micros(CAST({1} AS TIMESTAMP))) % 3600000000 / 60000000"
+        " AS BIGINT) AS STRING), 2, '0'), ':',"
+        " lpad(CAST(CAST(abs(unix_micros(CAST({0} AS TIMESTAMP))"
+        " - unix_micros(CAST({1} AS TIMESTAMP))) % 60000000 / 1000000"
+        " AS BIGINT) AS STRING), 2, '0'),"
+        " IF(abs(unix_micros(CAST({0} AS TIMESTAMP))"
+        " - unix_micros(CAST({1} AS TIMESTAMP))) % 1000000 > 0,"
+        " concat('.', lpad(CAST(abs(unix_micros(CAST({0} AS TIMESTAMP))"
+        " - unix_micros(CAST({1} AS TIMESTAMP))) % 1000000 AS STRING),"
+        " 6, '0')), ''))"
+    ),
     # extract-field helpers (reference date_helper.rs To*Impl)
     "week": "weekofyear({0})",
     "dow": "(CAST(dayo\x03fweek(CAST({0} AS DATE)) AS INT) - 1)",
@@ -880,6 +900,27 @@ def _typeof_macro(args: list[str]) -> str | None:
     t = args[0].strip()
     if re.fullmatch(r"-?\d+", t):
         return "'" + databend_int_literal_type(t) + "'"
+    # a cast to an unsigned width names it UNSIGNED in the reference;
+    # Spark's widened signed/decimal model loses that — read the cast
+    # target straight off the expression text
+    _unames = {
+        "uint8": "TINYINT UNSIGNED", "uint16": "SMALLINT UNSIGNED",
+        "uint32": "INT UNSIGNED", "uint64": "BIGINT UNSIGNED",
+        "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT",
+        "int64": "BIGINT",
+    }
+    mc = re.search(
+        r"(?:::\s*(u?int(?:8|16|32|64))\s*$"
+        r"|^CAST\s*\(.*\s+AS\s+(u?int(?:8|16|32|64))\s*\)\s*$"
+        r"|^to_(u?int(?:8|16|32|64))\s*\()",
+        t,
+        re.I,
+    )
+    if mc:
+        name = (mc.group(1) or mc.group(2) or mc.group(3)).lower()
+        return "'" + _unames[name] + "'"
+    if re.search(r"\bto_unix_timestamp\s*\(", t, re.I):
+        return "'INT UNSIGNED'"
     # date - date is INT (day count), timestamp - timestamp is BIGINT
     # (microseconds) in the reference
     if re.search(

@@ -2760,6 +2760,17 @@ def rewrite_databend_sql(sql: str) -> str:
         sql,
         flags=re.I,
     )
+    # literal interval expressions fold at rewrite time (pre-masking)
+    if re.search(
+        r"\bto_interval\s*\(|\binterval\s+'|\bto_(millennia|centuries"
+        r"|decades|years|quarters|months|weeks|days|hours|minutes"
+        r"|seconds|milliseconds|microseconds)\s*\(\s*-?\d",
+        sql,
+        re.I,
+    ):
+        from databend_spark.sqlgen.intervals import rewrite_intervals
+
+        sql = rewrite_intervals(sql)
     # Databend format literals (%-codes / Oracle tokens) in temporal
     # format args → Java patterns with quoted literal text (pre-masking)
     sql = _DT_FMT_CALL.sub(_dt_fmt_repl, sql)
@@ -2880,6 +2891,29 @@ def rewrite_databend_sql(sql: str) -> str:
     # ``CAST(x AS Nullable(Array(Int64)))`` — convert the type token via
     # the DDL nested-type rules (Nullable is stripped: Spark types are
     # nullable by default)
+    # typeof over an explicit unsigned-width cast folds to the name
+    # BEFORE type aliasing widens UInt64 → DECIMAL(20, 0)
+    if re.search(r"\btypeof\s*\(", masked, re.I):
+        _unames = {
+            "uint8": "TINYINT UNSIGNED", "uint16": "SMALLINT UNSIGNED",
+            "uint32": "INT UNSIGNED", "uint64": "BIGINT UNSIGNED",
+            "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT",
+            "int64": "BIGINT", "unsigned": "INT UNSIGNED",
+        }
+        masked = re.sub(
+            r"\btypeof\s*\(\s*(?:"
+            r"(?:[\w.`]+|\((?:[^()]|\([^()]*\))*\))*?::\s*"
+            r"(u?int(?:8|16|32|64))"
+            r"|CAST\s*\((?:[^()]|\([^()]*\))*\s+AS\s+"
+            r"(u?int(?:8|16|32|64)|unsigned)\s*\)"
+            r"|to_(u?int(?:8|16|32|64))\s*\((?:[^()]|\([^()]*\))*\)"
+            r")\s*\)",
+            lambda m: "'"
+            + _unames[(m.group(1) or m.group(2) or m.group(3)).lower()]
+            + "'",
+            masked,
+            flags=re.I,
+        )
     masked = _rewrite_cast_paren_types(masked)
     for pat, repl in _TYPE_ALIASES:
         masked = pat.sub(repl, masked)

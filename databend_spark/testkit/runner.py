@@ -25,6 +25,7 @@ formatting differs across engines), NULL ↔ "NULL", empty string ↔
 
 from __future__ import annotations
 
+import datetime
 import math
 import os
 import re
@@ -110,6 +111,12 @@ def _norm_cell(v) -> str:
         return repr(v)
     if isinstance(v, (list, dict)) or hasattr(v, "__fields__"):
         return _render_nested(v)
+    if isinstance(v, datetime.timedelta):
+        # timestamp - timestamp is a BIGINT microsecond count in the
+        # reference (datetime.rs "minus"), not an interval display
+        return str(
+            (v.days * 86_400 + v.seconds) * 1_000_000 + v.microseconds
+        )
     s = str(v)
     return "(empty)" if s == "" else s
 
