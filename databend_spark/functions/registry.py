@@ -427,6 +427,34 @@ SQL_MACROS: dict[str, str] = {
     # IGNORE(...) evaluates and discards, always 0 (reference
     # scalars/other.rs ignore)
     "ignore": lambda args: "0",
+    # factorial domain is 0..20 (reference errors outside); Spark
+    # returns NULL
+    "factorial": "IF(({0}) BETWEEN 0 AND 20, factoria\x03l({0}),"
+                 " raise_error('factorial only defined for 0..20'))",
+    "isnan": "CASE WHEN ({0}) IS NULL THEN NULL"
+             " ELSE isna\x03n({0}) END",
+    "mid": {3: "substring({0}, {1}, {2})", 2: "substring({0}, {1})"},
+    # position 0 yields '' in the reference (Spark treats 0 as 1)
+    "substring": {
+        2: "IF(({1}) = 0, '', substri\x03ng({0}, {1}))",
+        3: "substri\x03ng({0}, IF(({1}) = 0, 1, {1}), {2})",
+    },
+    # filter combinators: NULL collapses to false (reference
+    # scalars/boolean.rs and_filters)
+    "and_filters": lambda args: (
+        "(" + " AND ".join(
+            f"coalesce(CAST(({a}) AS BOOLEAN), false)" for a in args
+        ) + ")"
+        if args
+        else None
+    ),
+    "or_filters": lambda args: (
+        "(" + " OR ".join(
+            f"coalesce(CAST(({a}) AS BOOLEAN), false)" for a in args
+        ) + ")"
+        if args
+        else None
+    ),
     # no-op pacing stub: the reference sleeps server-side; tests only
     # check the statement succeeds
     "sleep": "(0 * CAST(({0}) AS INT))",
@@ -611,7 +639,7 @@ def _previous_day(args: list[str]) -> str | None:
     if n is None:
         return None
     # largest date strictly before {d} whose dayofweek = n
-    return "date_sub({d}, pmod(dayofweek({d}) - {n} + 6, 7) + 1)".format(
+    return "date_sub({d}, pmod(dayo\x03fweek({d}) - {n} + 6, 7) + 1)".format(
         d=args[0], n=n
     )
 
@@ -850,9 +878,40 @@ _ORACLE_TRUNC_UNITS = {
 }
 
 
-def _trunc_bare_unit(args: list[str]) -> str | None:
+def _trim_sub(
+    args: list[str], lead: bool = False, trail: bool = False
+) -> str | None:
+    """Repeated exact-substring trim (reference scalars/string.rs
+    trim_both: removes the trim STRING, not a character set). Needs a
+    literal trim argument to build the regex; otherwise falls back to
+    Spark TRIM (identical when the trim string is one character)."""
     if len(args) != 2:
         return None
+    lit = _literal_text(args[1]).strip()
+    if not (lit.startswith("'") and lit.endswith("'")):
+        side = "BOTH" if lead and trail else ("LEADING" if lead else "TRAILING")
+        return f"TRIM({side} {args[1]} FROM {args[0]})"
+    raw = lit[1:-1].replace("''", "'")
+    esc = re.escape(raw).replace("\\", "\\\\").replace("'", "''")
+    pats = []
+    if lead:
+        pats.append(f"^(?:{esc})+")
+    if trail:
+        pats.append(f"(?:{esc})+$")
+    out = args[0]
+    for p in pats:
+        out = f"regexp_replace({out}, '{p}', '')"
+    return out
+
+
+def _trunc_bare_unit(args: list[str]) -> str | None:
+    if len(args) == 1:
+        return SQL_MACROS["truncate"][1].format(args[0])
+    if len(args) != 2:
+        return None
+    # numeric second argument → numeric truncate (Databend TRUNC alias)
+    if re.fullmatch(r"\s*-?\d+\s*", args[1]):
+        return SQL_MACROS["truncate"][2].format(args[0], args[1])
     unit_txt = _literal_text(args[1]).strip().strip("'\"").lower()
     if unit_txt not in _ORACLE_TRUNC_UNITS and not (
         "\x00" not in args[1] and args[1].strip().isalpha()
@@ -1958,11 +2017,17 @@ SQL_MACROS.update(
         ),
         "to_start_of_second": "date_trunc('second', {0})",
         "to_iso_year": "extract(YEAROFWEEK FROM {0})",
-        "trim_leading": {2: "TRIM(LEADING {1} FROM {0})"},
-        "trim_trailing": {2: "TRIM(TRAILING {1} FROM {0})"},
-        "trim_both": {2: "TRIM(BOTH {1} FROM {0})"},
+        # Databend trims the exact SUBSTRING repeatedly (not a char
+        # set like Spark's TRIM): scalars/string.rs trim_both
+        "trim_leading": lambda args: _trim_sub(args, lead=True),
+        "trim_trailing": lambda args: _trim_sub(args, trail=True),
+        "trim_both": lambda args: _trim_sub(args, lead=True, trail=True),
+        "trim": lambda args: (
+            _trim_sub(args, lead=True, trail=True)
+            if len(args) == 2
+            else None
+        ),
         "histogram": _histogram,
-        "or_filters": lambda args: "(" + " OR ".join(args) + ")",
     }
 )
 

@@ -3115,6 +3115,20 @@ def rewrite_databend_sql(sql: str) -> str:
         "\\1 \x04 \\2",
         masked,
     )
+    # XOR operator (no Spark keyword): boolean inequality with MySQL
+    # numeric coercion
+    while re.search(r"\bXOR\b", masked, re.I):
+        new = re.sub(
+            r"([\w.`\x00]+|\((?:[^()]|\([^()]*\))*\))\s+XOR\s+"
+            r"([\w.`\x00]+|\((?:[^()]|\([^()]*\))*\))",
+            r"(CAST(\1 AS BOOLEAN) <> CAST(\2 AS BOOLEAN))",
+            masked,
+            count=1,
+            flags=re.I,
+        )
+        if new == masked:
+            break
+        masked = new
     # Databend integer division a // b (strings are masked out)
     masked = masked.replace("//", " div ")
     # ^ is exponentiation (Spark: bitxor); |/ is square root

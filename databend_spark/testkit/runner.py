@@ -2578,6 +2578,48 @@ def run_slt_file(
                             return spark.sql(forced)
                         except Exception:  # noqa: BLE001
                             pass
+            if (
+                "BINARY_OP_WRONG_TYPE" in msg
+                or "BINARY_OP_DIFF_TYPES" in msg
+                or "UNEXPECTED_INPUT_TYPE" in msg
+            ) and re.search(r"\(NOT |\bAND\b|\bOR\b", msg) and re.search(
+                r"\b(AND|OR|NOT)\s+\d|\d\s+(AND|OR)\b", sql, re.I
+            ):
+                # numeric operands of AND/OR/NOT coerce non-zero → true
+                alt = re.sub(
+                    r"\b(\d+(?:\.\d+)?)(?=\s+(?:AND|OR)\b)",
+                    r"(\1 <> 0)",
+                    sql,
+                    flags=re.I,
+                )
+                alt = re.sub(
+                    r"\b(AND|OR|NOT|SELECT)\s+(\d+(?:\.\d+)?)\b(?!\s*[.\w(])",
+                    r"\1 (\2 <> 0)",
+                    alt,
+                    flags=re.I,
+                )
+                if alt != sql:
+                    forced = rewrite_databend_sql(alt)
+                    if forced != rewritten:
+                        try:
+                            return spark.sql(forced)
+                        except Exception:  # noqa: BLE001
+                            pass
+            if "BINARY_OP_DIFF_TYPES" in msg and '"BOOLEAN"' in msg and (
+                re.search(r'"(TINY|SMALL|BIG)?INT"', msg)
+                or '"DOUBLE"' in msg
+            ):
+                # numeric ↔ boolean comparison coerces in the reference
+                # (true = 1, false = 0)
+                alt = re.sub(r"\btrue\b", "1", sql, flags=re.I)
+                alt = re.sub(r"\bfalse\b", "0", alt, flags=re.I)
+                if alt != sql:
+                    forced = rewrite_databend_sql(alt)
+                    if forced != rewritten:
+                        try:
+                            return spark.sql(forced)
+                        except Exception:  # noqa: BLE001
+                            pass
             if "BINARY_OP_DIFF_TYPES" in msg and "INTERVAL DAY" in msg:
                 # date - date is an INT day count in the reference;
                 # Spark yields INTERVAL — turn `A - <date-expr>` into
