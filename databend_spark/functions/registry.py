@@ -92,8 +92,6 @@ RENAME: dict[str, str] = {
     "flatten": "flatten",
     "range": "sequence",
     # hash
-    "siphash64": "xxhash64",  # same role (fast 64-bit); not bit-compatible
-    "city64withseed": "xxhash64",
     "sha": "sha1",
     "sha1": "sha1",
     "sha2": "sha2",
@@ -239,6 +237,13 @@ SQL_MACROS: dict[str, str] = {
     "months_between": "months_be\x03tween({0}, {1}, false)",
     # robust ISO parse (offsets, T separator) via CAST
     "to_unix_timestamp": "unix_seconds(CAST(({0}) AS TIMESTAMP))",
+    # bit-exact reference hashes via functions.hashes UDFs
+    "siphash64": "__siphash64({0})",
+    "siphash": "__siphash64({0})",
+    "xxhash64": "__xxhash64({0})",
+    "xxhash32": "__xxhash32({0})",
+    "blake3": "__blake3({0})",
+    "city64withseed": "__city64_seed({0}, {1})",
     # fractional seconds since the epoch (reference EPOCH extract)
     "epoch": "(CAST(unix_micros(CAST(({0}) AS TIMESTAMP)) AS DOUBLE)"
              " / 1000000.0)",
@@ -2223,8 +2228,6 @@ _SQL_SAFE_RENAMES = {
     "arg_min": "min_by",
     "group_concat": "listagg",
     "array_length": "size",
-    "siphash64": "xxhash64",
-    "city64withseed": "xxhash64",
 }
 _SQL_RENAME_RE = re.compile(
     r"\b(" + "|".join(sorted(_SQL_SAFE_RENAMES, key=len, reverse=True)) + r")\s*\(",

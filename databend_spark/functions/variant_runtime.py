@@ -1471,6 +1471,19 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__check_json", check_json, StringType())
     spark.udf.register("__jaro_winkler", jaro_winkler, DoubleType())
     spark.udf.register("__decimal_text", decimal_text, StringType())
+    from databend_spark.functions.hashes import (
+        blake3_value,
+        city64_seed_value,
+        siphash64_value,
+        xxhash32_value,
+        xxhash64_value,
+    )
+
+    spark.udf.register("__siphash64", siphash64_value, StringType())
+    spark.udf.register("__blake3", blake3_value, StringType())
+    spark.udf.register("__city64_seed", city64_seed_value, StringType())
+    spark.udf.register("__xxhash64", xxhash64_value, StringType())
+    spark.udf.register("__xxhash32", xxhash32_value, StringType())
     from pyspark.sql.types import ArrayType, BooleanType, LongType
 
     spark.udf.register("__jq_list", jq_list, ArrayType(StringType()))
