@@ -2925,8 +2925,7 @@ def rewrite_databend_sql(sql: str) -> str:
         lambda m: (
             m.group(0)
             if int(m.group(1)) <= 38
-            else "DECIMAL(38, %d)"
-            % max(0, min(int(m.group(2)), 38 - min(int(m.group(1)) - int(m.group(2)), 38)))
+            else "DECIMAL(38, %d)" % min(int(m.group(2)), 37)
         ),
         masked,
         flags=re.I,

@@ -316,8 +316,25 @@ def _collect_for_compare(df):
                 for f in df.schema.fields
             ]
         )
-    from pyspark.sql.types import DateType
+    from pyspark.sql.types import DateType, FloatType
 
+    def _floatish(dt) -> bool:
+        return isinstance(dt, FloatType) or (
+            isinstance(dt, ArrayType) and isinstance(dt.elementType, FloatType)
+        )
+
+    if any(_floatish(f.dataType) for f in df.schema.fields):
+        # float32 → Python float widens (0.2 → 0.20000000298…); JVM-side
+        # rendering keeps the shortest float32 text like the reference
+        def _f32(f):
+            c = F.col("`" + f.name.replace("`", "``") + "`")
+            if isinstance(f.dataType, FloatType):
+                return c.cast("string").alias(f.name)
+            if _floatish(f.dataType):
+                return F.to_json(c).alias(f.name)
+            return c
+
+        df = df.select(*[_f32(f) for f in df.schema.fields])
     if any(isinstance(f.dataType, DateType) for f in df.schema.fields):
         # dates beyond the reference's domain clamp to 0001-01-01
         # (issue_20134); they'd also break Python's date conversion
@@ -799,6 +816,8 @@ def run_slt_file(
     # SET binary_input_format: string literals inserted into BINARY
     # columns decode per this format (reference settings_default.rs)
     bin_input: list[str | None] = [None]
+    # Vector(N) column dimensions by table (reference types/vector.rs)
+    vector_cols: dict[str, dict[str, int]] = {}
 
     # query-result-cache emulation (reference
     # storages/system/src/query_cache_table.rs + result_cache settings)
@@ -1131,6 +1150,59 @@ def run_slt_file(
             # really pace — AT(offset) time travel depends on wall time
             time.sleep(min(float(ms.group(1)), 5.0))
             return spark.sql("SELECT 0 AS sleep")
+        mvt = re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP\w*\s+)?TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*\((.*)$",
+            sql,
+            re.I | re.S,
+        )
+        if mvt and re.search(r"\bVector\s*\(\s*\d+\s*\)", mvt.group(2), re.I):
+            # remember each Vector(N) column's dimension — inserts of a
+            # wrong-length array must error (reference types/vector.rs)
+            dims = {
+                c.lower(): int(n)
+                for c, n in re.findall(
+                    r"([\w`]+)\s+Vector\s*\(\s*(\d+)\s*\)",
+                    mvt.group(2),
+                    re.I,
+                )
+            }
+            vector_cols[mvt.group(1).split(".")[-1].strip("`").lower()] = dims
+        mvi = re.match(
+            r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.`]+)\s*(\([^)]*\))?\s*"
+            r"VALUES\s*(.*)$",
+            sql,
+            re.I | re.S,
+        )
+        if mvi and vector_cols.get(
+            mvi.group(1).split(".")[-1].strip("`").lower()
+        ):
+            dims = vector_cols[mvi.group(1).split(".")[-1].strip("`").lower()]
+            try:
+                schema = spark.table(mvi.group(1)).schema
+            except Exception:  # noqa: BLE001
+                schema = None
+            if schema is not None:
+                cols = (
+                    [c.strip().strip("`") for c in mvi.group(2)[1:-1].split(",")]
+                    if mvi.group(2)
+                    else [f.name for f in schema.fields]
+                )
+                exprs = ", ".join(
+                    f"IF(size(c{i}) = {dims[c.lower()]}, c{i},"
+                    f" raise_error('vector dimension mismatch:"
+                    f" expected {dims[c.lower()]}'))"
+                    if c.lower() in dims
+                    else f"c{i}"
+                    for i, c in enumerate(cols)
+                )
+                alias = ", ".join(f"c{i}" for i in range(len(cols)))
+                vals = mvi.group(3).rstrip().rstrip(";")
+                sql = (
+                    f"INSERT INTO {mvi.group(1)} {mvi.group(2) or ''} "
+                    f"SELECT {exprs} FROM (VALUES {vals}) "
+                    f"AS __vi({alias})"
+                )
         if bin_input[0] in ("hex", "base64"):
             mi = re.match(
                 r"^\s*INSERT\s+INTO\s+([\w.`]+)\s*(\([^)]*\))?\s*"
@@ -1163,9 +1235,10 @@ def run_slt_file(
                         for i, c in enumerate(cols)
                     )
                     alias = ", ".join(f"c{i}" for i in range(len(cols)))
+                    vals = mi.group(3).rstrip().rstrip(";")
                     sql = (
                         f"INSERT INTO {mi.group(1)} {mi.group(2) or ''} "
-                        f"SELECT {exprs} FROM (VALUES {mi.group(3)}) "
+                        f"SELECT {exprs} FROM (VALUES {vals}) "
                         f"AS __bi({alias})"
                     )
         atm = re.search(
