@@ -404,6 +404,55 @@ def _ensure_bench_db(spark: SparkSession, db: str) -> bool:
     return True
 
 
+_SETTINGS_BASE = [
+    ("max_threads", "32", "[1, 65535]",
+     "Sets the maximum number of threads to execute a request.",
+     "UInt64"),
+    ("max_memory_usage", "0", "None",
+     "Sets the maximum memory usage in bytes for processing a"
+     " single query.", "UInt64"),
+    ("timezone", "UTC", "None", "Sets the timezone.", "String"),
+    ("sql_dialect", "PostgreSQL", "None",
+     "Sets the SQL dialect.", "String"),
+    ("enable_query_result_cache", "0", "[0, 1]",
+     "Enables the query result cache.", "UInt64"),
+    ("query_result_cache_min_execute_secs", "5", "None",
+     "Minimum query execution time to cache the result.", "UInt64"),
+    ("max_block_size", "65536", "[1, 18446744073709551615]",
+     "Sets the maximum rows size of a single data block that"
+     " can be read.", "UInt64"),
+    ("group_by_two_level_threshold", "20000", "None",
+     "Sets the two-level aggregation threshold.", "UInt64"),
+    ("query_flight_compression", "LZ4", "None",
+     "Sets the compression for the query flight transport.", "String"),
+]
+
+
+_SETTING_NAMES = {n for n, *_ in _SETTINGS_BASE}
+
+
+def _settings_view_sql(overrides: dict[str, str]) -> str:
+    """system.settings view text with session SET overrides applied
+    (reference settings_default.rs + SettingsTable)."""
+    rows = ", ".join(
+        "('{n}', '{v}', '{dflt}', '{r}', '{lvl}', '{d}', '{t}')".format(
+            n=n,
+            v=overrides.get(n, v),
+            dflt=v,
+            r=r,
+            lvl="SESSION" if n in overrides else "DEFAULT",
+            d=d,
+            t=t,
+        )
+        for n, v, r, d, t in _SETTINGS_BASE
+    )
+    return (
+        f"CREATE OR REPLACE VIEW system.settings AS SELECT * FROM VALUES "
+        f"{rows} AS t(name, value, `default`, `range`, level,"
+        " description, type)"
+    )
+
+
 def _bootstrap_system_db(spark: SparkSession) -> None:
     """Minimal `system` catalog (reference: src/query/storages/system/):
     the introspection tables the SLT suites probe. Static content mirrors
@@ -420,29 +469,56 @@ def _bootstrap_system_db(spark: SparkSession) -> None:
         for e in ["DELTA", "FUSE", "ICEBERG", "MEMORY", "NULL", "RANDOM",
                   "STREAM", "VIEW"]
     )
-    settings_rows = ", ".join(
-        f"('{n}', '{v}', '{v}', 'SESSION')"
-        for n, v in [
-            ("max_threads", "32"), ("max_memory_usage", "0"),
-            ("timezone", "UTC"), ("sql_dialect", "PostgreSQL"),
-            ("enable_query_result_cache", "0"),
-            ("query_result_cache_min_execute_secs", "5"),
-            ("max_block_size", "65536"), ("group_by_two_level_threshold",
-             "20000"),
-        ]
+    from databend_spark.functions import registry as _reg
+
+    fn_names = sorted(
+        {
+            n.lower()
+            for src in (_reg.RENAME, _reg.COMPOSED, _reg.SQL_MACROS)
+            for n in src
+            if not n.startswith("_")
+        }
+        | {"today", "now", "sum", "count", "avg", "min", "max"}
     )
+    fn_rows = ", ".join(f"('{n}', 0, '')" for n in fn_names)
     stmts = [
         "CREATE OR REPLACE VIEW system.one AS SELECT 1 AS dummy",
-        f"CREATE OR REPLACE VIEW system.settings AS SELECT * FROM VALUES "
-        f"{settings_rows} AS t(name, value, `default`, level)",
+        _settings_view_sql({}),
+        f"CREATE OR REPLACE VIEW system.functions AS SELECT * FROM VALUES"
+        f" {fn_rows} AS t(name, is_aggregate, description)",
+        "CREATE OR REPLACE VIEW system.roles AS SELECT * FROM VALUES "
+        "('account_admin', 0, '', true, true, ''),"
+        " ('public', 0, '', true, true, '') AS t(name,"
+        " inherited_roles, inherited_roles_name, is_current, is_default,"
+        " comment)",
+        "CREATE OR REPLACE VIEW system.table_functions AS SELECT * FROM"
+        " VALUES " + ", ".join(
+            f"('{n}')"
+            for n in [
+                "numbers", "numbers_local", "numbers_mt", "fuse_amend",
+                "fuse_block", "fuse_block_statistics", "fuse_column",
+                "fuse_dump_snapshots", "fuse_encoding", "fuse_page",
+                "fuse_segment", "fuse_snapshot", "fuse_statistic",
+                "fuse_tag", "fuse_time_travel_size", "fuse_vacuum2",
+                "fuse_vacuum_drop_aggregating_index",
+                "fuse_vacuum_drop_inverted_index",
+                "fuse_vacuum_temporary_table", "fuse_virtual_column",
+                "generate_series", "range", "infer_schema",
+                "list_stage", "inspect_parquet", "clustering_information",
+                "stream_status", "show_variables", "show_grants",
+                "license_info",
+            ]
+        ) + " AS t(name)",
         f"CREATE OR REPLACE VIEW system.engines AS "
         f"SELECT * FROM VALUES {engines} AS t(`Engine`, `Comment`)",
         "CREATE OR REPLACE VIEW system.clusters AS SELECT * FROM VALUES "
         "('default', '127.0.0.1', 9091, 'v1.0.0') "
         "AS t(name, host, port, version)",
         "CREATE OR REPLACE VIEW system.processes AS SELECT * FROM VALUES "
-        "('local', 'Query', 'default', 0.0) "
-        "AS t(id, type, database, time)",
+        "('local', 'HTTPQuery', '127.0.0.1', 'root', 'default', 0.0,"
+        " current_timestamp(), '', 'Query') "
+        "AS t(id, type, host, user, database, time, created_time,"
+        " extra_info, status)",
         "CREATE OR REPLACE VIEW system.temp_files AS SELECT * FROM VALUES "
         "('spill_0.bin', 1024), ('spill_1.bin', 2048) "
         "AS t(file_name, file_content_length)",
@@ -552,7 +628,8 @@ def run_slt_file(
         re.I,
     )
     _show_dbs = re.compile(
-        r"^\s*SHOW\s+(?:DATABASES|SCHEMAS)"
+        r"^\s*SHOW\s+(FULL\s+)?(?:DATABASES|SCHEMAS)"
+        r"(?:\s+(?:FROM|IN)\s+[\w`]+)?"
         r"(?:\s+LIKE\s+'((?:[^']|'')*)')?\s*;?\s*$",
         re.I,
     )
@@ -818,6 +895,8 @@ def run_slt_file(
     bin_input: list[str | None] = [None]
     # Vector(N) column dimensions by table (reference types/vector.rs)
     vector_cols: dict[str, dict[str, int]] = {}
+    # session SET overrides reflected in system.settings
+    setting_overrides: dict[str, str] = {}
 
     # query-result-cache emulation (reference
     # storages/system/src/query_cache_table.rs + result_cache settings)
@@ -1092,6 +1171,60 @@ def run_slt_file(
         r"^\s*SHOW\s+(METRICS|PROCESSLIST|LOCKS|CONNECTIONS|INDEXES|"
         r"WAREHOUSES|ROLES|GRANTS|STAGES|USER\s+FUNCTIONS)\s*;?\s*$",
         re.I,
+    )
+    _conn_stmt = re.compile(
+        r"^\s*(?:CREATE|DROP)\s+CONNECTION\b", re.I
+    )
+    # SHOW <entity> [LIKE 'pat'] [WHERE cond] [LIMIT n] over small
+    # emulated row sets (reference storages/system/src/*_table.rs via
+    # the SHOW → SELECT desugar in sql/src/planner/binder/show.rs)
+    _SHOW_SETS = {
+        "engines": (
+            "(VALUES ('DELTA', 'DELTA Storage Engine'),"
+            " ('FUSE', 'FUSE Storage Engine'),"
+            " ('ICEBERG', 'ICEBERG Storage Engine'),"
+            " ('MATERIALIZED_VIEW', 'Materialized View (Fuse-backed)'),"
+            " ('MEMORY', 'MEMORY Storage Engine'),"
+            " ('NULL', 'NULL Storage Engine'),"
+            " ('PAIMON', 'PAIMON Storage Engine'),"
+            " ('PROXY', 'PROXY Storage Engine'),"
+            " ('RANDOM', 'RANDOM Storage Engine'),"
+            " ('STREAM', 'STREAM Storage Engine'),"
+            " ('VIEW', 'VIEW Storage (LOGICAL VIEW)'))"
+            " AS t(`Engine`, `Comment`)",
+            "`Engine`",
+        ),
+        "indexes": (
+            "(SELECT CAST(NULL AS STRING) AS name, CAST(NULL AS STRING)"
+            " AS type, CAST(NULL AS STRING) AS original,"
+            " CAST(NULL AS STRING) AS definition WHERE false) AS t",
+            "name",
+        ),
+        "locks": (
+            "(SELECT CAST(NULL AS BIGINT) AS table_id, CAST(NULL AS"
+            " BIGINT) AS revision, CAST(NULL AS STRING) AS type,"
+            " CAST(NULL AS STRING) AS status, CAST(NULL AS STRING) AS"
+            " user, CAST(NULL AS STRING) AS node, CAST(NULL AS STRING)"
+            " AS query_id WHERE false) AS t",
+            None,  # LIKE is invalid for SHOW LOCKS
+        ),
+    }
+    _SHOW_SETS.update(
+        {
+            "settings": ("system.settings", "name"),
+            "processlist": ("system.processes", "id"),
+            "table_functions": ("system.table_functions", "name"),
+            "functions": ("system.functions", "name"),
+        }
+    )
+    _show_rich = re.compile(
+        r"^\s*SHOW\s+(ENGINES|INDEXES|LOCKS|SETTINGS|PROCESSLIST"
+        r"|TABLE_FUNCTIONS|FUNCTIONS)"
+        r"(\s+IN\s+ACCOUNT)?"
+        r"(?:\s+LIKE\s+('(?:[^']|'')*'|\x00\d+\x00))?"
+        r"(?:\s+WHERE\s+(.*?))?"
+        r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
+        re.I | re.S,
     )
 
     _desc_tbl = re.compile(
@@ -1587,6 +1720,25 @@ def run_slt_file(
                 cols = payload.replace(":", " ")
                 spark.sql(f"CREATE TABLE {full} ({cols})")
             return spark.sql("SELECT 1 AS ok WHERE false")
+        mdt = re.match(
+            r"^\s*SHOW\s+DROP\s+TABLES(?:\s+(?:FROM|IN)\s+([\w`]+))?"
+            r"(?:\s+LIKE\s+('(?:[^']|'')*'))?(?:\s+WHERE\s+(.*?))?"
+            r"\s*;?\s*$",
+            sql,
+            re.I | re.S,
+        )
+        if mdt:
+            # SHOW DROP TABLES → the dropped slice of tables_with_history
+            # (reference show.rs ShowDropTables desugar)
+            db = (mdt.group(1) or spark.catalog.currentDatabase()).strip("`")
+            sql = (
+                "SELECT name, dropped_on FROM system.tables_with_history"
+                f" WHERE database = '{db}' AND dropped_on IS NOT NULL"
+            )
+            if mdt.group(2):
+                sql += f" AND name LIKE {mdt.group(2)}"
+            if mdt.group(3):
+                sql += f" AND ({mdt.group(3)})"
         if "tables_with_history" in sql.lower():
             rows = []
             for d in spark.catalog.listDatabases():
@@ -1632,6 +1784,29 @@ def run_slt_file(
             )
             if mc:  # compaction merges segments into one
                 tbl_segments[_commit_key(mc.group(1))] = 1
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        msr = _show_rich.match(sql)
+        if msr:
+            entity = msr.group(1).lower()
+            rel, like_col = _SHOW_SETS[entity]
+            in_acct, like, cond, lim = (
+                msr.group(2), msr.group(3), msr.group(4), msr.group(5)
+            )
+            if like and like_col is None:
+                raise ValueError(f"[1005] SHOW {entity.upper()} LIKE is invalid")
+            if in_acct and (cond or lim):
+                raise ValueError(
+                    f"[1005] SHOW {entity.upper()} IN ACCOUNT takes no filters"
+                )
+            q = f"SELECT * FROM {rel}"
+            if like:
+                q += f" WHERE {like_col} LIKE {like}"
+            elif cond:
+                q += f" WHERE {cond}"
+            if lim:
+                q += f" LIMIT {lim}"
+            return spark.sql(rewrite_databend_sql(q))
+        if _conn_stmt.match(sql):
             return spark.sql("SELECT 1 AS ok WHERE false")
         if _show_noop.match(sql):
             return spark.sql("SELECT 1 AS ok WHERE false")
@@ -1825,8 +2000,14 @@ def run_slt_file(
         if m:
             names = [(d.name,) for d in spark.catalog.listDatabases()]
             df = spark.createDataFrame(names, "Database string")
-            if m.group(1):
-                df = df.filter(f"Database LIKE '{m.group(1)}'")
+            if m.group(2):
+                df = df.filter(f"Database LIKE '{m.group(2)}'")
+            if m.group(1):  # FULL → (catalog, owner, name)
+                df = df.selectExpr(
+                    "'default' AS Catalog",
+                    "'account_admin' AS Owner",
+                    "Database",
+                )
             return df.orderBy("Database")
         m = _show_views.match(sql)
         if m:
@@ -2856,6 +3037,10 @@ def run_slt_file(
 
     if isolate:  # fresh database per file — files reuse table names
         _bootstrap_system_db(spark)
+        try:  # clear SET overrides a previous file left in the view
+            spark.sql(_settings_view_sql({}))
+        except Exception:  # noqa: BLE001
+            pass
         db = "slt_" + re.sub(r"\W", "_", path.rsplit("/", 2)[-1])[:40].lower()
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         # a previously-killed run can leave orphan table dirs the catalog
@@ -2954,6 +3139,24 @@ def run_slt_file(
                 continue
             if _UNSET_TIMEZONE.match(sql):
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
+                rep.passed += 1
+                continue
+            mset = re.match(
+                r"^\s*(UN)?SET\s+(?:GLOBAL\s+)?(\w+)"
+                r"\s*(?:=\s*('[^']*'|[\w.]+))?\s*;?\s*$",
+                sql,
+                re.I,
+            )
+            if mset and mset.group(2).lower() in _SETTING_NAMES:
+                nm = mset.group(2).lower()
+                if mset.group(1) or mset.group(3) is None:
+                    setting_overrides.pop(nm, None)
+                else:
+                    val = mset.group(3).strip("'")
+                    if nm == "query_flight_compression":
+                        val = val.upper()  # enum settings canonicalize
+                    setting_overrides[nm] = val
+                spark.sql(_settings_view_sql(setting_overrides))
                 rep.passed += 1
                 continue
             met = _SET_MAX_EXEC.match(sql)
