@@ -404,6 +404,78 @@ def _ensure_bench_db(spark: SparkSession, db: str) -> bool:
     return True
 
 
+def _rewrite_nextval(sql: str, sequences: dict, spark) -> str:
+    """nextval(seq) → sequential values (reference sequence semantics:
+    one value per produced row). VALUES lists consume one value per
+    textual occurrence; SELECT bodies hoist a row_number rank over the
+    source relation so aggregates and GROUP BY stay legal."""
+    names = {
+        m.group(1).strip("`").lower()
+        for m in re.finditer(r"\bnextval\s*\(\s*([\w`]+)\s*\)", sql, re.I)
+    }
+    for nm in names:
+        if nm not in sequences:
+            raise ValueError(f"[3101] unknown sequence {nm}")
+    if len(names) != 1:
+        return sql
+    nm = next(iter(names))
+    counter, inc = sequences[nm]
+    call = re.compile(r"\bnextval\s*\(\s*[\w`]+\s*\)", re.I)
+
+    from databend_spark.sqlgen import rewrite_databend_sql
+
+    if re.search(r"\bVALUES\b", sql, re.I) and not re.search(
+        r"\bSELECT\b", sql, re.I
+    ):
+        n = [0]
+
+        def sub(m):
+            v = counter + n[0] * inc
+            n[0] += 1
+            return str(v)
+
+        out = call.sub(sub, sql)
+        sequences[nm][0] = counter + n[0] * inc
+        return out
+
+    fm = re.search(
+        r"\bFROM\s+(.*?)\s*"
+        r"(\bGROUP\s+BY\b.*|\bORDER\s+BY\b.*|\bWHERE\b.*|\bHAVING\b.*"
+        r"|\bLIMIT\b.*)?;?\s*$",
+        sql,
+        re.I | re.S,
+    )
+    if not fm or not fm.group(1).strip():
+        # FROM-less scalar select: one value
+        sequences[nm][0] = counter + inc
+        return call.sub(str(counter), sql)
+    rel = fm.group(1)
+    tail_clauses = (fm.group(2) or "").rstrip().rstrip(";")
+    rows = None
+    mn = re.fullmatch(r"numbers(?:_mt|_local)?\s*\(\s*(\d+)\s*\)", rel.strip(), re.I)
+    if mn:
+        rows = int(mn.group(1))
+    expr = (
+        f"({counter} + (row_number() OVER (ORDER BY"
+        f" monotonically_increasing_id()) - 1) * {inc})"
+    )
+    body = sql[: fm.start()]
+    body = call.sub("__nv", body)
+    out = (
+        f"{body} FROM (SELECT *, {expr} AS __nv FROM {rel}) __nvsrc"
+        f" {tail_clauses}"
+    )
+    if rows is None:
+        try:
+            rows = spark.sql(
+                rewrite_databend_sql(f"SELECT count(*) AS c FROM {rel}")
+            ).collect()[0][0]
+        except Exception:  # noqa: BLE001
+            rows = 1
+    sequences[nm][0] = counter + int(rows) * inc
+    return out
+
+
 _SETTINGS_BASE = [
     ("max_threads", "32", "[1, 65535]",
      "Sets the maximum number of threads to execute a request.",
@@ -897,6 +969,12 @@ def run_slt_file(
     vector_cols: dict[str, dict[str, int]] = {}
     # session SET overrides reflected in system.settings
     setting_overrides: dict[str, str] = {}
+    # CREATE SEQUENCE state: name → [next_value, increment]
+    # (reference src/query/storages/system + sequence DDL; nextval is
+    # driver-sequential, emulated with a counter + row_number ranks)
+    sequences: dict[str, list[int]] = {}
+    # table columns whose DEFAULT is nextval(seq): (table → {col: seq})
+    seq_defaults: dict[str, dict[str, str]] = {}
 
     # query-result-cache emulation (reference
     # storages/system/src/query_cache_table.rs + result_cache settings)
@@ -1283,6 +1361,165 @@ def run_slt_file(
             # really pace — AT(offset) time travel depends on wall time
             time.sleep(min(float(ms.group(1)), 5.0))
             return spark.sql("SELECT 0 AS sleep")
+        mex = re.match(r"^\s*EXISTS\s+TABLE\s+([\w.`]+)\s*;?\s*$", sql, re.I)
+        if mex:
+            # EXISTS TABLE t → 1/0 (reference show.rs ExistsTable)
+            try:
+                spark.table(mex.group(1))
+                v = 1
+            except Exception:  # noqa: BLE001
+                v = 0
+            return spark.sql(f"SELECT {v} AS `result`")
+        mseq = re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SEQUENCE\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?([\w`]+)"
+            r"(?:\s+start\s*=?\s*(-?\d+))?(?:\s+increment\s*=?\s*(-?\d+))?"
+            r"\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mseq:
+            inc = int(mseq.group(4) or 1)
+            if inc == 0:
+                raise ValueError("[2004] sequence increment cannot be 0")
+            nm = mseq.group(2).strip("`").lower()
+            if not (mseq.group(1) and nm in sequences):
+                sequences[nm] = [int(mseq.group(3) or 1), inc]
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        mseqd = re.match(
+            r"^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?([\w`]+)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mseqd:
+            nm = mseqd.group(2).strip("`").lower()
+            if nm not in sequences and not mseqd.group(1):
+                raise ValueError(f"[1126] unknown sequence {nm}")
+            sequences.pop(nm, None)
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        if re.match(
+            r"^\s*(DESC(?:RIBE)?\s+SEQUENCE|SHOW\s+SEQUENCES)\b", sql, re.I
+        ):
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        mal = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+COLUMN\s+([\w`]+)\s+"
+            r"(\w+)\s+default\s+nextval\s*\(\s*([\w`]+)\s*\)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mal:
+            # allowed only on an EMPTY table (reference error 1132)
+            try:
+                nrows = spark.table(mal.group(1)).count()
+            except Exception:  # noqa: BLE001
+                nrows = 0
+            if nrows:
+                raise ValueError(
+                    "[1132] cannot add a sequence DEFAULT to a non-empty"
+                    " table"
+                )
+            sqn = mal.group(4).strip("`").lower()
+            if sqn not in sequences:
+                raise ValueError(f"[3101] unknown sequence {sqn}")
+            seq_defaults.setdefault(
+                mal.group(1).split(".")[-1].strip("`").lower(), {}
+            )[mal.group(2).strip("`").lower()] = sqn
+            sql = (
+                f"ALTER TABLE {mal.group(1)} ADD COLUMN"
+                f" {mal.group(2)} {mal.group(3)}"
+            )
+        elif re.search(r"\bnextval\s*\(", sql, re.I) and re.match(
+            r"^\s*ALTER\s+TABLE\b", sql, re.I
+        ):
+            raise ValueError(
+                "[1065] nextval DEFAULT is not allowed in ALTER TABLE"
+            )
+        if re.search(r"\bnextval\s*\(", sql, re.I) and re.match(
+            r"^\s*CREATE\b", sql, re.I
+        ):
+            # DEFAULT nextval(seq): only the bare call over an integer
+            # column is allowed (reference binder sequence checks)
+            ctm = re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+                r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*\((.*)\)",
+                sql,
+                re.I | re.S,
+            )
+            if not ctm:
+                raise ValueError("[1065] nextval outside INSERT/SELECT")
+            cols_txt = ctm.group(2)
+            bad = re.search(
+                r"default\s+nextval\s*\(\s*[\w`]+\s*\)\s*[^,)\s]",
+                cols_txt,
+                re.I,
+            )
+            defs = re.findall(
+                r"([\w`]+)\s+(\w+)\s+default\s+nextval\s*\(\s*([\w`]+)\s*\)",
+                cols_txt,
+                re.I,
+            )
+            if bad or any(
+                t.lower() not in ("int", "integer", "bigint", "uint64",
+                                  "uint32", "int64", "int32", "tinyint",
+                                  "smallint")
+                for _, t, _ in defs
+            ):
+                raise ValueError(
+                    "[1065] DEFAULT must be a bare nextval over an"
+                    " integer column"
+                )
+            for c, _t, sq in defs:
+                sqn = sq.strip("`").lower()
+                if sqn not in sequences:
+                    raise ValueError(f"[3101] unknown sequence {sqn}")
+                seq_defaults.setdefault(
+                    ctm.group(1).split(".")[-1].strip("`").lower(), {}
+                )[c.strip("`").lower()] = sqn
+            sql = re.sub(
+                r"\s+default\s+nextval\s*\(\s*[\w`]+\s*\)", "", sql,
+                flags=re.I,
+            )
+        elif re.search(r"\bnextval\s*\(", sql, re.I):
+            sql = _rewrite_nextval(sql, sequences, spark)
+        mdi = re.match(
+            r"^\s*INSERT\s+INTO\s+([\w.`]+)\s*\(([^)]*)\)\s*VALUES\s*(.*)$",
+            sql,
+            re.I | re.S,
+        )
+        if mdi and seq_defaults.get(
+            mdi.group(1).split(".")[-1].strip("`").lower()
+        ):
+            tdefs = seq_defaults[mdi.group(1).split(".")[-1].strip("`").lower()]
+            given = [c.strip().strip("`").lower() for c in mdi.group(2).split(",")]
+            missing = [c for c in tdefs if c not in given]
+            if missing:
+                ntuples = len(
+                    re.findall(r"\(", mdi.group(3))
+                )
+                vals = mdi.group(3).rstrip().rstrip(";")
+                add_cols = ", ".join(missing)
+                # one sequence value per inserted tuple per column
+                tuples = re.split(r"\)\s*,\s*\(", vals.strip().lstrip("(").rstrip(")"))
+                # column-major: a whole block of values per DEFAULT
+                # column, matching the reference's fill order
+                col_vals: dict[str, list[str]] = {}
+                for c in missing:
+                    sq = tdefs[c]
+                    if sq not in sequences:
+                        raise ValueError(f"[3101] unknown sequence {sq}")
+                    start, inc = sequences[sq]
+                    col_vals[c] = [
+                        str(start + i * inc) for i in range(len(tuples))
+                    ]
+                    sequences[sq][0] = start + len(tuples) * inc
+                new_tuples = []
+                for i, tup in enumerate(tuples):
+                    extra = [col_vals[c][i] for c in missing]
+                    new_tuples.append(f"({', '.join(extra)}, {tup})")
+                sql = (
+                    f"INSERT INTO {mdi.group(1)} ({add_cols},"
+                    f" {mdi.group(2)}) VALUES " + ", ".join(new_tuples)
+                )
         mvt = re.match(
             r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP\w*\s+)?TABLE\s+"
             r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*\((.*)$",
