@@ -282,6 +282,20 @@ SQL_MACROS: dict[str, str] = {
         3: "explode(sequence({0}, {1}, {2}))",
     },
     "unicode": "ascii({0})",
+    "soundex": "__soundex(CAST({0} AS STRING))",
+    "humanize_size": "__humanize_size(CAST({0} AS DOUBLE))",
+    "humanize_number": "__humanize_number(CAST({0} AS DOUBLE))",
+    "inet_aton": "__inet_aton(CAST({0} AS STRING), true)",
+    "try_inet_aton": "__inet_aton(CAST({0} AS STRING), false)",
+    "inet_ntoa": "__inet_ntoa({0}, true)",
+    # MySQL regexp matching defaults to case-insensitive; match_type
+    # flags: i/c/m(multiline)/n(dot-matches-newline)
+    "regexp_like": lambda args: _regexp_like_sql(args),
+    "regexp": lambda args: _regexp_like_sql(args),
+    "glob": lambda args: _glob_sql(args),
+    "try_inet_ntoa": "__inet_ntoa({0}, false)",
+    "sounds_like": "(__soundex(CAST({0} AS STRING)) ="
+                   " __soundex(CAST({1} AS STRING)))",
     # MySQL ord: big-endian integer of the first character's UTF-8
     # bytes (reference scalars/string.rs:830)
     "ord": "CASE WHEN ({0}) IS NULL THEN NULL ELSE coalesce(CAST(conv(hex(encode(left(CAST({0} AS STRING), 1), 'utf-8')), 16, 10) AS BIGINT), 0) END",
@@ -533,7 +547,10 @@ SQL_MACROS: dict[str, str] = {
             " ELSE l\x03ocate({0}, {1}, {2}) END"
         ),
     },
-    "instr": {3: "l\x03ocate({1}, {0}, {2})"},
+    "instr": {
+        3: "__instr(CAST({0} AS STRING), CAST({1} AS STRING), {2}, 1)",
+        4: "__instr(CAST({0} AS STRING), CAST({1} AS STRING), {2}, {3})",
+    },
     # ClickHouse running_difference: x - previous x in input order;
     # first row yields 0
     "running_difference": (
@@ -851,6 +868,40 @@ def _quantile_cont(args: list[str]) -> str | None:
     return f"percentile({args[0]}, array({', '.join(args[1:])}))"
 
 
+def _quantile_disc(args: list[str]) -> str | None:
+    """quantile_disc(x, p...): the ACTUAL element at index
+    floor(p * (n-1)) of the sorted values (reference
+    aggregates/aggregate_quantile_disc.rs) — element type preserved."""
+    if len(args) < 2:
+        return None
+    x = args[0]
+    items = [
+        f"element_at(sort_array(collect_list({x})),"
+        f" CAST(floor(({p}) * (count({x}) - 1)) AS INT) + 1)"
+        for p in args[1:]
+    ]
+    if len(items) == 1:
+        return items[0]
+    return "array(" + ", ".join(items) + ")"
+
+
+def _window_funnel_sql(args: list[str]) -> str | None:
+    """window_funnel(window)(ts, cond...) arrives as
+    window_funnel(ts, cond..., window) — ClickHouse chain funnel over
+    collected rows (__window_funnel UDF)."""
+    if len(args) < 3:
+        return None
+    ts, conds, window = args[0], args[1:-1], args[-1]
+    struct = ", ".join([ts] + [f"CAST(({c}) AS BOOLEAN)" for c in conds])
+    return (
+        f"__window_funnel(CAST({window} AS DOUBLE),"
+        f" collect_list(struct({struct})))"
+    )
+
+
+SQL_MACROS["window_funnel"] = _window_funnel_sql
+SQL_MACROS["quantile_disc"] = _quantile_disc
+SQL_MACROS["medians"] = _quantile_disc
 SQL_MACROS["quantile_cont"] = _quantile_cont
 SQL_MACROS["quantile_tdigest"] = _quantile_cont
 SQL_MACROS["quantile"] = {2: "percentile({0}, {1})"}
@@ -1415,15 +1466,15 @@ def _histogram_tpl(col: str, k: str) -> str:
     nxt = "((i+1) * (size(D) div KK) + least(i+1, size(D) % KK))"
     body = (
         "to_json(filter(transform(sequence(0, KK - 1), i -> named_struct("
-        f"'lower', CAST(element_at(D, CAST({start} AS INT) + 1) AS STRING), "
-        f"'upper', CAST(element_at(D, CAST({nxt} AS INT)) AS STRING), "
+        f"'lower', CAST(try_element_at(D, CAST({start} AS INT) + 1) AS STRING), "
+        f"'upper', CAST(try_element_at(D, CAST({nxt} AS INT)) AS STRING), "
         f"'ndv', CAST({nxt} - {start} AS BIGINT), "
         f"'count', CAST(size(filter(V, x -> "
-        f"x >= element_at(D, CAST({start} AS INT) + 1) AND "
-        f"x <= element_at(D, CAST({nxt} AS INT)))) AS BIGINT), "
+        f"x >= try_element_at(D, CAST({start} AS INT) + 1) AND "
+        f"x <= try_element_at(D, CAST({nxt} AS INT)))) AS BIGINT), "
         f"'pre_sum', CAST(size(filter(V, x -> "
-        f"x < element_at(D, CAST({start} AS INT) + 1))) AS BIGINT)"
-        ")), s -> s.ndv > 0))"
+        f"x < try_element_at(D, CAST({start} AS INT) + 1))) AS BIGINT)"
+        ")), s -> s.ndv > 0 AND s.lower IS NOT NULL))"
     )
     body = body.replace("KK", kk)
     # bind D and V once via single-element transform lambdas
@@ -1470,9 +1521,9 @@ def _array_moment_tpl(kind: str) -> str:
 
 def _histogram(args: list[str]) -> str | None:
     if len(args) == 1:
-        return _histogram_tpl(args[0], "254")
+        return f"__histogram(254, collect_list({args[0]}))"
     if len(args) == 2:
-        return _histogram_tpl(args[0], args[1])
+        return f"__histogram(CAST({args[1]} AS INT), collect_list({args[0]}))"
     return None
 
 
@@ -1643,6 +1694,52 @@ def _to_decimal_sql(args: list[str], cast_kw: str) -> str | None:
     if prec > 38:
         return f"__decimal_text(CAST({args[0]} AS DOUBLE), {args[2]})"
     return f"{cast_kw}({args[0]} AS DECIMAL({args[1]}, {args[2]}))"
+
+
+def _glob_sql(args: list[str]) -> str | None:
+    """GLOB(s, pattern): case-sensitive glob with * and ? (reference
+    scalars/string.rs glob)."""
+    if len(args) != 2:
+        return None
+    lit = _literal_text(args[1]).strip()
+    if not (lit.startswith("'") and lit.endswith("'")):
+        return None
+    pat = lit[1:-1].replace("''", "'")
+    rx = "^" + "".join(
+        ".*" if c == "*" else "." if c == "?" else re.escape(c)
+        for c in pat
+    ) + "$"
+    rx_sql = rx.replace("\\", "\\\\").replace("'", "''")
+    CURRENT_LITERALS.append("'" + rx_sql + "'")
+    tok = f"\x00{len(CURRENT_LITERALS) - 1}\x00"
+    return f"(CAST({args[0]} AS STRING) RLIKE {tok})"
+
+
+def _regexp_like_sql(args: list[str]) -> str | None:
+    """regexp_like(s, pat[, match_type]) with MySQL's case-insensitive
+    default (reference scalars/string.rs regexp_like)."""
+    if len(args) not in (2, 3):
+        return None
+    flags = {"i"}
+    if len(args) == 3:
+        lit = _literal_text(args[2]).strip()
+        if lit.lower() == "null":
+            return "CAST(NULL AS BOOLEAN)"
+        if not (lit.startswith("'") and lit.endswith("'")):
+            return None
+        for ch in lit.strip("'"):
+            if ch == "c":
+                flags.discard("i")
+            elif ch == "i":
+                flags.add("i")
+            elif ch == "m":
+                flags.add("m")
+            elif ch == "n":
+                flags.add("s")
+    prefix = "(?" + "".join(sorted(flags)) + ")" if flags else ""
+    if prefix:
+        return f"(CAST({args[0]} AS STRING) RLIKE concat('{prefix}', {args[1]}))"
+    return f"(CAST({args[0]} AS STRING) RLIKE {args[1]})"
 
 
 def _regexp_split_sql(args: list[str], explode: bool) -> str | None:

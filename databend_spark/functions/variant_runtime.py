@@ -653,6 +653,273 @@ def decimal_text(x, scale):
         return None
 
 
+def variant_like_eval(v, pat):
+    """VARIANT LIKE: true when any string leaf (or the scalar itself)
+    matches the SQL LIKE pattern (reference jsonb like semantics)."""
+    if v is None or pat is None:
+        return None
+    rx = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            rx.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            rx.append(".*")
+        elif c == "_":
+            rx.append(".")
+        else:
+            rx.append(re.escape(c))
+        i += 1
+    rxp = re.compile("^" + "".join(rx) + "$", re.S)
+
+    def leaves(x):
+        if isinstance(x, str):
+            yield x
+        elif isinstance(x, list):
+            for e in x:
+                yield from leaves(e)
+        elif isinstance(x, dict):
+            for e in x.values():
+                yield from leaves(e)
+
+    try:
+        doc = json.loads(v)
+    except (ValueError, TypeError):
+        doc = v
+    return any(rxp.match(s) for s in leaves(doc))
+
+
+def instr_eval(s, sub, pos, occ):
+    """Oracle/MySQL 4-arg INSTR: 1-based char position of the occ-th
+    occurrence searching from pos (negative pos searches backward from
+    the end, reference scalars/string.rs instr)."""
+    if s is None or sub is None or pos is None or occ is None:
+        return None
+    pos, occ = int(pos), int(occ)
+    if pos == 0 or occ <= 0 or not sub:
+        return 0
+    if pos > 0:
+        i = pos - 1
+        for _ in range(occ):
+            i = s.find(sub, i)
+            if i < 0:
+                return 0
+            i += 1
+        return i
+    # negative: search backward, windows ending at len(s)+pos+len(sub)-1
+    start = len(s) + pos
+    i = start
+    for _ in range(occ):
+        i = s.rfind(sub, 0, i + len(sub))
+        if i < 0:
+            return 0
+        i -= 1
+    return i + 2
+
+
+def humanize_size_eval(v):
+    """convert_byte_size (reference common/base/src/base/string.rs:131)."""
+    if v is None:
+        return None
+    import math
+
+    num = float(v)
+    neg = "" if math.copysign(1, num) > 0 else "-"
+    num = abs(num)
+    units = ["B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB", "ZiB", "YiB"]
+    if num < 1:
+        return f"{neg}{num:.2f} B"
+    exp = min(int(math.floor(math.log(num) / math.log(1024))), len(units) - 1)
+    return f"{neg}{num / 1024 ** exp:.2f} {units[exp]}"
+
+
+def humanize_number_eval(v):
+    """convert_number_size (reference string.rs:148): trailing zeros
+    drop via float round-trip like Rust's Display."""
+    if v is None:
+        return None
+    import math
+
+    num = float(v)
+    if num == 0.0:
+        return "0"
+    neg = "" if math.copysign(1, num) > 0 else "-"
+    num = abs(num)
+    units = ["", " thousand", " million", " billion", " trillion",
+             " quadrillion"]
+    if num < 1:
+        return f"{neg}{num:.2f}"
+    exp = min(int(math.floor(math.log(num) / math.log(1000))), len(units) - 1)
+    pretty = float(f"{num / 1000 ** exp:.2f}")
+    txt = "%g" % pretty
+    return f"{neg}{txt}{units[exp]}"
+
+
+def inet_aton_eval(s, strict):
+    if s is None:
+        return None
+    parts = str(s).strip().split(".")
+    try:
+        if len(parts) != 4:
+            raise ValueError
+        nums = [int(p) for p in parts]
+        if any(p < 0 or p > 255 for p in nums):
+            raise ValueError
+        return (nums[0] << 24) | (nums[1] << 16) | (nums[2] << 8) | nums[3]
+    except ValueError:
+        if strict:
+            raise ValueError(f"invalid IPv4 address: {s!r}") from None
+        return None
+
+
+def inet_ntoa_eval(v, strict):
+    if v is None:
+        return None
+    try:
+        n = int(float(v))
+        if n < 0 or n > 0xFFFFFFFF:
+            raise ValueError
+    except (ValueError, TypeError):
+        if strict:
+            raise ValueError(f"invalid IPv4 number: {v!r}") from None
+        return None
+    return f"{(n >> 24) & 255}.{(n >> 16) & 255}.{(n >> 8) & 255}.{n & 255}"
+
+
+def soundex_eval(s):
+    """MySQL-style unbounded soundex (reference scalars/string.rs mod
+    soundex): first uni-alphabetic char kept uppercased, consonant codes
+    appended with adjacent-dedupe, zero-padded to at least 4."""
+    if s is None:
+        return None
+    codes = {
+        "b": "1", "f": "1", "p": "1", "v": "1",
+        "c": "2", "g": "2", "j": "2", "k": "2", "q": "2", "s": "2",
+        "x": "2", "z": "2", "d": "3", "t": "3", "l": "4", "m": "5",
+        "n": "5", "r": "6",
+    }
+    out = []
+    last = None
+    for ch in s:
+        lo = ch.lower() if ch.isascii() else ch
+        score = codes.get(lo, "0")
+        if last is None:
+            if not (ch.isascii() and ch.isalpha() or ord(ch) >= 0xC0):
+                continue
+            last = score
+            out.append(ch.upper() if ch.isascii() else ch)
+        else:
+            if (
+                not (ch.isascii() and ch.isalpha())
+                or lo in "aeiouyhw"
+                or score == last
+            ):
+                continue
+            last = score
+            out.append(score)
+    out.extend("0" * max(0, 4 - len(out)))
+    return "".join(out)
+
+
+def histogram_eval(k, vals):
+    """Equi-height histogram text exactly like the reference
+    (aggregates/aggregate_histogram.rs): ceil-filled buckets over the
+    sorted distinct values; strings/dates render single-quoted,
+    timestamps with microseconds."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if not vals:
+        return None
+    k = int(k or 254)
+
+    def rep(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, _dt.datetime):
+            return "'" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+        if isinstance(v, _dt.date):
+            return "'" + v.isoformat() + "'"
+        if isinstance(v, float):
+            import struct as _struct
+
+            if _struct.unpack("<f", _struct.pack("<f", v))[0] == v:
+                # a float32 widened to double — shortest f32 text
+                for p in range(1, 10):
+                    s = "%.*g" % (p, v)
+                    if _struct.unpack("<f", _struct.pack("<f", float(s)))[0] == v:
+                        return s
+            return repr(v)
+        if isinstance(v, (int, _decimal.Decimal)):
+            return str(v)
+        return "'" + str(v) + "'"
+
+    vals = sorted(v for v in vals if v is not None)
+    if not vals:
+        return None
+    dist = sorted(set(vals))
+    n = len(dist)
+    per = -(-n // k)  # ceil
+    out = []
+    pre = 0
+    i = 0
+    while i < n:
+        chunk = dist[i : i + per]
+        lo, hi = chunk[0], chunk[-1]
+        cnt = sum(1 for v in vals if lo <= v <= hi)
+        out.append(
+            '{"lower":"%s","upper":"%s","ndv":%d,"count":%d,"pre_sum":%d}'
+            % (rep(lo).replace('"', '\\"'), rep(hi).replace('"', '\\"'),
+               len(chunk), cnt, pre)
+        )
+        pre += cnt
+        i += per
+    return "[" + ",".join(out) + "]"
+
+
+def window_funnel_eval(window, rows):
+    """ClickHouse-style windowFunnel over collected (t, cond...) rows
+    (reference aggregates window_funnel): max chain level where each
+    step's event falls within `window` of the chain start. Dates count
+    days, datetimes seconds, numbers as-is."""
+    import datetime as _dt
+
+    if window is None or rows is None:
+        return 0
+
+    def t_of(v):
+        if isinstance(v, _dt.datetime):
+            return v.timestamp() * 1_000_000  # timestamps are micros
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        return float(v)
+
+    evs = []
+    for r in rows:
+        vals = list(r)
+        t = t_of(vals[0])
+        for i, c in enumerate(vals[1:]):
+            if c:
+                evs.append((t, i))
+    evs.sort()
+    n = max((i for _, i in evs), default=-1) + 1
+    if n == 0:
+        return 0
+    times = [None] * n
+    best = 0
+    for t, i in evs:
+        if i == 0:
+            times[0] = t
+            best = max(best, 1)
+        elif times[i - 1] is not None and t - times[i - 1] <= float(window):
+            times[i] = times[i - 1]
+            best = max(best, i + 1)
+    return best
+
+
 def jaro_winkler(s1, s2):
     """Jaro-Winkler similarity (reference scalars/string.rs jaro_winkler,
     standard prefix weight 0.1, max prefix 4) — computed over UTF-8
@@ -1490,6 +1757,17 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__parse_json_strict", parse_json_strict, StringType())
     spark.udf.register("__json_typeof", json_typeof, StringType())
     spark.udf.register("__json_length", json_length, LongType())
+    spark.udf.register("__window_funnel", window_funnel_eval, LongType())
+    spark.udf.register("__histogram", histogram_eval, StringType())
+    spark.udf.register("__soundex", soundex_eval, StringType())
+    spark.udf.register("__humanize_size", humanize_size_eval, StringType())
+    spark.udf.register(
+        "__humanize_number", humanize_number_eval, StringType()
+    )
+    spark.udf.register("__inet_aton", inet_aton_eval, LongType())
+    spark.udf.register("__inet_ntoa", inet_ntoa_eval, StringType())
+    spark.udf.register("__instr", instr_eval, LongType())
+    spark.udf.register("__variant_like", variant_like_eval, BooleanType())
     spark.udf.register("__time_slice", time_slice, StringType())
     spark.udf.register("__to_hex", to_hex, StringType())
     spark.udf.register("__json_strip_nulls", json_strip_nulls, StringType())

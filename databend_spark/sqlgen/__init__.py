@@ -390,8 +390,8 @@ _CBRT_OP = re.compile(r"\|\|/\s*(-?[\w.]+(?:\([^()]*\))?)")
 
 _PARAM_AGG = re.compile(
     r"\b(quantile_cont|quantile_disc|quantile_tdigest|quantile|"
-    r"try_to_decimal|to_decimal|approx_count_distinct|"
-    r"group_array_moving_avg|group_array_moving_sum)"
+    r"try_to_decimal|to_decimal|approx_count_distinct|window_funnel|"
+    r"group_array_moving_avg|group_array_moving_sum|histogram)"
     r"\s*\(([^()]*)\)\s*\(((?:[^()]|\([^()]*\))*)\)",
     re.I,
 )
@@ -3113,6 +3113,48 @@ def rewrite_databend_sql(sql: str) -> str:
         r"([\w.)]+)\s*#\s*(?![>-])(-?[\w.(]+)",
         "\\1 \x04 \\2",
         masked,
+    )
+    # NOT ignore(...) in boolean position: ignore is constant 0, so the
+    # negation is 0 = 0 (Spark refuses NOT over an integer)
+    masked = re.sub(
+        r"\bnot\s+ignore\s*\(", "0 = ignore(", masked, flags=re.I
+    )
+    # variant ↔ string-literal comparison: the literal coerces to a
+    # variant string (JSONB '"..."'), so quote it before comparing
+    masked = re.sub(
+        r"(parse_json\s*\((?:[^()]|\([^()]*\))*\))\s*"
+        r"(=|!=|<>|>=|<=|>|<)\s*(\x00\d+\x00)",
+        '\\1 \\2 concat(\'"\', replace(\\3, \'"\', \'\\\\\\\\"\'), \'"\')',
+        masked,
+        flags=re.I,
+    )
+    # variant LIKE: matches any string leaf inside the document
+    masked = re.sub(
+        r"(parse_json\s*\((?:[^()]|\([^()]*\))*\))\s+(NOT\s+)?LIKE\s+"
+        r"(\x00\d+\x00)",
+        lambda m: (
+            ("NOT " if m.group(2) else "")
+            + f"__variant_like({m.group(1)}, {m.group(3)})"
+        ),
+        masked,
+        flags=re.I,
+    )
+    # REGEXP/RLIKE operator with a literal pattern: MySQL matching is
+    # case-insensitive by default
+    masked = re.sub(
+        r"\b(REGEXP|RLIKE)\s+(\x00\d+\x00)",
+        r"RLIKE concat('(?i)', \2)",
+        masked,
+        flags=re.I,
+    )
+    # A SOUNDS LIKE B operator (MySQL) → soundex equality
+    masked = re.sub(
+        r"([\w.`\x00]*\s*\((?:[^()]|\([^()]*\))*\)|[\w.`\x00]+)"
+        r"\s+SOUNDS\s+LIKE\s+"
+        r"([\w.`\x00]*\s*\((?:[^()]|\([^()]*\))*\)|[\w.`\x00]+)",
+        r"sounds_like(\1, \2)",
+        masked,
+        flags=re.I,
     )
     # XOR operator (no Spark keyword): boolean inequality with MySQL
     # numeric coercion

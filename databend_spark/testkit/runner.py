@@ -556,6 +556,9 @@ def _bootstrap_system_db(spark: SparkSession) -> None:
     stmts = [
         "CREATE OR REPLACE VIEW system.one AS SELECT 1 AS dummy",
         _settings_view_sql({}),
+        "CREATE OR REPLACE VIEW system.databases AS SELECT * FROM VALUES"
+        " ('default', 'default'), ('default', 'information_schema'),"
+        " ('default', 'system') AS t(catalog, name)",
         f"CREATE OR REPLACE VIEW system.functions AS SELECT * FROM VALUES"
         f" {fn_rows} AS t(name, is_aggregate, description)",
         "CREATE OR REPLACE VIEW system.roles AS SELECT * FROM VALUES "
@@ -3100,10 +3103,22 @@ def run_slt_file(
                 re.search(r'"(TINY|SMALL|BIG)?INT"', msg)
                 or '"DOUBLE"' in msg
             ):
-                # numeric ↔ boolean comparison coerces in the reference
-                # (true = 1, false = 0)
-                alt = re.sub(r"\btrue\b", "1", sql, flags=re.I)
-                alt = re.sub(r"\bfalse\b", "0", alt, flags=re.I)
+                # numeric ↔ boolean comparison casts the NUMERIC side to
+                # boolean in the reference (non-zero = true)
+                alt = re.sub(
+                    r"([\w.`]+(?:\([^()]*\))?)\s*(=|!=|<>|>=|<=|>|<)\s*"
+                    r"(true|false)\b",
+                    r"(CAST(\1 AS BOOLEAN) \2 \3)",
+                    sql,
+                    flags=re.I,
+                )
+                alt = re.sub(
+                    r"\b(true|false)\s*(=|!=|<>|>=|<=|>|<)\s*"
+                    r"([\w.`]+(?:\([^()]*\))?)",
+                    r"(\1 \2 CAST(\3 AS BOOLEAN))",
+                    alt,
+                    flags=re.I,
+                )
                 if alt != sql:
                     forced = rewrite_databend_sql(alt)
                     if forced != rewritten:
