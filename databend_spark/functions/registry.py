@@ -40,7 +40,6 @@ RENAME: dict[str, str] = {
     "locate": "instr",
     "strpos": "instr",
     "str_to_map": "str_to_map",
-    "regexp_substr": "regexp_extract",
     "rlike": "rlike",
     "to_base64": "base64",
     "from_base64": "unbase64",
@@ -293,6 +292,25 @@ SQL_MACROS: dict[str, str] = {
     "regexp_like": lambda args: _regexp_like_sql(args),
     "regexp": lambda args: _regexp_like_sql(args),
     "glob": lambda args: _glob_sql(args),
+    "regexp_instr": {
+        2: "__regexp_instr({0}, {1}, 1, 1, 0, '')",
+        3: "__regexp_instr({0}, {1}, {2}, 1, 0, '')",
+        4: "__regexp_instr({0}, {1}, {2}, {3}, 0, '')",
+        5: "__regexp_instr({0}, {1}, {2}, {3}, {4}, '')",
+        6: "__regexp_instr({0}, {1}, {2}, {3}, {4}, {5})",
+    },
+    "regexp_substr": {
+        2: "__regexp_substr({0}, {1}, 1, 1, '')",
+        3: "__regexp_substr({0}, {1}, {2}, 1, '')",
+        4: "__regexp_substr({0}, {1}, {2}, {3}, '')",
+        5: "__regexp_substr({0}, {1}, {2}, {3}, {4})",
+    },
+    "regexp_replace": {
+        3: "__regexp_replace({0}, {1}, {2}, 1, 0, '')",
+        4: "__regexp_replace({0}, {1}, {2}, {3}, 0, '')",
+        5: "__regexp_replace({0}, {1}, {2}, {3}, {4}, '')",
+        6: "__regexp_replace({0}, {1}, {2}, {3}, {4}, {5})",
+    },
     "try_inet_ntoa": "__inet_ntoa({0}, false)",
     "sounds_like": "(__soundex(CAST({0} AS STRING)) ="
                    " __soundex(CAST({1} AS STRING)))",
@@ -2317,7 +2335,6 @@ _SQL_SAFE_RENAMES = {
     "to_quarter": "quarter",
     "to_week_of_year": "weekofyear",
     "str_to_date": "to_date",
-    "regexp_substr": "regexp_extract",
     "to_base64": "base64",
     "to_hex": "hex",
     "from_hex": "unhex",

@@ -653,6 +653,106 @@ def decimal_text(x, scale):
         return None
 
 
+_POSIX_CLASSES = {
+    "[:alnum:]": "a-zA-Z0-9", "[:alpha:]": "a-zA-Z", "[:digit:]": "0-9",
+    "[:lower:]": "a-z", "[:upper:]": "A-Z", "[:space:]": r"\s",
+    "[:blank:]": " \\t", "[:punct:]": r"!-/:-@\[-`{-~",
+    "[:xdigit:]": "0-9a-fA-F", "[:word:]": r"\w", "[:cntrl:]": r"\x00-\x1f",
+}
+
+
+def _mysql_regex(pat: str, match_type: str | None):
+    """Compile a MySQL-style pattern: POSIX classes, (?<name>) groups,
+    ci default; match_type c/i/m/n toggles (bad flags raise)."""
+    for k, v in _POSIX_CLASSES.items():
+        pat = pat.replace(k, v)
+    pat = re.sub(r"\(\?<([A-Za-z])", r"(?P<\1", pat)
+    flags = re.IGNORECASE
+    for ch in match_type or "":
+        if ch == "c":
+            flags &= ~re.IGNORECASE
+        elif ch == "i":
+            flags |= re.IGNORECASE
+        elif ch == "m":
+            flags |= re.MULTILINE
+        elif ch in ("n", "s"):
+            flags |= re.DOTALL
+        elif ch == "u":
+            pass
+        else:
+            raise ValueError(f"invalid match_type flag {ch!r}")
+    return re.compile(pat, flags)
+
+
+def regexp_instr_eval(s, pat, pos, occ, ro, mt):
+    """MySQL REGEXP_INSTR: 1-based CHAR position of the occ-th match
+    starting at pos; return_option 1 reports the position after it.
+    A NULL argument yields NULL; pos/occ out of domain raise."""
+    if (s is None or pat is None or pos is None or occ is None
+            or ro is None or mt is None):
+        return None
+    pos, occ = int(pos), int(occ)
+    if pos < 1 or occ < 1:
+        raise ValueError("regexp_instr: pos and occurrence must be >= 1")
+    if pos > len(s):
+        return 0
+    rx = _mysql_regex(pat, mt)
+    i = 0
+    for m in rx.finditer(s, pos - 1):
+        i += 1
+        if i == occ:
+            return m.end() + 1 if int(ro) else m.start() + 1
+    return 0
+
+
+def regexp_substr_eval(s, pat, pos, occ, mt):
+    if (s is None or pat is None or pos is None or occ is None
+            or mt is None):
+        return None
+    pos, occ = int(pos), int(occ)
+    if pos < 1 or occ < 1:
+        raise ValueError("regexp_substr: pos and occurrence must be >= 1")
+    if pos > len(s):
+        return None
+    rx = _mysql_regex(pat, mt)
+    i = 0
+    for m in rx.finditer(s, pos - 1):
+        i += 1
+        if i == occ:
+            return m.group(0)
+    return None
+
+
+def regexp_replace_eval(s, pat, repl, pos, occ, mt):
+    """occ = 0 replaces every occurrence from pos."""
+    if (s is None or pat is None or repl is None or pos is None
+            or occ is None or mt is None):
+        return None
+    pos, occ = int(pos), int(occ)
+    if pos < 1 or occ < 0:
+        raise ValueError("regexp_replace: pos must be >= 1, occ >= 0")
+    if pos > len(s):
+        return s
+    rx = _mysql_regex(pat, mt)
+    head, tail = s[: pos - 1], s[pos - 1 :]
+    rr = re.sub(r"\$\{(\w+)\}", r"\\g<\1>", repl)
+    rr = re.sub(r"\$(\w+)", r"\\g<\1>", rr)
+    if occ == 0:
+        return head + rx.sub(rr, tail)
+    out = []
+    last = 0
+    i = 0
+    for m in rx.finditer(tail):
+        i += 1
+        if i == occ:
+            out.append(tail[last : m.start()])
+            out.append(m.expand(rr))
+            last = m.end()
+            break
+    out.append(tail[last:])
+    return head + "".join(out)
+
+
 def variant_like_eval(v, pat):
     """VARIANT LIKE: true when any string leaf (or the scalar itself)
     matches the SQL LIKE pattern (reference jsonb like semantics)."""
@@ -1768,6 +1868,9 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__inet_ntoa", inet_ntoa_eval, StringType())
     spark.udf.register("__instr", instr_eval, LongType())
     spark.udf.register("__variant_like", variant_like_eval, BooleanType())
+    spark.udf.register("__regexp_instr", regexp_instr_eval, LongType())
+    spark.udf.register("__regexp_substr", regexp_substr_eval, StringType())
+    spark.udf.register("__regexp_replace", regexp_replace_eval, StringType())
     spark.udf.register("__time_slice", time_slice, StringType())
     spark.udf.register("__to_hex", to_hex, StringType())
     spark.udf.register("__json_strip_nulls", json_strip_nulls, StringType())

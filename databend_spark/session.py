@@ -67,6 +67,8 @@ def get_spark(app_name: str = "databend_spark") -> SparkSession:
         # Databend map_cat/map_insert overwrite on duplicate keys
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # '${name}' in string literals stays literal (regexp templates)
+        .config("spark.sql.variable.substitute", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
@@ -90,6 +92,9 @@ _SESSION_CONFS = (
     # TIMESTAMP_NTZ which breaks unix_micros()/tz arithmetic downstream.
     # With session tz UTC, LTZ values equal DuckDB's naive reading.
     ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    # '${name}' in string literals must stay literal text (regexp
+    # replacement templates) — not Spark variable substitution
+    ("spark.sql.variable.substitute", "false"),
 )
 
 
