@@ -292,6 +292,18 @@ SQL_MACROS: dict[str, str] = {
     "regexp_like": lambda args: _regexp_like_sql(args),
     "regexp": lambda args: _regexp_like_sql(args),
     "glob": lambda args: _glob_sql(args),
+    "chr": {1: "__chr({0})"},
+    # MySQL CHAR(n, n, ...): one character per code point, NULLs skip,
+    # out-of-range raises (reference scalars/string.rs char)
+    "char": lambda args: (
+        "CASE WHEN "
+        + " OR ".join(f"({a}) IS NULL" for a in args)
+        + " THEN NULL ELSE concat("
+        + ", ".join(f"__chr({a})" for a in args)
+        + ") END"
+        if args
+        else None
+    ),
     "regexp_instr": {
         2: "__regexp_instr({0}, {1}, 1, 1, 0, '')",
         3: "__regexp_instr({0}, {1}, {2}, 1, 0, '')",
@@ -837,6 +849,25 @@ SQL_MACROS.update(
         "bitmap_construct_agg": (
             "array_sort(collect_set(CAST({0} AS BIGINT)))"
         ),
+        "bitmap_or_agg": (
+            "array_sort(array_distinct(flatten(collect_list({0}))))"
+        ),
+        "bitmap_and_agg": (
+            "array_sort(aggregate(collect_list({0}),"
+            " CAST(NULL AS ARRAY<BIGINT>),"
+            " (acc, x) -> IF(acc IS NULL, x, array_intersect(acc, x))))"
+        ),
+        "bitmap_xor_agg": (
+            "array_sort(filter(array_distinct(flatten(collect_list({0}))),"
+            " e -> size(filter(flatten(collect_list({0})), y -> y = e))"
+            " % 2 = 1))"
+        ),
+        # intersect_count(t1, t2)(v, tag) arrives as
+        # intersect_count(v, tag, t1, t2)
+        "intersect_count": {
+            # a side with no rows for its tag imposes no constraint
+            4: "size(coalesce(IF(nullif(array_distinct(flatten(collect_list(IF(({1}) = ({2}), {0}, CAST(array() AS ARRAY<BIGINT>))))), CAST(array() AS ARRAY<BIGINT>)) IS NULL, nullif(array_distinct(flatten(collect_list(IF(({1}) = ({3}), {0}, CAST(array() AS ARRAY<BIGINT>))))), CAST(array() AS ARRAY<BIGINT>)), IF(nullif(array_distinct(flatten(collect_list(IF(({1}) = ({3}), {0}, CAST(array() AS ARRAY<BIGINT>))))), CAST(array() AS ARRAY<BIGINT>)) IS NULL, nullif(array_distinct(flatten(collect_list(IF(({1}) = ({2}), {0}, CAST(array() AS ARRAY<BIGINT>))))), CAST(array() AS ARRAY<BIGINT>)), array_intersect(nullif(array_distinct(flatten(collect_list(IF(({1}) = ({2}), {0}, CAST(array() AS ARRAY<BIGINT>))))), CAST(array() AS ARRAY<BIGINT>)), nullif(array_distinct(flatten(collect_list(IF(({1}) = ({3}), {0}, CAST(array() AS ARRAY<BIGINT>))))), CAST(array() AS ARRAY<BIGINT>))))), CAST(array() AS ARRAY<BIGINT>)))",
+        },
         "bitmap_to_array": "({0})",
         "list": "collect_list({0})",
         "sub_bitmap": "sl\x03ice({0}, ({1}) + 1, {2})",

@@ -792,6 +792,16 @@ def variant_like_eval(v, pat):
     return any(rxp.match(s) for s in leaves(doc))
 
 
+def chr_eval(n):
+    """Unicode code point → character (Spark's char() is mod-256)."""
+    if n is None:
+        return None
+    n = int(n)
+    if n < 0 or n > 0x10FFFF:
+        raise ValueError("char code point out of range")
+    return chr(n)
+
+
 def instr_eval(s, sub, pos, occ):
     """Oracle/MySQL 4-arg INSTR: 1-based char position of the occ-th
     occurrence searching from pos (negative pos searches backward from
@@ -1867,6 +1877,7 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__inet_aton", inet_aton_eval, LongType())
     spark.udf.register("__inet_ntoa", inet_ntoa_eval, StringType())
     spark.udf.register("__instr", instr_eval, LongType())
+    spark.udf.register("__chr", chr_eval, StringType())
     spark.udf.register("__variant_like", variant_like_eval, BooleanType())
     spark.udf.register("__regexp_instr", regexp_instr_eval, LongType())
     spark.udf.register("__regexp_substr", regexp_substr_eval, StringType())

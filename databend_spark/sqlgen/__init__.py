@@ -369,7 +369,9 @@ def _ts_int_repl(m: re.Match) -> str:
 _BMP_CALL = (
     r"(?:build_bitmap|to_bitmap|bitmap_and|bitmap_or|bitmap_xor|"
     r"bitmap_not|bitmap_and_not|sub_bitmap|bitmap_subset_limit|"
-    r"bitmap_subset_in_range|bitmap_union|bitmap_intersect)"
+    r"bitmap_subset_in_range|bitmap_union|bitmap_intersect|"
+    r"bitmap_construct_agg|group_bitmap_agg|bitmap_or_agg|"
+    r"bitmap_and_agg|bitmap_xor_agg)"
 )
 _BMP_PARENS = r"\((?:[^()]|\([^()]*\)|\((?:[^()]|\([^()]*\))*\))*\)"
 _BMP_TO_STRING = re.compile(
@@ -391,6 +393,7 @@ _CBRT_OP = re.compile(r"\|\|/\s*(-?[\w.]+(?:\([^()]*\))?)")
 _PARAM_AGG = re.compile(
     r"\b(quantile_cont|quantile_disc|quantile_tdigest|quantile|"
     r"try_to_decimal|to_decimal|approx_count_distinct|window_funnel|"
+    r"intersect_count|"
     r"group_array_moving_avg|group_array_moving_sum|histogram)"
     r"\s*\(([^()]*)\)\s*\(((?:[^()]|\([^()]*\))*)\)",
     re.I,
