@@ -514,3 +514,61 @@ def _register_state_queries():
 
 
 _register_state_queries()
+
+
+# --- round-3 additions: discrete quantiles, boundary date_diff, exact
+# hashes (reference aggregates/aggregate_quantile_disc.rs,
+# scalars/timestamp date_diff, scalars/hash.rs) ----------------------------
+sql_query(
+    "agg_quantile_disc",
+    """
+    SELECT o_orderpriority,
+           CAST(element_at(sort_array(collect_list(CAST(o_totalprice AS
+                 DOUBLE))), CAST(ceil(0.5 * count(o_totalprice)) AS INT))
+                 AS DOUBLE) AS p50,
+           CAST(element_at(sort_array(collect_list(CAST(o_totalprice AS
+                 DOUBLE))), CAST(ceil(0.9 * count(o_totalprice)) AS INT))
+                 AS DOUBLE) AS p90
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+           quantile_disc(CAST(o_totalprice AS DOUBLE), 0.9) AS p90
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="discrete quantiles: the actual element at ceil(p*n) (1-based) "
+    "of the sorted values — DuckDB's quantile_disc rule; the "
+    "reference's aggregate_quantile_disc.rs floors at p*(n-1)",
+)
+
+sql_query(
+    "fn_date_diff_boundaries",
+    """
+    SELECT o_orderkey,
+           (year(o_shipdate) - year(o_orderdate)) AS dy,
+           ((year(o_shipdate) * 12 + month(o_shipdate))
+            - (year(o_orderdate) * 12 + month(o_orderdate))) AS dm,
+           datediff(o_shipdate, o_orderdate) AS dd
+    FROM (SELECT o_orderkey, o_orderdate,
+                 date_add(CAST(o_orderdate AS DATE),
+                          CAST(o_orderkey % 1000 AS INT)) AS o_shipdate
+          FROM orders WHERE o_orderkey <= 20000) t
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           date_diff('year', CAST(o_orderdate AS DATE), o_shipdate) AS dy,
+           date_diff('month', CAST(o_orderdate AS DATE), o_shipdate) AS dm,
+           date_diff('day', CAST(o_orderdate AS DATE), o_shipdate) AS dd
+    FROM (SELECT o_orderkey, o_orderdate,
+                 CAST(o_orderdate AS DATE)
+                   + CAST(o_orderkey % 1000 AS INT) AS o_shipdate
+          FROM orders WHERE o_orderkey <= 20000) t
+    ORDER BY o_orderkey
+    """,
+    doc="boundary-crossing date_diff semantics (reference "
+    "date_helper.rs Eval*Impl): year/month component deltas and "
+    "calendar-day counts — DuckDB's date_diff counts the same "
+    "boundary crossings",
+)
