@@ -1727,7 +1727,13 @@ def _rewrite_groupby_alias_shadow(s: str) -> str:
         # the reference binds GROUP BY identifiers to select aliases
         # before source columns; substituting the expression matches
         # both resolutions (Spark prefers the column on a name clash)
-        if expr != name and "OVER" not in expr.upper():
+        # an aggregate can never be a group key — the reference binds
+        # GROUP BY x to the source column there, like Spark does
+        if (
+            expr != name
+            and "OVER" not in expr.upper()
+            and not _AGG_CALL.search(expr)
+        ):
             shadows[name] = expr
     if not shadows:
         return s
@@ -3192,6 +3198,14 @@ def rewrite_databend_sql(sql: str) -> str:
             masked = _DDL_NULL.sub("", masked)
             masked = _DDL_DEFAULT_PAREN.sub("DEFAULT (", masked)
             masked = _DDL_TEXT.sub("STRING", masked)
+            # CHAR(n)/CHARACTER(n) column types must not reach the
+            # scalar char() macro
+            masked = re.sub(
+                r"\bCHAR(?:ACTER)?\s*\(\s*\d+\s*\)",
+                "STRING",
+                masked,
+                flags=re.I,
+            )
         for pat in _DDL_OPTIONS:
             masked = pat.sub("", masked)
         if not _is_ctas:

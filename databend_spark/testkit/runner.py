@@ -1898,9 +1898,26 @@ def run_slt_file(
                 else:
                     undrop_seq[0] += 1
                     hidden = f"__dropped_{k[1]}_{undrop_seq[0]}"
-                    spark.sql(
-                        f"ALTER TABLE {full} RENAME TO {k[0]}.{hidden}"
-                    )
+                    try:
+                        spark.sql(
+                            f"ALTER TABLE {full} RENAME TO {k[0]}.{hidden}"
+                        )
+                    except Exception as re_err:  # noqa: BLE001
+                        # a killed run can leave an orphan dir with the
+                        # stash name — remove it and retry once
+                        loc = re.search(
+                            r"location '(?:file:)?([^']+)'", str(re_err)
+                        )
+                        if "LOCATION_ALREADY_EXISTS" in str(re_err) and loc:
+                            import shutil
+
+                            shutil.rmtree(loc.group(1), ignore_errors=True)
+                            spark.sql(
+                                f"ALTER TABLE {full} RENAME TO"
+                                f" {k[0]}.{hidden}"
+                            )
+                        else:
+                            raise
                     stack.append(("tbl", hidden))
                     if len(stack) > 3:  # bound catalog growth
                         old = stack.pop(0)
