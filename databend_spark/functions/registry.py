@@ -463,6 +463,7 @@ SQL_MACROS: dict[str, str] = {
     # session context (reference scalars/other.rs): fixed root identity
     # and the pinned UTC session timezone
     "current_user": "'''root''@''%'''",
+    "currentuser": "'''root''@''%'''",
     "user": "'''root''@''%'''",
     "timezone": "'UTC'",
     # Databend TIME renders as text (typeof VARCHAR)

@@ -753,11 +753,36 @@ def regexp_replace_eval(s, pat, repl, pos, occ, mt):
     return head + "".join(out)
 
 
-def variant_like_eval(v, pat):
-    """VARIANT LIKE: true when any string leaf (or the scalar itself)
-    matches the SQL LIKE pattern (reference jsonb like semantics)."""
+def variant_like_eval(v, pat, escape=None):
+    """VARIANT LIKE (reference comparison.rs:2025-2073
+    variant_vectorize_like_jsonb): *simple* patterns — exact, 'prefix%',
+    '%suffix' (repeated %s collapse), no '_' and no escaped wildcard —
+    only match when the variant is a scalar string, compared unquoted;
+    every other pattern traverses the document and matches any string
+    leaf (variant_like_requires_traversal, :2057)."""
     if v is None or pat is None:
         return None
+    if escape and escape != "\\":
+        out = []
+        i = 0
+        while i < len(pat):
+            c = pat[i]
+            if c == escape and i + 1 < len(pat):
+                out.append("\\" + pat[i + 1])
+                i += 2
+            elif c == "\\":
+                out.append("\\\\")
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        pat = "".join(out)
+    has_escaped_wild = bool(re.search(r"\\[%_\\]", pat))
+    simple = not has_escaped_wild and (
+        re.fullmatch(r"[^%_]*", pat)  # exact (OrdinalStr)
+        or re.fullmatch(r"%+[^%_]*", pat)  # StartOfPercent
+        or re.fullmatch(r"[^%_]*%+", pat)  # EndOfPercent
+    )
     rx = []
     i = 0
     while i < len(pat):
@@ -789,6 +814,8 @@ def variant_like_eval(v, pat):
         doc = json.loads(v)
     except (ValueError, TypeError):
         doc = v
+    if simple:
+        return isinstance(doc, str) and bool(rxp.match(doc))
     return any(rxp.match(s) for s in leaves(doc))
 
 

@@ -33,7 +33,8 @@ _TUPLE_FIELD = re.compile(r"((?:[A-Za-z_]\w*|\)))\.(\d+)\b")
 # excludes array slices like arr[1:3]
 _VARIANT_SEG = r"(?:[A-Za-z_]\w*|\[\s*(?:\x00\d+\x00|\d+)\s*\])"
 _VARIANT_PATH = re.compile(
-    r"(?<![:\w.`])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*:(?!:)\s*"
+    r"(?<![:\w.`])((?:try_)?parse_json\s*\((?:[^()]|\([^()]*\))*\)"
+    r"|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*:(?!:)\s*"
     rf"({_VARIANT_SEG}(?:[.:]{_VARIANT_SEG}|\[\s*(?:\x00\d+\x00|\d+)\s*\])*)"
 )
 
@@ -2431,6 +2432,60 @@ def _fold_ilike_pattern(p_tok, e_tok, literals):
     return "'" + "".join(out) + "'", f"'{safe}'"
 
 
+def _sql_lit_value(raw: str) -> str:
+    """Interpret the text between a literal's quotes the way Spark's
+    parser will (backslash escapes on, '' doubling)."""
+    out, i = [], 0
+    while i < len(raw):
+        c = raw[i]
+        if c == "\\" and i + 1 < len(raw):
+            n = raw[i + 1]
+            out.append({"n": "\n", "t": "\t", "r": "\r", "b": "\b", "0": "\0"}.get(n, n))
+            i += 2
+            continue
+        if c == "'" and i + 1 < len(raw) and raw[i + 1] == "'":
+            out.append("'")
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _sql_lit_text(value: str) -> str:
+    """Re-emit a string value as a Spark single-quoted literal."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _fold_like_escape_pattern(p_tok, e_tok, literals):
+    """Rewrite a LIKE pattern with a custom escape char onto the default
+    backslash escape (Spark's like() rejects the escape char preceding
+    anything but %, _ or itself — e.g. '!\\' for a literal backslash).
+    Returns the new pattern literal text, or None when not foldable."""
+    p_lit = _resolve_lit(p_tok, literals)
+    e_lit = _resolve_lit(e_tok, literals)
+    if p_lit is None or e_lit is None:
+        return None
+    p = _sql_lit_value(p_lit[1:-1])
+    e = _sql_lit_value(e_lit[1:-1])
+    if len(e) != 1 or e == "\\":
+        return None
+
+    def lit_ch(c: str) -> str:
+        return "\\" + c if c in "%_\\" else c
+
+    out, i = [], 0
+    while i < len(p):
+        c = p[i]
+        if c == e and i + 1 < len(p):
+            out.append(lit_ch(p[i + 1]))
+            i += 2
+            continue
+        out.append(lit_ch(c) if c == "\\" else c)
+        i += 1
+    return _sql_lit_text("".join(out))
+
+
 def _rewrite_unpivot_labels(s: str, literals: list[str] | None) -> str:
     """UNPIVOT IN-list labels: Databend allows ``col AS 'Label'``,
     ``col 'Label'`` and numeric labels; Spark wants identifier aliases —
@@ -2513,7 +2568,19 @@ def _rewrite_like_escape(s: str, literals: list[str] | None = None) -> str:
                     terms.append(f"like(lower({recv}), {fp}, {fe})")
         else:
             ea = f", {esc}" if esc else ""
-            terms = [f"{fn}({recv}, {p.strip()}{ea})" for p in pats]
+            terms = []
+            for p in pats:
+                folded = (
+                    _fold_like_escape_pattern(p.strip(), esc, literals)
+                    if fn == "like"
+                    and esc
+                    and not re.match(r"\s*(try_)?parse_json\s*\(", recv, re.I)
+                    else None
+                )
+                if folded is not None:
+                    terms.append(f"{fn}({recv}, {folded})")
+                else:
+                    terms.append(f"{fn}({recv}, {p.strip()}{ea})")
         joiner = " OR " if quant.upper() == "ANY" else " AND "
         body = "(" + joiner.join(terms) + ")"
         if neg:
@@ -2808,6 +2875,16 @@ def rewrite_databend_sql(sql: str) -> str:
         r"\b(date_trunc)\s*\(\s*(year|quarter|month|week|day|hour"
         r"|minute|second)\s*,",
         r"\1('\2',",
+        sql,
+        flags=re.I,
+    )
+    # date_part(unit, x) (bare unit ident) → EXTRACT(unit FROM x): the
+    # extract path owns the reference's unit dialect (week, dow, epoch…)
+    sql = re.sub(
+        r"\bdate_part\s*\(\s*(year|quarter|month|week|day|hour|minute"
+        r"|second|dow|doy|isodow|epoch|yearweek|millennium)\s*,"
+        r"\s*([^()]*(?:\([^()]*\))?[^()]*)\)",
+        r"EXTRACT(\1 FROM \2)",
         sql,
         flags=re.I,
     )
@@ -3137,13 +3214,28 @@ def rewrite_databend_sql(sql: str) -> str:
         masked,
         flags=re.I,
     )
-    # variant LIKE: matches any string leaf inside the document
+    # variant LIKE: simple patterns match scalar strings only, complex
+    # patterns match any string leaf (variant_like_eval)
     masked = re.sub(
         r"(parse_json\s*\((?:[^()]|\([^()]*\))*\))\s+(NOT\s+)?LIKE\s+"
-        r"(\x00\d+\x00)",
+        r"(\x00\d+\x00)(\s+ESCAPE\s+(\x00\d+\x00))?",
         lambda m: (
             ("NOT " if m.group(2) else "")
-            + f"__variant_like({m.group(1)}, {m.group(3)})"
+            + f"__variant_like({m.group(1)}, {m.group(3)}"
+            + (f", {m.group(5)}" if m.group(5) else "")
+            + ")"
+        ),
+        masked,
+        flags=re.I,
+    )
+    # same, after _rewrite_like_escape folded it to like(expr, pat, esc)
+    masked = re.sub(
+        r"\blike\s*\(\s*(parse_json\s*\((?:[^()]|\([^()]*\))*\))\s*,\s*"
+        r"(\x00\d+\x00)\s*(?:,\s*(\x00\d+\x00)\s*)?\)",
+        lambda m: (
+            f"__variant_like({m.group(1)}, {m.group(2)}"
+            + (f", {m.group(3)}" if m.group(3) else "")
+            + ")"
         ),
         masked,
         flags=re.I,
