@@ -53,6 +53,10 @@ RENAME: dict[str, str] = {
     "crc32": "crc32",
     # date/time
     "to_datetime": "to_timestamp",
+    # TIMESTAMP_TZ under the pinned UTC session collapses to TIMESTAMP
+    # (reference scalars/timestamp/src/datetime.rs:112-194)
+    "to_timestamp_tz": "to_timestamp",
+    "try_to_timestamp_tz": "try_to_timestamp",
     "to_day_of_month": "dayofmonth",
     "to_day_of_year": "dayofyear",
     "to_hour": "hour",
@@ -2357,6 +2361,8 @@ _SQL_SAFE_RENAMES = {
     "lcase": "lower",
     "ucase": "upper",
     "to_datetime": "to_timestamp",
+    "to_timestamp_tz": "to_timestamp",
+    "try_to_timestamp_tz": "try_to_timestamp",
     "to_day_of_month": "dayofmonth",
     "to_day_of_year": "dayofyear",
     "to_hour": "hour",

@@ -412,20 +412,39 @@ def _rewrite_map_literals(s: str) -> str:
         if not m:
             return s
         body = m.group(1)
-        # depth-0 colons become commas (values may hold casts with '::'?
-        # no — '::' never appears bare at depth 0 inside a map literal)
+        # depth-0 colons become commas; '::' cast operators inside the
+        # values pass through untouched
         out = []
         depth = 0
-        for ch in body:
+        i = 0
+        while i < len(body):
+            ch = body[i]
             if ch in "([":
                 depth += 1
             elif ch in ")]":
                 depth -= 1
             if ch == ":" and depth == 0:
+                if i + 1 < len(body) and body[i + 1] == ":":
+                    out.append("::")
+                    i += 2
+                    continue
                 out.append(", ")
             else:
                 out.append(ch)
-        s = s[: m.start()] + "map(" + "".join(out) + ")" + s[m.end() :]
+            i += 1
+        flat = "".join(out)
+        # scientific-notation values parse as DOUBLE in Spark but as
+        # DECIMAL in the reference; expand to plain decimal text so the
+        # map's value type (and its JSON display) unifies decimally
+        def _expand_sci(mm: re.Match) -> str:
+            from decimal import Decimal
+
+            return format(Decimal(mm.group(0)), "f")
+
+        flat = re.sub(
+            r"(?<![\w.])-?\d+(?:\.\d+)?[eE][+-]?\d+\b", _expand_sci, flat
+        )
+        s = s[: m.start()] + "map(" + flat + ")" + s[m.end() :]
     return s
 
 
@@ -2988,7 +3007,10 @@ def rewrite_databend_sql(sql: str) -> str:
         }
         masked = re.sub(
             r"\btypeof\s*\(\s*(?:"
-            r"(?:[\w.`]+|\((?:[^()]|\([^()]*\))*\))*?::\s*"
+            # single-char word alternative — a `[\w.`]+` alternative under
+            # the outer *? backtracks exponentially on long typeof() args
+            # that contain no `::` (e.g. the decimal suite's literals)
+            r"(?:[\w.`]|\((?:[^()]|\([^()]*\))*\))*?::\s*"
             r"(u?int(?:8|16|32|64))"
             r"|CAST\s*\((?:[^()]|\([^()]*\))*\s+AS\s+"
             r"(u?int(?:8|16|32|64)|unsigned)\s*\)"

@@ -1,0 +1,1000 @@
+"""In-memory RBAC emulation for the SLT harness.
+
+Models the reference's account-management surface — users, roles,
+role-to-role/role-to-user grants, object privilege grants, ownership,
+``show_grants``/``show_roles`` table functions and the system.users /
+system.roles tables — well enough to run the ``05_ddl`` / ``06_show``
+account suites. Spark has no principal catalog, so the state is pure
+session-local Python (the reference keeps it in the meta service:
+src/query/users/, src/meta/app/src/principal/user_privilege.rs,
+src/query/service/src/table_functions/show_grants/show_grants_table.rs).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import re
+
+
+def _sql(spark, q: str):
+    from databend_spark.sqlgen import rewrite_databend_sql
+
+    return spark.sql(rewrite_databend_sql(q))
+
+# privilege display names in UserPrivilegeType bit order (reference
+# src/meta/app/src/principal/user_privilege.rs:38-80); merged privilege
+# lists always render in this order
+_PRIV_ORDER = [
+    "USAGE", "CREATE", "SELECT", "INSERT", "UPDATE", "DELETE", "DROP",
+    "ALTER", "SUPER", "CREATE USER", "CREATE ROLE", "GRANT",
+    "CREATE STAGE", "DROP ROLE", "DROP USER", "OWNERSHIP", "Read",
+    "Write", "CREATE DATABASE", "CREATE WAREHOUSE", "ACCESS CONNECTION",
+    "ACCESS SEQUENCE", "CREATE CONNECTION", "CREATE SEQUENCE",
+]
+_PRIV_RANK = {p.upper(): i for i, p in enumerate(_PRIV_ORDER)}
+_CANON = {p.upper(): p for p in _PRIV_ORDER}
+
+# ALL expansion per object scope (reference
+# user_privilege.rs available_privileges_on_*)
+_ALL_DB = [
+    "USAGE", "CREATE", "SELECT", "INSERT", "UPDATE", "DELETE", "DROP",
+    "ALTER", "GRANT",
+]
+_ALL_TABLE = ["SELECT", "INSERT", "UPDATE", "DELETE", "DROP", "ALTER", "GRANT"]
+_ALL_STAGE = ["Read", "Write"]
+
+_NAME = r"(?:'([^']*)'|`([^`]*)`|\"([^\"]*)\"|([A-Za-z_][\w@.$-]*))"
+
+
+def _nm(m, base: int) -> str | None:
+    for k in range(base, base + 4):
+        if m.group(k) is not None:
+            return m.group(k)
+    return None
+
+
+def _sorted_privs(privs) -> list[str]:
+    return sorted(privs, key=lambda p: _PRIV_RANK.get(p.upper(), 99))
+
+
+class RBAC:
+    def __init__(self) -> None:
+        self.tick = 0
+        # name -> dict state; builtin users are config-file users
+        self.users: dict[str, dict] = {}
+        for b in ("default", "root"):
+            self.users[b] = self._mk_user(b, "no_password", builtin=True)
+        self.roles: dict[str, dict] = {
+            "account_admin": self._mk_role(),
+            "public": self._mk_role(),
+        }
+        # (kind, grantee) -> {objkey: set(privs) | "ALL"}
+        self.grants: dict[tuple[str, str], dict[tuple, object]] = {}
+        # objkey -> owner role (absent = account_admin)
+        self.owners: dict[tuple, str] = {}
+        self.object_ids: dict[tuple, int] = {}
+        self.current_role = "account_admin"
+        self.expand_roles = True
+
+    # -- state helpers ----------------------------------------------------
+
+    def _t(self) -> int:
+        self.tick += 1
+        return self.tick
+
+    def _mk_user(self, name, auth, builtin=False) -> dict:
+        t = self._t()
+        return {
+            "name": name, "auth": auth, "builtin": builtin,
+            "default_role": "account_admin" if builtin else "",
+            "default_warehouse": "", "disabled": False,
+            "roles": {"account_admin"} if builtin else set(),
+            "keys": [], "created": t, "updated": t,
+        }
+
+    def _mk_role(self, comment="") -> dict:
+        t = self._t()
+        return {"comment": comment, "inherited": set(), "created": t,
+                "updated": t}
+
+    def _objkey(self, kind: str, *parts: str) -> tuple:
+        key = (kind, *[p.lower() for p in parts])
+        if key not in self.object_ids:
+            self.object_ids[key] = len(self.object_ids) + 1
+        return key
+
+    def _role_closure(self, role: str) -> set[str]:
+        out, todo = set(), [role]
+        while todo:
+            r = todo.pop()
+            if r in out or r not in self.roles:
+                continue
+            out.add(r)
+            todo.extend(self.roles[r]["inherited"])
+        return out
+
+    def _grant(self, kind: str, grantee: str, objkey: tuple, privs) -> None:
+        slot = self.grants.setdefault((kind, grantee), {})
+        if privs == "ALL":
+            slot[objkey] = "ALL"
+        else:
+            cur = slot.get(objkey)
+            if cur == "ALL":
+                return
+            slot.setdefault(objkey, set()).update(privs)
+
+    def _revoke(self, kind: str, grantee: str, objkey: tuple, privs) -> None:
+        slot = self.grants.get((kind, grantee), {})
+        if objkey not in slot:
+            return
+        if privs == "ALL":
+            slot.pop(objkey, None)
+            return
+        cur = slot[objkey]
+        if cur == "ALL":
+            cur = set(self._expand_all(objkey))
+        cur -= set(privs)
+        if cur:
+            slot[objkey] = cur
+        else:
+            slot.pop(objkey, None)
+
+    def _expand_all(self, objkey: tuple) -> list[str]:
+        k = objkey[0]
+        if k == "db":
+            return _ALL_DB
+        if k == "table":
+            return _ALL_TABLE
+        if k == "stage":
+            return _ALL_STAGE
+        return ["ALL"]
+
+    # -- rendering ---------------------------------------------------------
+
+    def _identity(self, kind: str, name: str) -> str:
+        return f"ROLE `{name}`" if kind == "role" else f"'{name}'@'%'"
+
+    def _obj_sql(self, objkey: tuple) -> str:
+        k = objkey[0]
+        if k == "global":
+            return "*.*"
+        if k == "db":
+            return f"'default'.'{objkey[1]}'.*"
+        if k == "table":
+            return f"'default'.'{objkey[1]}'.'{objkey[2]}'"
+        return f"{k.upper()} {objkey[1]}"
+
+    def _obj_name(self, objkey: tuple) -> str:
+        k = objkey[0]
+        if k == "global":
+            return "*.*"
+        if k == "db":
+            return objkey[1]
+        if k == "table":
+            return objkey[2]
+        return objkey[1]
+
+    def _privs_text(self, privs, objkey: tuple) -> str:
+        if privs == "ALL":
+            return "ALL"
+        return ",".join(_CANON.get(p.upper(), p) for p in _sorted_privs(privs))
+
+    def _privs_col(self, privs, objkey: tuple) -> str:
+        if privs == "ALL":
+            expanded = self._expand_all(objkey)
+            if expanded == ["ALL"]:
+                return "ALL"
+            return ",".join(expanded)
+        return ",".join(_CANON.get(p.upper(), p) for p in _sorted_privs(privs))
+
+    def _grant_rows(self, kind: str, name: str) -> list[tuple]:
+        """show_grants('role'|'user', name) rows:
+        (privileges, object_name, object_id, grant_to, name, grants)."""
+        ident = self._identity(kind, name)
+        if kind == "role":
+            closure = self._role_closure(name) | {"public"}
+            direct_roles = sorted(
+                (self.roles.get(name, {"inherited": set()})["inherited"]
+                 | {"public"}) - {name}
+            )
+        else:
+            u = self.users.get(name, {"roles": set()})
+            closure = set()
+            for r in u["roles"]:
+                closure |= self._role_closure(r)
+            closure |= {"public"}
+            direct_roles = sorted(closure)
+        gkind, gname = ("ROLE", name) if kind == "role" else ("USER", name)
+
+        rows: list[tuple] = []
+        if self.expand_roles:
+            # merge object privileges across the closure; ownership rows
+            # for every object owned by a closure role
+            merged: dict[tuple, object] = {}
+            for r in sorted(closure):
+                for objkey, privs in self.grants.get(("role", r), {}).items():
+                    if privs == "ALL":
+                        merged[objkey] = "ALL"
+                    elif merged.get(objkey) != "ALL":
+                        merged.setdefault(objkey, set()).update(privs)
+            if kind == "user":
+                for objkey, privs in self.grants.get(("user", name), {}).items():
+                    if privs == "ALL":
+                        merged[objkey] = "ALL"
+                    elif merged.get(objkey) != "ALL":
+                        merged.setdefault(objkey, set()).update(privs)
+            owned = [k for k, o in self.owners.items() if o in closure]
+            objs = sorted(
+                set(merged) - {("global",)} | set(owned),
+                key=lambda k: self.object_ids.get(k, 10**9),
+            )
+            for objkey in objs:
+                oid = self.object_ids.get(objkey)
+                if objkey in merged:
+                    rows.append((
+                        self._privs_col(merged[objkey], objkey),
+                        self._obj_name(objkey), oid, gkind, gname,
+                        f"GRANT {self._privs_text(merged[objkey], objkey)} "
+                        f"ON {self._obj_sql(objkey)} TO {ident}",
+                    ))
+                if self.owners.get(objkey) in closure:
+                    rows.append((
+                        "OWNERSHIP", self._obj_name(objkey), oid, gkind,
+                        gname,
+                        f"GRANT OWNERSHIP ON {self._obj_sql(objkey)} "
+                        f"TO {ident}",
+                    ))
+            g = merged.get(("global",))
+            if g:
+                rows.append((
+                    self._privs_col(g, ("global",)), "*.*", None, gkind,
+                    gname,
+                    f"GRANT {self._privs_text(g, ('global',))} ON *.* "
+                    f"TO {ident}",
+                ))
+        else:
+            direct = dict(self.grants.get((kind, name), {}))
+            objs = sorted(
+                (set(direct) - {("global",)})
+                | {k for k, o in self.owners.items()
+                   if kind == "role" and o == name},
+                key=lambda k: self.object_ids.get(k, 10**9),
+            )
+            for objkey in objs:
+                oid = self.object_ids.get(objkey)
+                if objkey in direct:
+                    rows.append((
+                        self._privs_col(direct[objkey], objkey),
+                        self._obj_name(objkey), oid, gkind, gname,
+                        f"GRANT {self._privs_text(direct[objkey], objkey)} "
+                        f"ON {self._obj_sql(objkey)} TO {ident}",
+                    ))
+                if kind == "role" and self.owners.get(objkey) == name:
+                    rows.append((
+                        "OWNERSHIP", self._obj_name(objkey), oid, gkind,
+                        gname,
+                        f"GRANT OWNERSHIP ON {self._obj_sql(objkey)} "
+                        f"TO {ident}",
+                    ))
+            for r in direct_roles:
+                rows.append((
+                    None, None, None, gkind, gname,
+                    f"GRANT ROLE {r} to {ident}",
+                ))
+            g = direct.get(("global",))
+            if g:
+                rows.append((
+                    self._privs_col(g, ("global",)), "*.*", None, gkind,
+                    gname,
+                    f"GRANT {self._privs_text(g, ('global',))} ON *.* "
+                    f"TO {ident}",
+                ))
+        return rows
+
+    # -- dataframe helpers ---------------------------------------------------
+
+    def _df(self, spark, rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    def _user_rows(self) -> list[tuple]:
+        out = []
+        for name in sorted(self.users):
+            u = self.users[name]
+            roles = ", ".join(sorted(u["roles"]))
+            out.append((
+                name, "%", u["auth"],
+                "YES" if u["builtin"] else "NO",
+                u["default_role"], u["default_warehouse"], roles,
+                u["disabled"], None, None, None, u["created"], u["updated"],
+            ))
+        return out
+
+    _USERS_SCHEMA = (
+        "name string, hostname string, auth_type string,"
+        " is_configured string, default_role string,"
+        " default_warehouse string, roles string, disabled boolean,"
+        " network_policy string, password_policy string,"
+        " must_change_password boolean, created_on bigint, update_on bigint"
+    )
+
+    def _role_rows(self) -> list[tuple]:
+        out = []
+        for name in sorted(self.roles):
+            r = self.roles[name]
+            inh = sorted(r["inherited"])
+            out.append((
+                name, len(inh), ", ".join(inh),
+                name == self.current_role,
+                name == "account_admin",  # session user root's default
+                r["comment"], r["created"], r["updated"],
+            ))
+        return out
+
+    _ROLES_SCHEMA = (
+        "name string, inherited_roles bigint, inherited_roles_name string,"
+        " is_current boolean, is_default boolean, comment string,"
+        " created_on bigint, update_on bigint"
+    )
+
+    _GRANTS_SCHEMA = (
+        "privileges string, object_name string, object_id bigint,"
+        " grant_to string, name string, grants string"
+    )
+
+    # -- entry point --------------------------------------------------------
+
+    def handle(self, spark, sql: str):
+        """Return a DataFrame when the statement belongs to the RBAC
+        surface, None otherwise. Raises for the reference's error cases
+        (codes in brackets match src/common/exception/src/exception_code.rs)."""
+        s = sql.strip().rstrip(";").strip()
+        low = s.lower()
+
+        # per-query settings prefix (only expand_roles matters here)
+        expand_override = None
+        msett = re.match(r"^settings\s*\(([^)]*)\)\s*(.*)$", s, re.I | re.S)
+        if msett and "show_grants" in low:
+            me = re.search(
+                r"enable_expand_roles\s*=\s*(\d)", msett.group(1), re.I
+            )
+            if me:
+                expand_override = msett.group(2), me.group(1) == "1"
+                s = msett.group(2)
+                low = s.lower()
+
+        if re.match(r"^(un)?set\s+(global\s+)?enable_expand_roles\b", low):
+            m = re.search(r"=\s*(\d)", s)
+            self.expand_roles = (m.group(1) == "1") if m else True
+            return spark.sql("SELECT 1 AS ok WHERE false")
+
+        for fn in (
+            self._h_create_user, self._h_alter_user, self._h_drop_user,
+            self._h_create_role, self._h_alter_role, self._h_drop_role,
+            self._h_grant_role, self._h_revoke_role, self._h_grant_priv,
+            self._h_revoke_priv, self._h_set_role, self._h_show_users,
+            self._h_desc_user, self._h_show_keys, self._h_show_roles,
+            self._h_show_grants, self._h_sys_tables,
+        ):
+            if expand_override is not None:
+                saved = self.expand_roles
+                self.expand_roles = expand_override[1]
+            try:
+                r = fn(spark, s, low)
+            finally:
+                if expand_override is not None:
+                    self.expand_roles = saved
+            if r is not None:
+                return r
+        return None
+
+    def preprocess(self, sql: str) -> str:
+        if "current_role" in sql.lower():
+            sql = re.sub(
+                r"\bcurrent_role\s*\(\s*\)", f"'{self.current_role}'", sql,
+                flags=re.I,
+            )
+        return sql
+
+    # -- users ---------------------------------------------------------------
+
+    def _h_create_user(self, spark, s, low):
+        m = re.match(
+            r"^create\s+(or\s+replace\s+)?user\s+(if\s+not\s+exists\s+)?"
+            rf"{_NAME}(?:@{_NAME})?\s+identified\s+"
+            r"(?:with\s+(\w+)\s+)?by\s+'([^']*)'(?:\s+with\s+(.*))?$",
+            s, re.I | re.S,
+        )
+        if not m:
+            if re.match(r"^create\s+(or\s+replace\s+)?user\b", low):
+                raise ValueError("[1005] create user: syntax error")
+            return None
+        replace, ifnx = m.group(1), m.group(2)
+        name, host = _nm(m, 3), _nm(m, 7)
+        auth = (m.group(11) or "double_sha1_password").lower()
+        opts = m.group(13) or ""
+        if replace and ifnx:
+            raise ValueError(
+                "[1005] OR REPLACE and IF NOT EXISTS are incompatible"
+            )
+        if host is not None and host != "%":
+            raise ValueError("[1005] only hostname '%' is supported")
+        if any(c in name for c in "'\"") or "\\b" in name or "\\f" in name:
+            raise ValueError(f"[2218] illegal user name [{name}]")
+        if name in self.users and not (ifnx or replace):
+            raise ValueError(f"[2202] user {name} already exists")
+        if name not in self.users or replace:
+            u = self._mk_user(name, auth)
+            if auth == "key_pair":
+                u["keys"] = [(m.group(12), "")]
+            self.users[name] = u
+            self._apply_user_opts(u, opts)
+        return spark.sql("SELECT 1 AS ok WHERE false")
+
+    def _apply_user_opts(self, u: dict, opts: str) -> None:
+        mo = re.search(r"default_role\s*=\s*'?([\w-]+)'?", opts, re.I)
+        if mo:
+            u["default_role"] = mo.group(1)
+        mo = re.search(r"default_warehouse\s*=\s*'?([\w-]+)'?", opts, re.I)
+        if mo:
+            u["default_warehouse"] = mo.group(1)
+        mo = re.search(r"disabled\s*=\s*(true|false)", opts, re.I)
+        if mo:
+            u["disabled"] = mo.group(1).lower() == "true"
+
+    def _h_alter_user(self, spark, s, low):
+        m = re.match(
+            rf"^alter\s+user\s+(if\s+exists\s+)?{_NAME}(?:@{_NAME})?\s+"
+            r"(identified\s+(?:with\s+\w+\s+)?by\s+'[^']*'|with\s+(.*))$",
+            s, re.I | re.S,
+        )
+        if not m:
+            return None
+        ifex, name, host = m.group(1), _nm(m, 2), _nm(m, 6)
+        if host is not None and host != "%":
+            raise ValueError("[1005] only hostname '%' is supported")
+        u = self.users.get(name)
+        if u is None:
+            if ifex:
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            raise ValueError(f"[2201] unknown user {name}")
+        body = m.group(10)
+        opts = m.group(11) or ""
+        mk = re.match(
+            r"add\s+public_key\s*=\s*'([^']*)'(?:\s+label\s*=\s*'([^']*)')?",
+            opts.strip(), re.I,
+        )
+        if mk:
+            u["keys"].append((mk.group(1), mk.group(2) or ""))
+        else:
+            self._apply_user_opts(u, opts)
+            if re.match(r"identified", body, re.I):
+                mw = re.search(r"with\s+(\w+)", body, re.I)
+                if mw:
+                    u["auth"] = mw.group(1).lower()
+        u["updated"] = self._t()
+        return spark.sql("SELECT 1 AS ok WHERE false")
+
+    def _h_drop_user(self, spark, s, low):
+        m = re.match(
+            rf"^drop\s+user\s+(if\s+exists\s+)?{_NAME}(?:@{_NAME})?$",
+            s, re.I,
+        )
+        if not m:
+            return None
+        name, host = _nm(m, 2), _nm(m, 6)
+        if host is not None and host != "%":
+            raise ValueError("[1005] only hostname '%' is supported")
+        if name not in self.users:
+            if m.group(1):
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            raise ValueError(f"[2201] unknown user {name}")
+        del self.users[name]
+        self.grants.pop(("user", name), None)
+        return spark.sql("SELECT 1 AS ok WHERE false")
+
+    # -- roles ---------------------------------------------------------------
+
+    def _h_create_role(self, spark, s, low):
+        m = re.match(
+            r"^create\s+(or\s+replace\s+)?role\s+(if\s+not\s+exists\s+)?"
+            rf"{_NAME}(?:\s+comment\s*=?\s*'([^']*)')?$",
+            s, re.I,
+        )
+        if not m:
+            return None
+        if m.group(1):
+            raise ValueError("[1005] CREATE OR REPLACE ROLE is not allowed")
+        name = _nm(m, 3)
+        if m.group(5) is not None and "'" in name:
+            raise ValueError("[1005] syntax error")
+        if (
+            name.lower() in ("account_admin", "public")
+            or '"' in name or "\\b" in name or "\\f" in name or "'" in name
+        ):
+            raise ValueError(f"[2217] illegal role name [{name}]")
+        if name in self.roles:
+            if m.group(2):
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            raise ValueError(f"[2216] role {name} already exists")
+        self.roles[name] = self._mk_role(m.group(7) or "")
+        return spark.sql("SELECT 1 AS ok WHERE false")
+
+    def _h_alter_role(self, spark, s, low):
+        m = re.match(
+            rf"^alter\s+role\s+(if\s+exists\s+)?{_NAME}\s+"
+            r"(set\s+comment\s*=\s*'([^']*)'|unset\s+comment)$",
+            s, re.I,
+        )
+        if not m:
+            return None
+        name = _nm(m, 2)
+        r = self.roles.get(name)
+        if r is None:
+            if m.group(1):
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            raise ValueError(f"[2204] unknown role {name}")
+        r["comment"] = m.group(7) if m.group(7) is not None else ""
+        r["updated"] = self._t()
+        return spark.sql("SELECT 1 AS ok WHERE false")
+
+    def _h_drop_role(self, spark, s, low):
+        m = re.match(rf"^drop\s+role\s+(if\s+exists\s+)?{_NAME}$", s, re.I)
+        if not m:
+            return None
+        name = _nm(m, 2)
+        if name.lower() in ("account_admin", "public"):
+            raise ValueError(f"[2217] cannot drop built-in role {name}")
+        if name not in self.roles:
+            if m.group(1):
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            raise ValueError(f"[2204] unknown role {name}")
+        del self.roles[name]
+        self.grants.pop(("role", name), None)
+        for r in self.roles.values():
+            r["inherited"].discard(name)
+        for u in self.users.values():
+            u["roles"].discard(name)
+        for k in [k for k, o in self.owners.items() if o == name]:
+            del self.owners[k]
+        if self.current_role == name:
+            self.current_role = "public"
+        return spark.sql("SELECT 1 AS ok WHERE false")
+
+    def _h_grant_role(self, spark, s, low):
+        m = re.match(
+            rf"^grant\s+role\s+{_NAME}\s+to\s+(role\s+|user\s+)?{_NAME}$",
+            s, re.I,
+        )
+        if not m:
+            return None
+        role, kind, grantee = _nm(m, 1), (m.group(5) or "user").strip().lower(), _nm(m, 6)
+        if role not in self.roles:
+            raise ValueError(f"[2204] unknown role {role}")
+        if kind == "role":
+            g = self.roles.get(grantee)
+            if g is None:
+                raise ValueError(f"[2204] unknown role {grantee}")
+            if grantee in self._role_closure(role):
+                raise ValueError(
+                    f"[2206] granting role {role} to {grantee} creates a cycle"
+                )
+            g["inherited"].add(role)
+            g["updated"] = self._t()
+        else:
+            u = self.users.get(grantee)
+            if u is None:
+                raise ValueError(f"[2201] unknown user {grantee}")
+            u["roles"].add(role)
+            u["updated"] = self._t()
+        return spark.sql("SELECT 1 AS ok WHERE false")
+
+    def _h_revoke_role(self, spark, s, low):
+        m = re.match(
+            rf"^revoke\s+role\s+{_NAME}\s+from\s+(role\s+|user\s+)?{_NAME}$",
+            s, re.I,
+        )
+        if not m:
+            return None
+        role, kind, grantee = _nm(m, 1), (m.group(5) or "user").strip().lower(), _nm(m, 6)
+        if kind == "role":
+            g = self.roles.get(grantee)
+            if g is None:
+                raise ValueError(f"[2204] unknown role {grantee}")
+            g["inherited"].discard(role)
+        else:
+            u = self.users.get(grantee)
+            if u is None:
+                raise ValueError(f"[2201] unknown user {grantee}")
+            u["roles"].discard(role)
+        return spark.sql("SELECT 1 AS ok WHERE false")
+
+    # -- privilege grants ------------------------------------------------------
+
+    _OBJ = (
+        r"(\*\.\*|[\w`\"]+\.\*|(?:stage|udf|warehouse|connection|sequence"
+        r"|function)\s+[\w`\"'-]+|[\w`\"]+(?:\.[\w`\"]+)?)"
+    )
+
+    def _parse_obj(self, txt: str) -> tuple:
+        t = txt.strip().strip("`\"'")
+        mo = re.match(
+            r"^(stage|udf|warehouse|connection|sequence|function)\s+(.+)$",
+            t, re.I,
+        )
+        if mo:
+            kind = mo.group(1).lower()
+            if kind == "function":
+                kind = "udf"
+            return self._objkey(kind, mo.group(2).strip().strip("`\"'"))
+        if t == "*.*":
+            return self._objkey("global")
+        if t.endswith(".*"):
+            return self._objkey("db", t[:-2].strip("`\""))
+        if "." in t:
+            db, tbl = t.split(".", 1)
+            return self._objkey("table", db.strip("`\""), tbl.strip("`\""))
+        return self._objkey("table", "default", t)
+
+    def _parse_privs(self, txt: str):
+        t = re.sub(r"\s+privileges\s*$", "", txt.strip(), flags=re.I)
+        if t.strip().upper() == "ALL":
+            return "ALL"
+        out = []
+        for p in t.split(","):
+            pu = " ".join(p.split()).upper()
+            out.append(_CANON.get(pu, pu))
+        return out
+
+    def _h_grant_priv(self, spark, s, low):
+        m = re.match(
+            rf"^grant\s+(.+?)\s+on\s+{self._OBJ}\s+to\s+(role\s+)?{_NAME}$",
+            s, re.I | re.S,
+        )
+        if not m or re.match(r"^grant\s+role\b", low):
+            return None
+        privs = self._parse_privs(m.group(1))
+        objkey = self._parse_obj(m.group(2))
+        kind = "role" if m.group(3) else "user"
+        grantee = _nm(m, 4)
+        if objkey[0] in ("warehouse", "connection", "sequence") and kind == "user":
+            raise ValueError(
+                f"[2218] cannot grant {objkey[0]} privileges to a user"
+            )
+        if privs != "ALL" and "OWNERSHIP" in privs:
+            if objkey[0] == "warehouse":
+                raise ValueError(
+                    "[1061] cannot grant ownership on warehouses"
+                )
+            if kind != "role":
+                raise ValueError("[1061] ownership can only go to a role")
+            if grantee not in self.roles:
+                raise ValueError(f"[2204] unknown role {grantee}")
+            self.owners[objkey] = grantee
+            rest = [p for p in privs if p != "OWNERSHIP"]
+            if rest:
+                self._grant(kind, grantee, objkey, rest)
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        if kind == "role":
+            if grantee not in self.roles:
+                raise ValueError(f"[2204] unknown role {grantee}")
+            self.roles[grantee]["updated"] = self._t()
+        else:
+            if grantee not in self.users:
+                raise ValueError(f"[2201] unknown user {grantee}")
+            self.users[grantee]["updated"] = self._t()
+        self._grant(kind, grantee, objkey, privs)
+        return spark.sql("SELECT 1 AS ok WHERE false")
+
+    def _h_revoke_priv(self, spark, s, low):
+        m = re.match(
+            rf"^revoke\s+(.+?)\s+on\s+{self._OBJ}\s+from\s+(role\s+)?{_NAME}$",
+            s, re.I | re.S,
+        )
+        if not m or re.match(r"^revoke\s+role\b", low):
+            return None
+        privs = self._parse_privs(m.group(1))
+        objkey = self._parse_obj(m.group(2))
+        kind = "role" if m.group(3) else "user"
+        grantee = _nm(m, 4)
+        if kind == "role":
+            if grantee.lower() == "account_admin":
+                raise ValueError(
+                    "[1061] cannot revoke from built-in role account_admin"
+                )
+            if grantee not in self.roles:
+                raise ValueError(f"[2204] unknown role {grantee}")
+        elif grantee not in self.users:
+            raise ValueError(f"[2201] unknown user {grantee}")
+        self._revoke(kind, grantee, objkey, privs)
+        return spark.sql("SELECT 1 AS ok WHERE false")
+
+    # -- session -----------------------------------------------------------------
+
+    def _h_set_role(self, spark, s, low):
+        m = re.match(rf"^set\s+role\s+{_NAME}$", s, re.I)
+        if m:
+            name = _nm(m, 1)
+            if name not in self.roles:
+                raise ValueError(f"[2206] unknown role {name}")
+            self.current_role = name
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        if re.match(r"^set\s+secondary\s+roles\s+(all|none)$", low):
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        return None
+
+    # -- introspection --------------------------------------------------------------
+
+    def _h_show_users(self, spark, s, low):
+        m = re.match(
+            r"^show\s+users(?:\s+(like\s+'[^']*'|where\s+.+?))?"
+            r"(?:\s+limit\s+(\d+))?$",
+            s, re.I | re.S,
+        )
+        if not m:
+            return None
+        df = self._df(spark, self._user_rows(), self._USERS_SCHEMA).select(
+            "name", "hostname", "auth_type", "is_configured",
+            "default_role", "default_warehouse", "roles", "disabled",
+            "network_policy", "password_policy", "must_change_password",
+        )
+        df.createOrReplaceTempView("__rbac_show_users")
+        q = "SELECT * FROM __rbac_show_users"
+        if m.group(1):
+            cond = m.group(1)
+            q += (
+                f" WHERE name {cond}" if cond.lower().startswith("like")
+                else f" {cond}"
+            )
+        q += " ORDER BY name"
+        if m.group(2):
+            q += f" LIMIT {m.group(2)}"
+        return _sql(spark, q)
+
+    def _h_desc_user(self, spark, s, low):
+        m = re.match(rf"^desc(?:ribe)?\s+user\s+{_NAME}$", s, re.I)
+        if not m:
+            return None
+        name = _nm(m, 1)
+        u = self.users.get(name)
+        if u is None:
+            raise ValueError(f"[2201] unknown user {name}")
+        rows = [(
+            name, "%", u["auth"], u["default_role"],
+            u["default_warehouse"], ", ".join(sorted(u["roles"])),
+            u["disabled"], None, None, None, None,
+            len(u["keys"]) or None,
+        )]
+        return self._df(
+            spark, rows,
+            "name string, hostname string, auth_type string,"
+            " default_role string, default_warehouse string, roles string,"
+            " disabled boolean, network_policy string,"
+            " password_policy string, must_change_password boolean,"
+            " workload_group string, public_keys bigint",
+        )
+
+    def _h_show_keys(self, spark, s, low):
+        m = re.match(
+            rf"^show\s+public\s+keys\s+for\s+(?:user\s+)?{_NAME}$", s, re.I
+        )
+        if not m:
+            return None
+        name = _nm(m, 1)
+        u = self.users.get(name)
+        if u is None:
+            raise ValueError(f"[2201] unknown user {name}")
+        rows = []
+        for key_b64, label in u["keys"]:
+            try:
+                der = base64.b64decode(key_b64)
+                fp = "SHA256:" + base64.b64encode(
+                    hashlib.sha256(der).digest()
+                ).decode().rstrip("=")
+            except Exception:  # noqa: BLE001
+                fp = "SHA256:invalid"
+            rows.append((fp, label, "1970-01-01 00:00:00"))
+        return self._df(
+            spark, rows,
+            "fingerprint string, label string, created_on string",
+        )
+
+    def _h_show_roles(self, spark, s, low):
+        m = re.match(
+            r"^show\s+roles(?:\s+(like\s+'[^']*'|where\s+.+?))?"
+            r"(?:\s+limit\s+(\d+))?$",
+            s, re.I | re.S,
+        )
+        if not m:
+            return None
+        df = self._df(spark, self._role_rows(), self._ROLES_SCHEMA).select(
+            "name", "inherited_roles", "inherited_roles_name",
+            "is_current", "is_default", "comment",
+        )
+        df.createOrReplaceTempView("__rbac_show_roles")
+        q = "SELECT * FROM __rbac_show_roles"
+        if m.group(1):
+            cond = m.group(1)
+            q += (
+                f" WHERE name {cond}" if cond.lower().startswith("like")
+                else f" {cond}"
+            )
+        q += " ORDER BY name"
+        if m.group(2):
+            q += f" LIMIT {m.group(2)}"
+        return _sql(spark, q)
+
+    def _h_show_grants(self, spark, s, low):
+        # SHOW GRANTS OF ROLE r → (role, granted_to, grantee_name)
+        m = re.match(rf"^show\s+grants\s+of\s+role\s+{_NAME}$", s, re.I)
+        if m:
+            role = _nm(m, 1)
+            rows = [
+                (role, "USER", u)
+                for u in sorted(self.users)
+                if role in self.users[u]["roles"]
+            ] + [
+                (role, "ROLE", r)
+                for r in sorted(self.roles)
+                if role in self.roles[r]["inherited"]
+            ]
+            return self._df(
+                spark, rows,
+                "role string, granted_to string, grantee_name string",
+            )
+        # SHOW GRANTS ON <kind> <obj> [where ...] [limit n]
+        m = re.match(
+            r"^show\s+grants\s+on\s+(table|database|stage|udf|function|"
+            rf"warehouse)\s+{_NAME}(?:\s+(where\s+.+?))?(?:\s+limit\s+(\d+))?$",
+            s, re.I | re.S,
+        )
+        if m:
+            kind = m.group(1).lower()
+            if kind == "function":
+                kind = "udf"
+            name = _nm(m, 2)
+            if kind == "table":
+                objkey = self._objkey("table", "default", name)
+            elif kind == "database":
+                objkey = self._objkey("db", name)
+            else:
+                objkey = self._objkey(kind, name)
+            rows = []
+            for (gk, gn), objs in sorted(self.grants.items()):
+                if gk != "role" or objkey not in objs:
+                    continue
+                rows.append((
+                    self._privs_col(objs[objkey], objkey),
+                    self._obj_name(objkey), None, "ROLE", gn, "",
+                ))
+            rows.append((
+                "OWNERSHIP", self._obj_name(objkey), None, "ROLE",
+                self.owners.get(objkey, "account_admin"), "",
+            ))
+            df = self._df(spark, rows, self._GRANTS_SCHEMA)
+            df.createOrReplaceTempView("__rbac_show_grants_on")
+            q = "SELECT * FROM __rbac_show_grants_on"
+            if m.group(6):
+                q += f" {m.group(6)}"
+            if m.group(7):
+                q += f" LIMIT {m.group(7)}"
+            return _sql(spark, q)
+        # show_grants('database'|'table'|'udf'|'stage', name[, catalog[, db]])
+        m = re.match(
+            r"^select\s+(.+?)\s+from\s+show_grants\s*\(\s*"
+            r"'(database|table|udf|stage|warehouse)'\s*,\s*'([^']+)'"
+            r"((?:\s*,\s*'[^']*')*)\s*\)\s*(.*)$",
+            s, re.I | re.S,
+        )
+        if m:
+            kind, name = m.group(2).lower(), m.group(3)
+            extra = re.findall(r"'([^']*)'", m.group(4) or "")
+            if kind == "database":
+                objkey = self._objkey("db", name)
+            elif kind == "table":
+                db = extra[1] if len(extra) > 1 else "default"
+                objkey = self._objkey("table", db, name)
+            else:
+                objkey = self._objkey(kind, name)
+            rows = []
+            for (gk, gn), objs in sorted(self.grants.items()):
+                if gk != "role" or objkey not in objs:
+                    continue
+                rows.append((
+                    self._privs_col(objs[objkey], objkey),
+                    self._obj_name(objkey),
+                    self.object_ids.get(objkey), "ROLE", gn, "",
+                ))
+            rows.append((
+                "OWNERSHIP", self._obj_name(objkey),
+                self.object_ids.get(objkey), "ROLE",
+                self.owners.get(objkey, "account_admin"), "",
+            ))
+            df = self._df(spark, rows, self._GRANTS_SCHEMA)
+            df.createOrReplaceTempView("__rbac_show_grants_obj")
+            return _sql(
+                spark,
+                f"SELECT {m.group(1)} FROM __rbac_show_grants_obj "
+                + (m.group(5) or ""),
+            )
+        # SHOW GRANTS FOR [ROLE] x / show_grants('role'|'user', 'x')
+        m = re.match(
+            rf"^show\s+grants\s+for\s+(role\s+)?{_NAME}(?:@{_NAME})?$",
+            s, re.I,
+        )
+        kind = name = None
+        proj, tail = (
+            "privileges, object_name, object_id, grant_to, name, grants",
+            "",
+        )
+        if m:
+            kind = "role" if m.group(1) else "user"
+            name = _nm(m, 2)
+        else:
+            m = re.match(
+                r"^select\s+(.+?)\s+from\s+show_grants\s*\(\s*"
+                r"'(role|user)'\s*,\s*'([^']+)'\s*\)\s*(.*)$",
+                s, re.I | re.S,
+            )
+            if m:
+                proj, kind, name = m.group(1), m.group(2).lower(), m.group(3)
+                tail = m.group(4) or ""
+        if kind is None:
+            # bare SHOW GRANTS → current user
+            if re.match(r"^show\s+grants$", low):
+                kind, name = "user", "root"
+            else:
+                return None
+        if kind == "role" and name not in self.roles:
+            raise ValueError(f"[2204] unknown role {name}")
+        if kind == "user" and name not in self.users:
+            raise ValueError(f"[2201] unknown user {name}")
+        rows = self._grant_rows(kind, name)
+        # keep emission order under the tests' ORDER BY object_id: ids
+        # ascend, role/global rows get trailing ids
+        fixed = []
+        nxt = max(self.object_ids.values(), default=0) + 1
+        for r in rows:
+            oid = r[2]
+            if oid is None:
+                oid = nxt
+                nxt += 1
+            fixed.append((r[0], r[1], r[2], r[3], r[4], r[5], oid))
+        df = self._df(
+            spark, fixed,
+            self._GRANTS_SCHEMA + ", __ord bigint",
+        )
+        df.createOrReplaceTempView("__rbac_show_grants")
+        tail = re.sub(
+            r"order\s+by\s+object_id", "ORDER BY __ord", tail, flags=re.I
+        )
+        q = f"SELECT {proj} FROM __rbac_show_grants {tail}"
+        if "order by" not in q.lower():
+            q += " ORDER BY __ord"
+        return _sql(spark, q)
+
+    def _h_sys_tables(self, spark, s, low):
+        if not re.match(r"^(select|with)\b", low):
+            return None
+        if "show_roles()" in low.replace(" ", "").replace("\t", ""):
+            self._df(
+                spark, self._role_rows(), self._ROLES_SCHEMA
+            ).createOrReplaceTempView("__rbac_sys_roles_fn")
+            s = re.sub(
+                r"\bshow_roles\s*\(\s*\)", "__rbac_sys_roles_fn", s,
+                flags=re.I,
+            )
+            return _sql(spark, s)
+        if "system.users" not in low and "system.roles" not in low:
+            return None
+        if "system.users" in low:
+            self._df(
+                spark, self._user_rows(), self._USERS_SCHEMA
+            ).createOrReplaceTempView("__rbac_sys_users")
+            s = re.sub(r"\bsystem\.users\b", "__rbac_sys_users", s, flags=re.I)
+        if "system.roles" in low:
+            self._df(
+                spark, self._role_rows(), self._ROLES_SCHEMA
+            ).createOrReplaceTempView("__rbac_sys_roles")
+            s = re.sub(r"\bsystem\.roles\b", "__rbac_sys_roles", s, flags=re.I)
+        return _sql(spark, s)

@@ -167,6 +167,8 @@ def _norm_temporal(m: re.Match) -> str:
 def _cells_match(exp: str, got: str) -> bool:
     if exp == got:
         return True
+    if exp == "<slt:ignore>":  # wildcard cell in the reference corpus
+        return True
     if {exp.lower(), got.lower()} <= {"0", "false"} or {
         exp.lower(),
         got.lower(),
@@ -302,8 +304,9 @@ def _collect_for_compare(df):
         return False
 
     def jsonify(f):
+        quoted = "`" + f.name.replace("`", "``") + "`"
         c = F.regexp_replace(
-            F.to_json(F.col(f.name)), r"(?<=[:\[,])null", "NULL"
+            F.to_json(F.col(quoted)), r"(?<=[:\[,])null", "NULL"
         )
         if numeric_keys(f.dataType):  # Databend shows non-string keys bare
             c = F.regexp_replace(c, r'"(-?\d+(?:\.\d+)?)":', "$1:")
@@ -1219,7 +1222,7 @@ def run_slt_file(
             )
 
     _create_stage = re.compile(
-        r"^\s*CREATE\s+STAGE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)"
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)"
         r"(?:\s+FILE_FORMAT\s*=\s*\(\s*TYPE\s*=\s*'?(\w+)'?\s*\))?\s*;?\s*$",
         re.I,
     )
@@ -1367,8 +1370,22 @@ def run_slt_file(
         tbl_segments[k] = tbl_segments.get(k, 0) + 1
         tbl_commit_times.setdefault(k, []).append(time.time())
 
+    from databend_spark.testkit.rbac import RBAC
+
+    rbac = RBAC()
+
     def run_sql(sql: str):
         sql = _preserve_unknown_escapes(sql)
+        # account-management surface (users/roles/grants) — emulated
+        # session state, see testkit/rbac.py
+        sql = rbac.preprocess(sql)
+        if re.match(
+            r"^\s*(create|alter|drop|grant|revoke|show|desc|describe|set"
+            r"|unset|select|settings)\b", sql, re.I
+        ):
+            rb = rbac.handle(spark, sql)
+            if rb is not None:
+                return rb
         # the corpus's uniq/approx_count_distinct expectations are exact
         # at test cardinalities (reference HLL error ≈ 0 there); compare
         # against exact count(distinct …).  Parameterized
@@ -3499,9 +3516,26 @@ def run_slt_file(
             tz = _SET_TIMEZONE.match(sql)
             if tz:
                 # timezone changes later expectations — map to Spark's
-                # session timezone (restored by the isolate wrapper)
-                spark.conf.set("spark.sql.session.timeZone", tz.group(1))
-                rep.passed += 1
+                # session timezone (restored by the isolate wrapper).
+                # An unknown zone is error 1078 in the reference.
+                try:
+                    spark.conf.set(
+                        "spark.sql.session.timeZone", tz.group(1)
+                    )
+                except Exception as e:  # noqa: BLE001
+                    if expect_error:
+                        rep.passed += 1
+                    else:
+                        rep.failed += 1
+                        rep.failures.append(
+                            f"set timezone failed: {sql[:120]} :: {e}"
+                        )
+                    continue
+                if expect_error:
+                    rep.failed += 1
+                    rep.failures.append(f"expected error: {sql[:120]}")
+                else:
+                    rep.passed += 1
                 continue
             if _UNSET_TIMEZONE.match(sql):
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -3515,6 +3549,10 @@ def run_slt_file(
             )
             if mset and mset.group(2).lower() in _SETTING_NAMES:
                 nm = mset.group(2).lower()
+                if nm == "enable_expand_roles":
+                    rbac.expand_roles = not (
+                        mset.group(3) or ""
+                    ).strip("'") == "0" if not mset.group(1) else True
                 if mset.group(1) or mset.group(3) is None:
                     setting_overrides.pop(nm, None)
                 else:
@@ -3568,7 +3606,19 @@ def run_slt_file(
                 bin_input[0] = None if bi.group(1) else (bi.group(2) or "").lower()
                 rep.passed += 1
                 continue
-            if _SETTINGS_STMT.match(sql):
+            mer = re.match(
+                r"^\s*(UN)?SET\s+(?:GLOBAL\s+)?enable_expand_roles"
+                r"(?:\s*=\s*'?(\d)'?)?\s*;?\s*$",
+                sql,
+                re.I,
+            )
+            if mer:
+                rbac.expand_roles = bool(mer.group(1)) or mer.group(2) != "0"
+                rep.passed += 1
+                continue
+            if _SETTINGS_STMT.match(sql) and not re.match(
+                r"^\s*set\s+(role|secondary)\b", sql, re.I
+            ):
                 rep.skipped += 1  # engine-specific session settings
                 continue
             try:
