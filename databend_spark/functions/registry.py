@@ -489,10 +489,14 @@ SQL_MACROS: dict[str, str] = {
              " ELSE isna\x03n({0}) END",
     "mid": {3: "substring({0}, {1}, {2})", 2: "substring({0}, {1})"},
     # position 0 yields '' in the reference (Spark treats 0 as 1)
-    "substring": {
-        2: "IF(({1}) = 0, '', substri\x03ng({0}, {1}))",
-        3: "substri\x03ng({0}, IF(({1}) = 0, 1, {1}), {2})",
-    },
+    # position 0 yields '' at runtime (reference string.rs:1137 substr),
+    # but the reference's constant folder treats a LITERAL 0 as 1
+    # (02_0005_function_substring: SUBSTRING('12345', 0, 1) → '1')
+    "substring": lambda args: (
+        f"substri\x03ng({args[0]}, 1, {args[2]})"
+        if len(args) == 3 and args[1].strip() == "0"
+        else f"IF(({args[1]}) = 0, '', substri\x03ng({', '.join(args)}))"
+    ),
     # filter combinators: NULL collapses to false (reference
     # scalars/boolean.rs and_filters)
     "and_filters": lambda args: (

@@ -136,6 +136,15 @@ def parse_merge(sql: str) -> dict:
     }
 
 
+
+def _null_target_refs(cond: str, ta: str, t: str) -> str:
+    """NOT MATCHED conditions see no target row — the reference binds
+    target-column refs there to NULL (fuzzer shapes like issue_16885's
+    ``WHEN NOT MATCHED AND t40.$1``)."""
+    names = {ta, t.split(".")[-1].strip("`")}
+    pat = "|".join(re.escape(n) for n in names)
+    return re.sub(rf"\b(?:{pat})\.(`[^`]+`|\w+)", "NULL", cond)
+
 def merge_counts(spark, sql: str, rewrite):
     """Databend's MERGE returns affected-row counts as a result row —
     (insert, update, delete) in that order, restricted to the clause
@@ -205,8 +214,9 @@ def merge_counts(spark, sql: str, rewrite):
     if unmatched:
         prior = []
         for c in unmatched:
-            guard = " AND ".join([cc(c)] + [f"NOT ({x})" for x in prior]) or "true"
-            prior.append(cc(c))
+            nc = _null_target_refs(cc(c), ta, t)
+            guard = " AND ".join([nc] + [f"NOT ({x})" for x in prior]) or "true"
+            prior.append(nc)
             n_ins += spark.sql(
                 f"SELECT count(*) n FROM {src_ref} WHERE ({guard}) AND "
                 f"NOT EXISTS (SELECT 1 FROM {t} {ta} WHERE {on})"
@@ -343,7 +353,7 @@ def merge_to_select(spark, sql: str, rewrite) -> tuple[str, str]:
     prior = []
     for c in unmatched:
         act = c["action"]
-        cc = clause_cond(c)
+        cc = _null_target_refs(clause_cond(c), ta, t)
         guard = " AND ".join([cc] + [f"NOT ({pc})" for pc in prior]) or "true"
         prior.append(cc)
         im = re.match(
