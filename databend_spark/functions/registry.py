@@ -1994,6 +1994,16 @@ SQL_MACROS.update(
         "json_array_overlap": (
             "__va_overlap(CAST(({0}) AS STRING), CAST(({1}) AS STRING))"
         ),
+        # json aggregates (reference aggregates/aggregate_json_*.rs):
+        # compact JSON text, insertion order preserved
+        "json_array_agg": "to_json(collect_list({0}))",
+        "json_agg": "to_json(collect_list({0}))",
+        "json_object_agg": (
+            "to_json(map_from_entries(collect_list(struct({0}, {1}))))"
+        ),
+        "json_objectagg": (
+            "to_json(map_from_entries(collect_list(struct({0}, {1}))))"
+        ),
         # misc sweep gaps (reference scalars/{string,array,map}.rs)
         "regexp_split_to_array": lambda args: _regexp_split_sql(args, False),
         "regexp_split_to_table": lambda args: _regexp_split_sql(args, True),

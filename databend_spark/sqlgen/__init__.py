@@ -1882,7 +1882,16 @@ def _rewrite_named_windows(s: str) -> str:
             depth += (s[j] == "(") - (s[j] == ")")
             if depth == 0:
                 break
-        defs[nm.group(1)] = s[i + nm.end() : j].strip()
+        spec = s[i + nm.end() : j].strip()
+        if nm.group(1).lower() in {k.lower() for k in defs}:
+            raise UnsupportedSQL(
+                f"[1005] duplicate window name {nm.group(1)}"
+            )
+        if re.search(r"\bOVER\b", spec, re.I):
+            raise UnsupportedSQL(
+                "[1005] window function inside a window specification"
+            )
+        defs[nm.group(1)] = spec
         i = j + 1
         cm = re.match(r"\s*,", s[i:])
         if not cm:
@@ -1909,6 +1918,23 @@ def _rewrite_named_windows(s: str) -> str:
             out,
             flags=re.I,
         )
+    # ranking over an UNORDERED window: every row is a peer — the
+    # reference folds rank/dense_rank to 1 (named_window_basic.test);
+    # Spark refuses the unordered frame outright
+    out = re.sub(
+        r"\b(rank|dense_rank|percent_rank|cume_dist)\s*\(\s*\)\s+OVER\s*"
+        r"\(((?:[^()]|\([^()]*\))*)\)",
+        lambda mm: (
+            mm.group(0)
+            if re.search(r"\bORDER\s+BY\b", mm.group(2), re.I)
+            else {
+                "rank": "1", "dense_rank": "1",
+                "percent_rank": "0.0", "cume_dist": "1.0",
+            }[mm.group(1).lower()]
+        ),
+        out,
+        flags=re.I,
+    )
     return out
 
 _ASOF_JOIN = re.compile(r"\bASOF\s+(LEFT\s+|RIGHT\s+|FULL\s+)?JOIN\b", re.I)
@@ -2855,6 +2881,16 @@ def rewrite_databend_sql(sql: str) -> str:
         sql,
         flags=re.I,
     )
+    # window-frame interval bounds must stay native Spark intervals —
+    # normalize `INTERVAL '7 day' PRECEDING` to `INTERVAL '7' DAY` form
+    # BEFORE the generic interval folding turns them into strings
+    sql = re.sub(
+        r"\bINTERVAL\s+'(\d+)\s*(year|quarter|month|week|day|hour|minute"
+        r"|second)s?'\s+(PRECEDING|FOLLOWING)",
+        r"INTERVAL '\1' \2 \3",
+        sql,
+        flags=re.I,
+    )
     # literal interval expressions fold at rewrite time (pre-masking)
     if re.search(
         r"\bto_interval\s*\(|\binterval\s+'|\bto_(millennia|centuries"
@@ -3041,6 +3077,80 @@ def rewrite_databend_sql(sql: str) -> str:
     # Databend positional tuple access `t.1` → Spark struct field `t.`1``
     masked = _TUPLE_FIELD.sub(r"\1.`\2`", masked)
     # numbers(N) table function → range(N) with the reference column name
+    # FROM-position generate_series: the reference names the output
+    # column `generate_series` (srfs); numeric steps over temporal
+    # bounds are MICROSECONDS (timestamp) / DAYS (date) counts
+    def _gen_series_tvf(mm: re.Match) -> str:
+        args = mm.group(2)
+        parts, depth, start = [], 0, 0
+        for k, ch in enumerate(args):
+            depth += {"(": 1, ")": -1}.get(ch, 0)
+            if ch == "," and depth == 0:
+                parts.append(args[start:k])
+                start = k + 1
+        parts.append(args[start:])
+        if len(parts) == 3 and re.match(r"\s*-?\d+\s*$", parts[2]):
+            low0 = parts[0].lower()
+            if "timestamp" in low0 or "now(" in low0:
+                # reference step heuristic (srfs/range.rs:71-78):
+                # |step|<1e3 → seconds, <1e6 → millis, else micros
+                n = int(parts[2])
+                unit = (
+                    "SECOND" if abs(n) < 1000
+                    else "MILLISECOND" if abs(n) < 1_000_000
+                    else "MICROSECOND"
+                )
+                parts[2] = f" INTERVAL {n} {unit}"
+            elif "date" in low0:
+                parts[2] = f" INTERVAL {parts[2].strip()} DAY"
+        return (
+            f"{mm.group(1)}(SELECT explode(sequence({','.join(parts)}))"
+            " AS generate_series)"
+        )
+
+    masked = re.sub(
+        r"\b(FROM\s+|LATERAL\s+)generate_series\s*"
+        r"\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)",
+        _gen_series_tvf,
+        masked,
+        flags=re.I,
+    )
+    # range() with non-foldable bounds (Spark requires literals):
+    # exclusive-end sequence explode
+    def _range_tvf(mm: re.Match) -> str:
+        args = mm.group(2)
+        parts, depth, start = [], 0, 0
+        for k, ch in enumerate(args):
+            depth += {"(": 1, ")": -1}.get(ch, 0)
+            if ch == "," and depth == 0:
+                parts.append(args[start:k])
+                start = k + 1
+        parts.append(args[start:])
+        if all(re.match(r"\s*-?\d+\s*$", p) for p in parts):
+            # literal args: native Spark range, reference column name
+            return (
+                f"{mm.group(1)}(SELECT id AS `range` FROM"
+                f" range({args}))"
+            )
+        if len(parts) == 1:
+            seq = f"sequence(0, ({parts[0]}) - 1)"
+        else:
+            step = parts[2] if len(parts) > 2 else "1"
+            seq = (
+                f"sequence({parts[0]}, ({parts[1]}) -"
+                f" CAST(sign({step}) AS INT), {step})"
+            )
+        return f"{mm.group(1)}(SELECT explode({seq}) AS `range`)"
+
+    masked = re.sub(
+        r"\b(FROM\s+)range\s*"
+        r"\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)(?=\s*[;,)]|\s*$"
+        r"|\s+(?:WHERE|GROUP|ORDER|LIMIT|UNION|JOIN|INNER|LEFT|RIGHT"
+        r"|FULL|CROSS)\b)",
+        _range_tvf,
+        masked,
+        flags=re.I,
+    )
     masked = _NUMBERS_TVF.sub(r"(SELECT id AS number FROM range(\1))", masked)
     # protect table-valued range(...) from the scalar range() macro
     # (Databend scalar range(a,b) = exclusive-end array); \x03 is
@@ -3335,6 +3445,23 @@ def rewrite_databend_sql(sql: str) -> str:
     )
 
     masked = _rewrite_order_by_nulls(masked)
+    # json aggregates in WINDOW position: OVER must bind to the inner
+    # collect, not the to_json wrapper the macro would produce
+    if re.search(r"\bjson_\w*agg\s*\(", masked, re.I):
+        masked = re.sub(
+            r"\bjson_(?:array_)?agg\s*\(((?:[^()]|\([^()]*\))*)\)"
+            r"\s+(OVER\s*\((?:[^()]|\([^()]*\))*\))",
+            r"to_json(collect_list(\1) \2)",
+            masked,
+            flags=re.I,
+        )
+        masked = re.sub(
+            r"\bjson_object_?agg\s*\(((?:[^()]|\([^()]*\))*),"
+            r"((?:[^()]|\([^()]*\))*)\)\s+(OVER\s*\((?:[^()]|\([^()]*\))*\))",
+            r"to_json(map_from_entries(collect_list(struct(\1,\2)) \3))",
+            masked,
+            flags=re.I,
+        )
     masked = rewrite_function_names(masked)
     # literal-inspecting macros (array_aggregate's op name, array_sort's
     # direction, …) need to see through the masking placeholders

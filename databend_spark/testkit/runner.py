@@ -1563,6 +1563,24 @@ def run_slt_file(
                 raise ValueError(
                     "[1005] tuple IN subquery is not supported"
                 )
+            # a window function nested inside another window function's
+            # argument is a binder error in the reference
+            if re.search(
+                r"\bOVER\s*\((?:[^()]|\([^()]*\))*\)\s*\)\s*OVER\b",
+                _g,
+                re.I,
+            ):
+                raise ValueError("[1005] nested window function")
+            # ... and so is a window function inside an OVER spec
+            for mnw in re.finditer(r"\bOVER\s*\(", _g, re.I):
+                d, j = 1, mnw.end()
+                while j < len(_g) and d:
+                    d += {"(": 1, ")": -1}.get(_g[j], 0)
+                    j += 1
+                if re.search(r"\bOVER\b", _g[mnw.end():j], re.I):
+                    raise ValueError(
+                        "[1005] window function in window specification"
+                    )
             # a CTE name shadows same-name tables even when db-qualified;
             # referencing <db>.<own-name> inside its own body is the
             # reference's recursive-CTE error
@@ -3208,6 +3226,158 @@ def run_slt_file(
 
                 shutil.rmtree(loc.group(1), ignore_errors=True)
                 return spark.sql(rewritten)
+            mlag = re.search(
+                r'"(lag|lead)\(.*due to data type mismatch: The third '
+                r'parameter requires the \("([^"]+)"', msg, re.S
+            )
+            if mlag:
+                # lag/lead default value coerces to the value type in
+                # the reference; Spark demands an exact match
+                alt = re.sub(
+                    rf"\b{mlag.group(1)}\s*\("
+                    r"((?:[^(),]|\([^()]*\)|\[[^\[\]]*\])+),"
+                    r"((?:[^(),]|\([^()]*\))+),"
+                    r"((?:[^()]|\([^()]*\)|\[[^\[\]]*\])+)\)",
+                    rf"{mlag.group(1)}(\1,\2, CAST(\3 AS"
+                    rf" {mlag.group(2)}))",
+                    sql,
+                    flags=re.I,
+                )
+                if alt != sql:
+                    try:
+                        return spark.sql(rewrite_databend_sql(alt))
+                    except Exception:  # noqa: BLE001
+                        pass
+            if "LATERAL_COLUMN_ALIAS_IN_WINDOW" in msg:
+                # window specs may reference select-list aliases in the
+                # reference — inline the defining expressions
+                msel = re.match(
+                    r"^(\s*SELECT\s+)(.*?)(\s+FROM\b.*)$", sql, re.I | re.S
+                )
+                if msel:
+                    items, depth, start = [], 0, 0
+                    body = msel.group(2)
+                    for k, ch in enumerate(body):
+                        depth += {"(": 1, ")": -1}.get(ch, 0)
+                        if ch == "," and depth == 0:
+                            items.append(body[start:k])
+                            start = k + 1
+                    items.append(body[start:])
+                    amap = {}
+                    for it in items:
+                        ma = re.match(
+                            r"^\s*(.*?)\s+(?:AS\s+)?`?(\w+)`?\s*$",
+                            it,
+                            re.I | re.S,
+                        )
+                        if ma and "OVER" not in ma.group(1).upper():
+                            amap[ma.group(2).lower()] = ma.group(1)
+
+                    def _inline(mm):
+                        spec = mm.group(1)
+                        for al, ex in amap.items():
+                            spec = re.sub(
+                                rf"(?<![\w.`']){al}(?![\w.`'(])",
+                                f"({ex})",
+                                spec,
+                                flags=re.I,
+                            )
+                        return f"OVER ({spec})"
+
+                    alt = re.sub(
+                        r"\bOVER\s*\(((?:[^()]|\([^()]*\))*)\)",
+                        _inline,
+                        sql,
+                        flags=re.I,
+                    )
+                    if alt != sql:
+                        try:
+                            return spark.sql(rewrite_databend_sql(alt))
+                        except Exception:  # noqa: BLE001
+                            pass
+            if "UNSUPPORTED_EXPR_FOR_OPERATOR" in msg and re.search(
+                r"\bOVER\b", sql, re.I
+            ):
+                # window expressions in ORDER BY: hoist them into hidden
+                # projection columns (the reference binds them directly)
+                # find the last DEPTH-0 ORDER BY (one inside an OVER
+                # spec must not split the statement)
+                _s0 = sql.rstrip().rstrip(";")
+                depth, ob_at = 0, -1
+                for k in range(len(_s0)):
+                    depth += {"(": 1, ")": -1}.get(_s0[k], 0)
+                    if depth == 0 and re.match(
+                        r"ORDER\s+BY\s", _s0[k:], re.I
+                    ):
+                        ob_at = k
+                ms0 = re.match(r"^\s*SELECT\s+", _s0, re.I)
+                mo = None
+                if ob_at > 0 and ms0:
+                    tail = _s0[ob_at:]
+                    mtl = re.match(
+                        r"(ORDER\s+BY\s+)(.*?)(\s+LIMIT\s+[\d, ]+)?$",
+                        tail,
+                        re.I | re.S,
+                    )
+
+                    class _MO:  # match-like shim for the code below
+                        def group(self, n):
+                            return {
+                                1: ms0.group(0),
+                                2: _s0[ms0.end():ob_at].rstrip(),
+                                3: mtl.group(2),
+                                4: mtl.group(3),
+                            }[n]
+
+                    mo = _MO() if mtl else None
+                if mo and "(" not in (mo.group(4) or ""):
+                    items, depth, start = [], 0, 0
+                    ob = mo.group(3)
+                    for k, ch in enumerate(ob):
+                        depth += {"(": 1, ")": -1}.get(ch, 0)
+                        if ch == "," and depth == 0:
+                            items.append(ob[start:k])
+                            start = k + 1
+                    items.append(ob[start:])
+                    hoisted, new_ob, aux = [], [], 0
+                    for it in items:
+                        if re.search(r"\bOVER\b", it, re.I):
+                            mdir = re.search(
+                                r"\s+(ASC|DESC)\s*$", it, re.I
+                            )
+                            expr = it[: mdir.start()] if mdir else it
+                            hoisted.append(
+                                f"({expr.strip()}) AS __slt_o{aux}"
+                            )
+                            new_ob.append(
+                                f"__slt_o{aux}"
+                                + (f" {mdir.group(1)}" if mdir else "")
+                            )
+                            aux += 1
+                        else:
+                            new_ob.append(it.strip())
+                    # insert hoisted exprs into the SELECT list (before
+                    # the depth-0 FROM), not after the query tail
+                    body, depth, fat = mo.group(2), 0, -1
+                    for k in range(len(body)):
+                        depth += {"(": 1, ")": -1}.get(body[k], 0)
+                        if depth == 0 and body[k : k + 5].upper() == "FROM ":
+                            fat = k
+                            break
+                    if hoisted and fat > 0:
+                        excl = ", ".join(
+                            f"__slt_o{k}" for k in range(aux)
+                        )
+                        alt = (
+                            f"SELECT * EXCEPT({excl}) FROM ("
+                            f"{mo.group(1)}{body[:fat]}, "
+                            f"{', '.join(hoisted)} {body[fat:]}) ORDER BY "
+                            f"{', '.join(new_ob)}{mo.group(4) or ''}"
+                        )
+                        try:
+                            return spark.sql(rewrite_databend_sql(alt))
+                        except Exception:  # noqa: BLE001
+                            pass
             mdupa = re.search(
                 r"name `(\w+)` cannot be resolved. Did you mean one of "
                 r"the following\? \[`(\w+)`, `\2`", msg
