@@ -791,6 +791,18 @@ def _scan_relation_back(s: str, end: int) -> int | None:
             prev = _scan_operand_back(s, j)
             if prev is not None:
                 ptok = s[prev : j + 1].strip()
+                if ptok.upper() == "AS":
+                    # explicit alias: include the relation before AS
+                    j2 = prev - 1
+                    while j2 >= 0 and s[j2] in " \t\n":
+                        j2 -= 1
+                    if j2 >= 0:
+                        prev2 = _scan_operand_back(s, j2)
+                        if prev2 is not None:
+                            p2 = s[prev2 : j2 + 1].strip()
+                            if s[j2] == ")" or p2.upper() not in _REL_KEYWORDS:
+                                return prev2
+                    return None
                 if s[j] == ")" or ptok.upper() not in _REL_KEYWORDS:
                     return prev
     return start
@@ -3077,6 +3089,40 @@ def rewrite_databend_sql(sql: str) -> str:
     # Databend positional tuple access `t.1` → Spark struct field `t.`1``
     masked = _TUPLE_FIELD.sub(r"\1.`\2`", masked)
     # numbers(N) table function → range(N) with the reference column name
+    # comma-join + explicit JOIN precedence: the reference (MySQL rule)
+    # binds explicit JOINs tighter than the comma — Spark folds all
+    # left-associatively. Parenthesize comma segments with join chains.
+    if re.search(r",[^,()]*\bJOIN\b", masked, re.I):
+        def _wrap_comma_joins(mm: re.Match) -> str:
+            head, body = mm.group(1), mm.group(2)
+            segs, depth, start = [], 0, 0
+            for k, ch in enumerate(body):
+                depth += {"(": 1, ")": -1}.get(ch, 0)
+                if ch == "," and depth == 0:
+                    segs.append(body[start:k])
+                    start = k + 1
+            segs.append(body[start:])
+            if len(segs) < 2:
+                return mm.group(0)
+            out = []
+            for sg in segs:
+                bare = re.sub(r"\([^()]*\)", "", sg)
+                if re.search(r"\bJOIN\b", bare, re.I) and not re.match(
+                    r"\s*\(", sg
+                ):
+                    out.append(f" ({sg.strip()})")
+                else:
+                    out.append(sg)
+            return head + ",".join(out)
+
+        masked = re.sub(
+            r"(\bFROM\s)((?:[^();]|\((?:[^()]|\([^()]*\))*\))+?)"
+            r"(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|OFFSET|HAVING|QUALIFY"
+            r"|WINDOW|UNION|EXCEPT|INTERSECT)\b|;|$)",
+            _wrap_comma_joins,
+            masked,
+            flags=re.I | re.S,
+        )
     # FROM-position generate_series: the reference names the output
     # column `generate_series` (srfs); numeric steps over temporal
     # bounds are MICROSECONDS (timestamp) / DAYS (date) counts

@@ -287,6 +287,11 @@ def _collect_for_compare(df):
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, MapType, StructType
 
+    if len(set(df.columns)) != len(df.columns):
+        # duplicate output names break the by-name renderers below; the
+        # SLT compare is positional, so unique temp names are free
+        df = df.toDF(*[f"__cmp_c{i}" for i in range(len(df.columns))])
+
     def has_map(dt) -> bool:
         if isinstance(dt, MapType):
             return True
@@ -1435,6 +1440,39 @@ def run_slt_file(
                     raise ValueError("[1025] unknown view")
                 phantom_views.discard(key)
             return spark.sql("SELECT 1 AS ok WHERE false")
+        mcta = re.match(
+            r"^\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP\w*\s+)?TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?[\w.`]+)\s*"
+            r"\(([^()]+)\)\s*AS\s+(SELECT.*)$",
+            sql,
+            re.I | re.S,
+        )
+        if mcta:
+            # CTAS with a column list (typed → cast, bare → rename):
+            # Spark's CTAS takes no schema — rewrite positionally
+            try:
+                from databend_spark.sqlgen import rewrite_databend_sql as _rw
+
+                inner = spark.sql(_rw(mcta.group(3).rstrip("; \n")))
+                defs = [
+                    c.strip().split(None, 1)
+                    for c in mcta.group(2).split(",")
+                ]
+                if len(defs) == len(inner.columns):
+                    exprs = ", ".join(
+                        f"CAST(`{src}` AS "
+                        f"{re.sub(r'(?i) not null| null', '', d[1])})"
+                        f" AS `{d[0].strip('`')}`"
+                        if len(d) == 2
+                        else f"`{src}` AS `{d[0].strip('`')}`"
+                        for src, d in zip(inner.columns, defs)
+                    )
+                    return run_sql(
+                        f"{mcta.group(1)} AS SELECT {exprs} FROM "
+                        f"({mcta.group(3).rstrip('; ')})"
+                    )
+            except Exception:  # noqa: BLE001
+                pass
         mcv = re.match(
             r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
             r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+(.*?)\s*;?\s*$",
@@ -1635,7 +1673,7 @@ def run_slt_file(
             sql = re.sub(
                 r"\b(OFFSET|LIMIT)\s+(\d{10,})",
                 lambda m: f"{m.group(1)} "
-                + str(min(int(m.group(2)), 2147483647)),
+                + str(min(int(m.group(2)), 2147483646)),
                 sql,
                 flags=re.I,
             )
@@ -1652,6 +1690,22 @@ def run_slt_file(
             sql = re.sub(
                 r"(?<![\w.])(-?\d{39,}\.\d*)(?![\w.])", r"\1D", sql
             )
+        if "[" in sql and re.match(r"^\s*(SELECT|WITH)\b", sql, re.I):
+            # numeric subscripts on VARIANT columns are 0-based jsonb
+            # paths (reference jsonb get), unlike 1-based array get()
+            vcols = {
+                c
+                for decl in ddl_decl_types.values()
+                for c, t in decl.items()
+                if t.upper().startswith("VARIANT")
+            }
+            for vc in vcols:
+                sql = re.sub(
+                    rf"((?:[\w`]+\.)?\b{re.escape(vc)})\[(\d+)\]",
+                    r"get_json_object(CAST(\1 AS STRING), '$[\2]')",
+                    sql,
+                    flags=re.I,
+                )
         if re.search(r"[\w`]\.\$\d", sql):
             # Databend positional column ref `t.$N` → the table's Nth column
             def _posref(m):
@@ -2965,41 +3019,95 @@ def run_slt_file(
             r"JOIN\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|NATURAL\b|"
             r"SEMI\b|ANTI\b|ASOF\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|UNION\b"
         )
+        _rel = r"[\w.`]+|\((?:[^()]|\([^()]*\))*\)"
         mu = re.match(
-            r"^\s*SELECT\s+\*\s+FROM\s+([\w.`]+)(?:\s+(?:AS\s+)?"
+            rf"^\s*SELECT\s+\*\s+FROM\s+\(?({_rel})(?:\s+(?:AS\s+)?"
             rf"((?!{_jkw})\w+))?"
-            rf"((?:\s+JOIN\s+[\w.`]+(?:\s+(?!USING\b)(?:AS\s+)?\w+)?"
-            r"\s+USING\s*\([^)]*\))+)(.*)$",
+            rf"((?:\s+(?:(?:LEFT|RIGHT|FULL|INNER)\s+)?(?:OUTER\s+)?"
+            rf"JOIN\s+(?:{_rel})(?:\s+(?!USING\b)(?:AS\s+)?\w+)?"
+            r"\s+USING\s*\([^)]*\))+)\)?(.*)$",
             sql,
             re.I | re.S,
         )
         if mu:
             try:
                 base, balias = mu.group(1), mu.group(2) or mu.group(1)
-                # qualified expansion: left cols, then each right side
-                # minus ITS join's USING cols — duplicate non-USING
-                # names stay (Databend SELECT * shows both)
-                sel = [
-                    f"{balias}.`{c}`" for c in spark.table(base).columns
-                ]
-                for tbl, alias, using in re.findall(
-                    r"JOIN\s+([\w.`]+)(?:\s+(?!USING\b)(?:AS\s+)?(\w+))?"
+                # qualified expansion: Databend emits left columns then
+                # each right side minus its USING cols; a RIGHT join
+                # flips to left-extras + right columns, USING values
+                # from the right side
+                joins = re.findall(
+                    rf"((?:LEFT|RIGHT|FULL|INNER)\s+)?(?:OUTER\s+)?"
+                    rf"JOIN\s+({_rel})(?:\s+(?!USING\b)(?:AS\s+)?(\w+))?"
                     r"\s+USING\s*\(([^)]*)\)",
                     mu.group(3),
                     re.I,
-                ):
+                )
+
+                def _relcols(rel_txt):
+                    if rel_txt.lstrip().startswith("("):
+                        return spark.sql(
+                            rewrite_databend_sql(
+                                rel_txt.strip()[1:-1] + " LIMIT 0"
+                            )
+                        ).columns
+                    return spark.table(rel_txt).columns
+                seen_rels = {(base.lower(), (mu.group(2) or "").lower())}
+                sel = [
+                    f"{balias}.`{c}`" for c in _relcols(base)
+                ]
+                for kind, tbl, alias, using in joins:
+                    rel = (tbl.lower(), (alias or "").lower())
+                    if rel in seen_rels:
+                        raise ValueError(
+                            f"[1005] duplicate table {tbl} in join"
+                        )
+                    seen_rels.add(rel)
                     a = alias or tbl
-                    ucols = {u.strip().strip("`") for u in using.split(",")}
-                    sel += [
-                        f"{a}.`{c}`"
-                        for c in spark.table(tbl).columns
-                        if c not in ucols
-                    ]
+                    ucols = []
+                    for u in using.split(","):
+                        u = u.strip().strip("`")
+                        if u.lower() not in {
+                            x.lower() for x in ucols
+                        }:
+                            ucols.append(u)
+                    uset = {u.lower() for u in ucols}
+                    if (kind or "").strip().upper() == "RIGHT":
+                        # left-extras first, then the right table whole
+                        sel = [
+                            s
+                            for s in sel
+                            if s.split(".")[-1].strip("`").lower()
+                            not in uset
+                        ] + [
+                            f"{a}.`{c}`" for c in _relcols(tbl)
+                        ]
+                    else:
+                        sel += [
+                            f"{a}.`{c}`"
+                            for c in _relcols(tbl)
+                            if c.lower() not in uset
+                        ]
+                # deduped USING list keeps Spark's parser happy
+                chain = re.sub(
+                    r"USING\s*\(([^)]*)\)",
+                    lambda m2: "USING ("
+                    + ", ".join(
+                        dict.fromkeys(
+                            u.strip() for u in m2.group(1).split(",")
+                        )
+                    )
+                    + ")",
+                    mu.group(3),
+                    flags=re.I,
+                )
                 sql = (
                     f"SELECT {', '.join(sel)} FROM {base}"
                     f"{' ' + mu.group(2) if mu.group(2) else ''}"
-                    f"{mu.group(3)}{mu.group(4)}"
+                    f"{chain}{mu.group(4)}"
                 )
+            except ValueError:
+                raise
             except Exception:
                 pass
         mnj = re.match(
@@ -3226,6 +3334,38 @@ def run_slt_file(
 
                 shutil.rmtree(loc.group(1), ignore_errors=True)
                 return spark.sql(rewritten)
+            if "AMBIGUOUS_REFERENCE" in msg and re.search(
+                r"ORDER\s+BY", sql, re.I
+            ):
+                # duplicate output names make a QUALIFIED order-by ref
+                # ambiguous in Spark; bind to the select-item ordinal
+                mo2 = re.match(
+                    r"^(\s*SELECT\s+)(.*?)(\s+FROM\b.*?)"
+                    r"(ORDER\s+BY\s+)([\w.`]+)(\s*;?\s*)$",
+                    sql,
+                    re.I | re.S,
+                )
+                if mo2:
+                    items, depth, start = [], 0, 0
+                    body = mo2.group(2)
+                    for k, ch in enumerate(body):
+                        depth += {"(": 1, ")": -1}.get(ch, 0)
+                        if ch == "," and depth == 0:
+                            items.append(body[start:k])
+                            start = k + 1
+                    items.append(body[start:])
+                    tgt = mo2.group(5).replace("`", "").lower()
+                    for idx, it in enumerate(items):
+                        if it.strip().replace("`", "").lower() == tgt:
+                            alt = (
+                                mo2.group(1) + mo2.group(2) + mo2.group(3)
+                                + mo2.group(4) + str(idx + 1)
+                                + mo2.group(6)
+                            )
+                            try:
+                                return spark.sql(rewrite_databend_sql(alt))
+                            except Exception:  # noqa: BLE001
+                                break
             mlag = re.search(
                 r'"(lag|lead)\(.*due to data type mismatch: The third '
                 r'parameter requires the \("([^"]+)"', msg, re.S
@@ -3744,6 +3884,28 @@ def run_slt_file(
                             return spark.sql(forced)
                         except Exception:  # noqa: BLE001
                             pass
+                # column-vs-column (JOIN ON t.a = t1.a with a string
+                # side holding '1.0'): numeric comparison via DOUBLE
+                alt2 = re.sub(
+                    r"(?<![\w.`'])((?:\w+\.)?`?\w+`?)\s*"
+                    r"(=|!=|<>|>=|<=|>|<)\s*"
+                    r"((?:\w+\.)?`?\w+`?)(?![\w.`'(])",
+                    lambda m2: (
+                        m2.group(0)
+                        if re.match(
+                            r"^\d|^'|^(true|false|null)$",
+                            m2.group(1) + m2.group(3), re.I,
+                        )
+                        else f"CAST({m2.group(1)} AS DOUBLE) "
+                        f"{m2.group(2)} CAST({m2.group(3)} AS DOUBLE)"
+                    ),
+                    sql,
+                )
+                if alt2 != sql:
+                    try:
+                        return spark.sql(rewrite_databend_sql(alt2))
+                    except Exception:  # noqa: BLE001
+                        pass
             if "CAST_INVALID_INPUT" in msg and re.search(
                 r"\bto_(date|timestamp)\s*\(", sql, re.I
             ):
@@ -3913,6 +4075,31 @@ def run_slt_file(
                     alt,
                     flags=re.I,
                 )
+                # column-vs-column: cast the numeric side from the
+                # error's exact expression text
+                mbx = re.search(
+                    r'Cannot resolve "\((\w+) (=|!=|<>|>=|<=|>|<) (\w+)\)"'
+                    r'.*?\("(\w+)" and "(\w+)"\)', msg, re.S
+                )
+                if mbx and alt == sql:
+                    l_, op_, r_ = mbx.group(1), mbx.group(2), mbx.group(3)
+                    lb = mbx.group(4) == "BOOLEAN"
+
+                    def _castbool(m2, lb=lb, op_=op_):
+                        left, right = m2.group(1), m2.group(2)
+                        if lb:
+                            right = f"CAST({right} AS BOOLEAN)"
+                        else:
+                            left = f"CAST({left} AS BOOLEAN)"
+                        return f"{left} {op_} {right}"
+
+                    alt = re.sub(
+                        rf"(?<![\w.`])((?:\w+\.)?{re.escape(l_)})\s*"
+                        rf"{re.escape(op_)}\s*"
+                        rf"((?:\w+\.)?{re.escape(r_)})(?![\w.`])",
+                        _castbool,
+                        sql,
+                    )
                 if alt != sql:
                     forced = rewrite_databend_sql(alt)
                     if forced != rewritten:
@@ -4430,6 +4617,33 @@ def run_slt_file(
                             )
                         except Exception:  # noqa: BLE001
                             rows = None
+                    if rows is None:
+                        # column-vs-column ON/WHERE comparison
+                        alt2 = re.sub(
+                            r"(?<![\w.`'])((?:\w+\.)?`?\w+`?)\s*"
+                            r"(=|!=|<>|>=|<=|>|<)\s*"
+                            r"((?:\w+\.)?`?\w+`?)(?![\w.`'(])",
+                            lambda m2: (
+                                m2.group(0)
+                                if re.match(
+                                    r"^\d|^'|^(true|false|null)$",
+                                    m2.group(1) + m2.group(3), re.I,
+                                )
+                                else f"CAST({m2.group(1)} AS DOUBLE) "
+                                f"{m2.group(2)} "
+                                f"CAST({m2.group(3)} AS DOUBLE)"
+                            ),
+                            sql,
+                        )
+                        if alt2 != sql:
+                            try:
+                                rows = _run_limited(
+                                    lambda: _collect_for_compare(
+                                        run_sql(alt2)
+                                    )
+                                )
+                            except Exception:  # noqa: BLE001
+                                rows = None
                 if rows is None:
                     rep.failed += 1
                     rep.failures.append(f"query failed: {sql[:120]} :: {e}")
