@@ -488,6 +488,20 @@ SQL_MACROS: dict[str, str] = {
     "isnan": "CASE WHEN ({0}) IS NULL THEN NULL"
              " ELSE isna\x03n({0}) END",
     "mid": {3: "substring({0}, {1}, {2})", 2: "substring({0}, {1})"},
+    # reference math.rs floor/ceil are F64 → F64 (Spark returns LONG,
+    # overflowing above 2^63 — doubles ≥ 2^53 are already integral)
+    "floor": {
+        1: "IF(abs({0}) >= 9007199254740992D, CAST({0} AS DOUBLE),"
+           " CAST(flo\x03or({0}) AS DOUBLE))"
+    },
+    "ceil": {
+        1: "IF(abs({0}) >= 9007199254740992D, CAST({0} AS DOUBLE),"
+           " CAST(ce\x03il({0}) AS DOUBLE))"
+    },
+    "ceiling": {
+        1: "IF(abs({0}) >= 9007199254740992D, CAST({0} AS DOUBLE),"
+           " CAST(ce\x03il({0}) AS DOUBLE))"
+    },
     # position 0 yields '' in the reference (Spark treats 0 as 1)
     # position 0 yields '' at runtime (reference string.rs:1137 substr),
     # but the reference's constant folder treats a LITERAL 0 as 1
