@@ -3089,6 +3089,47 @@ def rewrite_databend_sql(sql: str) -> str:
     # Databend positional tuple access `t.1` → Spark struct field `t.`1``
     masked = _TUPLE_FIELD.sub(r"\1.`\2`", masked)
     # numbers(N) table function → range(N) with the reference column name
+    # the reference's Float64 → integer CAST rounds (Spark truncates);
+    # cover the float-certain cases: ratio window functions and
+    # division results inside an integer CAST
+    if re.search(r"\bCAST\s*\(", masked, re.I):
+        masked = re.sub(
+            r"\bCAST\s*\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*?"
+            r"(?:cume_dist|percent_rank)(?:[^()]|\((?:[^()]|\([^()]*\))*\))*)"
+            r"\s+AS\s+((?:TINY|SMALL|BIG)?INT)\s*\)",
+            r"CAST(round(\1) AS \2)",
+            masked,
+            flags=re.I,
+        )
+    # markov_train aggregate (reference aggregate_markov_tarin.rs):
+    # hash-exact display via a collect + Python UDF
+    if re.search(r"\bmarkov_train\s*\(", masked, re.I):
+        masked = re.sub(
+            r"\bmarkov_train\s*\(([^()]*)\)\s*\(\s*([\w.`]+)\s*\)"
+            r"(\s+OVER\s*\((?:[^()]|\([^()]*\))*\))?",
+            lambda mm: (
+                "__markov_train_display(collect_list("
+                + mm.group(2)
+                + ")"
+                + (mm.group(3) or "")
+                + ", "
+                + ", ".join(
+                    (mm.group(1).split(",") + ["5", "0", "0", "0", "0.0"])[
+                        k
+                    ].strip()
+                    for k in range(5)
+                )
+                + ")"
+            ),
+            masked,
+            flags=re.I,
+        )
+        masked = re.sub(
+            r"\bmarkov_train\s*\(\s*([\w.`]+)\s*\)(?!\s*\()",
+            r"__markov_train_display(collect_list(\1), 5, 0, 0, 0, 0.0)",
+            masked,
+            flags=re.I,
+        )
     # comma-join + explicit JOIN precedence: the reference (MySQL rule)
     # binds explicit JOINs tighter than the comma — Spark folds all
     # left-associatively. Parenthesize comma segments with join chains.

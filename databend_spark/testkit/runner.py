@@ -626,6 +626,9 @@ def run_slt_file(
     from databend_spark.functions.variant_runtime import register_variant_udfs
 
     register_variant_udfs(spark)
+    from databend_spark.operators.markov import register_markov_udfs
+
+    register_markov_udfs(spark)
 
     _or_replace_tbl = re.compile(
         r"^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([\w.`]+)", re.I
@@ -3598,6 +3601,28 @@ def run_slt_file(
                 alt = re.sub(
                     r"\bHAVING\b",
                     "AND" if re.search(r"\bWHERE\b", sql, re.I) else "WHERE",
+                    sql,
+                    count=1,
+                    flags=re.I,
+                )
+                if alt != sql:
+                    try:
+                        return spark.sql(rewrite_databend_sql(alt))
+                    except Exception:  # noqa: BLE001
+                        pass
+            mqal = re.search(
+                r"name `(\w+)`\.`(\w+)` cannot be resolved", msg
+            )
+            if mqal:
+                # anonymous derived tables inherit their source table's
+                # name in the reference — attach it as the alias
+                tn = mqal.group(1)
+                alt = re.sub(
+                    rf"(\((?:[^()]|\([^()]*\))*\bFROM\s+{re.escape(tn)}\b"
+                    rf"(?:[^()]|\([^()]*\))*\))"
+                    rf"(\s*(?:,|JOIN\b|WHERE\b|ORDER\b|GROUP\b|LIMIT\b"
+                    rf"|ON\b|$))",
+                    rf"\1 AS {tn}\2",
                     sql,
                     count=1,
                     flags=re.I,
