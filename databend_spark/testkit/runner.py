@@ -814,7 +814,7 @@ def run_slt_file(
     ddl_nullability: dict[str, dict[str, bool]] = {}
     _create_tbl_cols = re.compile(
         r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TRANSIENT\s+)?TABLE\s+"
-        r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*\(",
+        r'(?:IF\s+NOT\s+EXISTS\s+)?([\w.`"]+)\s*\(',
         re.I,
     )
 
@@ -877,7 +877,7 @@ def run_slt_file(
             toks = c.strip().split()
             if len(toks) < 2:
                 continue
-            name = toks[0].strip("`").lower()
+            name = toks[0].strip('`"').lower()
             # nullable unless NOT NULL declared at the TOP level of the
             # column def — `ARRAY(FLOAT32 not null)` constrains the
             # ELEMENT type, not the column (issue 15170 shape)
@@ -890,7 +890,7 @@ def run_slt_file(
                 elif d2 == 0:
                     top.append(ch)
             out[name] = not re.search(r"\bNOT\s+NULL\b", "".join(top).upper())
-        tbl = m.group(1).strip("`").split(".")[-1].lower()
+        tbl = m.group(1).strip('`"').split(".")[-1].strip('`"').lower()
         ddl_nullability[tbl] = out
         # declared Databend types / DEFAULT exprs / table options feed
         # the system.tables & system.columns emulation
@@ -1399,6 +1399,7 @@ def run_slt_file(
     # tracked so SHOW DATABASES still lists them (reference allows them)
     phantom_dbs: set[str] = set()
     phantom_tables: set[tuple[str, str]] = set()
+    table_checks: dict[str, dict[str, str]] = {}
     phantom_views: set[tuple[str, str]] = set()
 
     def run_sql(sql: str):
@@ -1733,6 +1734,30 @@ def run_slt_file(
                     return m.group(0)
 
             sql = re.sub(r"([\w`]+)\.\$(\d+)", _posref, sql)
+        if re.search(r"(?<![\w.`])\$0(?!\d)", sql) and "@" not in sql:
+            raise ValueError("[1005] positional column references are 1-based")
+        if re.search(r"(?<![\w.`])\$\d", sql) and "@" not in sql:
+            # bare $N positional refs resolve against the single FROM
+            # table (stage reads keep their own $N convention)
+            mft = re.search(
+                r"\bFROM\s+([\w.`]+)\s*(?:$|;|\bWHERE\b|\bORDER\b"
+                r"|\bGROUP\b|\bLIMIT\b)",
+                sql,
+                re.I,
+            )
+            if mft:
+                try:
+                    cols = spark.table(mft.group(1)).columns
+
+                    sql = re.sub(
+                        r"(?<![\w.`])\$(\d+)",
+                        lambda m2: f"`{cols[int(m2.group(1)) - 1]}`"
+                        if int(m2.group(1)) <= len(cols)
+                        else m2.group(0),
+                        sql,
+                    )
+                except Exception:  # noqa: BLE001
+                    pass
         # the corpus's uniq/approx_count_distinct expectations are exact
         # at test cardinalities (reference HLL error ≈ 0 there); compare
         # against exact count(distinct …).  Parameterized
@@ -2710,6 +2735,170 @@ def run_slt_file(
                     )
                 )
             return df.orderBy(f"`Tables_in_{db}`")
+        if re.search(r"\bCHECK\s*\(", sql, re.I) and re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TRANSIENT\s+)?TABLE\b",
+            sql,
+            re.I,
+        ):
+            # CHECK constraints in column/table defs: strip for Spark,
+            # record for insert-time enforcement
+            mtn = re.search(
+                r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`\"]+)", sql, re.I
+            )
+            tk = (
+                mtn.group(1).strip('`"').split(".")[-1].strip('`"').lower()
+                if mtn
+                else "?"
+            )
+            if re.match(r"^\s*CREATE\s+OR\s+REPLACE\b", sql, re.I):
+                table_checks.pop(tk, None)
+            out = []
+            pending = []
+            for mck in re.finditer(
+                r"(,\s*)?(?:CONSTRAINT\s+(\w+)\s+)?CHECK\s*\(", sql, re.I
+            ):
+                d, j = 1, mck.end()
+                while j < len(sql) and d:
+                    d += {"(": 1, ")": -1}.get(sql[j], 0)
+                    j += 1
+                pending.append((mck.group(2), sql[mck.end(): j - 1]))
+                out.append((mck.start(), j))
+            for s0, e0 in reversed(out):
+                sql = sql[:s0] + sql[e0:]
+            # declared column names (post-strip) validate the exprs and
+            # drive the reference's auto names: {tbl}_{cols}_check
+            mbody = re.search(r"\(((?:[^()]|\([^()]*\))*)\)", sql)
+            decl_cols = []
+            if mbody:
+                d2, buf, items = 0, "", []
+                for ch in mbody.group(1):
+                    d2 += {"(": 1, ")": -1}.get(ch, 0)
+                    if ch == "," and d2 == 0:
+                        items.append(buf)
+                        buf = ""
+                    else:
+                        buf += ch
+                items.append(buf)
+                decl_cols = [
+                    it.strip().split()[0].strip('`"').lower()
+                    for it in items
+                    if it.strip()
+                ]
+            for cname, cexpr in pending:
+                refs = [
+                    t.lower()
+                    for t in re.findall(r"[A-Za-z_]\w*\b(?!\s*\()", cexpr)
+                    if t.upper() not in (
+                        "AND", "OR", "NOT", "NULL", "TRUE", "FALSE", "IS",
+                        "IN", "LIKE", "BETWEEN", "CASE", "WHEN", "THEN",
+                        "ELSE", "END", "CAST", "AS",
+                    )
+                ]
+                seen1, ordered = set(), []
+                for t in refs:
+                    if t in decl_cols and t not in seen1:
+                        seen1.add(t)
+                        ordered.append(t)
+                    elif t not in decl_cols:
+                        raise ValueError(
+                            f"[1065] unknown column {t} in CHECK constraint"
+                        )
+                ordered.sort(key=decl_cols.index)
+                name = cname or f"{tk}_{'_'.join(ordered)}_check"
+                slot = table_checks.setdefault(tk, {})
+                base, k2 = name, 1
+                while name in slot:
+                    name = f"{base}{k2}"
+                    k2 += 1
+                slot[name] = cexpr
+        if "system.constraints" in sql.lower():
+            rows = []
+            for tk2, checks in table_checks.items():
+                try:
+                    live_cols = [c.lower() for c in spark.table(tk2).columns]
+                except Exception:  # noqa: BLE001
+                    live_cols = []
+                for cname, cexpr in checks.items():
+                    refs = []
+                    for t in re.findall(r"[A-Za-z_]\w*\b(?!\s*\()", cexpr):
+                        tl = t.lower()
+                        if tl in live_cols and tl not in refs:
+                            refs.append(tl)
+                    refs.sort(key=live_cols.index)
+                    rows.append((
+                        cname, "check",
+                        re.sub(r"!=", "<>", cexpr.strip()),
+                        ", ".join(str(live_cols.index(c)) for c in refs),
+                        ", ".join(refs), "default", tk2,
+                    ))
+            spark.createDataFrame(
+                rows or [("", "", "", "", "", "", "")],
+                "name string, type string, expression string,"
+                " constraint_column_indexes string,"
+                " constraint_column_names string, database string,"
+                " `table` string",
+            ).filter("name <> ''").createOrReplaceTempView(
+                "__sys_constraints"
+            )
+            sql = re.sub(
+                r"\bsystem\.constraints\b", "__sys_constraints", sql,
+                flags=re.I,
+            )
+        mcons = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+            r"CHECK\s*\((.*)\)\s*;?\s*$",
+            sql,
+            re.I | re.S,
+        )
+        if mcons:
+            # CHECK constraints are metadata here; schema changes that
+            # would invalidate them are guarded below (reference
+            # constraint binder)
+            tk = mcons.group(1).strip("`").split(".")[-1].lower()
+            live = {c.lower() for c in spark.table(mcons.group(1)).columns}
+            for t in re.findall(r"[A-Za-z_]\w*\b(?!\s*\()", mcons.group(3)):
+                if t.upper() not in (
+                    "AND", "OR", "NOT", "NULL", "TRUE", "FALSE", "IS",
+                    "IN", "LIKE", "BETWEEN", "CASE", "WHEN", "THEN",
+                    "ELSE", "END", "CAST", "AS",
+                ) and t.lower() not in live:
+                    raise ValueError(
+                        f"[1065] unknown column {t} in CHECK constraint"
+                    )
+            table_checks.setdefault(tk, {})[mcons.group(2)] = mcons.group(3)
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        mconsd = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+"
+            r"(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mconsd:
+            tk = mconsd.group(1).strip("`").split(".")[-1].lower()
+            if (
+                mconsd.group(3) not in table_checks.get(tk, {})
+                and not mconsd.group(2)
+            ):
+                raise ValueError(
+                    f"[1005] unknown constraint {mconsd.group(3)}"
+                )
+            table_checks.get(tk, {}).pop(mconsd.group(3), None)
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        malt = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+(?:DROP|MODIFY)\s+"
+            r"(?:COLUMN\s+)?([\w`]+)\b",
+            sql,
+            re.I,
+        )
+        if malt:
+            tk = malt.group(1).strip("`").split(".")[-1].lower()
+            col = malt.group(2).strip("`")
+            for cname, cexpr in table_checks.get(tk, {}).items():
+                if re.search(rf"\b{re.escape(col)}\b", cexpr, re.I):
+                    raise ValueError(
+                        f"Constraint '{cname}' is incompatible with the "
+                        "target schema"
+                    )
         mpt = re.match(
             r"^\s*(CREATE|DROP)\s+TABLE\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?"
             r"(?:([\w`]+)\.)?`([^`]*['\"][^`]*)`"
@@ -3625,6 +3814,21 @@ def run_slt_file(
                     rf"\1 AS {tn}\2",
                     sql,
                     count=1,
+                    flags=re.I,
+                )
+                if alt != sql:
+                    try:
+                        return spark.sql(rewrite_databend_sql(alt))
+                    except Exception:  # noqa: BLE001
+                        pass
+            if "INVALID_DEFAULT_VALUE" in msg and re.search(
+                r"AS\s+DATE", sql, re.I
+            ):
+                # a DATE default in a numeric column is its day number
+                alt = re.sub(
+                    r"CAST\s*\(\s*('[^']+')\s+AS\s+DATE\s*\)",
+                    r"datediff(\1, '1970-01-01')",
+                    sql,
                     flags=re.I,
                 )
                 if alt != sql:
@@ -4611,22 +4815,29 @@ def run_slt_file(
                 # may have bypassed (e.g. variant-path INSERT ... SELECT)
                 mi = re.match(
                     r"^\s*INSERT\s+(?:OVERWRITE\s+)?(?:INTO\s+)?"
-                    r"(?:TABLE\s+)?([\w.`]+)",
+                    r'(?:TABLE\s+)?([\w.`"]+)',
                     sql,
                     re.I,
                 )
                 if mi:
-                    tk = mi.group(1).strip("`").split(".")[-1].lower()
+                    tk = (
+                        mi.group(1).strip('`"').split(".")[-1]
+                        .strip('`"').lower()
+                    )
                     nn = [
                         c
                         for c, nl in ddl_nullability.get(tk, {}).items()
                         if not nl
                     ]
                     cond = " OR ".join(f"`{c}` IS NULL" for c in nn)
+                    tref = ".".join(
+                        "`" + p.strip('`"') + "`"
+                        for p in mi.group(1).split(".")
+                    )
                     try:
                         viol = (
                             spark.sql(
-                                f"SELECT count(*) n FROM {mi.group(1)} "
+                                f"SELECT count(*) n FROM {tref} "
                                 f"WHERE {cond}"
                             ).first()["n"]
                             if nn
@@ -4636,11 +4847,31 @@ def run_slt_file(
                         viol = 0
                     if viol:
                         _replace_table(
-                            mi.group(1),
-                            f"SELECT * FROM {mi.group(1)} "
-                            f"WHERE NOT ({cond})",
+                            tref,
+                            f"SELECT * FROM {tref} WHERE NOT ({cond})",
                         )
                         err = RuntimeError("NULL value in NOT NULL column")
+                    if err is None:
+                        # CHECK constraints (prior rows were enforced on
+                        # THEIR insert, so violations are the new rows)
+                        for cname, cexpr in table_checks.get(tk, {}).items():
+                            try:
+                                bad = spark.sql(
+                                    f"SELECT count(*) n FROM {tref} WHERE "
+                                    f"NOT coalesce(({cexpr}), true)"
+                                ).first()["n"]
+                            except Exception:  # noqa: BLE001
+                                bad = 0
+                            if bad:
+                                _replace_table(
+                                    tref,
+                                    f"SELECT * FROM {tref} WHERE "
+                                    f"coalesce(({cexpr}), true)",
+                                )
+                                err = RuntimeError(
+                                    f"CHECK constraint {cname} violated"
+                                )
+                                break
             if expect_error and err is None:
                 rep.failed += 1
                 rep.failures.append(f"expected error, got success: {sql[:120]}")
