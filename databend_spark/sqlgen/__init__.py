@@ -3070,6 +3070,13 @@ def rewrite_databend_sql(sql: str) -> str:
             masked,
             flags=re.I,
         )
+    # nullability suffixes inside CAST targets (`AS Array(String) Null`)
+    masked = re.sub(
+        r"(\bAS\s+\w+(?:<[^<>]*>|\([^()]*\))?)\s+(?:NOT\s+)?NULL(\s*\))",
+        r"\1\2",
+        masked,
+        flags=re.I,
+    )
     masked = _rewrite_cast_paren_types(masked)
     for pat, repl in _TYPE_ALIASES:
         masked = pat.sub(repl, masked)

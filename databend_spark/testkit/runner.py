@@ -485,6 +485,12 @@ def _rewrite_nextval(sql: str, sequences: dict, spark) -> str:
 
 
 _SETTINGS_BASE = [
+    ("numeric_cast_option", "rounding", "None",
+     "Set numeric cast mode as \"rounding\" or \"truncating\".",
+     "String"),
+    ("binary_output_format", "hex", "None",
+     "Set binary output format as \"hex\" or \"base64\" or"
+     " \"utf-8-lossy\".", "String"),
     ("max_threads", "32", "[1, 65535]",
      "Sets the maximum number of threads to execute a request.",
      "UInt64"),
@@ -1644,6 +1650,32 @@ def run_slt_file(
             # abs() over a string literal is a type error
             if re.search(r"\babs\s*\(\s*'", sql, re.I):
                 raise ValueError("[1007] abs does not accept strings")
+            # to_string over literal non-UTF-8 bytes is a conversion
+            # error (unless the lossy output format is set)
+            if setting_overrides.get(
+                "binary_output_format", ""
+            ).lower() != "utf-8-lossy":
+                for mhx in re.finditer(
+                    r"\bto_string\s*\(\s*UNHEX\s*\("
+                    r"\s*'([0-9A-Fa-f]+)'\s*\)\s*\)",
+                    sql,
+                    re.I,
+                ):
+                    try:
+                        bytes.fromhex(mhx.group(1)).decode("utf-8")
+                    except (ValueError, UnicodeDecodeError):
+                        raise ValueError(
+                            "[1006] invalid utf8 sequence"
+                        ) from None
+            # LPAD/RPAD with an empty pad string errors when padding is
+            # actually needed (target length exceeds the source)
+            for mpd in re.finditer(
+                r"\b[lr]pad\s*\(\s*'([^']*)'\s*,\s*(\d+)\s*,\s*''\s*\)",
+                sql,
+                re.I,
+            ):
+                if int(mpd.group(2)) > len(mpd.group(1)):
+                    raise ValueError("[1006] pad string must not be empty")
         if re.match(
             r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP\w*\s+)?TABLE\b", sql, re.I
         ) and "::" in sql:
@@ -1724,6 +1756,25 @@ def run_slt_file(
         )
         # empty identifier parts (`db`.``.`t`) collapse
         sql = re.sub(r"\.``\.", ".", sql)
+        if setting_overrides.get("numeric_cast_option") == "rounding" and re.search(
+            r"::\s*u?int|AS\s+(?:TINY|SMALL|BIG)?INT\b|AS\s+UNSIGNED",
+            sql,
+            re.I,
+        ):
+            # explicit rounding mode: numeric → integer casts round
+            sql = re.sub(
+                r"\bCAST\s*\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*?)"
+                r"\s+AS\s+((?:TINY|SMALL|BIG)?INT|UNSIGNED)\s*\)",
+                r"CAST(round(CAST(\1 AS DOUBLE)) AS BIGINT)",
+                sql,
+                flags=re.I,
+            )
+            sql = re.sub(
+                r"'(-?\d+\.\d+)'\s*::\s*(u?int\w*|unsigned\b)",
+                r"CAST(round(\1) AS BIGINT)",
+                sql,
+                flags=re.I,
+            )
         if re.search(r"[\w`]\.\$\d", sql):
             # Databend positional column ref `t.$N` → the table's Nth column
             def _posref(m):
@@ -4218,6 +4269,26 @@ def run_slt_file(
                             return spark.sql(forced)
                         except Exception:  # noqa: BLE001
                             pass
+                # decimal-text string CAST to integer rounds in the
+                # reference ('29.55'::Int → 30)
+                alt3 = re.sub(
+                    r"'(-?\d+\.\d+)'\s*::\s*(u?int\w*|unsigned\b)",
+                    r"CAST(CAST(\1 AS DOUBLE) AS BIGINT)",
+                    sql,
+                    flags=re.I,
+                )
+                alt3 = re.sub(
+                    r"CAST\s*\(\s*'(-?\d+\.\d+)'\s+AS\s+"
+                    r"((?:TINY|SMALL|BIG)?INT|UNSIGNED)\s*\)",
+                    r"CAST(CAST(\1 AS DOUBLE) AS BIGINT)",
+                    alt3,
+                    flags=re.I,
+                )
+                if alt3 != sql:
+                    try:
+                        return spark.sql(rewrite_databend_sql(alt3))
+                    except Exception:  # noqa: BLE001
+                        pass
                 # column-vs-column (JOIN ON t.a = t1.a with a string
                 # side holding '1.0'): numeric comparison via DOUBLE
                 alt2 = re.sub(
@@ -4978,6 +5049,22 @@ def run_slt_file(
                             )
                         except Exception:  # noqa: BLE001
                             rows = None
+                    if rows is None:
+                        alt3 = re.sub(
+                            r"'(-?\d+\.\d+)'\s*::\s*(u?int\w*|unsigned\b)",
+                            r"CAST(CAST(\1 AS DOUBLE) AS BIGINT)",
+                            sql,
+                            flags=re.I,
+                        )
+                        if alt3 != sql:
+                            try:
+                                rows = _run_limited(
+                                    lambda: _collect_for_compare(
+                                        run_sql(alt3)
+                                    )
+                                )
+                            except Exception:  # noqa: BLE001
+                                rows = None
                     if rows is None:
                         # column-vs-column ON/WHERE comparison
                         alt2 = re.sub(
