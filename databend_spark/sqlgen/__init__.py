@@ -2710,6 +2710,12 @@ def _rewrite_variant_subscripts(s: str) -> str:
         if start is None:
             pos = i + 1
             continue
+        # a `::` cast chain is part of the receiver (lit::json['k'])
+        while start >= 2 and s[start - 2 : start] == "::":
+            prev = _scan_operand_back(s, start - 3)
+            if prev is None:
+                break
+            start = prev
         recv = s[start : i].strip()
         if not recv or not _VARIANT_RECV.search(recv):
             pos = i + 1
@@ -3070,6 +3076,12 @@ def rewrite_databend_sql(sql: str) -> str:
             masked,
             flags=re.I,
         )
+    # variant subscripts on `::json`/`::variant` receivers must resolve
+    # BEFORE type aliasing rewrites the cast target to STRING
+    if "[" in masked and re.search(
+        r"::\s*(json|variant)\s*\[", masked, re.I
+    ):
+        masked = _rewrite_variant_subscripts(masked)
     # nullability suffixes inside CAST targets (`AS Array(String) Null`)
     masked = re.sub(
         r"(\bAS\s+\w+(?:<[^<>]*>|\([^()]*\))?)\s+(?:NOT\s+)?NULL(\s*\))",

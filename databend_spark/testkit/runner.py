@@ -1667,6 +1667,27 @@ def run_slt_file(
                         raise ValueError(
                             "[1006] invalid utf8 sequence"
                         ) from None
+            # get(array_col, 'string') is a type error (string keys need
+            # maps/variants — reference scalars/array.rs get signatures)
+            for mg in re.finditer(
+                r"\bget\s*\(\s*(?:\w+\.)?([\w`]+)\s*,\s*'", sql, re.I
+            ):
+                col = mg.group(1).strip("`").lower()
+                ftabs = [
+                    t.strip("`").split(".")[-1].lower()
+                    for t in re.findall(
+                        r"\b(?:FROM|JOIN)\s+([\w.`]+)", sql, re.I
+                    )
+                ]
+                decls = [
+                    ddl_decl_types[t][col].upper()
+                    for t in ftabs
+                    if col in ddl_decl_types.get(t, {})
+                ]
+                if decls and all(d.startswith("ARRAY") for d in decls):
+                    raise ValueError(
+                        "[1007] get with a string key needs a map/variant"
+                    )
             # LPAD/RPAD with an empty pad string errors when padding is
             # actually needed (target length exceeds the source)
             for mpd in re.finditer(
@@ -3850,6 +3871,59 @@ def run_slt_file(
                         return spark.sql(rewrite_databend_sql(alt))
                     except Exception:  # noqa: BLE001
                         pass
+            if "NESTED_IN_EXPRESSIONS" in msg and re.search(
+                r"\btypeof\s*\(", sql, re.I
+            ):
+                # typeof over a duplicated SRF call: hoist the SRF into a
+                # subquery; typeof of a variant value is its jsonb type
+                msrf = re.match(
+                    r"^\s*select\s+(.*?)\s+from\s+([\w.`]+)\s*;?\s*$",
+                    sql,
+                    re.I | re.S,
+                )
+                if msrf:
+                    items, depth, start = [], 0, 0
+                    body = msrf.group(1)
+                    for k, ch in enumerate(body):
+                        depth += {"(": 1, ")": -1}.get(ch, 0)
+                        if ch == "," and depth == 0:
+                            items.append(body[start:k].strip())
+                            start = k + 1
+                    items.append(body[start:].strip())
+                    srf = next(
+                        (
+                            it
+                            for it in items
+                            if re.match(r"json_path_query\s*\(", it, re.I)
+                        ),
+                        None,
+                    )
+                    if srf:
+                        tyex = (
+                            "CASE WHEN upper(__json_typeof(CAST(__slt_v AS"
+                            " STRING))) = 'STRING' THEN 'VARCHAR' ELSE"
+                            " upper(__json_typeof(CAST(__slt_v AS STRING)))"
+                            " END"
+                        )
+                        outer = [
+                            tyex
+                            if re.fullmatch(
+                                rf"typeof\s*\(\s*{re.escape(srf)}\s*\)",
+                                it,
+                                re.I,
+                            )
+                            else ("__slt_v" if it == srf else it)
+                            for it in items
+                        ]
+                        alt = (
+                            f"SELECT {', '.join(outer)} FROM (SELECT "
+                            f"{', '.join(i for i in items if i != srf and not re.match(r'typeof', i, re.I))}, "
+                            f"{srf} AS __slt_v FROM {msrf.group(2)})"
+                        )
+                        try:
+                            return spark.sql(rewrite_databend_sql(alt))
+                        except Exception:  # noqa: BLE001
+                            pass
             mqal = re.search(
                 r"name `(\w+)`\.`(\w+)` cannot be resolved", msg
             )
