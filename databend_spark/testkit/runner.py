@@ -753,7 +753,7 @@ def run_slt_file(
     _noop_ddl = re.compile(
         r"^\s*(OPTIMIZE\s+TABLE\b|ALTER\s+TABLE\s+[\w.`]+\s+RECLUSTER\b|"
         r"VACUUM\s+(TABLE|TEMPORARY)\b|"
-        r"(CREATE|DROP)\s+(ASYNC\s+)?AGGREGATING\s+INDEX\b|"
+        r"(CREATE|DROP)\s+(OR\s+REPLACE\s+)?(ASYNC\s+)?AGGREGATING\s+INDEX\b|"
         r"REFRESH\s+(AGGREGATING\s+)?INDEX\b)",
         re.I,
     )
@@ -2522,6 +2522,36 @@ def run_slt_file(
                     f"[1301] option {bad[0] if bad else ''} cannot be unset"
                 )
             return spark.sql("SELECT 1 AS ok WHERE false")
+        if re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:ASYNC\s+)?"
+            r"AGGREGATING\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?\w+\s+AS\b",
+            sql,
+            re.I,
+        ):
+            if re.search(r"\bIF\s+NOT\s+EXISTS\b", sql, re.I) and re.search(
+                r"\bOR\s+REPLACE\b", sql, re.I
+            ):
+                raise ValueError(
+                    "[1005] OR REPLACE and IF NOT EXISTS are incompatible"
+                )
+            # reference aggregating_index_visitor.rs:208-260: needs an
+            # aggregate, GROUP BY or WHERE; HAVING / GROUPING SETS /
+            # window / nondeterministic bodies are unsupported
+            body = re.split(r"\bAS\b", sql, maxsplit=1, flags=re.I)[-1]
+            if not re.search(
+                r"\b(sum|count|avg|min|max|approx_count_distinct|uniq)"
+                r"\s*\(|\bgroup\s+by\b|\bwhere\b",
+                body,
+                re.I,
+            ) or re.search(
+                r"\bhaving\b|\bgrouping\s+sets\b|\bover\s*\(|\bnow\s*\("
+                r"|\border\s+by\b",
+                body,
+                re.I,
+            ):
+                raise ValueError(
+                    "[1601] unsupported aggregating index body"
+                )
         if _noop_ddl.match(sql):
             mc = re.match(
                 r"^\s*OPTIMIZE\s+TABLE\s+([\w.`]+)\s+COMPACT\b", sql, re.I
@@ -3924,6 +3954,26 @@ def run_slt_file(
                             return spark.sql(rewrite_databend_sql(alt))
                         except Exception:  # noqa: BLE001
                             pass
+            if re.search(
+                r"name `_(row_id|block_name|segment_name)`", msg
+            ):
+                # fuse internal columns (reference 05_0031): emulate with
+                # Spark's row-id generator / input file metadata
+                alt = re.sub(
+                    r"(?<![\w.`])_row_id(?![\w.`])",
+                    "monotonically_increasing_id()",
+                    sql,
+                )
+                alt = re.sub(
+                    r"(?<![\w.`])_(block_name|segment_name)(?![\w.`])",
+                    "input_file_name()",
+                    alt,
+                )
+                if alt != sql:
+                    try:
+                        return spark.sql(rewrite_databend_sql(alt))
+                    except Exception:  # noqa: BLE001
+                        pass
             mqal = re.search(
                 r"name `(\w+)`\.`(\w+)` cannot be resolved", msg
             )
