@@ -706,6 +706,18 @@ def run_slt_file(
         # suite without its table.
         old = "__mutation_old"
         spark.sql(f"DROP TABLE IF EXISTS {old}")
+        # a crashed run can leave the stale directory without a catalog
+        # entry — the RENAME would refuse the occupied location
+        import shutil as _shutil
+
+        try:
+            cur = spark.catalog.currentDatabase()
+            _shutil.rmtree(
+                os.path.join("spark-warehouse", f"{cur}.db", old),
+                ignore_errors=True,
+            )
+        except Exception:  # noqa: BLE001
+            pass
         spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
         try:
             spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
