@@ -1866,9 +1866,30 @@ def jq_list(filter_text, input):  # noqa: A002
     return [_canon(out) for out in jq_run(filter_text, doc)]
 
 
+# applicationIds already carrying the UDF registrations — re-registering
+# 60+ Python UDFs costs ~0.3-0.5s of Py4J round-trips per call, which
+# lands on EVERY suite-query invocation (r3 bench regression). appIds are
+# never reused, so registration state can be memoized process-side.
+_UDFS_REGISTERED: set[str] = set()
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001
+        return str(id(spark))
+
+
 def register_variant_udfs(spark: SparkSession) -> None:
     """Idempotently register the accessor UDFs on a session."""
     from pyspark.sql.types import DoubleType, StringType
+
+    sid = _session_key(spark)
+    if sid in _UDFS_REGISTERED:
+        return
+    if len(_UDFS_REGISTERED) > 8:
+        _UDFS_REGISTERED.clear()
+    _UDFS_REGISTERED.add(sid)
 
     spark.udf.register("__variant_access", variant_access, StringType())
     spark.udf.register("__variant_path_query", variant_path_query, StringType())

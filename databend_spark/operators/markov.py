@@ -154,8 +154,20 @@ def markov_train_display(
     return "[" + ",".join(rows) + "]"
 
 
+_MARKOV_REGISTERED: set[str] = set()
+
+
 def register_markov_udfs(spark) -> None:
     from pyspark.sql.types import StringType
+
+    from databend_spark.functions.variant_runtime import _session_key
+
+    sid = _session_key(spark)
+    if sid in _MARKOV_REGISTERED:
+        return
+    if len(_MARKOV_REGISTERED) > 8:
+        _MARKOV_REGISTERED.clear()
+    _MARKOV_REGISTERED.add(sid)
 
     spark.udf.register(
         "__markov_train_display",

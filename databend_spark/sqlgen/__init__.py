@@ -1778,12 +1778,31 @@ def _rewrite_groupby_alias_shadow(s: str) -> str:
     if m:
         gend = m.start()
     keys = s[gstart:gend]
-    for name, expr in shadows.items():
-        keys = re.sub(
-            rf"(?<![\w.`]){re.escape(name)}(?![\w.`(])",
-            lambda _m, e=expr: f"({e})",
-            keys,
-        )
+    # alias binding applies only to a group item that IS the bare
+    # identifier — identifiers nested inside a larger expression
+    # (GROUP BY CASE WHEN i = 1 …) bind to the source column in the
+    # reference too (r3 regression: substituting inside the CASE made
+    # the group key diverge from the select expression)
+    kitems, depth, kstart = [], 0, 0
+    for i, ch in enumerate(keys):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            kitems.append(keys[kstart:i])
+            kstart = i + 1
+    kitems.append(keys[kstart:])
+    out_items = []
+    for it in kitems:
+        bare = it.strip().strip("`")
+        if bare in shadows:
+            lead = it[: len(it) - len(it.lstrip())]
+            trail = it[len(it.rstrip()) :]
+            out_items.append(f"{lead}({shadows[bare]}){trail}")
+        else:
+            out_items.append(it)
+    keys = ",".join(out_items)
     return s[:gstart] + keys + s[gend:]
 
 

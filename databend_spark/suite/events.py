@@ -98,42 +98,74 @@ sql_query(
 )
 def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """window_funnel(7d)(ts, signup, view, purchase): max funnel level
-    per user where each step follows the previous and the whole chain
-    fits in the window anchored at the signup.
+    per user where each step strictly follows the previous and the whole
+    chain fits in the 7-day window anchored at the chain's signup
+    (reference: window_funnel aggregate,
+    src/query/functions/src/aggregates/aggregate_window_funnel.rs).
 
-    Plan: per-level candidate sets via staged range joins on user_id
-    (one shuffle key), then broadcast flags onto the user list — no
-    correlated subqueries, no per-user collect.
+    Plan: ONE shuffle (partitionBy user_id, orderBy ts) and two range-
+    bounded window functions — linear per user, no pairwise fanout:
+      * s_star(view v)   = max signup ts in [v-7d, v)  — the latest
+        signup whose window still covers v; maximizing the start
+        maximizes the remaining window, so per view this single state
+        dominates every other (s, v) chain state.
+      * reach2(view)     = s_star + 7d — how far a purchase may sit.
+      * purchase hits L3 ⇔ running max of reach2 over strictly-earlier
+        rows ≥ its ts  (v < p strict via the -1µs range bound).
+    The r3 plan (staged s×v×p joins on user_id) was quadratic on a
+    skewed user (21s at sf1); this is the classic chain-scan shape,
+    entirely in JVM window exec + codegen.
     """
-    ev = spark.table("events")
-    s = ev.filter(F.col("event_type") == "signup").select("user_id", F.col("ts").alias("s_ts"))
-    v = ev.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("v_ts"))
-    p = ev.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("p_ts"))
-    win = F.expr("s_ts + INTERVAL 7 DAY")
+    from pyspark.sql import Window
 
-    sv = s.join(v, "user_id").filter((F.col("v_ts") > F.col("s_ts")) & (F.col("v_ts") <= win))
-    l2 = sv.select("user_id").distinct().withColumn("f2", F.lit(1))
-    l3 = (
-        sv.join(p, "user_id")
-        .filter((F.col("p_ts") > F.col("v_ts")) & (F.col("p_ts") <= win))
-        .select("user_id")
-        .distinct()
-        .withColumn("f3", F.lit(1))
+    week_us = 7 * 86400 * 1_000_000
+    ev = spark.table("events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
     )
-    l1 = s.select("user_id").distinct().withColumn("f1", F.lit(1))
-    users = ev.select("user_id").distinct()
-    return (
-        users.join(l1, "user_id", "left")
-        .join(l2, "user_id", "left")
-        .join(l3, "user_id", "left")
-        .select(
-            "user_id",
-            F.when(F.col("f3") == 1, 3)
-            .when(F.col("f2") == 1, 2)
-            .when(F.col("f1") == 1, 1)
-            .otherwise(0)
-            .alias("funnel_level"),
+    w_sig = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-week_us, -1)
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = (
+        ev.withColumn(
+            "s_star",
+            F.max(
+                F.when(F.col("event_type") == "signup", F.col("ts_us"))
+            ).over(w_sig),
         )
+        .withColumn(
+            "reach2",
+            F.when(
+                (F.col("event_type") == "view")
+                & F.col("s_star").isNotNull(),
+                F.col("s_star") + F.lit(week_us),
+            ),
+        )
+        .withColumn("best_reach2", F.max("reach2").over(w_prev))
+    )
+    return flagged.groupBy("user_id").agg(
+        F.greatest(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("best_reach2") >= F.col("ts_us")),
+                    3,
+                )
+            ),
+            F.max(F.when(F.col("reach2").isNotNull(), 2)),
+            F.max(F.when(F.col("event_type") == "signup", 1)),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("funnel_level")
     )
 
 

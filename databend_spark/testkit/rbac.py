@@ -99,7 +99,15 @@ class RBAC:
                 "updated": t}
 
     def _objkey(self, kind: str, *parts: str) -> tuple:
-        key = (kind, *[p.lower() for p in parts])
+        norm = [p.lower() for p in parts]
+        # the SLT runner rewrites the corpus's `default.` database into
+        # its per-file isolation db (slt_<file>) BEFORE this layer sees
+        # the statement; canonicalize it back so grants recorded through
+        # a rewritten GRANT match show_grants('table', t, 'default', …)
+        # lookups and render as 'default' (r3 regression: 05_0017/06_0007)
+        if kind in ("db", "table") and norm and norm[0].startswith("slt_"):
+            norm[0] = "default"
+        key = (kind, *norm)
         if key not in self.object_ids:
             self.object_ids[key] = len(self.object_ids) + 1
         return key

@@ -2395,8 +2395,25 @@ def run_slt_file(
                     stack.append(("empty", ddl))
                     spark.sql(f"DROP TABLE {full}")
                 else:
+                    # run-unique stash name: a counter reset per file
+                    # collided across files sharing a session (the
+                    # second file that dropped a same-named table hit
+                    # TABLE_OR_VIEW_ALREADY_EXISTS); uuid + an
+                    # existence probe makes the name globally fresh
+                    import uuid as _uuid
+
                     undrop_seq[0] += 1
-                    hidden = f"__dropped_{k[1]}_{undrop_seq[0]}"
+                    for _ in range(8):
+                        hidden = (
+                            f"__dropped_{k[1]}_{_uuid.uuid4().hex[:8]}"
+                        )
+                        try:
+                            if not spark.catalog.tableExists(
+                                f"{k[0]}.{hidden}"
+                            ):
+                                break
+                        except Exception:  # noqa: BLE001
+                            break
                     try:
                         spark.sql(
                             f"ALTER TABLE {full} RENAME TO {k[0]}.{hidden}"
@@ -2407,10 +2424,19 @@ def run_slt_file(
                         loc = re.search(
                             r"location '(?:file:)?([^']+)'", str(re_err)
                         )
-                        if "LOCATION_ALREADY_EXISTS" in str(re_err) and loc:
+                        msg_re = str(re_err)
+                        if "LOCATION_ALREADY_EXISTS" in msg_re and loc:
                             import shutil
 
                             shutil.rmtree(loc.group(1), ignore_errors=True)
+                            spark.sql(
+                                f"ALTER TABLE {full} RENAME TO"
+                                f" {k[0]}.{hidden}"
+                            )
+                        elif "TABLE_OR_VIEW_ALREADY_EXISTS" in msg_re:
+                            spark.sql(
+                                f"DROP TABLE IF EXISTS {k[0]}.{hidden}"
+                            )
                             spark.sql(
                                 f"ALTER TABLE {full} RENAME TO"
                                 f" {k[0]}.{hidden}"
@@ -3541,8 +3567,10 @@ def run_slt_file(
             except Exception:  # noqa: BLE001
                 pass
             if is_ctas and exists:
+                import uuid as _uuid
+
                 undrop_seq[0] += 1
-                tmp = f"__cr_tmp_{undrop_seq[0]}"
+                tmp = f"__cr_tmp_{_uuid.uuid4().hex[:8]}"
                 tmp_sql = re.sub(
                     rf"^(\s*CREATE\s+)OR\s+REPLACE\s+(TABLE\s+)"
                     rf"{re.escape(tgt)}",
@@ -4284,6 +4312,44 @@ def run_slt_file(
                 "UNEXPECTED_INPUT_TYPE" in msg
                 and 'Cannot resolve "date_add(' in msg
                 and "BIGINT" in msg
+                and re.search(
+                    r"(DATE\s*'[^']*'|to_date\s*\([^()]*\)|[\w.`]+)\s*\+\s*"
+                    r"CAST\s*\(",
+                    sql,
+                    re.I,
+                )
+            ):
+                # DATE + Int64 in the reference is saturating-add then
+                # clamp: out-of-range → DATE_MIN 0001-01-01 (reference
+                # datetime.rs register_timestamp_add_sub: clamp_date(
+                # (a as i64).saturating_add(b)), date.rs:51 clamp_date)
+                def _clamp_plus(m: re.Match) -> str:
+                    d, x = m.group(1), m.group(2)
+                    days = f"(unix_date({d}) + CAST({x} AS BIGINT))"
+                    return (
+                        "date_from_unix_date(CAST(CASE WHEN "
+                        f"{days} BETWEEN -719162 AND 2932896 "
+                        f"THEN {days} ELSE -719162 END AS INT))"
+                    )
+
+                alt = re.sub(
+                    r"(DATE\s*'[^']*'|to_date\s*\([^()]*\))\s*\+\s*"
+                    r"(CAST\s*\([^()]*\s+AS\s+BIGINT\s*\))",
+                    _clamp_plus,
+                    sql,
+                    flags=re.I,
+                )
+                if alt != sql:
+                    forced = rewrite_databend_sql(alt)
+                    if forced != rewritten:
+                        try:
+                            return spark.sql(forced)
+                        except Exception:  # noqa: BLE001
+                            pass
+            if (
+                "UNEXPECTED_INPUT_TYPE" in msg
+                and 'Cannot resolve "date_add(' in msg
+                and "BIGINT" in msg
             ):
                 # DATE + BIGINT: Spark's date_add takes INT; the
                 # reference accepts int64 (overflow then errors — the
@@ -4811,6 +4877,19 @@ def run_slt_file(
 
     if isolate:  # fresh database per file — files reuse table names
         _bootstrap_system_db(spark)
+        # the driver suite registers temp views named orders/lineitem/…
+        # (session.register_tables); unqualified names in SLT files
+        # resolve to temp views FIRST, shadowing the per-file database's
+        # tables (r3: tpch/queries.test bound the driver's 6-column
+        # `orders`). Temp views are cheap to drop — every suite query
+        # re-registers its own on entry. `__`-prefixed runner-internal
+        # views (stages) are kept.
+        try:
+            for t in spark.catalog.listTables():
+                if t.isTemporary and not t.name.startswith("__"):
+                    spark.catalog.dropTempView(t.name)
+        except Exception:  # noqa: BLE001
+            pass
         try:  # clear SET overrides a previous file left in the view
             spark.sql(_settings_view_sql({}))
         except Exception:  # noqa: BLE001
@@ -4844,6 +4923,16 @@ def run_slt_file(
                 )
             spark.sql("USE default")
             spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+            # purge stash/temp tables the file left in shared databases
+            # (statements that qualified default.t bypass the per-file db)
+            try:
+                for t in spark.catalog.listTables("default"):
+                    if t.name.startswith(("__dropped_", "__cr_tmp_")):
+                        spark.sql(
+                            f"DROP TABLE IF EXISTS default.`{t.name}`"
+                        )
+            except Exception:  # noqa: BLE001
+                pass
 
     rep = SLTReport(path=path)
     with open(path) as f:
@@ -4944,6 +5033,21 @@ def run_slt_file(
                     rbac.expand_roles = not (
                         mset.group(3) or ""
                     ).strip("'") == "0" if not mset.group(1) else True
+                # settings with harness-side state must ALSO update here:
+                # this generic handler matches first and `continue`s, so
+                # the dedicated handlers below never see them
+                if nm == "enable_query_result_cache":
+                    qcache["enabled"] = (
+                        not mset.group(1)
+                        and (mset.group(3) or "0").strip("'") == "1"
+                    )
+                elif nm == "query_result_cache_min_execute_secs":
+                    try:
+                        qcache["min_secs"] = int(
+                            (mset.group(3) or "5").strip("'")
+                        )
+                    except ValueError:
+                        pass
                 if mset.group(1) or mset.group(3) is None:
                     setting_overrides.pop(nm, None)
                 else:
