@@ -182,39 +182,44 @@ def minhash_lsh_pairs(
     false positives; output is then deterministic).
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    banded = (
-        sigs.select(
-            "doc",
-            "shingles",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
-                    ),
-                )
-            ).alias("bb"),
-        )
-        .select("doc", "shingles", "bb.band", "bb.bh")
-        # both join sides read this — persist so minhash computes once
-        .persist()
-    )
-    a = banded.select(
-        F.col("doc").alias("da"), F.col("shingles").alias("sha"), "band", "bh"
-    )
-    b = banded.select(
-        F.col("doc").alias("db"), F.col("shingles").alias("shb"), "band", "bh"
-    )
+    # both the band join (twice) and the verify back-join read this —
+    # persist so tokenize+shingle+minhash computes once
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    # the band join carries ONLY (band, bh, doc): at corpus scale the
+    # LSH join's shuffle weight must not be dominated by the documents'
+    # shingle arrays (r3 shipped sha/shb through the join, pre-dedup);
+    # shingle sets re-join by doc id AFTER pair dedup — two slim
+    # equi-joins instead of one fat one
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+    a = banded.select(F.col("doc").alias("da"), "band", "bh")
+    b = banded.select(F.col("doc").alias("db"), "band", "bh")
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("da") < F.col("db"))
-        .select("da", "db", "sha", "shb")
+        .select("da", "db")
         .dropDuplicates(["da", "db"])
     )
     if verify_threshold is None:
-        return cand.select("da", "db")
+        return cand
+    sets = sigs.select("doc", "shingles")
+    cand = cand.join(
+        sets.select(F.col("doc").alias("da"), F.col("shingles").alias("sha")),
+        "da",
+    ).join(
+        sets.select(F.col("doc").alias("db"), F.col("shingles").alias("shb")),
+        "db",
+    )
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
     return (
