@@ -130,6 +130,59 @@ class VersionedTable:
             return self.read(self.version).limit(0)
         return self.spark.read.parquet(*dirs)
 
+    def changes_standard(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Standard-mode CHANGES: full row-level changelog including
+        DELETE rows, so ranges crossing an overwrite/delete/update commit
+        are representable (reference
+        ``storages/fuse/src/operations/changes.rs``: standard streams emit
+        ``change$action`` INSERT/DELETE + ``change$is_update`` rows; our
+        copy-on-write mutations surface as overwrite commits).
+
+        Computed as two bag differences — new − old → INSERT, old − new →
+        DELETE — with ``exceptAll`` (multiplicity-preserving), which
+        Catalyst plans as hash aggregations on the row shuffle key: two
+        shuffles, no driver-side diffing, scales with partition count.
+        An unchanged row never appears (the reference's block-level diff
+        also suppresses it). Rows carry ``change$row_id`` (content hash)
+        like the reference's hidden stream columns."""
+        from pyspark.sql import functions as F
+
+        to_v = self.version if to_version is None else to_version
+        new = self.read(to_v) if to_v > 0 else None
+        old = self.read(from_version) if from_version > 0 else None
+        crosses = False
+        for e in self._read_log():
+            if (
+                from_version < e["version"] <= to_v
+                and e.get("mode", "append") == "overwrite"
+            ):
+                crosses = True
+
+        def _tag(df: DataFrame, action: str) -> DataFrame:
+            return df.select(
+                "*",
+                F.lit(action).alias("change$action"),
+                F.lit(False).alias("change$is_update"),
+                F.lower(F.hex(F.xxhash64(F.struct("*")))).alias(
+                    "change$row_id"
+                ),
+            )
+
+        if not crosses:
+            # append-only fast path: only the appended files are read
+            return _tag(self.changes(from_version, to_v), "INSERT")
+        inserts = new.exceptAll(old) if old is not None else new
+        deletes = old.exceptAll(new) if new is not None else old
+        out = None
+        if inserts is not None:
+            out = _tag(inserts, "INSERT")
+        if deletes is not None:
+            d = _tag(deletes, "DELETE")
+            out = d if out is None else out.unionAll(d)
+        return out
+
     # -- maintenance (reference storages/fuse/src/operations/{compact.rs,
     # recluster, gc.rs}; CommitSink analog = the atomic log replace) --------
     def snapshots(self) -> DataFrame:
@@ -190,7 +243,7 @@ class VersionedTable:
 
 
 class Stream:
-    """Changelog view with transactional consumption (append-only mode).
+    """Changelog view with transactional consumption.
 
     Matches CREATE STREAM semantics: a new stream tracks changes from
     its creation point (the table's current version), like the
@@ -198,11 +251,23 @@ class Stream:
     version at creation). Pass ``at_version=0`` for
     ``CREATE STREAM ... AT (STREAM => beginning)``-style full history.
     Re-attaching to an existing stream name resumes its stored offset.
+
+    ``mode="append_only"`` (default) reads only appended files and
+    raises when the range crosses an overwrite; ``mode="standard"``
+    reads a full row-level changelog with ``change$action``
+    INSERT/DELETE rows (reference ``changes.rs`` standard streams).
     """
 
     def __init__(
-        self, table: VersionedTable, name: str = "stream", at_version: int | None = None
+        self,
+        table: VersionedTable,
+        name: str = "stream",
+        at_version: int | None = None,
+        mode: str = "append_only",
     ):
+        if mode not in ("append_only", "standard"):
+            raise ValueError(f"unknown stream mode {mode!r}")
+        self.mode = mode
         self.table = table
         self.name = name
         self._offset_path = os.path.join(table.path, f"_stream_{name}.json")
@@ -225,9 +290,14 @@ class Stream:
         """WHEN stream_has_data() — log-only check, touches no data."""
         return self.table.version > self.offset
 
+    def _changes(self, from_v: int, to_v: int | None = None) -> DataFrame:
+        if self.mode == "standard":
+            return self.table.changes_standard(from_v, to_v)
+        return self.table.changes(from_v, to_v)
+
     def read(self) -> DataFrame:
         """Current change range [offset → head]. Does NOT advance."""
-        return self.table.changes(self.offset)
+        return self._changes(self.offset)
 
     def consume(self, fn: Callable[[DataFrame], None]) -> int:
         """Transactional consumption: run fn on the change range; the
@@ -236,7 +306,7 @@ class Stream:
         head = self.table.version
         if head <= self.offset:
             return 0
-        fn(self.table.changes(self.offset, head))
+        fn(self._changes(self.offset, head))
         self._write_offset(head)
         return head
 

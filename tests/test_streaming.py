@@ -29,6 +29,32 @@ def test_versioned_table_time_travel(spark, vt):
     assert {r.id for r in vt.changes(1).collect()} == {2, 3}  # CHANGES
 
 
+def test_standard_mode_changes_emit_delete_rows(spark, vt):
+    """Standard-mode CHANGES across an overwrite commit: removed rows
+    come back as change$action=DELETE, added rows as INSERT, unchanged
+    rows are suppressed (reference changes.rs standard streams)."""
+    from databend_spark.streaming import Stream
+
+    vt.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    s = Stream(vt, "std1", at_version=1, mode="standard")
+    # overwrite: drop id=2, keep 1/3, add 4 — a mutation commit
+    vt.overwrite(_df(spark, [(1, "a"), (3, "c"), (4, "d")]))
+
+    # append-only stream over the same range must refuse
+    s_ap = Stream(vt, "ap1", at_version=1)
+    with pytest.raises(ValueError, match="overwrite"):
+        s_ap.read().collect()
+
+    rows = {(r.id, r["change$action"]) for r in s.read().collect()}
+    assert rows == {(2, "DELETE"), (4, "INSERT")}
+    # consuming advances the offset; a later append shows as INSERT only
+    s.consume(lambda df: df.count())
+    vt.append(_df(spark, [(5, "e")]))
+    rows2 = {(r.id, r["change$action"]) for r in s.read().collect()}
+    assert rows2 == {(5, "INSERT")}
+    assert all(r["change$row_id"] for r in s.read().collect())
+
+
 def test_stream_transactional_consumption(spark, vt):
     from databend_spark.streaming import Stream
 
