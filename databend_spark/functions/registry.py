@@ -53,10 +53,9 @@ RENAME: dict[str, str] = {
     "crc32": "crc32",
     # date/time
     "to_datetime": "to_timestamp",
-    # TIMESTAMP_TZ under the pinned UTC session collapses to TIMESTAMP
-    # (reference scalars/timestamp/src/datetime.rs:112-194)
-    "to_timestamp_tz": "to_timestamp",
-    "try_to_timestamp_tz": "try_to_timestamp",
+    # TIMESTAMP_TZ routing lives in the to_timestamp_tz SQL macro:
+    # literal offsets keep their zone text, everything else collapses
+    # to TIMESTAMP under the pinned UTC session
     "to_day_of_month": "dayofmonth",
     "to_day_of_year": "dayofyear",
     "to_hour": "hour",
@@ -1768,6 +1767,41 @@ def _to_decimal_sql(args: list[str], cast_kw: str) -> str | None:
     return f"{cast_kw}({args[0]} AS DECIMAL({args[1]}, {args[2]}))"
 
 
+def _to_timestamp_tz_sql(args: list[str], fallback: str) -> str | None:
+    """to_timestamp_tz(x): a literal with an explicit utc offset keeps
+    its zone in the canonical TIMESTAMP_TZ text (reference timestamp_tz
+    display preserves the written offset); everything else collapses to
+    TIMESTAMP under the pinned UTC session so timestamp comparisons and
+    BETWEEN keep working on the native type."""
+    if len(args) != 1:
+        return None
+    lit = _literal_text(args[0]).strip()
+    if (
+        lit.startswith("'")
+        and lit.endswith("'")
+        and re.search(r"([+-]\d{2}:?\d{2}|Z)\s*'$", lit)
+    ):
+        return f"__ts_tz_text(CAST({args[0]} AS STRING), current_timezone())"
+    return f"{fallback}({args[0]})"
+
+
+def _as_decimal_sql(args: list[str]) -> str | None:
+    """as_decimal(v[, p, s]) over a variant: numeric variants cast to
+    the target decimal, everything else is NULL (scalars/variant.rs
+    as_decimal; default precision/scale is (38, 0) so 3.14 → 3)."""
+    if len(args) == 1:
+        p, s = "38", "0"
+    elif len(args) == 3:
+        p, s = args[1].strip(), args[2].strip()
+    else:
+        return None
+    num_guard = f"ltrim({args[0]}) RLIKE {_NUM_RE}"
+    return (
+        f"(CASE WHEN {num_guard} THEN "
+        f"CAST({args[0]} AS DECIMAL({p}, {s})) END)"
+    )
+
+
 def _glob_sql(args: list[str]) -> str | None:
     """GLOB(s, pattern): case-sensitive glob with * and ? (reference
     scalars/string.rs glob)."""
@@ -2168,6 +2202,28 @@ SQL_MACROS.update(
             " __variant_access(CAST({0} AS STRING), '', '', true) END"
         ),
         "is_null_value": "(ltrim({0}) = 'null')",
+        # jsonb extended types: typed composites (to_date(x)::variant
+        # etc.) are unwrapped statically in sqlgen._rewrite_variant_ext;
+        # anything still reaching these macros is a plain JSON variant,
+        # which is never the extended type (scalars/variant.rs is_binary…)
+        "is_binary": "(CASE WHEN ({0}) IS NULL THEN NULL ELSE false END)",
+        "is_date": "(CASE WHEN ({0}) IS NULL THEN NULL ELSE false END)",
+        "is_timestamp": "(CASE WHEN ({0}) IS NULL THEN NULL ELSE false END)",
+        "is_timestamp_tz": (
+            "(CASE WHEN ({0}) IS NULL THEN NULL ELSE false END)"
+        ),
+        "is_interval": "(CASE WHEN ({0}) IS NULL THEN NULL ELSE false END)",
+        "to_interval": "__interval_text(CAST({0} AS STRING))",
+        "try_to_interval": "__interval_text(CAST({0} AS STRING))",
+        "as_interval": "__interval_text(CAST({0} AS STRING))",
+        "to_timestamp_tz": lambda a: _to_timestamp_tz_sql(a, "to_timestamp"),
+        "try_to_timestamp_tz": lambda a: _to_timestamp_tz_sql(
+            a, "try_to_timestamp"
+        ),
+        "as_timestamp_tz": (
+            "__ts_tz_text(CAST({0} AS STRING), current_timezone())"
+        ),
+        "as_decimal": _as_decimal_sql,
         "is_array": "(ltrim({0}) LIKE '[%')",
         "is_object": "(ltrim({0}) LIKE '{{%')",
         "is_string": "(ltrim({0}) LIKE '\"%')",
@@ -2389,8 +2445,6 @@ _SQL_SAFE_RENAMES = {
     "lcase": "lower",
     "ucase": "upper",
     "to_datetime": "to_timestamp",
-    "to_timestamp_tz": "to_timestamp",
-    "try_to_timestamp_tz": "try_to_timestamp",
     "to_day_of_month": "dayofmonth",
     "to_day_of_year": "dayofyear",
     "to_hour": "hour",

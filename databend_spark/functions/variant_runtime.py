@@ -1960,6 +1960,25 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__object_delete", object_delete, StringType())
     spark.udf.register("__object_pick", object_pick, StringType())
     spark.udf.register("__json_each_list", json_each_list, ArrayType(StringType()))
+    from databend_spark.functions.interval_type import (
+        interval_compare_key,
+        interval_text,
+        timestamp_tz_add,
+        timestamp_tz_micros,
+        timestamp_tz_text,
+    )
+
+    spark.udf.register("__interval_text", interval_text, StringType())
+    spark.udf.register("__interval_key", interval_compare_key, LongType())
+    spark.udf.register("__ts_tz_text", timestamp_tz_text, StringType())
+    spark.udf.register("__ts_tz_us", timestamp_tz_micros, LongType())
+    spark.udf.register(
+        "__ts_tz_add",
+        lambda s, iv, sg, tz: timestamp_tz_add(
+            s, iv, int(sg) if sg is not None else 1, tz
+        ),
+        StringType(),
+    )
     try:
         from pyspark.sql.functions import udtf
 

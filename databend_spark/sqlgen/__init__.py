@@ -393,7 +393,7 @@ _CBRT_OP = re.compile(r"\|\|/\s*(-?[\w.]+(?:\([^()]*\))?)")
 
 _PARAM_AGG = re.compile(
     r"\b(quantile_cont|quantile_disc|quantile_tdigest|quantile|"
-    r"try_to_decimal|to_decimal|approx_count_distinct|window_funnel|"
+    r"try_to_decimal|to_decimal|as_decimal|approx_count_distinct|window_funnel|"
     r"intersect_count|"
     r"group_array_moving_avg|group_array_moving_sum|histogram)"
     r"\s*\(([^()]*)\)\s*\(((?:[^()]|\([^()]*\))*)\)",
@@ -2694,6 +2694,228 @@ _VARIANT_RECV = re.compile(
     r"::\s*(json|variant)\s*$)",
     re.I,
 )
+# --- jsonb extended types (binary/date/timestamp/timestamp_tz/interval)
+# The reference's variant encoding carries these natively (jsonb ext
+# headers; src/query/functions/src/scalars/variant.rs as_binary/as_date/
+# …, is_binary/…). Our variant model is JSON text, so the typed payload
+# cannot ride inside the value — instead the constructor is resolved
+# STATICALLY: `to_date(x)::variant` renders as the JSON string the
+# reference displays, and as_/is_/to_ wrappers over such a cast unwrap
+# to the inner typed expression.
+_EXT_CONSTRUCTORS = {
+    "to_binary": "binary",
+    "try_to_binary": "binary",
+    "to_date": "date",
+    "try_to_date": "date",
+    "to_timestamp": "timestamp",
+    "try_to_timestamp": "timestamp",
+    "to_timestamp_tz": "timestamp_tz",
+    "to_interval": "interval",
+}
+_EXT_WRAP = re.compile(
+    r"\b(as|is|to|try_to)_(binary|date|timestamp|timestamp_tz|interval)"
+    r"\s*\(\s*((?:to_binary|to_date|to_timestamp|to_timestamp_tz"
+    r"|to_interval|try_to_binary|try_to_date|try_to_timestamp)\s*\()",
+    re.I,
+)
+_EXT_VCAST = re.compile(
+    r"\b(to_binary|to_date|to_timestamp|to_timestamp_tz|to_interval"
+    r"|try_to_binary|try_to_date|try_to_timestamp)\s*\(",
+    re.I,
+)
+_EXT_UNQUOTE = re.compile(
+    r"\b(to_binary|to_date|to_timestamp|to_timestamp_tz|to_interval"
+    r"|as_binary|as_date|as_timestamp|as_timestamp_tz|as_interval)"
+    r"\s*\(\s*(parse_json\s*\()",
+    re.I,
+)
+
+
+_TSTZ_CAST = re.compile(
+    r"((?:\x00\d+\x00)|'[^']*'|[\w.`]+|\([^()]*\))\s*::\s*timestamp_tz\b",
+    re.I,
+)
+_TSTZ_CMP = re.compile(
+    r"((?:\x00\d+\x00)|'[^']*'|[\w.`]+|\([^()]*\))\s*::\s*timestamp_tz"
+    r"\s*(=|<>|!=|<=|>=|<|>)\s*"
+    r"((?:\x00\d+\x00)|'[^']*'|[\w.`]+|\([^()]*\))\s*::\s*timestamp_tz\b",
+    re.I,
+)
+
+
+_TSTZ_ARITH = re.compile(
+    r"TIMESTAMP_TZ\s*'([^']*)'\s*([+-])\s*"
+    r"(?:to_interval\s*\(\s*'([^']*)'\s*\)|interval\s*'([^']*)')",
+    re.I,
+)
+_TSTZ_ARITH_REV = re.compile(
+    r"(?:to_interval\s*\(\s*'([^']*)'\s*\)|interval\s*'([^']*)')\s*\+\s*"
+    r"TIMESTAMP_TZ\s*'([^']*)'",
+    re.I,
+)
+
+
+def _rewrite_variant_ext(s: str) -> str:
+    """Resolve extended-type variant composites (see _EXT_CONSTRUCTORS)."""
+    # 0a. TIMESTAMP_TZ 'lit' ± INTERVAL — the instant moves, the written
+    #     offset stays (reference timestamp_tz arithmetic)
+    s = _TSTZ_ARITH.sub(
+        lambda m: (
+            f"__ts_tz_add('{m.group(1)}', "
+            f"'{m.group(3) or m.group(4)}', "
+            f"{'1' if m.group(2) == '+' else '-1'}, current_timezone())"
+        ),
+        s,
+    )
+    s = _TSTZ_ARITH_REV.sub(
+        lambda m: (
+            f"__ts_tz_add('{m.group(3)}', "
+            f"'{m.group(1) or m.group(2)}', 1, current_timezone())"
+        ),
+        s,
+    )
+    # 0. TIMESTAMP_TZ casts: comparisons go through the instant
+    #    (epoch micros — equal instants at different offsets are equal,
+    #    reference timestamp_tz comparison); remaining casts render the
+    #    canonical display text with the ORIGINAL offset preserved
+    out = _TSTZ_CMP.sub(
+        lambda m: (
+            f"__ts_tz_us(CAST({m.group(1)} AS STRING), current_timezone())"
+            f" {m.group(2)} "
+            f"__ts_tz_us(CAST({m.group(3)} AS STRING), current_timezone())"
+        ),
+        s,
+    )
+    out = _TSTZ_CAST.sub(
+        lambda m: (
+            f"__ts_tz_text(CAST({m.group(1)} AS STRING),"
+            " current_timezone())"
+        ),
+        out,
+    )
+    # 1. as_X(to_Y(..)::variant) / is_X(..) / to_X(..): unwrap or fold
+    search_from = 0
+    while True:
+        m = _EXT_WRAP.search(out, search_from)
+        if not m:
+            break
+        verb = m.group(1).lower()
+        want = m.group(2).lower()
+        outer_open = out.index("(", m.start() + len(m.group(1)) + 1 + len(m.group(2)))
+        outer_end = _balanced_call(out, outer_open)
+        inner_open = m.start(3) + len(m.group(3)) - 1
+        inner_end = _balanced_call(out, inner_open)
+        if outer_end == -1 or inner_end == -1:
+            break
+        inner_fn = m.group(3)[:-1].strip().lower()
+        inner = out[m.start(3) : inner_end]
+        between = out[inner_end : outer_end - 1].strip()
+        if not re.fullmatch(r"::\s*(variant|json)", between, re.I):
+            # not a variant-cast composite (e.g. to_date(to_date(x))) —
+            # leave for the normal alias layer, keep scanning after it
+            search_from = m.start() + 1
+            continue
+        got = _EXT_CONSTRUCTORS[inner_fn]
+        if verb == "is":
+            repl = f"(({inner}) IS NOT NULL)" if got == want else "false"
+        elif got == want:
+            repl = inner
+        else:
+            repl = "NULL"
+        out = out[: m.start()] + repl + out[outer_end:]
+        search_from = 0
+    # 2. remaining to_X(..)::variant displays as the reference's JSON
+    #    string form
+    res = []
+    pos = 0
+    while True:
+        m = _EXT_VCAST.search(out, pos)
+        if not m:
+            res.append(out[pos:])
+            break
+        end = _balanced_call(out, m.end() - 1)
+        if end == -1:
+            res.append(out[pos : m.end()])
+            pos = m.end()
+            continue
+        tail = re.match(r"\s*::\s*(variant|json)\b", out[end:], re.I)
+        if not tail:
+            res.append(out[pos:end])
+            pos = end
+            continue
+        expr = out[m.start() : end]
+        kind = _EXT_CONSTRUCTORS[m.group(1).lower()]
+        if kind == "binary":
+            disp = f"lower(hex({expr}))"
+        elif kind == "date":
+            disp = f"CAST({expr} AS STRING)"
+        elif kind == "timestamp":
+            disp = f"date_format({expr}, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+        else:  # timestamp_tz / interval constructors already yield text
+            disp = f"CAST({expr} AS STRING)"
+        res.append(out[pos : m.start()])
+        res.append(f"concat('\"', {disp}, '\"')")
+        pos = end + tail.end()
+    out = "".join(res)
+    # 3. to_X(parse_json(..)) — take the variant's string content; the
+    #    tz/interval constructors go straight to their text UDFs (the
+    #    macro layer's literal-offset routing can't see through the
+    #    unquote wrapper)
+    for _pass in range(8):
+        m = _EXT_UNQUOTE.search(out)
+        if not m:
+            break
+        pj_open = m.start(2) + len(m.group(2)) - 1
+        pj_end = _balanced_call(out, pj_open)
+        if pj_end == -1:
+            break
+        pj = out[m.start(2) : pj_end]
+        unq = f"__variant_access(CAST({pj} AS STRING), '', '', true)"
+        fn = m.group(1).lower()
+        if fn.endswith("timestamp_tz"):
+            repl = f"__ts_tz_text({unq}, current_timezone())"
+        elif fn.endswith("interval"):
+            repl = f"__interval_text({unq})"
+        else:
+            repl = f"{fn}({unq})"
+        out = out[: m.start()] + repl + out[pj_end:]
+        # consume the original call's closing paren
+        close = re.match(r"\s*\)", out[m.start() + len(repl) :])
+        if close:
+            out = (
+                out[: m.start() + len(repl)]
+                + out[m.start() + len(repl) + close.end() :]
+            )
+    return out
+
+
+def _rewrite_int64_temporal(s: str) -> str:
+    """to_int64/to_uint64 over TIMESTAMP → epoch micros, over DATE →
+    day number (reference datetime.rs: number casts of temporals use
+    the storage integer). Statement-local: aliases declared by a
+    ``::TIMESTAMP x`` / ``::DATE x`` cast in the same query are the
+    reliable static signal; table columns hit the error-retry instead."""
+    kinds: dict[str, str] = {}
+    for m in re.finditer(
+        r"::\s*(TIMESTAMP|DATE)\s+(?:AS\s+)?([A-Za-z_]\w*)", s, re.I
+    ):
+        if m.group(2).upper() not in ("FROM", "WHERE", "AS", "AND", "OR"):
+            kinds[m.group(2).lower()] = m.group(1).upper()
+
+    def repl(m: re.Match) -> str:
+        name = m.group(2)
+        kind = kinds.get(name.lower())
+        if kind == "TIMESTAMP":
+            return f"unix_micros({name})"
+        if kind == "DATE":
+            return f"unix_date({name})"
+        return m.group(0)
+
+    return re.sub(
+        r"\bto_u?int64\s*\(\s*([`]?)(\w+)\1\s*\)", lambda m: repl(m), s, flags=re.I
+    )
+
+
 _VARIANT_CAST_TAIL = re.compile(r"::\s*(json|variant)\s*$", re.I)
 
 
@@ -2887,16 +3109,36 @@ def rewrite_databend_sql(sql: str) -> str:
             flags=re.I,
         )
         sql = re.sub(
-            r"'0000-00-00[^']*'\s*::\s*TIMESTAMP\b|TIMESTAMP\s*'0000-00-00[^']*'",
-            "TIMESTAMP'1970-01-01 00:00:00'",
+            r"'0000-00-00([^']*)'\s*::\s*TIMESTAMP\b"
+            r"|TIMESTAMP\s*'0000-00-00([^']*)'",
+            lambda m: "TIMESTAMP'1970-01-01"
+            + ((m.group(1) or m.group(2) or "").strip() and
+               " " + (m.group(1) or m.group(2) or "").strip()
+               or " 00:00:00")
+            + "'",
             sql,
             flags=re.I,
         )
-    # TIMESTAMP_TZ literals render as '<ts micro> +0000' text
+    # jsonb extended-type composites + TIMESTAMP_TZ arithmetic must
+    # resolve BEFORE the bare TIMESTAMP_TZ literal rendering below and
+    # before the interval literal fold rewrites to_interval(..) away
+    if re.search(
+        r"\b(?:as|is|to|try_to)_(?:binary|date|timestamp|timestamp_tz"
+        r"|interval)\s*\(\s*(?:to_|try_to_|parse_json)"
+        r"|to_(?:binary|date|timestamp|timestamp_tz|interval)"
+        r"\s*\([^()]*\)\s*::\s*(?:variant|json)\b"
+        r"|::\s*timestamp_tz\b"
+        r"|TIMESTAMP_TZ\s*'[^']*'\s*[+-]"
+        r"|\bto_interval\s*\(|\binterval\s*'[^']*'\s*\+\s*TIMESTAMP_TZ",
+        sql,
+        re.I,
+    ):
+        sql = _rewrite_variant_ext(sql)
+    # bare TIMESTAMP_TZ literals render as canonical text with the
+    # WRITTEN offset preserved (offset-less input binds the session tz)
     sql = re.sub(
         r"\btimestamp_tz\s*'([^']*)'",
-        r"concat(date_format(timestamp '\1',"
-        r" 'yyyy-MM-dd HH:mm:ss.SSSSSS'), ' +0000')",
+        r"__ts_tz_text('\1', current_timezone())",
         sql,
         flags=re.I,
     )
@@ -3399,6 +3641,10 @@ def rewrite_databend_sql(sql: str) -> str:
     # GROUP BY; QUALIFY filters window/grouping output
     if re.search(r"\bunnest\s*\(", masked, re.I):
         masked = _rewrite_unnest_hoist(masked, literals)
+    if re.search(r"\bto_u?int64\s*\(", masked, re.I) and re.search(
+        r"::\s*(TIMESTAMP|DATE)\s+\w", masked, re.I
+    ):
+        masked = _rewrite_int64_temporal(masked)
     if re.search(r"\bGROUP\s+BY\b", masked, re.I):
         masked = _rewrite_groupby_alias_shadow(masked)
     if re.search(r"\bHAVING\b", masked, re.I):

@@ -280,6 +280,84 @@ _SET_TIMEZONE = re.compile(
 _UNSET_TIMEZONE = re.compile(r"^\s*unset\s+timezone\s*;?\s*$", re.I)
 
 
+# a timestamp literal's components are fixed-width-bounded in the
+# reference parser (hour/min/sec ≤ 2 digits; nothing after Z/offset);
+# 1-digit parts ARE accepted ('2022-02-03T3:2:1Z')
+_STRICT_TS = re.compile(
+    r"^\d{1,4}-\d{1,2}-\d{1,2}"
+    r"(?:[ T]\d{1,2}(?::\d{1,2}(?::\d{1,2}(?:\.\d+)?)?)?"
+    r"\s*(?:Z|[+-]\d{1,2}:?\d{0,2})?)?$"
+)
+_TS_ATTEMPT = re.compile(r"^\d{1,4}-\d{1,2}-\d{1,2}[ T]\d")
+
+
+def _validate_insert_temporals(spark, table: str, sql: str) -> None:
+    """Raise [1006] when an INSERT ... VALUES feeds a malformed
+    timestamp literal to a TIMESTAMP column."""
+    mv = re.search(r"\bVALUES\b", sql, re.I)
+    if not mv:
+        return
+    try:
+        fields = spark.table(table).schema.fields
+    except Exception:  # noqa: BLE001
+        return
+    from pyspark.sql.types import TimestampType
+
+    mcols = re.match(
+        r"^\s*INSERT\s+(?:OVERWRITE\s+)?(?:INTO\s+)?(?:TABLE\s+)?[\w.`]+"
+        r"\s*\(([^()]*)\)",
+        sql,
+        re.I,
+    )
+    if mcols:
+        names = [
+            c.strip().strip("`").lower() for c in mcols.group(1).split(",")
+        ]
+    else:
+        names = [f.name.lower() for f in fields]
+    types = {f.name.lower(): f.dataType for f in fields}
+    ts_idx = {
+        i
+        for i, n in enumerate(names)
+        if isinstance(types.get(n), TimestampType)
+    }
+    if not ts_idx:
+        return
+    body = sql[mv.end() :]
+    depth, start, cur, tup = 0, None, [], None
+    in_str = False
+    for k, ch in enumerate(body):
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            if depth == 0:
+                tup, start = [], k + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and tup is not None:
+                tup.append(body[start:k])
+                for i in ts_idx:
+                    if i >= len(tup):
+                        continue
+                    lm = re.fullmatch(r"\s*'([^']*)'\s*", tup[i])
+                    if not lm:
+                        continue
+                    lit = lm.group(1)
+                    if _TS_ATTEMPT.match(lit) and not _STRICT_TS.match(lit):
+                        raise ValueError(
+                            f"[1006] cannot parse '{lit}' as timestamp"
+                        )
+                tup = None
+        elif ch == "," and depth == 1 and tup is not None:
+            tup.append(body[start:k])
+            start = k + 1
+
+
 def _collect_for_compare(df):
     """Collect with map columns JSON-rendered JVM-side: Python dicts from
     collected Spark maps don't reliably preserve entry order, while
@@ -324,7 +402,24 @@ def _collect_for_compare(df):
                 for f in df.schema.fields
             ]
         )
-    from pyspark.sql.types import DateType, FloatType
+    from pyspark.sql.types import DateType, FloatType, TimestampType
+
+    if any(isinstance(f.dataType, TimestampType) for f in df.schema.fields):
+        # collect() converts TimestampType through the PYTHON process's
+        # local zone, ignoring spark.sql.session.timeZone — so SET
+        # timezone would never shift displayed values. CAST AS STRING
+        # renders JVM-side under the session zone, which is the
+        # reference's display model (instant + session-tz rendering).
+        df = df.select(
+            *[
+                F.col("`" + f.name.replace("`", "``") + "`")
+                .cast("string")
+                .alias(f.name)
+                if isinstance(f.dataType, TimestampType)
+                else F.col("`" + f.name.replace("`", "``") + "`")
+                for f in df.schema.fields
+            ]
+        )
 
     def _floatish(dt) -> bool:
         return isinstance(dt, FloatType) or (
@@ -3618,6 +3713,14 @@ def run_slt_file(
                     before = spark.table(ins.group(2)).count()
                 except Exception:
                     before = None
+            # strict temporal literal validation: the reference's
+            # timestamp parser rejects over-wide components
+            # (003:02:02) and trailing text after the zone designator
+            # (io/src/cursor_ext datetime read); Spark's LEGACY parser
+            # accepts them, so the reference's `statement error 1006`
+            # inserts would silently succeed
+            if before is not None:
+                _validate_insert_temporals(spark, ins.group(2), sql)
             if before is not None:
                 try:
                     spark.sql(rewrite_databend_sql(sql)).collect()
