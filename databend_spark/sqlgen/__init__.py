@@ -98,7 +98,13 @@ def variant_paths_to_access(sql: str) -> str:
 
 def variant_paths_to_struct(sql: str) -> str:
     """`col:a.b` → col.`a`.`b` — the fallback when the column is a named
-    TUPLE (Databend's `:` also reads tuple fields)."""
+    TUPLE (Databend's `:` also reads tuple fields).
+
+    A bare select item gets an explicit alias carrying the ORIGINAL
+    accessor text: Spark names ``d.`a``` just ``a``, and ORDER BY
+    resolves output names before input columns, so ``select d:a …
+    order by a`` would silently sort by the struct field instead of the
+    table column (the reference names the output ``d:a`` — no clash)."""
     masked, lits = _mask_strings(sql)
 
     def repl(m: re.Match) -> str:
@@ -107,7 +113,35 @@ def variant_paths_to_struct(sql: str) -> str:
         fields = re.split(r"[.:]", m.group(2))
         return m.group(1) + "".join(f".`{f}`" for f in fields)
 
-    return _unmask_strings(_VARIANT_PATH.sub(repl, masked), lits)
+    sel = re.match(r"(\s*SELECT\s+)(.*?)(\s+FROM\b.*)$", masked, re.I | re.S)
+    if sel:
+        body = sel.group(2)
+        items, depth, start = [], 0, 0
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append(body[start:i])
+                start = i + 1
+        items.append(body[start:])
+        out_items = []
+        for it in items:
+            mm = _VARIANT_PATH.fullmatch(it.strip())
+            if mm and "[" not in mm.group(2):
+                orig = it.strip().replace("`", "")
+                out_items.append(f"{repl(mm)} AS `{orig}`")
+            else:
+                out_items.append(_VARIANT_PATH.sub(repl, it))
+        masked = (
+            sel.group(1)
+            + ",".join(out_items)
+            + _VARIANT_PATH.sub(repl, sel.group(3))
+        )
+    else:
+        masked = _VARIANT_PATH.sub(repl, masked)
+    return _unmask_strings(masked, lits)
 
 _QUALIFY = re.compile(r"\bQUALIFY\b", re.I)
 _DROP_TABLE_ALL = re.compile(

@@ -1046,6 +1046,35 @@ def run_slt_file(
         if opts:
             opts.setdefault("ENABLE_AUTO_ANALYZE", "1")
             ddl_options[tbl] = opts
+        mck = re.search(
+            r"\bCLUSTER\s+BY\s*(?:LINEAR\s*)?\(", sql[end + 1 :], re.I
+        )
+        if mck:
+            tail = sql[end + 1 :]
+            o = mck.end() - 1
+            d2, c2 = 0, -1
+            for j in range(o, len(tail)):
+                if tail[j] == "(":
+                    d2 += 1
+                elif tail[j] == ")":
+                    d2 -= 1
+                    if d2 == 0:
+                        c2 = j
+                        break
+            inner = tail[o + 1 : c2] if c2 > 0 else ""
+            keys2, d3, st3 = [], 0, 0
+            for j, ch in enumerate(inner):
+                if ch == "(":
+                    d3 += 1
+                elif ch == ")":
+                    d3 -= 1
+                elif ch == "," and d3 == 0:
+                    keys2.append(inner[st3:j].strip().strip("`"))
+                    st3 = j + 1
+            keys2.append(inner[st3:].strip().strip("`"))
+            if any(keys2):
+                cluster_keys[tbl] = [k for k in keys2 if k]
+                cluster_blocks[tbl] = []
     _DB_TYPE_BYTES = {
         "uint8": 1, "int8": 1, "tinyint": 1, "boolean": 1, "bool": 1,
         "uint16": 2, "int16": 2, "smallint": 2,
@@ -1110,6 +1139,137 @@ def run_slt_file(
     # recluster events feeding system.clustering_history
     # (reference clustering_history_table.rs)
     recluster_log: list[tuple[str, int, int]] = []
+    # clustering block model feeding clustering_statistics(): one entry
+    # per write commit (level 0) merged by ALTER TABLE RECLUSTER
+    # (reference recluster_mutator.rs: blocks carry a recluster level;
+    # fresh blocks are 0, recluster outputs settle at level 2 in the
+    # corpus's two-pass recluster/final shapes)
+    cluster_keys: dict[str, list[str]] = {}
+    cluster_blocks: dict[str, list[dict]] = {}
+    cluster_block_seq = [0]
+
+    def _cluster_track_insert(tkey: str, new_files: list[str]) -> None:
+        keys = cluster_keys.get(tkey)
+        if not keys or not new_files:
+            return
+        try:
+            from pyspark.sql import functions as F
+
+            df = spark.read.parquet(*new_files)
+            # lexicographic min/max of the cluster-key TUPLE (reference
+            # cluster_stats: block stats order rows by the key, the
+            # block range is first/last tuple — NOT per-column extrema)
+            key_struct = F.struct(*[F.expr(k) for k in keys])
+            row = df.agg(
+                F.min(key_struct).alias("lo"), F.max(key_struct).alias("hi")
+            ).collect()[0]
+        except Exception:  # noqa: BLE001
+            return
+        cluster_block_seq[0] += 1
+        cluster_blocks.setdefault(tkey, []).append(
+            {
+                "name": f"{cluster_block_seq[0]:08d}",
+                "min": list(row["lo"]),
+                "max": list(row["hi"]),
+                "level": 0,
+            }
+        )
+
+    def _overlap_depths(
+        ranges: list[tuple[tuple, tuple]],
+    ) -> list[tuple[int, int]]:
+        """Per-block (overlap, depth) via the reference's point sweep
+        (cluster_statistics.rs calculate_block_overlap_depths): points
+        are the distinct min/max tuples in sorted order; a point's depth
+        is the number of live blocks after opening the blocks starting
+        there; a block's depth is the max point depth over its span and
+        its overlap counts the blocks live at open plus later starts
+        through its close."""
+        if not ranges:
+            return []
+        points: dict[tuple, tuple[list[int], list[int]]] = {}
+        for i, (lo, hi) in enumerate(ranges):
+            points.setdefault(tuple(lo), ([], []))[0].append(i)
+            points.setdefault(tuple(hi), ([], []))[1].append(i)
+        order = sorted(points)
+        n = len(ranges)
+        point_depths = [0] * len(order)
+        start_prefix = [0] * len(order)
+        open_pos = [-1] * n
+        close_pos = [-1] * n
+        live = [False] * n
+        live_count = 0
+        start_count = 0
+        for pos, pt in enumerate(order):
+            starts, ends = points[pt]
+            point_depths[pos] = live_count + len(starts)
+            start_count += len(starts)
+            start_prefix[pos] = start_count
+            for i in starts:
+                if not live[i]:
+                    live[i] = True
+                    live_count += 1
+                open_pos[i] = pos
+            for i in ends:
+                if live[i]:
+                    live[i] = False
+                    live_count -= 1
+                close_pos[i] = pos
+        out = []
+        for i in range(n):
+            o, c = open_pos[i], close_pos[i]
+            if o < 0 or c < 0 or c < o:
+                out.append((0, 0))
+                continue
+            next_overlap = start_prefix[c] - start_prefix[o]
+            depth = max(point_depths[o : c + 1])
+            out.append((point_depths[o] - 1 + next_overlap, depth))
+        return out
+
+    def _cluster_merge(tkey: str, final: bool) -> None:
+        """One recluster pass merges the blocks sharing a level (< 2)
+        into one block at level+1; FINAL repeats passes to fixpoint.
+        Level-2 blocks are terminal (reference recluster_mutator.rs:
+        MAX_RECLUSTER_LEVEL keeps many-times-rewritten blocks out of
+        future tasks — the corpus's shapes settle at 2)."""
+
+        def one_pass() -> bool:
+            blocks = cluster_blocks.get(tkey)
+            if not blocks:
+                return False
+            changed = False
+            out: list[dict] = [b for b in blocks if b["level"] >= 2]
+            for lvl in (0, 1):
+                grp = [b for b in blocks if b["level"] == lvl]
+                if len(grp) >= 2:
+                    try:
+                        lo = min(tuple(b["min"]) for b in grp)
+                        hi = max(tuple(b["max"]) for b in grp)
+                    except TypeError:
+                        lo = tuple(grp[0]["min"])
+                        hi = tuple(grp[0]["max"])
+                    cluster_block_seq[0] += 1
+                    out.append(
+                        {
+                            "name": f"{cluster_block_seq[0]:08d}",
+                            "min": list(lo),
+                            "max": list(hi),
+                            "level": lvl + 1,
+                        }
+                    )
+                    changed = True
+                else:
+                    out.extend(grp)
+            out.sort(key=lambda b: b["name"])
+            cluster_blocks[tkey] = out
+            return changed
+
+        if final:
+            for _ in range(8):
+                if not one_pass():
+                    break
+        else:
+            one_pass()
 
     def _refresh_system_catalog() -> None:
         """Rebuild system.tables / system.columns from the live catalog
@@ -2321,6 +2481,30 @@ def run_slt_file(
                 "1005: CREATE OR REPLACE and IF NOT EXISTS "
                 "cannot be used together"
             )
+        mdck = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CLUSTER\s+KEY"
+            r"\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mdck:
+            cluster_keys.pop(
+                mdck.group(1).strip("`").split(".")[-1].lower(), None
+            )
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        mack = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+CLUSTER\s+BY"
+            r"\s*(?:LINEAR\s*)?\(([^()]+)\)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mack:
+            tk = mack.group(1).strip("`").split(".")[-1].lower()
+            cluster_keys[tk] = [
+                e.strip().strip("`") for e in mack.group(2).split(",")
+            ]
+            cluster_blocks.setdefault(tk, [])
+            return spark.sql("SELECT 1 AS ok WHERE false")
         mrec = re.match(
             r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+RECLUSTER\b(?:\s+FINAL)?"
             r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
@@ -2337,6 +2521,10 @@ def run_slt_file(
                 recluster_log.append((t, _logical_size(df, t, n), n))
             except Exception:
                 pass
+            _cluster_merge(
+                t.lower(),
+                bool(re.search(r"\bFINAL\b", sql, re.I)),
+            )
             return spark.sql("SELECT 1 AS ok WHERE false")
         # SHOW FIELDS FROM t — alias of DESCRIBE (reference show.rs)
         sql = re.sub(r"^\s*SHOW\s+FIELDS\s+FROM\s+", "DESC ", sql, flags=re.I)
@@ -2385,6 +2573,217 @@ def run_slt_file(
             sql = re.sub(
                 r"\b(fuse_snapshot|fuse_block)\s*\(\s*('[\w]+')\s*,\s*('[\w]+')\s*\)",
                 _fuse_tvf,
+                sql,
+                flags=re.I,
+            )
+
+        def _clustering_stats_tvf(m: re.Match) -> str:
+            import json as _json
+
+            tkey = m.group(2).strip("'").lower()
+            if tkey not in cluster_keys:
+                raise ValueError(
+                    f"[1118] Unclustered table {m.group(2)}"
+                )
+            blocks = cluster_blocks.get(tkey, [])
+            try:
+                depths = _overlap_depths(
+                    [(tuple(b["min"]), tuple(b["max"])) for b in blocks]
+                )
+            except TypeError:
+                depths = [(0, 1)] * len(blocks)
+
+            def q(v) -> str:
+                return "'" + _json.dumps(v, default=str).replace("'", "''") + "'"
+
+            rows = ", ".join(
+                f"('{b['name']}', {q(b['min'])}, {q(b['max'])}, "
+                f"{b['level']}, {depths[i][1]})"
+                for i, b in enumerate(blocks)
+            ) or "('', '', '', 0, 0)"
+            body = (
+                f"SELECT * FROM VALUES {rows} AS __cs(block_name, "
+                "min, max, level, block_depth)"
+            )
+            if not blocks:
+                body += " WHERE false"
+            return f"({body})"
+
+        if re.search(r"\bclustering_statistics\s*\(", sql, re.I):
+            sql = re.sub(
+                r"\bclustering_statistics\s*\("
+                r"\s*('[\w]+')\s*,\s*('[\w]+')\s*\)",
+                _clustering_stats_tvf,
+                sql,
+                flags=re.I,
+            )
+
+        def _fmt_cluster_expr(e: str) -> str:
+            e = e.strip().strip("`")
+            ms = re.match(
+                r"^substr(?:ing)?\s*\(\s*([\w`]+)\s+FROM\s+(\d+)"
+                r"(?:\s+FOR\s+(\d+))?\s*\)$",
+                e,
+                re.I,
+            ) or re.match(
+                r"^substr(?:ing)?\s*\(\s*([\w`]+)\s*,\s*(\d+)"
+                r"(?:\s*,\s*(\d+))?\s*\)$",
+                e,
+                re.I,
+            )
+            if ms:
+                out = f"SUBSTRING({ms.group(1)} FROM {ms.group(2)}"
+                if ms.group(3):
+                    out += f" FOR {ms.group(3)}"
+                return out + ")"
+            return e
+
+        def _clustering_info_tvf(m: re.Match) -> str:
+            """clustering_information(db, t [, '(exprs)']) — linear
+            clustering quality stats (reference table_functions/
+            clustering_information.rs): one block per write commit
+            (= parquet file under leaf-parallelism-1), per-block key
+            ranges computed live, depth/overlap via the point sweep."""
+            import json as _json
+
+            db = m.group(1).strip("'")
+            tkey = m.group(2).strip("'").lower()
+            try:
+                if not spark.catalog.tableExists(f"{db}.{tkey}"):
+                    if _iso_db.startswith("slt_") and spark.catalog.tableExists(
+                        f"{_iso_db}.{tkey}"
+                    ):
+                        db = _iso_db
+                    else:
+                        db = spark.catalog.currentDatabase()
+            except Exception:  # noqa: BLE001
+                pass
+            arg3 = (m.group(3) or "").strip().strip("'").strip()
+            if arg3:
+                inner = arg3.strip()
+                if inner.startswith("(") and inner.endswith(")"):
+                    inner = inner[1:-1]
+                keys, depth0, st = [], 0, 0
+                for ci, ch in enumerate(inner):
+                    if ch == "(":
+                        depth0 += 1
+                    elif ch == ")":
+                        depth0 -= 1
+                    elif ch == "," and depth0 == 0:
+                        keys.append(inner[st:ci].strip())
+                        st = ci + 1
+                keys.append(inner[st:].strip())
+            else:
+                if tkey not in cluster_keys:
+                    raise ValueError(
+                        f"[1118] Unclustered table {m.group(2)}"
+                    )
+                keys = cluster_keys[tkey]
+            from pyspark.sql import functions as F
+
+            tdf = spark.table(f"{db}.{tkey}")
+            # domain-fold fidelity (reference get_min_max_stats →
+            # ConstantFolder::fold_with_domain): a derived expr whose
+            # domain the folder can't compute falls back to the FULL
+            # domain, making every block overlap every block. Exactly
+            # computable from column stats: plain columns, prefix
+            # substr (start=1), and the table's own declared key
+            # (its stored cluster stats are exact by construction).
+            declared = {
+                _fmt_cluster_expr(k) for k in cluster_keys.get(tkey, [])
+            }
+
+            def _stat_exact(e: str) -> bool:
+                if re.fullmatch(r"[\w`]+", e.strip()):
+                    return True
+                if _fmt_cluster_expr(e) in declared:
+                    return True
+                ms2 = re.match(
+                    r"^substr(?:ing)?\s*\(\s*[\w`]+(?:\s+FROM\s+|\s*,\s*)"
+                    r"(\d+)",
+                    e.strip(),
+                    re.I,
+                )
+                return bool(ms2 and ms2.group(1) == "1")
+
+            if all(_stat_exact(k) for k in keys):
+                key_struct = F.struct(*[F.expr(k) for k in keys])
+                per_file = (
+                    tdf.groupBy(F.input_file_name().alias("__f"))
+                    .agg(
+                        F.min(key_struct).alias("lo"),
+                        F.max(key_struct).alias("hi"),
+                    )
+                    .collect()
+                )
+                ranges = [
+                    (tuple(r["lo"]), tuple(r["hi"])) for r in per_file
+                ]
+            else:
+                nfiles = len(set(tdf.inputFiles())) or 1
+                ranges = [(("",), ("￿",))] * nfiles
+            constant = sum(1 for lo, hi in ranges if lo == hi)
+            try:
+                stats = _overlap_depths(ranges)
+            except TypeError:
+                stats = [(0, 1)] * len(ranges)
+            n = len(stats)
+            depth_counts: dict[int, int] = {}
+            buckets: dict[int, int] = {}
+            sum_depth = sum_overlap = 0
+            for ov, dp in stats:
+                sum_overlap += ov
+                sum_depth += dp
+                depth_counts[dp] = depth_counts.get(dp, 0) + 1
+                b = dp
+                if not (b <= 16 or (b & (b - 1)) == 0):
+                    v = b
+                    v |= v >> 1
+                    v |= v >> 2
+                    v |= v >> 4
+                    v |= v >> 8
+                    v |= v >> 16
+                    b = v + 1
+                buckets[b] = buckets.get(b, 0) + 1
+
+            def pct(p: int) -> int:
+                if n == 0:
+                    return 0
+                rank = -(-(n * p) // 100)
+                seen = 0
+                for dp in sorted(depth_counts):
+                    seen += depth_counts[dp]
+                    if seen >= rank:
+                        return dp
+                return max(depth_counts) if depth_counts else 0
+
+            info = {
+                "total_block_count": n,
+                "constant_block_count": constant,
+                "average_overlaps": round(sum_overlap / n, 4) if n else 0.0,
+                "average_depth": round(sum_depth / n, 4) if n else 0.0,
+                "p95_depth": pct(95),
+                "p99_depth": pct(99),
+                "block_depth_histogram": {
+                    f"{k:05d}": v for k, v in sorted(buckets.items())
+                },
+            }
+            ck = "(" + ", ".join(_fmt_cluster_expr(k) for k in keys) + ")"
+            info_txt = _json.dumps(
+                info, sort_keys=True, separators=(",", ":")
+            ).replace("'", "''")
+            return (
+                f"(SELECT '{ck}' AS cluster_key, 'linear' AS `type`, "
+                f"current_timestamp() AS timestamp, "
+                f"'{info_txt}' AS info)"
+            )
+
+        if re.search(r"\bclustering_information\s*\(", sql, re.I):
+            sql = re.sub(
+                r"\bclustering_information\s*\("
+                r"\s*('[\w]+')\s*,\s*('[\w]+')\s*"
+                r"(?:,\s*('[^']*'))?\s*\)",
+                _clustering_info_tvf,
                 sql,
                 flags=re.I,
             )
@@ -3708,9 +4107,15 @@ def run_slt_file(
             # On any execution error fall through to the generic path so
             # its recovery fallbacks still apply.
             before = None
+            before_files: set[str] = set()
+            tkey_ins = ins.group(2).strip("`").split(".")[-1].lower()
             if not ins.group(1):
                 try:
                     before = spark.table(ins.group(2)).count()
+                    if tkey_ins in cluster_keys:
+                        before_files = set(
+                            spark.table(ins.group(2)).inputFiles()
+                        )
                 except Exception:
                     before = None
             # strict temporal literal validation: the reference's
@@ -3728,6 +4133,21 @@ def run_slt_file(
                     pass  # generic path below retries with fallbacks
                 else:
                     after = spark.table(ins.group(2)).count()
+                    if tkey_ins in cluster_keys and after > (before or 0):
+                        try:
+                            _cluster_track_insert(
+                                tkey_ins,
+                                sorted(
+                                    set(
+                                        spark.table(
+                                            ins.group(2)
+                                        ).inputFiles()
+                                    )
+                                    - before_files
+                                ),
+                            )
+                        except Exception:  # noqa: BLE001
+                            pass
                     # NOT NULL enforcement: the reference rejects the
                     # insert; prior rows were checked on THEIR insert, so
                     # null-violating rows are exactly the new ones
