@@ -234,7 +234,9 @@ _DDL_OPTIONS = [
 # `settings (k = v[, ...])` statement prefix (per-query session settings)
 _SETTINGS_PREFIX = re.compile(r"^\s*settings\s*\([^)]*\)\s*", re.I)
 _COUNT_EMPTY = re.compile(r"\bcount\s*\(\s*\)", re.I)
-_CREATE_TABLE = re.compile(r"\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP\w*\s+)?TABLE", re.I)
+_CREATE_TABLE = re.compile(
+    r"\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP\w*\s+|TRANSIENT\s+)?TABLE", re.I
+)
 _DDL_NULL = re.compile(r"(?<!NOT)\s+NULL(?=\s*([,)]|DEFAULT\b))", re.I)
 # Databend `DEFAULT(expr)` → Spark `DEFAULT expr`
 _DDL_DEFAULT_PAREN = re.compile(r"\bDEFAULT\s*\(", re.I)
@@ -3380,6 +3382,12 @@ def rewrite_databend_sql(sql: str) -> str:
     # nullability suffixes inside CAST targets (`AS Array(String) Null`)
     masked = re.sub(
         r"(\bAS\s+\w+(?:<[^<>]*>|\([^()]*\))?)\s+(?:NOT\s+)?NULL(\s*\))",
+        r"\1\2",
+        masked,
+        flags=re.I,
+    )
+    masked = re.sub(
+        r"\b(CREATE\s+(?:OR\s+REPLACE\s+)?)TRANSIENT\s+(TABLE\b)",
         r"\1\2",
         masked,
         flags=re.I,

@@ -732,7 +732,7 @@ def run_slt_file(
     register_markov_udfs(spark)
 
     _or_replace_tbl = re.compile(
-        r"^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([\w.`]+)", re.I
+        r"^\s*CREATE\s+OR\s+REPLACE\s+(?:TRANSIENT\s+)?TABLE\s+([\w.`]+)", re.I
     )
     _or_replace_db = re.compile(
         r"^\s*CREATE\s+OR\s+REPLACE\s+DATABASE\s+([\w.]+)", re.I
@@ -1046,6 +1046,10 @@ def run_slt_file(
         if opts:
             opts.setdefault("ENABLE_AUTO_ANALYZE", "1")
             ddl_options[tbl] = opts
+        # a (re)created table starts a fresh snapshot chain
+        for k in [k for k in tbl_commits if k[1] == tbl]:
+            tbl_commits.pop(k, None)
+            tbl_segments.pop(k, None)
         mck = re.search(
             r"\bCLUSTER\s+BY\s*(?:LINEAR\s*)?\(", sql[end + 1 :], re.I
         )
@@ -1147,6 +1151,116 @@ def run_slt_file(
     cluster_keys: dict[str, list[str]] = {}
     cluster_blocks: dict[str, list[dict]] = {}
     cluster_block_seq = [0]
+    # BEGIN/COMMIT/ROLLBACK emulation: table contents snapshot to
+    # backup tables at BEGIN, restored on ROLLBACK (the reference runs
+    # fuse commits under a meta txn — copy-on-write at our scale)
+    txn_state: dict = {"active": False, "backups": {}, "saved": None}
+
+    def _txn_begin() -> None:
+        import copy as _copy
+
+        if txn_state["active"]:
+            raise RuntimeError("[4003] transaction already active")
+        backups: dict[str, str] = {}
+        try:
+            cur = spark.catalog.currentDatabase()
+            tables = list(spark.catalog.listTables(cur))
+        except Exception:  # noqa: BLE001
+            tables = []
+            cur = "default"
+        for t in tables:
+            if t.isTemporary or t.name.startswith(
+                ("__dropped_", "__txn_bak_", "__cr_tmp_", "__mutation_")
+            ):
+                continue
+            bak = f"__txn_bak_{t.name}"
+            ddl = f"CREATE TABLE {cur}.`{bak}` AS SELECT * FROM {cur}.`{t.name}`"
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {cur}.`{bak}`")
+                spark.sql(ddl)
+            except Exception as be:  # noqa: BLE001
+                # leftover directory from a killed run — clear + retry
+                loc = re.search(
+                    r"location '(?:file:)?([^']+)'", str(be)
+                )
+                if loc:
+                    import shutil
+
+                    shutil.rmtree(loc.group(1), ignore_errors=True)
+                    try:
+                        spark.sql(ddl)
+                    except Exception:  # noqa: BLE001
+                        continue
+                else:
+                    continue
+            backups[t.name.lower()] = bak
+        txn_state.update(
+            active=True,
+            backups=backups,
+            saved=(
+                _copy.deepcopy(tbl_commits),
+                _copy.deepcopy(tbl_segments),
+                _copy.deepcopy(cluster_blocks),
+            ),
+        )
+
+    def _txn_end(rollback: bool) -> None:
+        if not txn_state["active"]:
+            txn_state["active"] = False
+            return
+        try:
+            cur = spark.catalog.currentDatabase()
+            if rollback:
+                live = {
+                    t.name.lower()
+                    for t in spark.catalog.listTables(cur)
+                    if not t.isTemporary
+                    and not t.name.startswith(
+                        ("__dropped_", "__txn_bak_", "__cr_tmp_")
+                    )
+                }
+                for name in live - set(txn_state["backups"]):
+                    spark.sql(f"DROP TABLE IF EXISTS {cur}.`{name}`")
+                for name, bak in txn_state["backups"].items():
+                    spark.sql(f"DROP TABLE IF EXISTS {cur}.`{name}`")
+                    try:
+                        spark.sql(
+                            f"ALTER TABLE {cur}.`{bak}` RENAME TO"
+                            f" {cur}.`{name}`"
+                        )
+                    except Exception as re_err:  # noqa: BLE001
+                        # the dropped table's directory can linger —
+                        # clear it and retry once
+                        loc = re.search(
+                            r"location '(?:file:)?([^']+)'", str(re_err)
+                        )
+                        if loc:
+                            import shutil
+
+                            shutil.rmtree(
+                                loc.group(1), ignore_errors=True
+                            )
+                            try:
+                                spark.sql(
+                                    f"ALTER TABLE {cur}.`{bak}` RENAME"
+                                    f" TO {cur}.`{name}`"
+                                )
+                            except Exception:  # noqa: BLE001
+                                pass
+                saved = txn_state["saved"]
+                if saved:
+                    tbl_commits.clear()
+                    tbl_commits.update(saved[0])
+                    tbl_segments.clear()
+                    tbl_segments.update(saved[1])
+                    cluster_blocks.clear()
+                    cluster_blocks.update(saved[2])
+            else:
+                for bak in txn_state["backups"].values():
+                    spark.sql(f"DROP TABLE IF EXISTS {cur}.`{bak}`")
+        except Exception:  # noqa: BLE001
+            pass
+        txn_state.update(active=False, backups={}, saved=None)
 
     def _cluster_track_insert(tkey: str, new_files: list[str]) -> None:
         keys = cluster_keys.get(tkey)
@@ -1674,6 +1788,243 @@ def run_slt_file(
     phantom_tables: set[tuple[str, str]] = set()
     table_checks: dict[str, dict[str, str]] = {}
     phantom_views: set[tuple[str, str]] = set()
+
+    def _multi_table_insert(overwrite: bool, mode: str, rest: str):
+        """INSERT {FIRST|ALL} [WHEN cond THEN INTO t …] [ELSE INTO t]
+        SELECT … — conditional multi-table insert (reference
+        src/query/sql/src/planner/binder/insert_multi_table.rs).
+        The source evaluates ONCE into a temp view; each branch is one
+        filtered INSERT…SELECT so Catalyst handles each write as a plain
+        insert. FIRST routes a row to the first matching branch (later
+        branches exclude earlier conditions), ALL to every match."""
+        from databend_spark.sqlgen import _mask_strings, _unmask_strings
+
+        masked, lits = _mask_strings(rest)
+        # source = first depth-0 SELECT/WITH/FROM keyword
+        depth = 0
+        src_at = -1
+        for mkw in re.finditer(r"[()]|\b(SELECT|WITH)\b", masked, re.I):
+            if mkw.group(0) == "(":
+                depth += 1
+            elif mkw.group(0) == ")":
+                depth -= 1
+            elif depth == 0:
+                src_at = mkw.start()
+                break
+        if src_at < 0:
+            raise ValueError("[1005] multi-table insert requires a SELECT")
+        head, src_sql = masked[:src_at], _unmask_strings(
+            masked[src_at:], lits
+        )
+        # branch split at depth-0 WHEN/ELSE
+        tokens = []
+        depth = 0
+        last = 0
+        for mkw in re.finditer(r"[()]|\b(WHEN|ELSE)\b", head, re.I):
+            if mkw.group(0) == "(":
+                depth += 1
+            elif mkw.group(0) == ")":
+                depth -= 1
+            elif depth == 0:
+                tokens.append((mkw.start(), mkw.group(0).upper()))
+        branches = []  # (cond_masked | None, intos_text)
+        if not tokens:
+            branches.append((None, head))
+        else:
+            if head[: tokens[0][0]].strip():
+                branches.append((None, head[: tokens[0][0]]))
+            for bi, (pos, kw) in enumerate(tokens):
+                end = tokens[bi + 1][0] if bi + 1 < len(tokens) else len(head)
+                seg = head[pos:end]
+                if kw == "WHEN":
+                    mwt = re.match(
+                        r"WHEN\b(.*?)\bTHEN\b(.*)$", seg, re.I | re.S
+                    )
+                    if not mwt:
+                        raise ValueError("[1005] malformed WHEN branch")
+                    branches.append((mwt.group(1).strip(), mwt.group(2)))
+                else:
+                    branches.append(("__ELSE__", seg[4:]))
+        into_re = re.compile(
+            r"\bINTO\s+([\w.`]+)\s*(\((?:[^()]|\([^()]*\))*\))?"
+            r"\s*(?:VALUES\s*(\((?:[^()]|\([^()]*\))*\)))?",
+            re.I,
+        )
+        src_df = run_sql(src_sql)
+        view = "__mti_src"
+        src_df.createOrReplaceTempView(view)
+        src_ncols = len(src_df.columns)
+
+        # -- validate every branch BEFORE any write (the reference
+        # binds the whole statement first; a later branch's error must
+        # not leave earlier branches' rows behind) --
+        plan = []  # (cond_sql | None/'__ELSE__', [(tgt, cols, proj)])
+        for cond, intos in branches:
+            cond_sql = (
+                _unmask_strings(cond, lits)
+                if cond and cond != "__ELSE__"
+                else cond
+            )
+            if cond_sql and cond != "__ELSE__":
+                try:
+                    cdf = spark.sql(
+                        f"SELECT ({cond_sql}) AS __c FROM {view} LIMIT 0"
+                    )
+                except Exception as ce:  # noqa: BLE001
+                    raise ValueError(
+                        f"[1065] cannot resolve WHEN condition: {ce}"
+                    ) from None
+                if cdf.schema.fields[0].dataType.simpleString() != "boolean":
+                    raise ValueError(
+                        "[1007] WHEN condition must be a boolean"
+                        " expression"
+                    )
+            intos_plan = []
+            for mi in into_re.finditer(intos):
+                tgt = mi.group(1)
+                cols = _unmask_strings(mi.group(2) or "", lits).strip()
+                vals = mi.group(3)
+                tgt_cols = [c.lower() for c in spark.table(tgt).columns]
+                col_list = []
+                if cols:
+                    col_list = [
+                        c.strip().strip("`")
+                        for c in cols.strip("() ").split(",")
+                    ]
+                    for c in col_list:
+                        if not re.fullmatch(r"[A-Za-z_]\w*", c):
+                            raise ValueError(
+                                "[1005] target column must be a plain"
+                                f" column name: {c}"
+                            )
+                        if c.lower() not in tgt_cols:
+                            raise ValueError(
+                                f"[1006] unknown target column {c}"
+                            )
+                if vals:
+                    vexprs = _unmask_strings(vals[1:-1], lits)
+                    vparts = []
+                    d4, s4 = 0, 0
+                    for j, ch in enumerate(vexprs):
+                        if ch == "(":
+                            d4 += 1
+                        elif ch == ")":
+                            d4 -= 1
+                        elif ch == "," and d4 == 0:
+                            vparts.append(vexprs[s4:j])
+                            s4 = j + 1
+                    vparts.append(vexprs[s4:])
+                    ncols = len(col_list) if col_list else len(tgt_cols)
+                    if len(vparts) != ncols:
+                        raise ValueError(
+                            "[1006] column count mismatch in multi-table"
+                            " insert branch"
+                        )
+                    # bare DEFAULT → the target column's declared
+                    # default (NULL if none); ambiguous when the SOURCE
+                    # has a column literally named `default` (reference
+                    # rejects the statement, error 1006)
+                    out_parts = []
+                    names = col_list or tgt_cols
+                    dflts = ddl_defaults.get(
+                        tgt.strip("`").split(".")[-1].lower(), {}
+                    )
+                    for j, vp in enumerate(vparts):
+                        if re.fullmatch(r"\s*default\s*", vp, re.I):
+                            if "default" in (
+                                c.lower() for c in src_df.columns
+                            ):
+                                raise ValueError(
+                                    "[1006] `default` is ambiguous: the"
+                                    " source has a column of that name"
+                                )
+                            out_parts.append(
+                                dflts.get(names[j].lower()) or "NULL"
+                            )
+                        else:
+                            out_parts.append(vp)
+                    vexprs = ", ".join(out_parts)
+                    try:
+                        spark.sql(
+                            f"SELECT {vexprs} FROM {view} LIMIT 0"
+                        ).schema
+                    except Exception as ve:  # noqa: BLE001
+                        raise ValueError(
+                            f"[1065] cannot resolve VALUES expression:"
+                            f" {ve}"
+                        ) from None
+                    proj = vexprs
+                else:
+                    want = len(col_list) if col_list else len(tgt_cols)
+                    if src_ncols != want:
+                        raise ValueError(
+                            "[1006] source column count does not match"
+                            f" target {tgt}"
+                        )
+                    proj = "*"
+                intos_plan.append((tgt, cols, proj))
+            if not intos_plan:
+                raise ValueError("[1005] branch without INTO")
+            plan.append((cond_sql, intos_plan))
+
+        # -- execute --
+        target_order: list[str] = []
+        counts: dict[str, int] = {}
+        prior: list[str] = []
+        for cond_sql, intos_plan in plan:
+            if cond_sql == "__ELSE__":
+                parts = [f"NOT coalesce(({c}), false)" for c in prior]
+                flt = " AND ".join(parts) or "true"
+            elif cond_sql is None:
+                flt = "true"
+            else:
+                flt = f"coalesce(({cond_sql}), false)"
+                if mode == "FIRST":
+                    flt = " AND ".join(
+                        [flt]
+                        + [f"NOT coalesce(({c}), false)" for c in prior]
+                    )
+                prior.append(cond_sql)
+            for tgt, cols, proj in intos_plan:
+                tkey2 = tgt.strip("`").lower()
+                if tkey2 not in target_order:
+                    target_order.append(tkey2)
+                    counts[tkey2] = 0
+                n = spark.sql(
+                    f"SELECT count(*) AS n FROM {view} WHERE {flt}"
+                ).collect()[0][0]
+                verb = (
+                    "INSERT OVERWRITE"
+                    if overwrite and counts[tkey2] == 0
+                    else "INSERT INTO"
+                )
+                run_sql(
+                    f"{verb} {tgt} {cols} SELECT {proj} FROM {view}"
+                    f" WHERE {flt}"
+                )
+                counts[tkey2] += n
+        # one multi-table statement = ONE commit/segment per target,
+        # however many branches wrote into it (reference: the statement
+        # commits once; fuse_segment asserts segment_count 1)
+        for t in target_order:
+            k = _commit_key(t)
+            nb = sum(
+                1
+                for _, ips in plan
+                for tg, _, _ in ips
+                if tg.strip("`").lower() == t
+            )
+            if nb > 1:
+                tbl_commits[k] = max(
+                    tbl_commits.get(k, 0) - (nb - 1), 0
+                )
+                tbl_segments[k] = max(
+                    tbl_segments.get(k, 0) - (nb - 1), 0
+                )
+        sel = ", ".join(
+            f"CAST({counts[t]} AS BIGINT) AS `{t}`" for t in target_order
+        )
+        return spark.sql(f"SELECT {sel}")
 
     def run_sql(sql: str):
         sql = _preserve_unknown_escapes(sql)
@@ -2535,13 +2886,31 @@ def run_slt_file(
         def _fuse_tvf(m: re.Match) -> str:
             db, tbl = m.group(2).strip("'"), m.group(3).strip("'")
             try:
+                # the corpus's literal `default` db is this file's
+                # isolation db (same mapping run_sql applies to
+                # qualified table refs)
+                if not spark.catalog.tableExists(f"{db}.{tbl}"):
+                    if _iso_db.startswith("slt_") and spark.catalog.tableExists(
+                        f"{_iso_db}.{tbl}"
+                    ):
+                        db = _iso_db
+            except Exception:  # noqa: BLE001
+                pass
+            try:
                 files = spark.table(f"{db}.{tbl}").inputFiles()
             except Exception:
                 files = []
             if m.group(1).lower() == "fuse_snapshot":
+                try:
+                    _nr = spark.table(f"{db}.{tbl}").count()
+                except Exception:  # noqa: BLE001
+                    _nr = 0
+                # untracked pre-existing data implies ≥1 snapshot; an
+                # empty data dir (e.g. a rolled-back table restored from
+                # an empty backup) does not
                 n = max(
                     tbl_commits.get((db.lower(), tbl.lower()), 0),
-                    1 if files else 0,
+                    1 if files and _nr else 0,
                 )
                 try:
                     nrows = spark.table(f"{db}.{tbl}").count()
@@ -2573,6 +2942,46 @@ def run_slt_file(
             sql = re.sub(
                 r"\b(fuse_snapshot|fuse_block)\s*\(\s*('[\w]+')\s*,\s*('[\w]+')\s*\)",
                 _fuse_tvf,
+                sql,
+                flags=re.I,
+            )
+
+        def _fuse_segment_tvf(m: re.Match) -> str:
+            db, tbl = m.group(1).strip("'"), m.group(2).strip("'")
+            try:
+                if not spark.catalog.tableExists(f"{db}.{tbl}"):
+                    if _iso_db.startswith("slt_") and spark.catalog.tableExists(
+                        f"{_iso_db}.{tbl}"
+                    ):
+                        db = _iso_db
+            except Exception:  # noqa: BLE001
+                pass
+            try:
+                files = spark.table(f"{db}.{tbl}").inputFiles()
+            except Exception:  # noqa: BLE001
+                files = []
+            segs = min(
+                tbl_segments.get((db.lower(), tbl.lower()), 1) or 1,
+                max(len(files), 1),
+            )
+            if not files:
+                segs = 0
+            rows = ", ".join(
+                f"('seg{i}', {max(len(files) // max(segs, 1), 1)})"
+                for i in range(segs)
+            ) or "('', 0)"
+            body = (
+                f"SELECT * FROM VALUES {rows} AS __fseg(segment_name,"
+                " block_count)"
+            )
+            if segs == 0:
+                body += " WHERE false"
+            return f"({body})"
+
+        if re.search(r"\bfuse_segment\s*\(", sql, re.I):
+            sql = re.sub(
+                r"\bfuse_segment\s*\(\s*('[\w]+')\s*,\s*('[\w]+')\s*\)",
+                _fuse_segment_tvf,
                 sql,
                 flags=re.I,
             )
@@ -3755,8 +4164,11 @@ def run_slt_file(
                     f"{ctes}SELECT count(*) AS n FROM {t} WHERE {hit}"
                 )
             ).first()["n"]
-            _replace_table(t, f"{ctes}SELECT * FROM {t} WHERE NOT ({hit})")
-            _bump_commit(t)
+            if n:  # a zero-row mutation commits no snapshot
+                _replace_table(
+                    t, f"{ctes}SELECT * FROM {t} WHERE NOT ({hit})"
+                )
+                _bump_commit(t)
             return spark.createDataFrame([(n,)], "count bigint")
         mf = _update_head.match(sql)
         if mf:
@@ -3849,8 +4261,9 @@ def run_slt_file(
             n = spark.sql(
                 f"SELECT count(*) AS n FROM {t} WHERE {hit}"
             ).first()["n"]
-            _replace_table(t, f"SELECT {', '.join(cols)} FROM {t}")
-            _bump_commit(t)
+            if n:  # a zero-row mutation commits no snapshot
+                _replace_table(t, f"SELECT {', '.join(cols)} FROM {t}")
+                _bump_commit(t)
             return spark.createDataFrame([(n,)], "count bigint")
         # SELECT * over a USING-join chain: Databend/DuckDB emit columns
         # in left-to-right first-occurrence order; Spark bubbles the
@@ -4086,6 +4499,28 @@ def run_slt_file(
         if m:
             spark.sql(f"DROP DATABASE IF EXISTS {m.group(1)} CASCADE")
             sql = re.sub(r"OR\s+REPLACE\s+", "", sql, count=1, flags=re.I)
+        mtx = re.match(
+            r"^\s*(BEGIN(?:\s+TRANSACTION)?|START\s+TRANSACTION"
+            r"|COMMIT|ROLLBACK|ABORT)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mtx:
+            kw = mtx.group(1).upper()
+            if kw.startswith(("BEGIN", "START")):
+                _txn_begin()
+            else:
+                _txn_end(rollback=kw in ("ROLLBACK", "ABORT"))
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        mti = re.match(
+            r"^\s*INSERT\s+(OVERWRITE\s+)?(FIRST|ALL)\b(.*)$",
+            sql,
+            re.I | re.S,
+        )
+        if mti:
+            return _multi_table_insert(
+                bool(mti.group(1)), mti.group(2).upper(), mti.group(3)
+            )
         ins = re.match(
             r"^\s*INSERT\s+(OVERWRITE\s+)?(?:INTO\s+)?(?:TABLE\s+)?([\w.`]+)",
             sql,
@@ -4175,7 +4610,8 @@ def run_slt_file(
                                 "NULL value in NOT NULL column "
                                 f"({', '.join(nn_cols)})"
                             )
-                    _bump_commit(ins.group(2))
+                    if after > before:  # zero-row insert commits nothing
+                        _bump_commit(ins.group(2))
                     return spark.createDataFrame(
                         [(after - before,)], "count bigint"
                     )
