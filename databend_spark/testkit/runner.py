@@ -1585,22 +1585,44 @@ def run_slt_file(
             ("table_schema", "columns"), ("table_name", "columns"),
             ("column_name", "columns"), ("column_comment", "columns"),
         ]
+        def _nl(t: str, n: str) -> int:
+            return (
+                1
+                if ddl_nullability.get(t.lower(), {}).get(n.lower(), True)
+                else 0
+            )
+
+        # system tables the corpus introspects (nullable columns, like
+        # the reference's system table schemas)
+        sys_cols = [
+            ("num_rows", "tables_with_history"),
+            ("dropped_on", "tables_with_history"),
+            ("num_rows", "tables"),
+            ("dropped_on", "tables"),
+        ]
         icv = ", ".join(
             [
                 f"('default', {q(vdb(d))}, {q(t)}, {q(n)}, "
-                f"{q(ddl_col_comments.get(t.lower(), {}).get(n, ''))})"
+                f"{q(ddl_col_comments.get(t.lower(), {}).get(n, ''))}, "
+                f"{_nl(t, n)}, "
+                f"'{'YES' if _nl(t, n) else 'NO'}')"
                 for (n, d, t, _ty, _dk, _de) in crows
             ]
             + [
-                f"('default', 'information_schema', '{t}', '{n}', '')"
+                f"('default', 'information_schema', '{t}', '{n}', '',"
+                " 1, 'YES')"
                 for n, t in meta_cols
+            ]
+            + [
+                f"('default', 'system', '{t}', '{n}', '', 1, 'YES')"
+                for n, t in sys_cols
             ]
         )
         spark.sql(
             "CREATE OR REPLACE VIEW information_schema.columns AS "
             "SELECT * FROM (SELECT * FROM VALUES " + icv +
             " AS c(table_catalog, table_schema, table_name, column_name,"
-            " column_comment)) WHERE table_name <> ''"
+            " column_comment, nullable, is_nullable)) WHERE table_name <> ''"
         )
         ivv = ", ".join(
             f"('default', 'information_schema', {q(v)}, 'SELECT 1')"
@@ -2025,6 +2047,105 @@ def run_slt_file(
             f"CAST({counts[t]} AS BIGINT) AS `{t}`" for t in target_order
         )
         return spark.sql(f"SELECT {sel}")
+
+    def _recursive_cte_multibranch(sql: str):
+        """WITH RECURSIVE with >2 UNION branches: Spark's native rCTE
+        requires exactly (anchor UNION step); run the reference
+        semantics through the driver fixpoint operator instead
+        (operators/recursive_cte.py — anchor = all non-self-referencing
+        branches, one step = UNION ALL of the self-referencing ones)."""
+        from databend_spark.operators.recursive_cte import recursive_cte
+        from databend_spark.sqlgen import (
+            _balanced_call,
+            _mask_strings,
+            _unmask_strings,
+        )
+
+        head = re.match(r"^\s*WITH\s+RECURSIVE\s+", sql, re.I)
+        if not head:
+            return None
+        pos = head.end()
+        ctes: list[tuple[str, list[str], str]] = []
+        while True:
+            m = re.match(
+                r"\s*(`?\w+`?)\s*(?:\(([^()]*)\))?\s*AS\s*\(",
+                sql[pos:],
+                re.I,
+            )
+            if not m:
+                return None
+            name = m.group(1).strip("`")
+            cols = [
+                c.strip().strip("`")
+                for c in (m.group(2) or "").split(",")
+                if c.strip()
+            ]
+            open_idx = pos + m.end() - 1
+            end = _balanced_call(sql, open_idx)
+            if end < 0:
+                return None
+            ctes.append((name, cols, sql[open_idx + 1 : end - 1]))
+            rest = sql[end:]
+            mcomma = re.match(r"\s*,", rest)
+            if mcomma:
+                pos = end + mcomma.end()
+                continue
+            outer = rest.strip()
+            break
+        if not outer:
+            return None
+
+        def _run_cte(name: str, cols: list[str], body: str):
+            masked, lits = _mask_strings(body)
+            parts, kinds = [], []
+            depth = last = 0
+            for mu in re.finditer(
+                r"[()]|\bUNION(\s+ALL)?\b", masked, re.I
+            ):
+                tok = mu.group(0)
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    depth -= 1
+                elif depth == 0:
+                    parts.append(masked[last : mu.start()])
+                    kinds.append("all" if mu.group(1) else "distinct")
+                    last = mu.end()
+            parts.append(masked[last:])
+            parts = [_unmask_strings(p, lits).strip() for p in parts]
+            selfref = re.compile(rf"\b{re.escape(name)}\b", re.I)
+            anchors = [p for p in parts if not selfref.search(p)]
+            steps = [p for p in parts if selfref.search(p)]
+            if not steps:  # plain CTE — materialize as a view
+                df = run_sql(body)
+                if cols:
+                    df = df.toDF(*cols)
+                df.createOrReplaceTempView(name)
+                return
+            if not anchors:
+                raise ValueError(
+                    "[1005] recursive CTE requires an anchor branch"
+                )
+            distinct = "distinct" in kinds
+            anchor_df = run_sql(
+                " UNION ALL ".join(f"({a})" for a in anchors)
+            )
+            if cols:
+                anchor_df = anchor_df.toDF(*cols)
+
+            def step(frontier):
+                frontier.createOrReplaceTempView(name)
+                out = run_sql(
+                    " UNION ALL ".join(f"({s})" for s in steps)
+                )
+                return out.toDF(*cols) if cols else out
+
+            acc = recursive_cte(anchor_df, step, distinct=distinct)
+            acc.createOrReplaceTempView(name)
+
+        for name, cols, body in ctes:
+            _run_cte(name, cols, body)
+        return run_sql(outer)
 
     def run_sql(sql: str):
         sql = _preserve_unknown_escapes(sql)
@@ -3537,6 +3658,46 @@ def run_slt_file(
             flags=re.I,
         )
         m = _desc_tbl.match(sql)
+        if m and m.group(1).lower() == "information_schema.columns":
+            # the reference's fixed MySQL-compatible column set
+            # (src/query/storages/system + information_schema views)
+            _IS_COLS = [
+                ("table_catalog", "VARCHAR", "NO"),
+                ("table_schema", "VARCHAR", "NO"),
+                ("table_name", "VARCHAR", "NO"),
+                ("column_name", "VARCHAR", "NO"),
+                ("ordinal_position", "TINYINT UNSIGNED", "NO"),
+                ("column_default", "NULL", "NO"),
+                ("column_comment", "VARCHAR", "NO"),
+                ("column_key", "NULL", "NO"),
+                ("nullable", "TINYINT UNSIGNED", "YES"),
+                ("is_nullable", "VARCHAR", "NO"),
+                ("data_type", "VARCHAR", "NO"),
+                ("column_type", "VARCHAR", "NO"),
+                ("character_maximum_length", "SMALLINT UNSIGNED", "YES"),
+                ("character_octet_length", "SMALLINT UNSIGNED", "YES"),
+                ("numeric_precision", "NULL", "NO"),
+                ("numeric_precision_radix", "NULL", "NO"),
+                ("numeric_scale", "NULL", "NO"),
+                ("datetime_precision", "NULL", "NO"),
+                ("character_set_catalog", "NULL", "NO"),
+                ("character_set_schema", "NULL", "NO"),
+                ("character_set_name", "VARCHAR", "YES"),
+                ("collation_catalog", "NULL", "NO"),
+                ("collation_schema", "NULL", "NO"),
+                ("collation_name", "VARCHAR", "YES"),
+                ("domain_catalog", "NULL", "NO"),
+                ("domain_schema", "NULL", "NO"),
+                ("domain_name", "NULL", "NO"),
+                ("privileges", "NULL", "NO"),
+                ("default", "VARCHAR", "NO"),
+                ("extra", "NULL", "NO"),
+            ]
+            return spark.createDataFrame(
+                [(n, t, nl, "NULL", "") for n, t, nl in _IS_COLS],
+                "Field string, Type string, Null string, "
+                "Default string, Extra string",
+            )
         if m and m.group(1).lower() not in ("table",):
             try:
                 schema = spark.table(m.group(1)).schema
@@ -3545,9 +3706,9 @@ def run_slt_file(
             if schema is not None:
                 # report the DDL-declared nullability (Spark tables are
                 # always nullable; the reference keeps NOT NULL marks)
-                declared = ddl_nullability.get(
-                    m.group(1).strip("`").split(".")[-1].lower(), {}
-                )
+                tname = m.group(1).strip("`").split(".")[-1].lower()
+                declared = ddl_nullability.get(tname, {})
+                dflts = ddl_defaults.get(tname, {})
                 rows = [
                     (
                         f.name,
@@ -3558,7 +3719,7 @@ def run_slt_file(
                         "YES"
                         if declared.get(f.name.lower(), f.nullable)
                         else "NO",
-                        "NULL",
+                        dflts.get(f.name.lower()) or "NULL",
                         "",
                     )
                     for f in schema.fields
@@ -4641,6 +4802,19 @@ def run_slt_file(
 
                 shutil.rmtree(loc.group(1), ignore_errors=True)
                 return spark.sql(rewritten)
+            if "INVALID_RECURSIVE_CTE" in msg or (
+                "RECURSIVE" in sql.upper()
+                and (
+                    ("UNION" in msg and "2 children" in msg)
+                    or "CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE" in msg
+                )
+            ):
+                try:
+                    out = _recursive_cte_multibranch(sql)
+                except Exception:  # noqa: BLE001
+                    out = None
+                if out is not None:
+                    return out
             if "AMBIGUOUS_REFERENCE" in msg and re.search(
                 r"ORDER\s+BY", sql, re.I
             ):
@@ -5871,6 +6045,10 @@ def run_slt_file(
         prev_leaf = spark.conf.get("spark.sql.leafNodeDefaultParallelism", None)
         spark.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
         try:
+            pre_dbs = {d.name for d in spark.catalog.listDatabases()}
+        except Exception:  # noqa: BLE001
+            pre_dbs = set()
+        try:
             return run_slt_file(spark, path, skip_patterns, isolate=False)
         finally:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -5889,6 +6067,22 @@ def run_slt_file(
                     if t.name.startswith(("__dropped_", "__cr_tmp_")):
                         spark.sql(
                             f"DROP TABLE IF EXISTS default.`{t.name}`"
+                        )
+            except Exception:  # noqa: BLE001
+                pass
+            # databases the file created with explicit names (db1/db2…)
+            # outlive its isolation db and poison later files that
+            # assume a fresh catalog — drop them at teardown
+            try:
+                for d in spark.catalog.listDatabases():
+                    if (
+                        d.name not in pre_dbs
+                        and d.name
+                        not in ("system", "information_schema", "default")
+                        and d.name not in _BENCH_DBS
+                    ):
+                        spark.sql(
+                            f"DROP DATABASE IF EXISTS `{d.name}` CASCADE"
                         )
             except Exception:  # noqa: BLE001
                 pass
