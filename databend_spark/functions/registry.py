@@ -1130,6 +1130,26 @@ def _typeof_macro(args: list[str]) -> str | None:
             name = names[width]
             return "'" + (name + " UNSIGNED" if base == "uint" else name) + "'"
         return "'" + databend_int_literal_type(str(-int(lit))) + "'"
+    if re.search(r"\b\w+_state\s*\(", t, re.I):
+        # aggregate _state structs display as TUPLE(...) in the
+        # reference (positional tuple, Databend type names); numbers()
+        # columns are UINT64 there while Spark stores BIGINT. All
+        # replacement strings ride as masked literals so later
+        # type-alias / tuple-literal passes can't rewrite them.
+        def lit(s: str) -> str:
+            CURRENT_LITERALS.append("'" + s + "'")
+            return f"\x00{len(CURRENT_LITERALS) - 1}\x00"
+
+        expr = f"upper(t\x03ypeof({t}))"
+        expr = f"regexp_replace({expr}, {lit('STRUCT<')}, {lit('TUPLE(')})"
+        expr = f"regexp_replace({expr}, {lit('[0-9]+:')}, {lit('')})"
+        expr = f"regexp_replace({expr}, {lit('>')}, {lit(')')})"
+        expr = f"regexp_replace({expr}, {lit(',')}, {lit(', ')})"
+        if re.search(r"_state\s*\(\s*number\s*\)", t, re.I):
+            expr = (
+                f"regexp_replace({expr}, {lit('BIGINT')}, {lit('UINT64')})"
+            )
+        return expr
     return (
         f"CASE upper(t\x03ypeof({t})) WHEN 'STRING' THEN 'VARCHAR'"
         f" ELSE regexp_replace(upper(t\x03ypeof({t})), ',\\\\s*', ', ')"

@@ -3347,6 +3347,48 @@ def rewrite_databend_sql(sql: str) -> str:
     # ``CAST(x AS Nullable(Array(Int64)))`` — convert the type token via
     # the DDL nested-type rules (Nullable is stripped: Spark types are
     # nullable by default)
+    # typeof over a column defined by a UNION of integer literals in the
+    # same statement: the reference merges the literals' minimal types
+    # and the union makes it nullable ('TINYINT UNSIGNED NULL')
+    if re.search(r"\btypeof\s*\(\s*[A-Za-z_]\w*\s*\)", masked, re.I):
+        munion = re.findall(
+            r"select\s+(-?\d+)\s+(?:as\s+)?([A-Za-z_]\w*)\b", masked, re.I
+        )
+        if munion:
+            by_alias: dict[str, list[str]] = {}
+            for lit, alias in munion:
+                by_alias.setdefault(alias.lower(), []).append(lit)
+
+            from databend_spark.functions.registry import (
+                databend_int_literal_type,
+            )
+
+            _rank = [
+                "TINYINT UNSIGNED", "TINYINT", "SMALLINT UNSIGNED",
+                "SMALLINT", "INT UNSIGNED", "INT", "BIGINT UNSIGNED",
+                "BIGINT",
+            ]
+
+            def _fold_union_typeof(m: re.Match) -> str:
+                alias = m.group(1).lower()
+                lits = by_alias.get(alias)
+                if not lits or len(lits) < 2:
+                    return m.group(0)
+                names = [databend_int_literal_type(v) for v in lits]
+                if not all(n in _rank for n in names):
+                    return m.group(0)
+                widest = max(names, key=_rank.index)
+                # stash as a masked literal so the type-alias pass
+                # can't rewrite the type name inside the string
+                literals.append(f"'{widest} NULL'")
+                return f"\x00{len(literals) - 1}\x00"
+
+            masked = re.sub(
+                r"\btypeof\s*\(\s*([A-Za-z_]\w*)\s*\)",
+                _fold_union_typeof,
+                masked,
+                flags=re.I,
+            )
     # typeof over an explicit unsigned-width cast folds to the name
     # BEFORE type aliasing widens UInt64 → DECIMAL(20, 0)
     if re.search(r"\btypeof\s*\(", masked, re.I):

@@ -1038,6 +1038,8 @@ def run_slt_file(
         opts = dict(
             re.findall(r"(\w+)\s*=\s*'([^']*)'", sql[end + 1 :])
         )
+        for k2, v2 in re.findall(r"(\w+)\s*=\s*(\d+)", sql[end + 1 :]):
+            opts.setdefault(k2, v2)
         opts = {
             k.upper(): v
             for k, v in opts.items()
@@ -3053,6 +3055,28 @@ def run_slt_file(
                 if n == 0:
                     body += " WHERE false"
                 return f"({body})"
+            # block splitting thresholds (ROW_PER_BLOCK /
+            # BLOCK_SIZE_THRESHOLD) split a write into several blocks in
+            # the reference even when Spark wrote one file
+            opts = ddl_options.get(tbl.lower(), {})
+            nblocks = len(files)
+            try:
+                if opts.get("ROW_PER_BLOCK"):
+                    rpb = int(opts["ROW_PER_BLOCK"])
+                    cnt = spark.table(f"{db}.{tbl}").count()
+                    nblocks = max(nblocks, -(-cnt // max(rpb, 1)))
+                elif opts.get("BLOCK_SIZE_THRESHOLD"):
+                    thr = int(opts["BLOCK_SIZE_THRESHOLD"])
+                    tdf0 = spark.table(f"{db}.{tbl}")
+                    cnt = tdf0.count()
+                    logical = _logical_size(tdf0, tbl, cnt)
+                    nblocks = max(nblocks, -(-int(logical) // max(thr, 1)))
+            except Exception:  # noqa: BLE001
+                pass
+            if nblocks > len(files) and files:
+                files = files + [
+                    f"{files[0]}#b{i}" for i in range(nblocks - len(files))
+                ]
             rows = ", ".join(f"('{f}')" for f in files) or "('')"
             return (
                 f"(SELECT * FROM VALUES {rows} AS __fb(block_path) "
@@ -4660,6 +4684,60 @@ def run_slt_file(
         if m:
             spark.sql(f"DROP DATABASE IF EXISTS {m.group(1)} CASCADE")
             sql = re.sub(r"OR\s+REPLACE\s+", "", sql, count=1, flags=re.I)
+        mrand = re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*"
+            r"(?:\(((?:[^()]|\([^()]*\))*)\)|LIKE\s+([\w.`]+))"
+            r"[^;]*\bENGINE\s*=\s*RANDOM\b",
+            sql,
+            re.I,
+        )
+        if mrand:
+            # RANDOM engine: reads produce generated rows (reference
+            # src/query/storages/random). Emulated as a materialized
+            # sample — SLT reads always LIMIT, so a fixed batch serves
+            tgt_r = mrand.group(1)
+            stripped = re.sub(
+                r"\bENGINE\s*=\s*RANDOM\b", "", sql, flags=re.I
+            )
+            run_sql(stripped)
+            from pyspark.sql import functions as F
+
+            tdf_r = spark.table(tgt_r)
+            gen = spark.range(1000)
+            sel = []
+            for f in tdf_r.schema.fields:
+                st = f.dataType.simpleString()
+                if st in ("string",) or st.startswith(("char", "varchar")):
+                    c = F.concat(
+                        F.lit("r"),
+                        F.substring(F.md5(F.col("id").cast("string")), 1, 11),
+                    )
+                elif st in ("date",):
+                    c = F.expr("date_add(DATE'2000-01-01', CAST(rand()*9000 AS INT))")
+                elif st.startswith("timestamp"):
+                    c = F.expr(
+                        "timestampadd(SECOND, CAST(rand()*1e9 AS BIGINT),"
+                        " TIMESTAMP'2000-01-01 00:00:00')"
+                    )
+                elif st == "boolean":
+                    c = F.expr("rand() > 0.5")
+                elif st.startswith(("decimal", "double", "float")):
+                    c = F.expr("rand() * 1000")
+                elif st.startswith("array"):
+                    c = F.array(F.lit(1))
+                elif st.startswith("map"):
+                    c = F.create_map(F.lit("k"), F.lit(1))
+                elif st.startswith(("struct", "binary")):
+                    c = F.lit(None)
+                else:
+                    c = F.expr("CAST(rand() * 1000000 AS BIGINT)")
+                try:
+                    sel.append(c.cast(f.dataType).alias(f.name))
+                except Exception:  # noqa: BLE001
+                    sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+            gen.select(*sel).write.mode("append").saveAsTable(tgt_r)
+            return spark.sql("SELECT 1 AS ok WHERE false")
         mtx = re.match(
             r"^\s*(BEGIN(?:\s+TRANSACTION)?|START\s+TRANSACTION"
             r"|COMMIT|ROLLBACK|ABORT)\s*;?\s*$",
