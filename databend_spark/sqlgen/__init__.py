@@ -221,6 +221,9 @@ _DDL_OPTIONS = [
         r"\b(row_per_block|block_per_segment|block_size_threshold|"
         r"bloom_index_columns|storage_format|compression|"
         r"data_retention_period_in_hours|change_tracking|"
+        r"data_retention_num_snapshots_to_keep|"
+        r"approx_distinct_columns|analyze_frequency_columns|"
+        r"analyze_top_n_size|"
         r"enable_auto_vacuum)"
         r"\s*=\s*('[^']*'|\x00\d+\x00|\d+|\w+)",
         re.I,
@@ -3434,6 +3437,13 @@ def rewrite_databend_sql(sql: str) -> str:
         masked,
         flags=re.I,
     )
+    # stream hidden columns (change$action …) need quoting in Spark
+    if "change$" in masked:
+        masked = re.sub(
+            r"(?<![`\w])change\$(action|is_update|row_id)\b",
+            r"`change$\1`",
+            masked,
+        )
     masked = _rewrite_cast_paren_types(masked)
     for pat, repl in _TYPE_ALIASES:
         masked = pat.sub(repl, masked)

@@ -859,7 +859,8 @@ def run_slt_file(
     # but no query rewrite is wired to it (VERDICT gap #9).
     _noop_ddl = re.compile(
         r"^\s*(OPTIMIZE\s+TABLE\b|ALTER\s+TABLE\s+[\w.`]+\s+RECLUSTER\b|"
-        r"VACUUM\s+(TABLE|TEMPORARY)\b|"
+        r"VACUUM\s+(DROP\s+TABLE|TABLE|TEMPORARY)\b|"
+        r"CALL\s+system\$\w+\s*\(|"
         r"(CREATE|DROP)\s+(OR\s+REPLACE\s+)?(ASYNC\s+)?AGGREGATING\s+INDEX\b|"
         r"REFRESH\s+(AGGREGATING\s+)?INDEX\b)",
         re.I,
@@ -1052,6 +1053,14 @@ def run_slt_file(
         for k in [k for k in tbl_commits if k[1] == tbl]:
             tbl_commits.pop(k, None)
             tbl_segments.pop(k, None)
+        # transient tables keep exactly one live snapshot (reference
+        # fuse transient: history vacuumed on commit)
+        if re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TRANSIENT\b", sql, re.I
+        ):
+            transient_tables.add(tbl)
+        else:
+            transient_tables.discard(tbl)
         mck = re.search(
             r"\bCLUSTER\s+BY\s*(?:LINEAR\s*)?\(", sql[end + 1 :], re.I
         )
@@ -1157,6 +1166,113 @@ def run_slt_file(
     # backup tables at BEGIN, restored on ROLLBACK (the reference runs
     # fuse commits under a meta txn — copy-on-write at our scale)
     txn_state: dict = {"active": False, "backups": {}, "saved": None}
+    transient_tables: set[str] = set()
+    # aggregating indexes: name → (table, body text) so schema changes
+    # on referenced columns can refuse like the reference
+    agg_indexes: dict[str, tuple[str, str]] = {}
+    # SQL stream surface (reference stream_table.rs): stream → base
+    # table + a content snapshot at the stream's offset; reads diff the
+    # live table against the snapshot (row-level, exceptAll both ways)
+    sql_streams: dict[str, dict] = {}
+
+    def _stream_snapshot(name: str) -> None:
+        st = sql_streams[name]
+        snap = f"__stream_base_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS `{snap}`")
+        try:
+            spark.sql(
+                f"CREATE TABLE `{snap}` AS SELECT * FROM {st['table']}"
+            )
+        except Exception as se:  # noqa: BLE001
+            loc = re.search(r"location '(?:file:)?([^']+)'", str(se))
+            if loc:
+                import shutil
+
+                shutil.rmtree(loc.group(1), ignore_errors=True)
+                spark.sql(
+                    f"CREATE TABLE `{snap}` AS SELECT * FROM {st['table']}"
+                )
+            else:
+                raise
+        st["snap"] = snap
+
+    # rows touched by UPDATE statements, per table: (old_rows, new_rows)
+    # accumulated DataFrames — lets stream deltas mark change$is_update
+    # like the reference's block-tracking does
+    upd_marks: dict[str, tuple] = {}
+
+    def _note_update_rows(table: str, old_df, new_df) -> None:
+        tk = table.strip("`").split(".")[-1].lower()
+        old_df = old_df.localCheckpoint(eager=True)
+        new_df = new_df.localCheckpoint(eager=True)
+        prev = upd_marks.get(tk)
+        if prev:
+            old_df = prev[0].unionByName(old_df, allowMissingColumns=True)
+            new_df = prev[1].unionByName(new_df, allowMissingColumns=True)
+        upd_marks[tk] = (old_df, new_df)
+
+    def _stream_delta(name: str, mode: str | None = None):
+        from pyspark.sql import functions as F
+
+        st = sql_streams[name]
+        cur = spark.table(st["table"])
+        base = spark.table(f"`{st['snap']}`")
+        if [f.dataType for f in cur.schema.fields] != [
+            f.dataType for f in base.schema.fields
+        ]:
+            # a compatible column modify (string↔binary) re-based the
+            # table representation; the stream restarts from here
+            _stream_snapshot(name)
+            base = spark.table(f"`{st['snap']}`")
+        tk = st["table"].strip("`").split(".")[-1].lower()
+        marks = upd_marks.get(tk)
+
+        def tag(df, action):
+            mark_df = (
+                marks[1] if action == "INSERT" else marks[0]
+            ) if marks else None
+            out = df.select(
+                "*",
+                F.lit(action).alias("change$action"),
+                F.lit(False).alias("change$is_update"),
+                F.lower(F.hex(F.xxhash64(F.struct("*")))).alias(
+                    "change$row_id"
+                ),
+            )
+            if mark_df is not None:
+                hit = mark_df.select(
+                    F.xxhash64(F.struct("*")).alias("__h"),
+                    F.lit(True).alias("__isu"),
+                ).dropDuplicates(["__h"])
+                out = (
+                    out.withColumn(
+                        "__h", F.xxhash64(F.struct(*df.columns))
+                    )
+                    .join(F.broadcast(hit), "__h", "left")
+                    .withColumn(
+                        "change$is_update",
+                        F.coalesce(F.col("__isu"), F.lit(False)),
+                    )
+                    .drop("__h", "__isu")
+                )
+            return out
+
+        append_only = (
+            st["append_only"] if mode is None else mode == "append_only"
+        )
+        ins_rows = tag(cur.exceptAll(base), "INSERT")
+        if append_only:
+            # append-only streams track pure appends: rows written by
+            # an UPDATE are invisible (reference append-only change
+            # tracking), and is_update is always false here
+            out = ins_rows.filter("NOT `change$is_update`").withColumn(
+                "change$is_update", F.lit(False)
+            )
+        else:
+            out = ins_rows.unionAll(tag(base.exceptAll(cur), "DELETE"))
+        # materialize so a later consume/re-snapshot can't change the
+        # caller's lazily-collected result
+        return out.localCheckpoint(eager=True)
 
     def _txn_begin() -> None:
         import copy as _copy
@@ -1676,11 +1792,32 @@ def run_slt_file(
         positional = bool(re.search(r"\$\d+", sql))
         for name, (d, fmt) in stages.items():
             if f"@{name}" in sql:
-                df = (
-                    spark.read.parquet(d)
-                    if fmt == "PARQUET"
-                    else spark.read.csv(d)
+                has_files = any(
+                    not f.startswith(("_", "."))
+                    for _, _, fs in os.walk(d)
+                    for f in fs
                 )
+                if not has_files:
+                    # an empty stage SELECTs as zero rows (the
+                    # reference errors only when an explicit column
+                    # list is projected — no schema to bind)
+                    if re.search(
+                        rf"select\s+\*\s+from\s+@{re.escape(name)}",
+                        sql,
+                        re.I,
+                    ):
+                        df = spark.sql("SELECT NULL AS c WHERE false")
+                    else:
+                        raise ValueError(
+                            "[1065] no files found. specify a prefix/"
+                            "pattern/files that matches at least one file"
+                        )
+                else:
+                    df = (
+                        spark.read.parquet(d)
+                        if fmt == "PARQUET"
+                        else spark.read.csv(d)
+                    )
                 if positional:  # $N refs → _c{N-1} positional names
                     df = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
                 df.createOrReplaceTempView(f"__stage_{name}")
@@ -2172,6 +2309,49 @@ def run_slt_file(
                     flags=re.I,
                 )
                 sql = _unmask_strings(_mk, _ls)
+        if sql_streams:
+            # schema changes on a stream's base table invalidate the
+            # tracked change range — the reference refuses them; and a
+            # stream name blocks same-name table creation (objects share
+            # the table namespace, stream_table.rs)
+            malt = re.match(
+                r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+"
+                r"(MODIFY|ADD|DROP|RENAME)\s+COLUMN\b",
+                sql,
+                re.I,
+            )
+            if malt:
+                t_alt = malt.group(1).strip("`").split(".")[-1].lower()
+                # string↔binary is representation-compatible and stays
+                # allowed with change tracking on (issue 18827)
+                compat = re.match(
+                    r"^\s*ALTER\s+TABLE\s+[\w.`]+\s+MODIFY\s+COLUMN\s+"
+                    r"\w+\s+(BINARY|STRING|VARCHAR)\s*;?\s*$",
+                    sql,
+                    re.I,
+                )
+                for sname, st in sql_streams.items():
+                    if (
+                        st["table"].strip("`").split(".")[-1].lower()
+                        == t_alt
+                        and not compat
+                    ):
+                        raise ValueError(
+                            f"[1132] table {t_alt} has stream {sname};"
+                            " schema changes are not allowed"
+                        )
+            mct = re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TRANSIENT\s+)?"
+                r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)",
+                sql,
+                re.I,
+            )
+            if mct:
+                t_new = mct.group(1).strip("`").split(".")[-1].lower()
+                if t_new in sql_streams:
+                    raise ValueError(
+                        f"[2302] {t_new} already exists as a STREAM"
+                    )
         mpv = re.match(
             r"^\s*(CREATE|DROP)\s+VIEW\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?"
             r"(?:([\w`]+)\.)?`([^`]*['\"][^`]*)`(?:\s+AS\s+.*)?$",
@@ -2955,6 +3135,23 @@ def run_slt_file(
                 "1005: CREATE OR REPLACE and IF NOT EXISTS "
                 "cannot be used together"
             )
+        mseto = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+OPTIONS\s*"
+            r"\(([^()]*)\)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mseto:
+            # table-option updates (change_tracking, retention, …):
+            # recorded in ddl_options, no physical effect needed
+            tk = mseto.group(1).strip("`").split(".")[-1].lower()
+            kv = dict(
+                re.findall(r"(\w+)\s*=\s*'?([\w.]+)'?", mseto.group(2))
+            )
+            opts0 = ddl_options.setdefault(tk, {})
+            for k3, v3 in kv.items():
+                opts0[k3.upper()] = v3
+            return spark.sql("SELECT 1 AS ok WHERE false")
         mdck = re.match(
             r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CLUSTER\s+KEY"
             r"\s*;?\s*$",
@@ -3035,6 +3232,8 @@ def run_slt_file(
                     tbl_commits.get((db.lower(), tbl.lower()), 0),
                     1 if files and _nr else 0,
                 )
+                if tbl.lower() in transient_tables:
+                    n = min(n, 1)
                 try:
                     nrows = spark.table(f"{db}.{tbl}").count()
                 except Exception:
@@ -3608,6 +3807,45 @@ def run_slt_file(
                     f"[1301] option {bad[0] if bad else ''} cannot be unset"
                 )
             return spark.sql("SELECT 1 AS ok WHERE false")
+        magg = re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:ASYNC\s+)?"
+            r"AGGREGATING\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
+            r"AS\b(.*)$",
+            sql,
+            re.I | re.S,
+        )
+        if magg:
+            mfrom = re.search(r"\bFROM\s+([\w.`]+)", magg.group(2), re.I)
+            agg_indexes[magg.group(1).lower()] = (
+                (mfrom.group(1).strip("`").split(".")[-1].lower()
+                 if mfrom else ""),
+                magg.group(2),
+            )
+        mdagg = re.match(
+            r"^\s*DROP\s+(?:ASYNC\s+)?AGGREGATING\s+INDEX\s+"
+            r"(?:IF\s+EXISTS\s+)?(\w+)",
+            sql,
+            re.I,
+        )
+        if mdagg:
+            agg_indexes.pop(mdagg.group(1).lower(), None)
+        mmodc = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+MODIFY\s+COLUMN\s+"
+            r"(`?\w+`?)\b",
+            sql,
+            re.I,
+        )
+        if mmodc:
+            t_mod = mmodc.group(1).strip("`").split(".")[-1].lower()
+            c_mod = mmodc.group(2).strip("`")
+            for iname, (itbl, ibody) in agg_indexes.items():
+                if itbl == t_mod and re.search(
+                    rf"\b{re.escape(c_mod)}\b", ibody, re.I
+                ):
+                    raise ValueError(
+                        f"[1601] AGGREGATING index '{iname}' references"
+                        f" column '{c_mod}'"
+                    )
         if re.match(
             r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:ASYNC\s+)?"
             r"AGGREGATING\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?\w+\s+AS\b",
@@ -4447,6 +4685,27 @@ def run_slt_file(
                 f"SELECT count(*) AS n FROM {t} WHERE {hit}"
             ).first()["n"]
             if n:  # a zero-row mutation commits no snapshot
+                if sql_streams:
+                    try:
+                        upd_cols = [
+                            f"CAST(({assigns[c.lower()]}) AS {typ})"
+                            f" AS `{c}`"
+                            if c.lower() in assigns
+                            else f"`{c}`"
+                            for c, typ in schema.items()
+                        ]
+                        _note_update_rows(
+                            t,
+                            spark.sql(
+                                f"SELECT * FROM {t} WHERE {hit}"
+                            ),
+                            spark.sql(
+                                f"SELECT {', '.join(upd_cols)} FROM {t}"
+                                f" WHERE {hit}"
+                            ),
+                        )
+                    except Exception:  # noqa: BLE001
+                        pass
                 _replace_table(t, f"SELECT {', '.join(cols)} FROM {t}")
                 _bump_commit(t)
             return spark.createDataFrame([(n,)], "count bigint")
@@ -4684,6 +4943,152 @@ def run_slt_file(
         if m:
             spark.sql(f"DROP DATABASE IF EXISTS {m.group(1)} CASCADE")
             sql = re.sub(r"OR\s+REPLACE\s+", "", sql, count=1, flags=re.I)
+        mcs = re.match(
+            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?STREAM\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+ON\s+TABLE\s+([\w.`]+)"
+            r"(.*)$",
+            sql,
+            re.I | re.S,
+        )
+        if mcs:
+            _raw = mcs.group(3).split(".")[-1]
+            # quoted identifiers keep case (reference case sensitivity);
+            # unquoted normalize to lowercase
+            sname = (
+                _raw.strip("`") if _raw.startswith("`") else _raw.lower()
+            )
+            if sname in sql_streams and not (
+                mcs.group(1) or mcs.group(2)
+            ):
+                raise ValueError(f"[2732] stream {sname} already exists")
+            if sname in sql_streams and mcs.group(2):
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            try:
+                if spark.catalog.tableExists(sname):
+                    raise ValueError(
+                        f"[2302] {sname} already exists as a TABLE"
+                    )
+            except ValueError:
+                raise
+            except Exception:  # noqa: BLE001
+                pass
+            mao = re.search(
+                r"APPEND_ONLY\s*=\s*(true|false)", mcs.group(5), re.I
+            )
+            sql_streams[sname] = {
+                "table": mcs.group(4),
+                "append_only": (
+                    mao.group(1).lower() == "true" if mao else True
+                ),
+                "snap": None,
+            }
+            _stream_snapshot(sname)
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        msct = re.match(
+            r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.`]+)\s*;?\s*$", sql, re.I
+        )
+        if msct:
+            _raw = msct.group(1).split(".")[-1]
+            sname = (
+                _raw.strip("`") if _raw.startswith("`") else _raw.lower()
+            )
+            if sname in sql_streams:
+                st = sql_streams[sname]
+                base_t = st["table"].strip("`")
+                if "." not in base_t:
+                    try:
+                        base_t = (
+                            spark.catalog.currentDatabase() + "." + base_t
+                        )
+                    except Exception:  # noqa: BLE001
+                        pass
+                dbp, tp = base_t.rsplit(".", 1)
+                ddl_txt = (
+                    f"CREATE STREAM `{sname}` ON TABLE `{dbp}`.`{tp}`"
+                )
+                return spark.createDataFrame(
+                    [(sname, ddl_txt)], "Table string, `Create Table` string"
+                )
+        mds = re.match(
+            r"^\s*DROP\s+STREAM\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mds:
+            _raw = mds.group(2).split(".")[-1]
+            sname = (
+                _raw.strip("`") if _raw.startswith("`") else _raw.lower()
+            )
+            if sname not in sql_streams and not mds.group(1):
+                raise ValueError(f"[2733] unknown stream {sname}")
+            st = sql_streams.pop(sname, None)
+            if st and st.get("snap"):
+                spark.sql(f"DROP TABLE IF EXISTS `{st['snap']}`")
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        if sql_streams and re.match(
+            r"^\s*(SELECT|WITH|INSERT|COPY|CREATE)\b", sql, re.I
+        ):
+            # DML reading a stream consumes it implicitly (Snowflake-
+            # style semantics, reference stream txn consumption); plain
+            # SELECT needs an explicit WITH CONSUME
+            consume = bool(
+                re.search(r"\bWITH\s+CONSUME\b", sql, re.I)
+            ) or bool(re.match(r"^\s*(INSERT|CREATE|COPY)\b", sql, re.I))
+            q = re.sub(r"\bWITH\s+CONSUME\b", "", sql, flags=re.I)
+            # CHANGES(information => mode) AT(stream => s): the stream's
+            # offset with an explicit information mode (changes.rs)
+            if re.search(r"\bchanges\s*\(", q, re.I):
+                if re.search(r"\bend\s*\(\s*stream\s*=>", q, re.I):
+                    raise ValueError(
+                        "[1005] END(STREAM => …) is not supported"
+                    )
+                mch = re.search(
+                    r"([\w.`]+)\s+changes\s*\(\s*information\s*=>\s*"
+                    r"(default|append_only)\s*\)\s*"
+                    r"at\s*\(\s*stream\s*=>\s*([\w.`]+)\s*\)",
+                    q,
+                    re.I,
+                )
+                if mch:
+                    sref = mch.group(3).strip("`").split(".")[-1].lower()
+                    if sref in sql_streams:
+                        _stream_delta(
+                            sref, mode=mch.group(2).lower()
+                        ).createOrReplaceTempView("__sqlstream_chg")
+                        q = (
+                            q[: mch.start()]
+                            + "__sqlstream_chg"
+                            + q[mch.end() :]
+                        )
+                        return run_sql(q)
+            touched = []
+            for sname in sql_streams:
+                # quoted (mixed-case) stream names resolve only via
+                # backticked refs (reference case sensitivity); unquoted
+                # lowercase names match case-insensitively
+                if sname.islower():
+                    name_pat = rf"(?i:`?{re.escape(sname)}`?)"
+                else:
+                    name_pat = rf"`{re.escape(sname)}`"
+                if re.search(
+                    rf"(?i:\b(?:FROM|JOIN)\s+){name_pat}(?![\w.`])", q
+                ):
+                    _stream_delta(sname).createOrReplaceTempView(
+                        f"__sqlstream_{len(touched)}"
+                    )
+                    q = re.sub(
+                        rf"(?<![\w.]){name_pat}(?![\w.`(])",
+                        f"__sqlstream_{len(touched)}",
+                        q,
+                    )
+                    touched.append(sname)
+            if touched and q != sql:
+                res = run_sql(q)
+                if consume:
+                    res = res.localCheckpoint(eager=True)
+                    for sname in touched:
+                        _stream_snapshot(sname)
+                return res
         mrand = re.match(
             r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
             r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*"
