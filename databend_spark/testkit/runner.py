@@ -1376,9 +1376,25 @@ def run_slt_file(
             else:
                 for bak in txn_state["backups"].values():
                     spark.sql(f"DROP TABLE IF EXISTS {cur}.`{bak}`")
+                for sname, pt in txn_state.get("consumed", {}).items():
+                    if sname in sql_streams:
+                        st2 = sql_streams[sname]
+                        snap2 = f"__stream_base_{sname}"
+                        spark.sql(f"DROP TABLE IF EXISTS `{snap2}`")
+                        spark.sql(
+                            f"ALTER TABLE `{pt}` RENAME TO `{snap2}`"
+                        )
+                        st2["snap"] = snap2
+                    else:
+                        spark.sql(f"DROP TABLE IF EXISTS `{pt}`")
+            if rollback:
+                for pt in txn_state.get("consumed", {}).values():
+                    spark.sql(f"DROP TABLE IF EXISTS `{pt}`")
         except Exception:  # noqa: BLE001
             pass
-        txn_state.update(active=False, backups={}, saved=None)
+        txn_state.update(
+            active=False, backups={}, saved=None, consumed={}
+        )
 
     def _cluster_track_insert(tkey: str, new_files: list[str]) -> None:
         keys = cluster_keys.get(tkey)
@@ -2462,6 +2478,28 @@ def run_slt_file(
                 f"DROP TABLE {'IF EXISTS ' if mdv.group(1) else ''}"
                 f"{mdv.group(2)}"
             )
+        mss = re.search(
+            r"(?:\bstream_status\s*\(\s*'([^']*)'\s*\)"
+            r"|^\s*call\s+system\$stream_status\s*\(\s*'([^']*)'\s*\))",
+            sql,
+            re.I,
+        )
+        if mss:
+            sref = (mss.group(1) or mss.group(2)).split(".")[-1].lower()
+            if sref not in sql_streams:
+                raise ValueError(f"[2733] unknown stream {sref}")
+            has = int(not _stream_delta(sref).isEmpty())
+            if mss.group(2):  # CALL form returns the bare value
+                return spark.sql(f"SELECT {has} AS has_data")
+            return spark.sql(
+                re.sub(
+                    r"\bstream_status\s*\(\s*'[^']*'\s*\)",
+                    f"(SELECT CAST({has} AS BOOLEAN) AS has_data)",
+                    rewrite_databend_sql(sql),
+                    flags=re.I,
+                )
+            )
+
         msct = re.match(
             r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.`]+)\s*;?\s*$", sql, re.I
         )
@@ -5086,8 +5124,27 @@ def run_slt_file(
                 res = run_sql(q)
                 if consume:
                     res = res.localCheckpoint(eager=True)
-                    for sname in touched:
-                        _stream_snapshot(sname)
+                    if txn_state["active"]:
+                        # txn semantics: the offset advances at COMMIT;
+                        # every read inside the txn sees the same range
+                        # and a ROLLBACK leaves the stream unconsumed.
+                        # The advance point is captured NOW (pending
+                        # snapshot) so later in-txn writes stay visible
+                        # to the stream after commit.
+                        pend = txn_state.setdefault("consumed", {})
+                        for sname in touched:
+                            if sname in pend:
+                                continue
+                            pt = f"__stream_pend_{sname}"
+                            spark.sql(f"DROP TABLE IF EXISTS `{pt}`")
+                            spark.sql(
+                                f"CREATE TABLE `{pt}` AS SELECT * FROM "
+                                f"{sql_streams[sname]['table']}"
+                            )
+                            pend[sname] = pt
+                    else:
+                        for sname in touched:
+                            _stream_snapshot(sname)
                 return res
         mrand = re.match(
             r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
