@@ -1104,7 +1104,7 @@ def run_slt_file(
         "engines", "one", "clusters", "processes", "query_log", "metrics",
         "malloc_stats", "malloc_stats_totals", "build_options", "caches",
         "query_cache", "temp_files", "streams", "stages", "tasks",
-        "users", "roles",
+        "users", "roles", "statistics",
     ]
 
     def _logical_size(df, tbl_name: str, nrows: int) -> int:
@@ -1167,6 +1167,7 @@ def run_slt_file(
     # fuse commits under a meta txn — copy-on-write at our scale)
     txn_state: dict = {"active": False, "backups": {}, "saved": None}
     transient_tables: set[str] = set()
+    random_views: set[str] = set()
     # aggregating indexes: name → (table, body text) so schema changes
     # on referenced columns can refuse like the reference
     agg_indexes: dict[str, tuple[str, str]] = {}
@@ -1640,6 +1641,23 @@ def run_slt_file(
             " table, type, default_kind, default_expression, comment)"
             ") WHERE name <> ''"
         )
+        _tbl_nrows = {
+            (d, n): nr
+            for (n, d, _tid, _e, _ts, nr, _ds, _cs, _i, _o, _op, _x)
+            in trows
+        }
+        stat_rows = ", ".join(
+            f"({q(d)}, {q(t)}, {q(cn)}, "
+            f"{_tbl_nrows.get((d, t), 0)}L, {_tbl_nrows.get((d, t), 0)}L)"
+            for (cn, d, t, _ty, _dk, _de) in crows
+        ) or "('', '', '', 0L, 0L)"
+        spark.sql(
+            "CREATE OR REPLACE VIEW system.statistics AS SELECT * FROM ("
+            "SELECT * FROM VALUES " + stat_rows +
+            " AS st(database, `table`, `column`,"
+            " stats_row_count, actual_row_count)"
+            ") WHERE database <> ''"
+        )
         spark.sql(
             "CREATE OR REPLACE VIEW system.malloc_stats_totals AS "
             "SELECT 'memory' AS name, 1048576L AS value"
@@ -1808,6 +1826,23 @@ def run_slt_file(
         positional = bool(re.search(r"\$\d+", sql))
         for name, (d, fmt) in stages.items():
             if f"@{name}" in sql:
+                # stage-ref argument list `@s (pattern => '...', …)`:
+                # pattern filters files by name (reference stage table
+                # options); other options dropped
+                pat_re = None
+                margs = re.search(
+                    rf"@{re.escape(name)}\s*\(([^()]*=>[^()]*)\)", sql
+                )
+                if margs:
+                    mp = re.search(
+                        r"pattern\s*=>\s*'([^']*)'", margs.group(1), re.I
+                    )
+                    pat_re = mp.group(1) if mp else None
+                    sql = (
+                        sql[: margs.start()]
+                        + f"@{name}"
+                        + sql[margs.end() :]
+                    )
                 has_files = any(
                     not f.startswith(("_", "."))
                     for _, _, fs in os.walk(d)
@@ -1834,6 +1869,12 @@ def run_slt_file(
                         if fmt == "PARQUET"
                         else spark.read.csv(d)
                     )
+                    if pat_re:
+                        from pyspark.sql import functions as F
+
+                        df = df.where(
+                            F.input_file_name().rlike(pat_re)
+                        )
                 if positional:  # $N refs → _c{N-1} positional names
                     df = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
                 df.createOrReplaceTempView(f"__stage_{name}")
@@ -3127,7 +3168,7 @@ def run_slt_file(
             )
         if re.search(
             r"\bsystem\s*\.\s*(tables|columns|malloc_stats|query_cache|"
-            r"clustering_history)|\binformation_schema\b",
+            r"clustering_history|statistics)|\binformation_schema\b",
             sql,
             re.I,
         ):
@@ -3668,6 +3709,10 @@ def run_slt_file(
             # purges data but keeps the schema restorable
             k = _commit_key(mtdrop.group(2))
             full = f"{k[0]}.{k[1]}"
+            if k[1] in random_views:
+                spark.sql(f"DROP VIEW IF EXISTS {full}")
+                random_views.discard(k[1])
+                return spark.sql("SELECT 1 AS ok WHERE false")
             try:
                 exists = spark.catalog.tableExists(full)
             except Exception:  # noqa: BLE001
@@ -4098,7 +4143,17 @@ def run_slt_file(
         if is_merge(sql):
             # double-quoted identifiers (DuckDB style) → bare
             sql = re.sub(r'"(\w+)"', r"\1", sql)
-            counts = merge_counts(spark, sql, rewrite_databend_sql)
+            try:
+                counts = merge_counts(spark, sql, rewrite_databend_sql)
+            except Exception as me:  # noqa: BLE001
+                # variant `col:path` in the source needs the JSON-text
+                # fallback (same retry the plain query path applies)
+                if "VARIANT" not in str(me).upper() or ":" not in sql:
+                    raise
+                from databend_spark.sqlgen import variant_paths_to_json
+
+                sql = variant_paths_to_json(sql)
+                counts = merge_counts(spark, sql, rewrite_databend_sql)
             tgt, select_sql = merge_to_select(
                 spark, sql, rewrite_databend_sql
             )
@@ -5155,50 +5210,47 @@ def run_slt_file(
             re.I,
         )
         if mrand:
-            # RANDOM engine: reads produce generated rows (reference
-            # src/query/storages/random). Emulated as a materialized
-            # sample — SLT reads always LIMIT, so a fixed batch serves
+            # RANDOM engine: every read produces freshly generated rows
+            # (reference src/query/storages/random). Emulated as a VIEW
+            # over rand() expressions — rand() reseeds per query, so two
+            # reads yield different data like the reference
             tgt_r = mrand.group(1)
             stripped = re.sub(
                 r"\bENGINE\s*=\s*RANDOM\b", "", sql, flags=re.I
             )
             run_sql(stripped)
-            from pyspark.sql import functions as F
-
             tdf_r = spark.table(tgt_r)
-            gen = spark.range(1000)
-            sel = []
+            parts = []
             for f in tdf_r.schema.fields:
                 st = f.dataType.simpleString()
-                if st in ("string",) or st.startswith(("char", "varchar")):
-                    c = F.concat(
-                        F.lit("r"),
-                        F.substring(F.md5(F.col("id").cast("string")), 1, 11),
-                    )
-                elif st in ("date",):
-                    c = F.expr("date_add(DATE'2000-01-01', CAST(rand()*9000 AS INT))")
+                if st == "string" or st.startswith(("char", "varchar")):
+                    g = ("concat('r', substring(md5(cast(rand() as"
+                         " string)), 1, 11))")
+                elif st == "date":
+                    g = "date_add(DATE'2000-01-01', CAST(rand()*9000 AS INT))"
                 elif st.startswith("timestamp"):
-                    c = F.expr(
-                        "timestampadd(SECOND, CAST(rand()*1e9 AS BIGINT),"
-                        " TIMESTAMP'2000-01-01 00:00:00')"
-                    )
+                    g = ("timestampadd(SECOND, CAST(rand()*1e9 AS BIGINT),"
+                         " TIMESTAMP'2000-01-01 00:00:00')")
                 elif st == "boolean":
-                    c = F.expr("rand() > 0.5")
+                    g = "rand() > 0.5"
                 elif st.startswith(("decimal", "double", "float")):
-                    c = F.expr("rand() * 1000")
+                    g = "rand() * 1000"
                 elif st.startswith("array"):
-                    c = F.array(F.lit(1))
+                    g = "array(1)"
                 elif st.startswith("map"):
-                    c = F.create_map(F.lit("k"), F.lit(1))
+                    g = "map('k', 1)"
                 elif st.startswith(("struct", "binary")):
-                    c = F.lit(None)
+                    g = "NULL"
                 else:
-                    c = F.expr("CAST(rand() * 1000000 AS BIGINT)")
-                try:
-                    sel.append(c.cast(f.dataType).alias(f.name))
-                except Exception:  # noqa: BLE001
-                    sel.append(F.lit(None).cast(f.dataType).alias(f.name))
-            gen.select(*sel).write.mode("append").saveAsTable(tgt_r)
+                    g = "CAST(rand() * 1000000 AS BIGINT)"
+                parts.append(f"CAST(({g}) AS {st}) AS `{f.name}`")
+            spark.sql(f"DROP TABLE {tgt_r}")
+            spark.sql(
+                f"CREATE OR REPLACE VIEW {tgt_r} AS SELECT "
+                + ", ".join(parts)
+                + " FROM range(1000)"
+            )
+            random_views.add(tgt_r.strip("`").split(".")[-1].lower())
             return spark.sql("SELECT 1 AS ok WHERE false")
         mtx = re.match(
             r"^\s*(BEGIN(?:\s+TRANSACTION)?|START\s+TRANSACTION"
