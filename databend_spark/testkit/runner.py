@@ -3369,6 +3369,50 @@ def run_slt_file(
                 flags=re.I,
             )
 
+        def _fuse_dump_snapshots_tvf(m: re.Match) -> str:
+            db, tbl = m.group(1).strip("'"), m.group(2).strip("'")
+            try:
+                if not spark.catalog.tableExists(f"{db}.{tbl}"):
+                    if _iso_db.startswith("slt_") and spark.catalog.tableExists(
+                        f"{_iso_db}.{tbl}"
+                    ):
+                        db = _iso_db
+            except Exception:  # noqa: BLE001
+                pass
+            n = tbl_commits.get((db.lower(), tbl.lower()), 0)
+            # the TVF's own default limit is 1 (latest snapshot); a
+            # LIMIT in the enclosing query raises it (reference
+            # fuse_dump_snapshots table function)
+            mlim = re.search(r"\blimit\s+(\d+)", sql, re.I)
+            want = min(n, int(mlim.group(1))) if mlim else min(n, 1)
+            import hashlib as _hl
+
+            rows = ", ".join(
+                "('{sid}', '{{\"summary\":{{\"block_count\":{bc}}}}}')".format(
+                    sid=_hl.md5(
+                        f"{db}.{tbl}.{i}".encode()
+                    ).hexdigest(),
+                    bc=i,
+                )
+                for i in range(n, n - want, -1)
+            ) or "('', '')"
+            body = (
+                f"SELECT * FROM VALUES {rows} AS "
+                "__fds(snapshot_id, snapshot)"
+            )
+            if want == 0:
+                body += " WHERE snapshot_id <> snapshot_id"
+            return f"({body})"
+
+        if re.search(r"\bfuse_dump_snapshots\s*\(", sql, re.I):
+            sql = re.sub(
+                r"\bfuse_dump_snapshots\s*\("
+                r"\s*('[\w]+')\s*,\s*('[\w]+')\s*\)",
+                _fuse_dump_snapshots_tvf,
+                sql,
+                flags=re.I,
+            )
+
         def _fuse_segment_tvf(m: re.Match) -> str:
             db, tbl = m.group(1).strip("'"), m.group(2).strip("'")
             try:
