@@ -1217,7 +1217,18 @@ def run_slt_file(
 
         st = sql_streams[name]
         cur = spark.table(st["table"])
-        base = spark.table(f"`{st['snap']}`")
+        # inside a txn, the FIRST consuming DML advances the stream for
+        # every later in-txn read (reference stream txn semantics:
+        # consume-once); the durable offset still moves only at COMMIT.
+        # The pending snapshot captured at that first consume becomes
+        # the base for subsequent in-txn reads, so they see an empty
+        # delta (plus any in-txn writes made after the consume).
+        pend_snap = (
+            txn_state.get("consumed", {}).get(name)
+            if txn_state["active"]
+            else None
+        )
+        base = spark.table(f"`{pend_snap or st['snap']}`")
         if [f.dataType for f in cur.schema.fields] != [
             f.dataType for f in base.schema.fields
         ]:
@@ -3222,7 +3233,29 @@ def run_slt_file(
         )
         if mseto:
             # table-option updates (change_tracking, retention, …):
-            # recorded in ddl_options, no physical effect needed
+            # recorded in ddl_options, no physical effect needed.
+            # The target must resolve first (reference alter_table
+            # interpreter): unknown catalog → 1119, database → 1003,
+            # table → 1025
+            ref_parts = [
+                p.strip("`") for p in mseto.group(1).split(".")
+            ]
+            if len(ref_parts) == 3 and ref_parts[0].lower() != "default":
+                raise RuntimeError(
+                    f"1119: unknown catalog {ref_parts[0]}"
+                )
+            if len(ref_parts) >= 2:
+                db_ref = ref_parts[-2]
+                try:
+                    db_ok = spark.catalog.databaseExists(db_ref)
+                except Exception:  # noqa: BLE001
+                    db_ok = False
+                if not db_ok:
+                    raise RuntimeError(f"1003: unknown database {db_ref}")
+            if not spark.catalog.tableExists(mseto.group(1)):
+                raise RuntimeError(
+                    f"1025: unknown table {ref_parts[-1]}"
+                )
             tk = mseto.group(1).strip("`").split(".")[-1].lower()
             kv = dict(
                 re.findall(r"(\w+)\s*=\s*'?([\w.]+)'?", mseto.group(2))
@@ -6685,6 +6718,14 @@ def run_slt_file(
         except Exception:  # noqa: BLE001
             pre_dbs = set()
         try:
+            pre_default_tbls = {
+                t.name.lower()
+                for t in spark.catalog.listTables("default")
+                if not t.isTemporary
+            }
+        except Exception:  # noqa: BLE001
+            pre_default_tbls = set()
+        try:
             return run_slt_file(spark, path, skip_patterns, isolate=False)
         finally:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -6700,7 +6741,12 @@ def run_slt_file(
             # (statements that qualified default.t bypass the per-file db)
             try:
                 for t in spark.catalog.listTables("default"):
-                    if t.name.startswith(("__dropped_", "__cr_tmp_")):
+                    if t.isTemporary:
+                        continue
+                    if t.name.startswith(("__dropped_", "__cr_tmp_")) or (
+                        t.name.lower() not in pre_default_tbls
+                        and not t.name.startswith("__")
+                    ):
                         spark.sql(
                             f"DROP TABLE IF EXISTS default.`{t.name}`"
                         )

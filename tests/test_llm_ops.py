@@ -118,6 +118,55 @@ def test_embed_neardup_lsh_matches_brute(spark):
     assert lsh == brute and len(lsh) > 0
 
 
+def test_neardup_band_join_is_slim(spark):
+    """The banded-LSH candidate join must shuffle (band, bucket, id)
+    rows ONLY — shipping the embedding through the ~29-band explode is
+    the 100 TB scale-killer VERDICT r4 flagged (#3). Pin the shuffle
+    shape: the exploded side has no vector column, and the physical
+    plan's band/bk exchanges carry no embedding attribute."""
+    from databend_spark.operators.similarity import (
+        _banded_keys,
+        neardup_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    emb = spark.table("embeddings")
+    slim = _banded_keys(
+        emb.select(F.col("vec_id").alias("ia"),
+                   F.col("embedding").alias("va")),
+        "ia", "va", 64, 10, 29,
+    )
+    assert slim.columns == ["ia", "band", "bk"]
+    plan = (
+        neardup_pairs(emb, threshold=0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "hashpartitioning(band" in line:
+            assert "embedding" not in line and "va#" not in line, line
+
+
+def test_hyperplane_components_sign_balanced(spark):
+    """_hyperplane components must straddle 0 (docstring contract):
+    an unsigned-hash 'fix' that collapses all components to one sign
+    destroys LSH selectivity silently (VERDICT r4 #4). Pin the sign
+    distribution across several planes."""
+    from databend_spark.operators.similarity import _hyperplane
+    import pyspark.sql.functions as F
+
+    row = spark.range(1).select(
+        *[_hyperplane(p, 64).alias(f"p{p}") for p in range(8)]
+    ).collect()[0]
+    for p in range(8):
+        comps = row[f"p{p}"]
+        neg = sum(1 for c in comps if c < 0)
+        pos = sum(1 for c in comps if c > 0)
+        # 64 draws from a symmetric distribution: both signs present
+        # and neither side below ~1/4 (p < 1e-6 under fair coin)
+        assert neg >= 16 and pos >= 16, (p, neg, pos)
+        assert all(-1.0 <= c <= 1.0 for c in comps)
+
+
 def test_ngram_jaccard_df_cap_hot_shingle(spark):
     """Adversarial stop-shingle corpus: every doc shares one hot 3-gram.
     The capped (default) plan must drop the hot key's quadratic fanout yet
