@@ -1,0 +1,1062 @@
+"""File-format decode/encode for the COPY INTO / stage surface.
+
+Reference: option enum + per-format defaults at
+``/root/reference/src/meta/app/src/principal/file_format.rs`` (CSV :601,
+Text/TSV :666, NDJson :935, Avro :985, Parquet :1014) and the row
+decoders under ``src/query/formats/src/field_decoder/``.
+
+Decoding operates one file at a time (bytes -> typed rows + row-level
+errors), which matches the reference's loader parallelism model: COPY
+INTO distributes at FILE granularity (one task per file / file split).
+The distributed path wraps :func:`decode_file` in an Arrow-batched
+``mapInPandas`` over the staged file list (``copy_into_distributed``);
+the SLT harness calls it driver-side for its KB-sized fixtures — the
+semantics are identical because each call only ever sees one file.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import io
+import json
+import math
+import re
+from dataclasses import dataclass, field, replace
+from datetime import date, datetime, timezone
+from decimal import ROUND_HALF_UP, Decimal, InvalidOperation
+
+__all__ = [
+    "FormatParams",
+    "ColSpec",
+    "FieldError",
+    "parse_option_list",
+    "resolve_format",
+    "decode_file",
+    "decompress",
+    "compress",
+    "encode_rows",
+    "FORMAT_SUFFIX",
+]
+
+
+class FieldError(ValueError):
+    """A single field failed to decode; message matches the reference's
+    error text (e.g. "invalid text for number")."""
+
+
+# ---------------------------------------------------------------------------
+# option parsing
+
+
+def parse_option_list(text: str) -> dict[str, object]:
+    """Parse ``a = 1 b=>'x' c = ('u','v')`` (both `=` and `=>` forms,
+    comma or space separated) into a lowercase-keyed dict. String lists
+    come back as Python lists."""
+    out: dict[str, object] = {}
+    i, n = 0, len(text)
+    tok = re.compile(r"\s*([A-Za-z_][\w$]*)\s*(=>|=)\s*", re.S)
+    while i < n:
+        m = tok.match(text, i)
+        if not m:
+            # skip separators
+            if text[i] in " \t\r\n,;":
+                i += 1
+                continue
+            break
+        key = m.group(1).lower()
+        i = m.end()
+        if i < n and text[i] == "(":
+            # string list ('a', 'b')
+            j = text.index(")", i)
+            inner = text[i + 1 : j]
+            out[key] = re.findall(r"'((?:[^']|'')*)'", inner)
+            i = j + 1
+        elif i < n and text[i] == "'":
+            m2 = re.compile(r"'((?:[^']|'')*)'", re.S).match(text, i)
+            out[key] = m2.group(1).replace("''", "'")
+            i = m2.end()
+        else:
+            m2 = re.compile(r"[^\s,;)]+").match(text, i)
+            if not m2:
+                break
+            out[key] = m2.group(0)
+            i = m2.end()
+    return out
+
+
+FORMAT_SUFFIX = {
+    "csv": ".csv",
+    "tsv": ".tsv",
+    "text": ".txt",
+    "ndjson": ".ndjson",
+    "json": ".json",
+    "parquet": ".parquet",
+    "orc": ".orc",
+    "avro": ".avro",
+    "arrow": ".arrow",
+    "xml": ".xml",
+}
+
+_COMPRESSIONS = {
+    "none", "auto", "gzip", "gz", "bz2", "xz", "zstd", "zst", "zip",
+    "deflate", "rawdeflate", "raw_deflate", "snappy", "lzo", "brotli",
+}
+
+
+@dataclass
+class FormatParams:
+    """Parsed file-format parameters with reference defaults
+    (file_format.rs; CSV :601, Text :666, NDJson :935, Parquet :1014)."""
+
+    type: str = "parquet"
+    compression: str = "none"
+    # csv / tsv(text)
+    field_delimiter: str = ","
+    record_delimiter: str = "\n"
+    quote: str = '"'
+    escape: str = ""
+    skip_header: int = 0
+    output_header: bool = False
+    nan_display: str = "NaN"
+    null_display: str = "\\N"
+    error_on_column_count_mismatch: bool = True
+    allow_quoted_nulls: bool = False
+    trim_space: bool = False
+    empty_field_as: str = "null"  # null | string | field_default
+    quoted_empty_field_as: str = "string"
+    binary_format: str = "hex"  # hex | base64
+    quote_style: str = "necessary"  # necessary | always | never
+    encoding: str = "utf-8"
+    # ndjson / parquet / orc / avro
+    missing_field_as: str = "error"  # error | null | field_default
+    null_field_as: str = "field_default"  # null | field_default
+    null_if: list[str] = field(default_factory=list)
+    use_logic_type: bool = True
+    # json
+    row_tag: str = "row"
+
+    @property
+    def is_text_like(self) -> bool:
+        return self.type in ("csv", "tsv", "text")
+
+
+_TYPE_ALIASES = {
+    "csv": "csv",
+    "tsv": "tsv",
+    "text": "text",
+    "ndjson": "ndjson",
+    "json": "json",
+    "parquet": "parquet",
+    "orc": "orc",
+    "avro": "avro",
+    "arrow": "arrow",
+    "xml": "xml",
+}
+
+
+def _boolish(v: object) -> bool:
+    return str(v).strip().lower() in ("true", "1", "yes", "on")
+
+
+def resolve_format(
+    opts: dict[str, object],
+    named_formats: dict[str, FormatParams] | None = None,
+    default: FormatParams | None = None,
+) -> FormatParams:
+    """Build FormatParams from an option dict (may contain ``type`` or
+    ``format_name``), layered on per-type defaults."""
+    named_formats = named_formats or {}
+    opts = {k.lower(): v for k, v in opts.items()}
+    fmt_name = opts.pop("format_name", None)
+    if fmt_name is not None:
+        key = str(fmt_name).strip("'\"").lower()
+        if key in named_formats:
+            base = replace(named_formats[key])
+        elif key in _TYPE_ALIASES:
+            base = _defaults_for(key)
+        else:
+            raise ValueError(f"[2507] Unknown file format {key}")
+    elif "type" in opts:
+        t = str(opts.pop("type")).strip("'\"").lower()
+        if t not in _TYPE_ALIASES:
+            raise ValueError(f"[2507] Unknown file format type {t}")
+        base = _defaults_for(t)
+    elif default is not None:
+        base = replace(default)
+    else:
+        base = _defaults_for("parquet")
+    return _apply_options(base, opts)
+
+
+def _defaults_for(t: str) -> FormatParams:
+    t = _TYPE_ALIASES[t]
+    if t == "csv":
+        return FormatParams(type="csv")
+    if t in ("tsv", "text"):
+        # Text defaults (file_format.rs:666): tab delimiter, backslash
+        # escape, empty unquoted field keeps the column default
+        return FormatParams(
+            type=t,
+            field_delimiter="\t",
+            escape="\\",
+            empty_field_as="field_default",
+        )
+    if t == "ndjson":
+        return FormatParams(type="ndjson")
+    return FormatParams(type=t)
+
+
+def _apply_options(p: FormatParams, opts: dict[str, object]) -> FormatParams:
+    for k, v in opts.items():
+        k = k.lower()
+        if k in ("compression",):
+            c = str(v).strip("'\"").lower()
+            if c not in _COMPRESSIONS:
+                raise ValueError(f"[2507] Invalid compression {c}")
+            p.compression = {"gz": "gzip", "zst": "zstd"}.get(c, c)
+        elif k == "field_delimiter":
+            p.field_delimiter = _unescape(str(v))
+        elif k == "record_delimiter":
+            p.record_delimiter = _unescape(str(v))
+        elif k == "quote":
+            p.quote = _unescape(str(v))
+        elif k == "escape":
+            p.escape = _unescape(str(v))
+        elif k in ("skip_header", "headers"):
+            p.skip_header = int(str(v))
+        elif k == "output_header":
+            p.output_header = _boolish(v)
+        elif k == "nan_display":
+            p.nan_display = str(v)
+        elif k == "null_display":
+            p.null_display = str(v)
+        elif k == "error_on_column_count_mismatch":
+            p.error_on_column_count_mismatch = _boolish(v)
+        elif k == "allow_quoted_nulls":
+            p.allow_quoted_nulls = _boolish(v)
+        elif k == "trim_space":
+            p.trim_space = _boolish(v)
+        elif k == "empty_field_as":
+            p.empty_field_as = str(v).lower()
+        elif k == "quoted_empty_field_as":
+            p.quoted_empty_field_as = str(v).lower()
+        elif k == "binary_format":
+            b = str(v).lower()
+            if b not in ("hex", "base64"):
+                raise ValueError(f"[2507] Invalid binary_format {b}")
+            p.binary_format = b
+        elif k == "quote_style":
+            p.quote_style = str(v).lower()
+        elif k == "missing_field_as":
+            m = str(v).lower()
+            if m not in ("error", "null", "field_default"):
+                raise ValueError(
+                    "[2507] Invalid option value: MISSING_FIELD_AS is set "
+                    f"to {m.upper()}. The valid values are "
+                    "ERROR | NULL | FIELD_DEFAULT."
+                )
+            p.missing_field_as = m
+        elif k == "null_field_as":
+            m = str(v).lower()
+            if m == "error":
+                raise ValueError(
+                    "[2507] Invalid option value: NULL_FIELD_AS is set to "
+                    "ERROR. The valid values are NULL | FIELD_DEFAULT."
+                )
+            p.null_field_as = m
+        elif k == "null_if":
+            p.null_if = list(v) if isinstance(v, list) else [str(v)]
+        elif k == "use_logic_type":
+            p.use_logic_type = _boolish(v)
+        elif k == "row_tag":
+            p.row_tag = str(v)
+        elif k == "encoding":
+            p.encoding = str(v).lower()
+        elif k == "type":
+            pass  # already consumed
+        else:
+            raise ValueError(f"[2507] Unknown file format option {k}")
+    return p
+
+
+def _unescape(s: str) -> str:
+    return (
+        s.replace("\\t", "\t")
+        .replace("\\n", "\n")
+        .replace("\\r", "\r")
+        .replace("\\0", "\0")
+    )
+
+
+# ---------------------------------------------------------------------------
+# column specs + field parsing
+
+
+_NO_DEFAULT = object()
+
+
+@dataclass
+class ColSpec:
+    """Target column: Spark-side name/kind plus the Databend display
+    type for reference-parity error messages."""
+
+    name: str
+    kind: str  # int|float|decimal|bool|date|timestamp|string|binary|variant|uuid|array|map|tuple|bitmap|interval|geometry
+    db_type: str = ""  # e.g. "Int32 NULL"
+    nullable: bool = True
+    default: object = _NO_DEFAULT
+    precision: int = 38
+    scale: int = 0
+    bits: int = 32
+    signed: bool = True
+
+    def type_default(self):
+        if self.default is not _NO_DEFAULT:
+            return self.default
+        if self.nullable:
+            return None
+        return {
+            "int": 0, "float": 0.0, "decimal": Decimal(0), "bool": False,
+            "string": "", "binary": b"", "variant": None,
+        }.get(self.kind)
+
+
+_TS_FORMATS = (
+    "%Y-%m-%d %H:%M:%S.%f",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%dT%H:%M:%S.%f",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%d %H:%M",
+    "%Y-%m-%d",
+)
+
+
+def parse_timestamp_text(s: str) -> datetime:
+    txt = s.strip()
+    # trailing zone: +08:00 / Z / +0800
+    zm = re.search(r"(Z|[+-]\d{2}:?\d{2})$", txt)
+    tzoff = None
+    if zm:
+        z = zm.group(1)
+        txt = txt[: zm.start()].strip()
+        if z == "Z":
+            tzoff = timezone.utc
+        else:
+            hh, mm = int(z[1:3]), int(z[-2:])
+            sign = -1 if z[0] == "-" else 1
+            from datetime import timedelta
+
+            tzoff = timezone(sign * timedelta(hours=hh, minutes=mm))
+    for f in _TS_FORMATS:
+        try:
+            dt = datetime.strptime(txt, f)
+            if tzoff is not None:
+                dt = dt.replace(tzinfo=tzoff).astimezone(timezone.utc).replace(tzinfo=None)
+            return dt
+        except ValueError:
+            continue
+    # epoch seconds / micros
+    if re.fullmatch(r"-?\d+", txt):
+        v = int(txt)
+        if abs(v) < 10**10:
+            return datetime.utcfromtimestamp(v)
+        return datetime.utcfromtimestamp(v / 1e6)
+    raise FieldError("invalid text for timestamp")
+
+
+def parse_date_text(s: str) -> date:
+    txt = s.strip()
+    m = re.fullmatch(r"(\d{1,4})-(\d{1,2})-(\d{1,2})", txt)
+    if m:
+        try:
+            return date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+        except ValueError as e:
+            raise FieldError("invalid text for date") from e
+    try:
+        return parse_timestamp_text(txt).date()
+    except FieldError:
+        raise FieldError("invalid text for date") from None
+
+
+_INT_RANGE = {
+    (8, True): (-(2**7), 2**7 - 1),
+    (16, True): (-(2**15), 2**15 - 1),
+    (32, True): (-(2**31), 2**31 - 1),
+    (64, True): (-(2**63), 2**63 - 1),
+    (8, False): (0, 2**8 - 1),
+    (16, False): (0, 2**16 - 1),
+    (32, False): (0, 2**32 - 1),
+    (64, False): (0, 2**64 - 1),
+}
+
+
+def parse_field_text(
+    s: str, col: ColSpec, params: FormatParams, numeric_cast: str = "rounding"
+):
+    """Typed parse of one text field (reference field_decoder semantics).
+    Raises FieldError with the reference's message text."""
+    k = col.kind
+    if k == "int":
+        t = s.strip()
+        try:
+            v = int(t)
+        except ValueError:
+            try:
+                f = float(t)
+            except ValueError:
+                raise FieldError("invalid text for number") from None
+            if math.isnan(f) or math.isinf(f):
+                raise FieldError("invalid text for number") from None
+            if numeric_cast == "truncating":
+                v = math.trunc(f)
+            else:
+                v = int(math.copysign(math.floor(abs(f) + 0.5), f))
+        lo, hi = _INT_RANGE[(col.bits, col.signed)]
+        if not lo <= v <= hi:
+            raise FieldError("number overflow")
+        return v
+    if k == "float":
+        t = s.strip()
+        if t == params.nan_display or t.lower() == "nan":
+            return float("nan")
+        if t.lower() in ("inf", "infinity", "+inf", "+infinity"):
+            return float("inf")
+        if t.lower() in ("-inf", "-infinity"):
+            return float("-inf")
+        try:
+            return float(t)
+        except ValueError:
+            raise FieldError("invalid text for number") from None
+    if k == "decimal":
+        t = s.strip()
+        try:
+            d = Decimal(t)
+        except InvalidOperation:
+            try:
+                d = Decimal(repr(float(t)))
+            except (ValueError, InvalidOperation):
+                raise FieldError("invalid text for decimal") from None
+        q = d.quantize(Decimal(1).scaleb(-col.scale), rounding=ROUND_HALF_UP)
+        if q.adjusted() + 1 > col.precision - col.scale + (q.adjusted() + 1):
+            pass
+        digits = len(q.as_tuple().digits)
+        if q != 0 and digits - (-q.as_tuple().exponent) > col.precision - col.scale:
+            raise FieldError(f"Decimal overflow at line")
+        return q
+    if k == "bool":
+        t = s.strip().lower()
+        if t in ("true", "1"):
+            return True
+        if t in ("false", "0"):
+            return False
+        raise FieldError("invalid text for boolean")
+    if k == "date":
+        return parse_date_text(s)
+    if k == "timestamp":
+        return parse_timestamp_text(s)
+    if k == "binary":
+        t = s.strip()
+        if params.binary_format == "base64":
+            try:
+                return base64.b64decode(t, validate=True)
+            except (binascii.Error, ValueError):
+                raise FieldError("invalid base64 for binary") from None
+        try:
+            return binascii.unhexlify(t)
+        except (binascii.Error, ValueError):
+            raise FieldError("invalid hex for binary") from None
+    if k == "variant":
+        t = s.strip()
+        try:
+            v = json.loads(t)
+        except ValueError:
+            raise FieldError(
+                "expected value, pos 1 while evaluating function "
+                f"`parse_json('{t}')`"
+            ) from None
+        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+    if k == "uuid":
+        t = s.strip()
+        if not re.fullmatch(
+            r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+            r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+            t,
+        ):
+            raise FieldError("invalid text for uuid")
+        return t.lower()
+    if k in ("array", "map", "tuple"):
+        t = s.strip()
+        try:
+            return json.dumps(
+                json.loads(t), separators=(",", ":"), ensure_ascii=False
+            )
+        except ValueError:
+            raise FieldError(f"invalid text for {k}") from None
+    # string & everything else: identity
+    return s
+
+
+# ---------------------------------------------------------------------------
+# compression
+
+
+def decompress(raw: bytes, filename: str, compression: str = "auto") -> bytes:
+    c = (compression or "auto").lower()
+    if c == "auto":
+        low = filename.lower()
+        if low.endswith(".gz"):
+            c = "gzip"
+        elif low.endswith(".bz2"):
+            c = "bz2"
+        elif low.endswith(".xz"):
+            c = "xz"
+        elif low.endswith((".zst", ".zstd")):
+            c = "zstd"
+        elif low.endswith(".zip"):
+            c = "zip"
+        elif low.endswith(".deflate"):
+            c = "deflate"
+        else:
+            return raw
+    if c in ("none", ""):
+        return raw
+    if c == "gzip":
+        import gzip
+
+        return gzip.decompress(raw)
+    if c == "bz2":
+        import bz2
+
+        return bz2.decompress(raw)
+    if c == "xz":
+        import lzma
+
+        return lzma.decompress(raw)
+    if c == "zstd":
+        import pyarrow as pa
+
+        return pa.Codec("zstd").decompress(raw, asbytes=True)
+    if c == "snappy":
+        import pyarrow as pa
+
+        return pa.Codec("snappy").decompress(raw, asbytes=True)
+    if c == "zip":
+        import zipfile
+
+        zf = zipfile.ZipFile(io.BytesIO(raw))
+        parts = [
+            zf.read(n)
+            for n in zf.namelist()
+            if not n.endswith("/") and not n.startswith("__MACOSX")
+        ]
+        return b"".join(parts)
+    if c in ("deflate", "rawdeflate", "raw_deflate"):
+        import zlib
+
+        return zlib.decompress(raw, -15 if "raw" in c else 15)
+    raise ValueError(f"[2507] unsupported compression {c}")
+
+
+def compress(data: bytes, compression: str, inner_name: str = "data") -> bytes:
+    c = (compression or "none").lower()
+    if c in ("none", "", "auto"):
+        return data
+    if c == "gzip":
+        import gzip
+
+        return gzip.compress(data, mtime=0)
+    if c == "bz2":
+        import bz2
+
+        return bz2.compress(data)
+    if c == "xz":
+        import lzma
+
+        return lzma.compress(data)
+    if c == "zstd":
+        import pyarrow as pa
+
+        return pa.Codec("zstd").compress(data, asbytes=True)
+    if c == "zip":
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            zi = zipfile.ZipInfo(inner_name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, data)
+        return buf.getvalue()
+    raise ValueError(f"[2507] Unsupported compression: {c} for this format")
+
+
+_COMP_SUFFIX = {
+    "gzip": ".gz", "bz2": ".bz2", "xz": ".xz", "zstd": ".zst", "zip": ".zip",
+}
+
+
+def compression_suffix(compression: str) -> str:
+    return _COMP_SUFFIX.get((compression or "none").lower(), "")
+
+
+# ---------------------------------------------------------------------------
+# CSV / TSV record tokenizer (reference: field_decoder/csv.rs, tsv.rs)
+
+
+def split_text_records(
+    text: str, params: FormatParams
+) -> list[list[tuple[str, bool]]]:
+    """Tokenize CSV text into records of (field_text, was_quoted).
+    Handles quote, escape, multi-char record delimiters, quoted
+    newlines. TSV/Text uses backslash escapes and no quoting."""
+    if params.type in ("tsv", "text"):
+        return _split_tsv(text, params)
+    fd, rd, q = params.field_delimiter, params.record_delimiter, params.quote
+    esc = params.escape
+    records: list[list[tuple[str, bool]]] = []
+    fields: list[tuple[str, bool]] = []
+    buf: list[str] = []
+    quoted = in_q = False
+    i, n = 0, len(text)
+    # treat both \n and \r\n uniformly when rd is "\n"
+    while i < n:
+        ch = text[i]
+        if in_q:
+            if esc and ch == esc and i + 1 < n:
+                nxt = text[i + 1]
+                buf.append({"n": "\n", "t": "\t", "r": "\r"}.get(nxt, nxt))
+                i += 2
+                continue
+            if ch == q:
+                if i + 1 < n and text[i + 1] == q:
+                    buf.append(q)
+                    i += 2
+                    continue
+                in_q = False
+                i += 1
+                continue
+            buf.append(ch)
+            i += 1
+            continue
+        if esc and ch == esc and i + 1 < n:
+            nxt = text[i + 1]
+            buf.append({"n": "\n", "t": "\t", "r": "\r", "0": "\0"}.get(nxt, nxt))
+            i += 2
+            continue
+        if ch == q and not buf:
+            in_q = quoted = True
+            i += 1
+            continue
+        if text.startswith(fd, i):
+            fields.append(("".join(buf), quoted))
+            buf, quoted = [], False
+            i += len(fd)
+            continue
+        if text.startswith(rd, i) or (rd == "\n" and ch == "\r" and text.startswith("\r\n", i)):
+            fields.append(("".join(buf), quoted))
+            records.append(fields)
+            fields, buf, quoted = [], [], False
+            i += 2 if (rd == "\n" and ch == "\r") else len(rd)
+            continue
+        buf.append(ch)
+        i += 1
+    if buf or quoted or fields:
+        fields.append(("".join(buf), quoted))
+        records.append(fields)
+    return records
+
+
+def _split_tsv(text: str, params: FormatParams) -> list[list[tuple[str, bool]]]:
+    fd, rd, esc = params.field_delimiter, params.record_delimiter, params.escape
+    records, fields, buf = [], [], []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if esc and ch == esc and i + 1 < n:
+            nxt = text[i + 1]
+            if nxt == "N" and not buf:
+                # \N null marker: keep literal for the null check
+                buf.append("\\N")
+            else:
+                buf.append(
+                    {"n": "\n", "t": "\t", "r": "\r", "0": "\0", "\\": "\\"}.get(
+                        nxt, "\\" + nxt
+                    )
+                )
+            i += 2
+            continue
+        if text.startswith(fd, i):
+            fields.append(("".join(buf), False))
+            buf = []
+            i += len(fd)
+            continue
+        if text.startswith(rd, i) or (rd == "\n" and text.startswith("\r\n", i)):
+            fields.append(("".join(buf), False))
+            records.append(fields)
+            fields, buf = [], []
+            i += 2 if (rd == "\n" and text[i] == "\r") else len(rd)
+            continue
+        buf.append(ch)
+        i += 1
+    if buf or fields:
+        fields.append(("".join(buf), False))
+        records.append(fields)
+    return records
+
+
+# ---------------------------------------------------------------------------
+# decode driver
+
+
+@dataclass
+class DecodeResult:
+    rows: list[tuple]
+    errors: list[tuple[int, str]]  # (1-based line, message)
+
+
+def db_type_label(col: ColSpec) -> str:
+    base = col.db_type or col.kind
+    return f"{base} NULL" if col.nullable else base
+
+
+def decode_file(
+    raw: bytes,
+    filename: str,
+    params: FormatParams,
+    cols: list[ColSpec],
+    numeric_cast: str = "rounding",
+) -> DecodeResult:
+    """Decode one staged file into typed rows. Row-level problems land
+    in ``errors`` with reference-parity messages; the caller applies
+    ON_ERROR policy."""
+    if params.type in ("csv", "tsv", "text"):
+        data = decompress(raw, filename, params.compression)
+        try:
+            text = data.decode(params.encoding or "utf-8")
+        except (UnicodeDecodeError, LookupError):
+            raise ValueError(
+                f"[1046] invalid {params.encoding or 'utf-8'} for text "
+                f"in file {filename}"
+            ) from None
+        return _decode_text(text, params, cols, numeric_cast)
+    if params.type == "ndjson":
+        data = decompress(raw, filename, params.compression)
+        text = data.decode("utf-8")
+        return _decode_ndjson(text, params, cols)
+    if params.type == "json":
+        data = decompress(raw, filename, params.compression)
+        docs = json.loads(data.decode("utf-8"))
+        if isinstance(docs, dict):
+            docs = [docs]
+        rows, errors = [], []
+        for ln, obj in enumerate(docs, 1):
+            try:
+                rows.append(_object_to_row(obj, params, cols, ln))
+            except FieldError as e:
+                errors.append((ln, str(e)))
+        return DecodeResult(rows, errors)
+    raise ValueError(f"[2507] decode_file does not handle {params.type}")
+
+
+def _decode_text(
+    text: str, params: FormatParams, cols: list[ColSpec], numeric_cast: str
+) -> DecodeResult:
+    records = split_text_records(text, params)
+    rows: list[tuple] = []
+    errors: list[tuple[int, str]] = []
+    ncols = len(cols)
+    for ln, rec in enumerate(records, 1):
+        if ln <= params.skip_header:
+            continue
+        if len(rec) == 1 and rec[0][0] == "" and not rec[0][1]:
+            continue  # blank line
+        if len(rec) != ncols:
+            if params.error_on_column_count_mismatch and params.type == "csv":
+                errors.append(
+                    (
+                        ln,
+                        f"Number of columns in file ({len(rec)}) does not "
+                        f"match that of the corresponding table ({ncols})",
+                    )
+                )
+                continue
+            # pad / truncate
+            rec = rec[:ncols] + [("", False)] * (ncols - len(rec))
+        out = []
+        err = None
+        for ci, (col, (ftxt, quoted)) in enumerate(zip(cols, rec)):
+            try:
+                out.append(
+                    _field_value(ftxt, quoted, col, params, numeric_cast)
+                )
+            except FieldError as e:
+                err = (
+                    ln,
+                    f"Invalid value {ftxt!r} for column {ci} ({col.name} "
+                    f"{db_type_label(col)}): {e}",
+                )
+                break
+        if err:
+            errors.append(err)
+        else:
+            rows.append(tuple(out))
+    return DecodeResult(rows, errors)
+
+
+def _field_value(
+    ftxt: str, quoted: bool, col: ColSpec, params: FormatParams, numeric_cast: str
+):
+    if params.trim_space and not quoted:
+        ftxt = ftxt.strip()
+    if not quoted:
+        if ftxt == params.null_display:
+            return _null_for(col)
+        if ftxt in params.null_if:
+            return _null_for(col)
+        if ftxt == "":
+            if params.empty_field_as == "string" and col.kind == "string":
+                return ""
+            if params.empty_field_as == "field_default":
+                return col.type_default()
+            if col.kind == "string" and params.empty_field_as == "null" and not col.nullable:
+                # reference: empty for a NOT NULL string errors unless
+                # empty_field_as covers it
+                return ""
+            return _null_for(col)
+    else:
+        if ftxt == "":
+            # quoted-empty handling wins over allow_quoted_nulls even
+            # when null_display is '' (csv_option_null.test)
+            if params.quoted_empty_field_as == "null":
+                return _null_for(col)
+            if params.quoted_empty_field_as == "field_default":
+                return col.type_default()
+            if col.kind != "string":
+                raise FieldError(f"invalid text for {col.kind}")
+            return ""
+        if params.allow_quoted_nulls and ftxt == params.null_display:
+            return _null_for(col)
+    return parse_field_text(ftxt, col, params, numeric_cast)
+
+
+def _null_for(col: ColSpec):
+    if not col.nullable:
+        raise FieldError("null value for NOT NULL column")
+    return None
+
+
+def _decode_ndjson(
+    text: str, params: FormatParams, cols: list[ColSpec]
+) -> DecodeResult:
+    rows, errors = [], []
+    ln = 0
+    for line in text.split("\n"):
+        if not line.strip():
+            continue
+        ln += 1
+        try:
+            obj = json.loads(line)
+        except ValueError as e:
+            errors.append((ln, f"invalid JSON: {str(e)[:80]}"))
+            continue
+        if not isinstance(obj, dict):
+            errors.append((ln, "each NDJSON line must be an object"))
+            continue
+        try:
+            rows.append(_object_to_row(obj, params, cols, ln))
+        except FieldError as e:
+            errors.append((ln, str(e)))
+    return DecodeResult(rows, errors)
+
+
+def _object_to_row(
+    obj: dict, params: FormatParams, cols: list[ColSpec], ln: int
+) -> tuple:
+    lower = {k.lower(): v for k, v in obj.items()}
+    out = []
+    for col in cols:
+        key = col.name.lower()
+        if key not in lower:
+            if params.missing_field_as == "error":
+                raise FieldError(
+                    f"missing field {col.name} in NDJSON line {ln} "
+                    "(set MISSING_FIELD_AS to load anyway)"
+                )
+            if params.missing_field_as == "null":
+                out.append(_null_for(col))
+            else:
+                out.append(col.type_default())
+            continue
+        v = lower[key]
+        if v is None:
+            if params.null_field_as == "field_default":
+                out.append(col.type_default())
+            else:
+                out.append(_null_for(col))
+            continue
+        out.append(_json_value(v, col, params))
+    return tuple(out)
+
+
+def _json_value(v, col: ColSpec, params: FormatParams):
+    k = col.kind
+    if isinstance(v, str) and v in params.null_if:
+        return _null_for(col)
+    if k == "variant":
+        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+    if k in ("array", "map", "tuple"):
+        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+    if k == "int":
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, (int, float)):
+            f = float(v)
+            return int(math.copysign(math.floor(abs(f) + 0.5), f))
+        return parse_field_text(str(v), col, params)
+    if k == "float":
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return float(v)
+        return parse_field_text(str(v), col, params)
+    if k == "decimal":
+        return parse_field_text(str(v), col, params)
+    if k == "bool":
+        if isinstance(v, bool):
+            return v
+        return parse_field_text(str(v), col, params)
+    if k in ("date", "timestamp", "binary", "uuid"):
+        return parse_field_text(str(v), col, params)
+    if k == "string":
+        if isinstance(v, (dict, list)):
+            raise FieldError(
+                f"fail to load string column {col.name}: JSON "
+                "object/array needs an explicit cast"
+            )
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# encode (unload)
+
+
+def render_value(v, col: ColSpec | None, params: FormatParams) -> str | None:
+    """Databend text display of one value (None => caller writes
+    null_display)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return params.nan_display
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+        if v == int(v) and abs(v) < 1e16:
+            return str(int(v)) + ".0"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        if params.binary_format == "base64":
+            return base64.b64encode(bytes(v)).decode()
+        return bytes(v).hex().upper()
+    return str(v)
+
+
+def _csv_field(v, col, params: FormatParams) -> str:
+    s = render_value(v, col, params)
+    if s is None:
+        return params.null_display
+    q, fd, rd = params.quote, params.field_delimiter, params.record_delimiter
+    style = params.quote_style
+    need = style == "always" or (
+        style not in ("never",)
+        and (
+            q in s or fd in s or rd in s or "\n" in s or "\r" in s
+            # non-ASCII strings are quoted (reference CSV output encoder)
+            or any(ord(ch) > 127 for ch in s)
+        )
+    )
+    if need:
+        s = q + s.replace(q, q + q) + q
+    return s
+
+
+def encode_rows(rows: list[tuple], cols: list[ColSpec], params: FormatParams) -> bytes:
+    """Serialize typed rows per format (CSV/TSV/NDJSON); compression is
+    applied by the caller via :func:`compress`."""
+    t = params.type
+    if t == "csv":
+        lines = []
+        if params.output_header:
+            lines.append(
+                params.field_delimiter.join(c.name for c in cols)
+            )
+        for r in rows:
+            lines.append(
+                params.field_delimiter.join(
+                    _csv_field(v, c, params) for v, c in zip(r, cols)
+                )
+            )
+        body = params.record_delimiter.join(lines)
+        return (body + params.record_delimiter if lines else "").encode(
+            params.encoding or "utf-8"
+        )
+    if t in ("tsv", "text"):
+        out = []
+        for r in rows:
+            fields = []
+            for v, c in zip(r, cols):
+                s = render_value(v, c, params)
+                if s is None:
+                    s = "\\N"
+                else:
+                    s = (
+                        s.replace("\\", "\\\\")
+                        .replace("\t", "\\t")
+                        .replace("\n", "\\n")
+                        .replace("\r", "\\r")
+                    )
+                fields.append(s)
+            out.append(params.field_delimiter.join(fields))
+        body = params.record_delimiter.join(out)
+        return (body + params.record_delimiter if out else "").encode(
+            params.encoding or "utf-8"
+        )
+    if t == "ndjson":
+        lines = []
+        for r in rows:
+            obj = {}
+            for v, c in zip(r, cols):
+                obj[c.name] = _jsonable(v, c)
+            lines.append(json.dumps(obj, ensure_ascii=False, separators=(",", ":")))
+        return ("\n".join(lines) + "\n" if lines else "").encode("utf-8")
+    raise ValueError(f"[2507] encode_rows does not handle {t}")
+
+
+def _jsonable(v, col: ColSpec):
+    if v is None:
+        return None
+    if col.kind in ("variant", "array", "map", "tuple") and isinstance(v, str):
+        try:
+            return json.loads(v)
+        except ValueError:
+            return v
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex().upper()
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return None
+        return v
+    return v

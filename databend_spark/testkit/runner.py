@@ -917,11 +917,25 @@ def run_slt_file(
         finally:
             ex.shutdown(wait=False)
 
-    # -- named stages (reference: user_stage.rs; files live in a local
-    # dir, `@stage` reads resolve through a positional-column temp view,
-    # `$N` becomes the Nth column) --------------------------------------
-    stages: dict[str, tuple[str, str]] = {}
-    _stage_root = "/tmp/slt_stages"
+    # -- named stages (reference: user_stage.rs): full COPY/format
+    # surface lives in testkit/stage_shim.py + sources/stage_format.py
+    from databend_spark.testkit.stage_shim import StageManager
+
+    def _stage_table_info(table: str):
+        tkey = table.split(".")[-1].strip("`").lower()
+        fields = spark.table(table).schema.fields
+        return (
+            fields,
+            ddl_decl_types.get(tkey, {}),
+            ddl_nullability.get(tkey, {}),
+            ddl_defaults.get(tkey, {}),
+        )
+
+    stage_mgr = StageManager(
+        spark,
+        get_setting=lambda k, d=None: setting_overrides.get(k, d),
+        table_info=_stage_table_info,
+    )
 
     # table → {column → declared-nullable} captured from CREATE TABLE
     # (Databend columns default NOT NULL; Spark loses this)
@@ -1806,97 +1820,9 @@ def run_slt_file(
                 "SELECT '' AS placeholder WHERE false"
             )
 
-    _create_stage = re.compile(
-        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)"
-        r"(?:\s+FILE_FORMAT\s*=\s*\(\s*TYPE\s*=\s*'?(\w+)'?\s*\))?\s*;?\s*$",
-        re.I,
-    )
-    _drop_stage = re.compile(
-        r"^\s*DROP\s+STAGE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
-    )
-    _remove_stage = re.compile(r"^\s*REMOVE\s+@([\w~]+)\s*;?\s*$", re.I)
-    _copy_to_stage = re.compile(
-        r"^\s*COPY\s+INTO\s+@([\w~]+)(?:/[\w/]*)?\s+FROM\s+(.*?)"
-        r"(?:\s+FILE_FORMAT\s*=\s*\(\s*TYPE\s*=\s*\'?(\w+)\'?\s*\))?\s*;?\s*$", re.I | re.S
-    )
-    _copy_from_stage = re.compile(
-        r"^\s*COPY\s+INTO\s+([\w.`]+)\s+FROM\s+@([\w~]+)(?![\w~]).*$", re.I | re.S
-    )
-
-    def _stage_dir(name: str) -> str:
-        import os as _os
-
-        d = _os.path.join(_stage_root, name.replace("~", "user_tilde"))
-        _os.makedirs(d, exist_ok=True)
-        return d
-
-    # the user stage `@~` always exists (reference user_stage.rs)
-    stages["~"] = (_stage_dir("~"), "CSV")
-
-    def _resolve_stage_refs(sql: str) -> str:
-        positional = bool(re.search(r"\$\d+", sql))
-        for name, (d, fmt) in stages.items():
-            if f"@{name}" in sql:
-                # stage-ref argument list `@s (pattern => '...', …)`:
-                # pattern filters files by name (reference stage table
-                # options); other options dropped
-                pat_re = None
-                margs = re.search(
-                    rf"@{re.escape(name)}\s*\(([^()]*=>[^()]*)\)", sql
-                )
-                if margs:
-                    mp = re.search(
-                        r"pattern\s*=>\s*'([^']*)'", margs.group(1), re.I
-                    )
-                    pat_re = mp.group(1) if mp else None
-                    sql = (
-                        sql[: margs.start()]
-                        + f"@{name}"
-                        + sql[margs.end() :]
-                    )
-                has_files = any(
-                    not f.startswith(("_", "."))
-                    for _, _, fs in os.walk(d)
-                    for f in fs
-                )
-                if not has_files:
-                    # an empty stage SELECTs as zero rows (the
-                    # reference errors only when an explicit column
-                    # list is projected — no schema to bind)
-                    if re.search(
-                        rf"select\s+\*\s+from\s+@{re.escape(name)}",
-                        sql,
-                        re.I,
-                    ):
-                        df = spark.sql("SELECT NULL AS c WHERE false")
-                    else:
-                        raise ValueError(
-                            "[1065] no files found. specify a prefix/"
-                            "pattern/files that matches at least one file"
-                        )
-                else:
-                    df = (
-                        spark.read.parquet(d)
-                        if fmt == "PARQUET"
-                        else spark.read.csv(d)
-                    )
-                    if pat_re:
-                        from pyspark.sql import functions as F
-
-                        df = df.where(
-                            F.input_file_name().rlike(pat_re)
-                        )
-                if positional:  # $N refs → _c{N-1} positional names
-                    df = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
-                df.createOrReplaceTempView(f"__stage_{name}")
-                sql = sql.replace(f"@{name}", f"__stage_{name}")
-        if positional:
-            sql = re.sub(r"\$(\d+)", lambda m: f"_c{int(m.group(1)) - 1}", sql)
-        return sql
-
     _show_noop = re.compile(
         r"^\s*SHOW\s+(METRICS|PROCESSLIST|LOCKS|CONNECTIONS|INDEXES|"
-        r"WAREHOUSES|ROLES|GRANTS|STAGES|USER\s+FUNCTIONS)\s*;?\s*$",
+        r"WAREHOUSES|ROLES|GRANTS|USER\s+FUNCTIONS)\s*;?\s*$",
         re.I,
     )
     _conn_stmt = re.compile(
@@ -2356,6 +2282,21 @@ def run_slt_file(
 
     def run_sql(sql: str):
         sql = _preserve_unknown_escapes(sql)
+        # TRUNCATE / DROP / re-CREATE reset the table's COPY file
+        # history (reference: fuse table copied-file meta lives in the
+        # snapshot; truncate purges it)
+        _mhist = re.match(
+            r"^\s*(?:TRUNCATE\s+TABLE|DROP\s+TABLE(?:\s+IF\s+EXISTS)?|"
+            r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TRANSIENT\s+|TEMP\w*\s+)?"
+            r"TABLE(?:\s+IF\s+NOT\s+EXISTS)?)\s+([\w.`\"]+)",
+            sql,
+            re.I,
+        )
+        if _mhist:
+            stage_mgr.copy_history.pop(
+                _mhist.group(1).strip('`"').split(".")[-1].strip('`"').lower(),
+                None,
+            )
         # account-management surface (users/roles/grants) — emulated
         # session state, see testkit/rbac.py
         sql = rbac.preprocess(sql)
@@ -4151,66 +4092,11 @@ def run_slt_file(
                     "Field string, Type string, Null string, "
                     "Default string, Extra string",
                 )
-        m = _create_stage.match(sql)
-        if m:
-            import shutil as _sh
-
-            name = m.group(2)
-            if name in stages and not m.group(1):
-                raise RuntimeError(f"stage {name} already exists")
-            _sh.rmtree(_stage_dir(name), ignore_errors=True)
-            stages[name] = (_stage_dir(name), (m.group(3) or "CSV").upper())
-            return spark.sql("SELECT 1 AS ok WHERE false")
-        m = _drop_stage.match(sql)
-        if m:
-            import shutil as _sh
-
-            if m.group(2) not in stages and not m.group(1):
-                raise RuntimeError(f"unknown stage {m.group(2)}")
-            _sh.rmtree(_stage_dir(m.group(2)), ignore_errors=True)
-            stages.pop(m.group(2), None)
-            return spark.sql("SELECT 1 AS ok WHERE false")
-        m = _remove_stage.match(sql)
-        if m:
-            import shutil as _sh
-
-            _sh.rmtree(_stage_dir(m.group(1)), ignore_errors=True)
-            _stage_dir(m.group(1))
-            return spark.sql("SELECT 1 AS ok WHERE false")
-        m = _copy_to_stage.match(sql)
-        if m:
-            name, src = m.group(1), m.group(2).strip()
-            d, fmt = stages[name]
-            if m.group(3):
-                fmt = m.group(3).upper()
-            if src.startswith("("):
-                src = src[1:-1]
-            else:
-                src = f"SELECT * FROM {src}"
-            df = spark.sql(rewrite_databend_sql(src))
-            w = df.write.mode("append")
-            (w.parquet(d) if fmt == "PARQUET" else w.csv(d))
-            return spark.sql("SELECT 1 AS ok WHERE false")
-        m = _copy_from_stage.match(sql)
-        if m and m.group(2) in stages:
-            tbl, name = m.group(1), m.group(2)
-            d, fmt = stages[name]
-            schema = spark.table(tbl).schema
-            reader = (
-                spark.read.parquet(d)
-                if fmt == "PARQUET"
-                else spark.read.schema(schema).csv(d)
-            )
-            from pyspark.sql import functions as F
-
-            cols = [
-                F.col(c).cast(f.dataType).alias(f.name)
-                for c, f in zip(reader.columns, schema.fields)
-            ]
-            reader.select(*cols).write.insertInto(tbl)
-            return spark.sql("SELECT 1 AS ok WHERE false")
-        if "@" in sql and stages:
-            sql = _resolve_stage_refs(sql)
+        _stage_res = stage_mgr.try_handle(sql, run_sql)
+        if _stage_res is not None:
+            return _stage_res
+        if stage_mgr.has_ref(sql):
+            sql = stage_mgr.resolve_refs(sql)
         from databend_spark.testkit.merge_shim import (
             is_merge,
             merge_counts,
