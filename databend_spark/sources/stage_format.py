@@ -536,7 +536,8 @@ def decompress(raw: bytes, filename: str, compression: str = "auto") -> bytes:
     if c == "zstd":
         import pyarrow as pa
 
-        return pa.Codec("zstd").decompress(raw, asbytes=True)
+        with pa.input_stream(pa.BufferReader(raw), compression="zstd") as st:
+            return st.read()
     if c == "snappy":
         import pyarrow as pa
 
@@ -728,8 +729,9 @@ def decode_file(
     """Decode one staged file into typed rows. Row-level problems land
     in ``errors`` with reference-parity messages; the caller applies
     ON_ERROR policy."""
+    _comp = params.compression if params.compression not in ("none", "") else "auto"
     if params.type in ("csv", "tsv", "text"):
-        data = decompress(raw, filename, params.compression)
+        data = decompress(raw, filename, _comp)
         try:
             text = data.decode(params.encoding or "utf-8")
         except (UnicodeDecodeError, LookupError):
@@ -739,11 +741,11 @@ def decode_file(
             ) from None
         return _decode_text(text, params, cols, numeric_cast)
     if params.type == "ndjson":
-        data = decompress(raw, filename, params.compression)
+        data = decompress(raw, filename, _comp)
         text = data.decode("utf-8")
         return _decode_ndjson(text, params, cols)
     if params.type == "json":
-        data = decompress(raw, filename, params.compression)
+        data = decompress(raw, filename, _comp)
         docs = json.loads(data.decode("utf-8"))
         if isinstance(docs, dict):
             docs = [docs]

@@ -298,11 +298,11 @@ class StageManager:
                     raise ValueError(f"[1006] file {f} not found in stage")
         else:
             target = os.path.join(base, subpath) if subpath else base
-            if os.path.isfile(target):
-                out.append((os.path.relpath(target, stage.rel_root), target))
-            else:
-                # prefix semantics: /a matches a* recursively
-                if os.path.isdir(target):
+            if True:
+                # prefix semantics (reference list API): a non-slash
+                # path component matches every object whose name starts
+                # with it — `/ab` matches ab.csv, ab/cd.csv, ab2/x
+                if (not subpath) or subpath.endswith("/"):
                     roots = [target]
                     pfx = None
                 else:
@@ -331,14 +331,13 @@ class StageManager:
             # reference full-matches the pattern against the path
             # relative to the queried prefix (list.rs / stage_table.rs)
             pbase = os.path.join(stage.dir, subpath) if subpath else stage.dir
-            if not os.path.isdir(pbase):
+            if subpath and not subpath.endswith("/"):
+                # a prefix component is not a directory boundary: the
+                # pattern matches relative to its parent directory
                 pbase = os.path.dirname(pbase)
 
             def _m(abs_p: str) -> bool:
-                rel_here = os.path.relpath(abs_p, pbase)
-                return bool(rx.fullmatch(rel_here)) or bool(
-                    rx.fullmatch(os.path.basename(abs_p))
-                )
+                return bool(rx.fullmatch(os.path.relpath(abs_p, pbase)))
 
             out = [fp for fp in out if _m(fp[1])]
         out.sort()
@@ -916,17 +915,38 @@ class StageManager:
         rewrite $N / metadata$ references."""
         # list_stage TVF first
         def _ls(m):
-            st, sub = self.resolve_location(m.group(1))
-            df = self._list_df(st, sub, None)
+            kw = parse_option_list(m.group(1))
+            st, sub = self.resolve_location(str(kw.get("location", "")))
+            df = self._list_df(st, sub, str(kw["pattern"]) if kw.get("pattern") else None)
             v = f"__list_stage_{abs(hash(m.group(1))) % 99991}"
             df.createOrReplaceTempView(v)
             return v
 
         sql = re.sub(
-            r"list_stage\s*\(\s*location\s*=>\s*'(@[^']*)'\s*\)",
+            r"list_stage\s*\(((?:[^()]|\([^()]*\))*)\)",
             _ls,
             sql,
             flags=re.I,
+        )
+
+        def _inf(m):
+            df = self._infer_schema_df(m.group(1))
+            v = f"__infer_schema_{abs(hash(m.group(1))) % 99991}"
+            df.createOrReplaceTempView(v)
+            return v
+
+        sql = re.sub(
+            r"infer_schema\s*\(((?:[^()]|\([^()]*\))*)\)", _inf, sql, flags=re.I
+        )
+
+        def _insp(m):
+            df = self._inspect_parquet_df(m.group(1))
+            v = f"__inspect_parquet_{abs(hash(m.group(1))) % 99991}"
+            df.createOrReplaceTempView(v)
+            return v
+
+        sql = re.sub(
+            r"inspect_parquet\s*\(\s*'(@[^']*)'\s*\)", _insp, sql, flags=re.I
         )
         out = sql
         seen_cols: list[str] | None = None
@@ -989,6 +1009,139 @@ class StageManager:
                 )
             out = _rewrite_positional(out, seen_cols)
         return out
+
+    def _infer_schema_df(self, args_text: str):
+        """INFER_SCHEMA TVF (reference table_functions/infer_schema):
+        Databend-style type names, 0/1 nullability, filenames, order."""
+        args = parse_option_list(args_text)
+        loc = str(args.get("location", ""))
+        schema_str = (
+            "column_name string, type string, nullable int, "
+            "filenames string, order_id int"
+        )
+        try:
+            st, sub = self.resolve_location(loc)
+            max_fc = int(str(args.get("max_file_count", 0) or 0))
+            listed = self.list_files(
+                st, sub, pattern=str(args["pattern"]) if args.get("pattern") else None
+            )
+            if max_fc:
+                listed = listed[:max_fc]
+        except ValueError:
+            listed = []
+        if not listed:
+            return self.spark.createDataFrame([], schema_str)
+        ffname = args.get("file_format")
+        if ffname:
+            fmt = resolve_format({"format_name": str(ffname)}, self.named_formats)
+        else:
+            fmt = self._fmt_for(None, None, listed[0][1])
+        fnames = ",".join(rel for rel, _ in listed)
+        max_rec = int(str(args.get("max_records_per_file", 0) or 0))
+        rows = []
+        if fmt.type in ("csv", "tsv", "text"):
+            from databend_spark.sources.stage_format import (
+                split_text_records,
+            )
+
+            names, col_types = None, []
+            for rel, p in listed:
+                text = _read_text(p, rel, fmt)
+                recs = split_text_records(text, fmt)
+                if not recs:
+                    continue
+                width = len(recs[0])
+                if any(len(r) != width for r in recs):
+                    raise RuntimeError(
+                        "[1046] cannot infer schema: ragged CSV (column "
+                        "counts differ between rows)"
+                    )
+                if names is None:
+                    if fmt.skip_header:
+                        names = [f0 for f0, _q in recs[0]]
+                    else:
+                        names = [f"column_{i + 1}" for i in range(width)]
+                    col_types = [None] * width
+                body = recs[fmt.skip_header :]
+                if max_rec:
+                    body = body[:max_rec]
+                for i in range(min(width, len(col_types))):
+                    for r in body:
+                        v = r[i][0].strip() if fmt.trim_space else r[i][0]
+                        if v in ("", fmt.null_display):
+                            continue
+                        col_types[i] = _merge_infer(
+                            col_types[i], _classify_text(v)
+                        )
+            if names is None:
+                return self.spark.createDataFrame([], schema_str)
+            for i, n in enumerate(names):
+                rows.append((n, col_types[i] or "VARCHAR", 1, fnames, i))
+        elif fmt.type == "ndjson":
+            import json as _json
+
+            names, types = [], {}
+            for rel, p in listed:
+                text = _read_text(p, rel, fmt)
+                seen = 0
+                for line in text.split("\n"):
+                    if not line.strip():
+                        continue
+                    seen += 1
+                    if max_rec and seen > max_rec:
+                        break
+                    obj = _json.loads(line)
+                    for k, v in obj.items():
+                        if k not in types:
+                            names.append(k)
+                            types[k] = None
+                        types[k] = _merge_infer(types[k], _classify_json(v))
+            for i, n in enumerate(names):
+                rows.append(
+                    (n, _render_infer(types[n]) if types[n] else "VARCHAR",
+                     1, fnames, i)
+                )
+        else:
+            import pyarrow.parquet as pq
+
+            sch = pq.read_schema(listed[0][1])
+            meta = sch.metadata or {}
+            for i, f in enumerate(sch):
+                mv = meta.get(f.name.encode())
+                if mv == b"Variant":
+                    tname = "VARIANT"
+                else:
+                    tname = _db_arrow_type(f.type, nested=False)
+                rows.append((f.name, tname, int(f.nullable), fnames, i))
+        return self.spark.createDataFrame(rows, schema_str)
+
+    def _inspect_parquet_df(self, loc: str):
+        import pyarrow.parquet as pq
+
+        st, sub = self.resolve_location(loc)
+        listed = self.list_files(st, sub)
+        if not listed:
+            raise ValueError("[1065] no files found")
+        p = listed[0][1]
+        md = pq.ParquetFile(p).metadata
+        comp = unc = 0
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            comp += sum(
+                rg.column(i).total_compressed_size for i in range(rg.num_columns)
+            )
+            unc += sum(
+                rg.column(i).total_uncompressed_size for i in range(rg.num_columns)
+            )
+        return self.spark.createDataFrame(
+            [(
+                md.created_by, md.num_columns, md.num_rows,
+                md.num_row_groups, os.path.getsize(p), comp, unc,
+            )],
+            "created_by string, num_columns int, num_rows bigint, "
+            "num_row_groups int, size bigint, max_row_groups_size_compressed "
+            "bigint, max_row_groups_size_uncompressed bigint",
+        )
 
     def _stage_view_for_files(
         self, st: Stage, listed: list[tuple[str, str]], fmt: FormatParams,
@@ -1096,6 +1249,159 @@ class StageManager:
         sdf.createOrReplaceTempView(vname)
         self._view_cols[vname] = cols
         return vname
+
+
+def _read_text(path: str, rel: str, fmt: FormatParams) -> str:
+    """Read + decompress a staged text file; 'none' still sniffs by
+    extension (the reference's loaders sniff unless a codec is forced)."""
+    from databend_spark.sources.stage_format import decompress
+
+    raw = open(path, "rb").read()
+    comp = fmt.compression if fmt.compression not in ("none", "") else "auto"
+    return decompress(raw, rel, comp).decode(fmt.encoding or "utf-8")
+
+
+def _classify_text(v: str) -> str:
+    if re.fullmatch(r"-?\d+", v):
+        return "BIGINT"
+    if re.fullmatch(r"-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", v):
+        return "DOUBLE"
+    if v.lower() in ("true", "false"):
+        return "BOOLEAN"
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", v):
+        return "DATE"
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?", v):
+        return "TIMESTAMP"
+    return "VARCHAR"
+
+
+def _classify_json(v):
+    """JSON value -> structured inferred type: ('scalar', name) |
+    ('array', elem) | ('tuple', {key: type}) | ('variant',)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return ("scalar", "BOOLEAN")
+    if isinstance(v, int):
+        return ("scalar", "BIGINT")
+    if isinstance(v, float):
+        return ("scalar", "DOUBLE")
+    if isinstance(v, list):
+        elem = None
+        for x in v:
+            elem = _merge_infer(elem, _classify_json(x), in_array=True)
+        return ("array", elem)
+    if isinstance(v, dict):
+        return ("tuple", {k: _classify_json(x) for k, x in v.items()})
+    return ("scalar", "VARCHAR")
+
+
+def _merge_infer(a, b, in_array: bool = False):
+    """Merge two inferred types (reference infer_schema conflict rules:
+    int+float=DOUBLE, scalar conflicts=VARCHAR, array-in-array element
+    conflicts=STRING, container-vs-scalar=VARIANT)."""
+    if isinstance(a, str) or isinstance(b, str):  # CSV string lattice
+        if a is None:
+            return b
+        if b is None or a == b:
+            return a
+        if {a, b} <= {"BIGINT", "DOUBLE"}:
+            return "DOUBLE"
+        return "VARCHAR"
+    if a is None:
+        return b
+    if b is None or a == b:
+        return a
+    if a[0] == "scalar" and b[0] == "scalar":
+        if {a[1], b[1]} <= {"BIGINT", "DOUBLE"}:
+            return ("scalar", "DOUBLE")
+        return ("scalar", "VARCHAR")
+    if a[0] == "array" and b[0] == "array":
+        return ("array", _merge_infer(a[1], b[1], in_array=True))
+    if a[0] == "tuple" and b[0] == "tuple":
+        merged = dict(a[1])
+        for k, t in b[1].items():
+            merged[k] = _merge_infer(merged.get(k), t)
+        return ("tuple", merged)
+    if in_array:
+        return ("scalar", "VARCHAR")
+    return ("variant",)
+
+
+def _render_infer(t, nested: bool = False) -> str:
+    """Inferred type -> Databend display (top-level SQL aliases, nested
+    internal names; single-field tuples keep the trailing comma)."""
+    if t is None:
+        return "VARIANT"
+    if isinstance(t, str):
+        return t
+    if t[0] == "scalar":
+        if not nested:
+            return t[1]
+        return {
+            "BIGINT": "INT64", "DOUBLE": "FLOAT64",
+            "VARCHAR": "STRING", "BOOLEAN": "BOOLEAN",
+        }.get(t[1], t[1])
+    if t[0] == "array":
+        return f"ARRAY({_render_infer(t[1], nested=True)})"
+    if t[0] == "tuple":
+        parts = [
+            f"{k.upper()} {_render_infer(v, nested=True)}"
+            for k, v in t[1].items()
+        ]
+        return "TUPLE(" + ", ".join(parts) + ("," if len(parts) == 1 else "") + ")"
+    return "VARIANT"
+
+
+def _db_arrow_type(t, nested: bool) -> str:
+    """Arrow type -> Databend display name; top-level scalars render the
+    SQL-ish alias (INT/BIGINT/VARCHAR), nested members the internal name
+    (INT32/STRING) — matches infer_schema goldens."""
+    import pyarrow as pa
+
+    if pa.types.is_struct(t):
+        parts = [
+            f"{f.name.upper()} {_db_arrow_type(f.type, nested=True)}"
+            for f in t
+        ]
+        inner = ", ".join(parts) + ("," if len(parts) == 1 else "")
+        return f"TUPLE({inner})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"ARRAY({_db_arrow_type(t.value_type, nested=True)})"
+    if pa.types.is_map(t):
+        return (
+            f"MAP({_db_arrow_type(t.key_type, True)}, "
+            f"{_db_arrow_type(t.item_type, True)})"
+        )
+    if pa.types.is_decimal(t):
+        return f"DECIMAL({t.precision}, {t.scale})"
+    if pa.types.is_timestamp(t):
+        return "TIMESTAMP"
+    if pa.types.is_date(t):
+        return "DATE"
+    if pa.types.is_boolean(t):
+        return "BOOLEAN"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "BINARY"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "STRING" if nested else "VARCHAR"
+    if pa.types.is_float32(t):
+        return "FLOAT32" if nested else "FLOAT"
+    if pa.types.is_float64(t):
+        return "FLOAT64" if nested else "DOUBLE"
+    for bits in (8, 16, 32, 64):
+        if t == getattr(__import__("pyarrow"), f"int{bits}")():
+            if nested:
+                return f"INT{bits}"
+            return {8: "TINYINT", 16: "SMALLINT", 32: "INT", 64: "BIGINT"}[bits]
+        if t == getattr(__import__("pyarrow"), f"uint{bits}")():
+            if nested:
+                return f"UINT{bits}"
+            return {
+                8: "TINYINT UNSIGNED", 16: "SMALLINT UNSIGNED",
+                32: "INT UNSIGNED", 64: "BIGINT UNSIGNED",
+            }[bits]
+    return str(t).upper()
 
 
 def _rewrite_positional(sql: str, cols: list[str]) -> str:
