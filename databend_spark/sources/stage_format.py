@@ -135,6 +135,9 @@ class FormatParams:
     use_logic_type: bool = True
     # json
     row_tag: str = "row"
+    # COPY-level flag (DISABLE_VARIANT_CHECK): invalid variants load as
+    # JSON null instead of erroring
+    variant_check: bool = True
 
     @property
     def is_text_like(self) -> bool:
@@ -203,7 +206,9 @@ def _defaults_for(t: str) -> FormatParams:
             empty_field_as="field_default",
         )
     if t == "ndjson":
-        return FormatParams(type="ndjson")
+        # option-layer default is NULL (file_format.rs try_create), not
+        # the serde-struct default FIELD_DEFAULT
+        return FormatParams(type="ndjson", null_field_as="null")
     return FormatParams(type=t)
 
 
@@ -252,7 +257,7 @@ def _apply_options(p: FormatParams, opts: dict[str, object]) -> FormatParams:
             m = str(v).lower()
             if m not in ("error", "null", "field_default"):
                 raise ValueError(
-                    "[2507] Invalid option value: MISSING_FIELD_AS is set "
+                    "[2004] Invalid option value: MISSING_FIELD_AS is set "
                     f"to {m.upper()}. The valid values are "
                     "ERROR | NULL | FIELD_DEFAULT."
                 )
@@ -261,7 +266,7 @@ def _apply_options(p: FormatParams, opts: dict[str, object]) -> FormatParams:
             m = str(v).lower()
             if m == "error":
                 raise ValueError(
-                    "[2507] Invalid option value: NULL_FIELD_AS is set to "
+                    "[2004] Invalid option value: NULL_FIELD_AS is set to "
                     "ERROR. The valid values are NULL | FIELD_DEFAULT."
                 )
             p.null_field_as = m
@@ -330,6 +335,16 @@ _TS_FORMATS = (
     "%Y-%m-%d %H:%M",
     "%Y-%m-%d",
 )
+
+
+def _jsonb_error_msg(t: str, e: Exception) -> str:
+    """Reference jsonb parser error text (expected ident/value, pos N)."""
+    if re.match(r"^[A-Za-z]", t) and t not in ("true", "false", "null"):
+        return "expected ident, pos 3"
+    pos = getattr(e, "pos", 0) or 0
+    if pos >= len(t.rstrip()):
+        return f"EOF while parsing a value, pos {len(t.rstrip())}"
+    return f"expected value, pos {pos + 1}"
 
 
 def parse_timestamp_text(s: str) -> datetime:
@@ -470,11 +485,10 @@ def parse_field_text(
         t = s.strip()
         try:
             v = json.loads(t)
-        except ValueError:
-            raise FieldError(
-                "expected value, pos 1 while evaluating function "
-                f"`parse_json('{t}')`"
-            ) from None
+        except ValueError as e:
+            if not params.variant_check:
+                return "null"
+            raise FieldError(_jsonb_error_msg(t, e)) from None
         return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
     if k == "uuid":
         t = s.strip()
@@ -875,16 +889,23 @@ def _object_to_row(
 ) -> tuple:
     lower = {k.lower(): v for k, v in obj.items()}
     out = []
-    for col in cols:
+    for ci, col in enumerate(cols):
         key = col.name.lower()
+        label = db_type_label(col)
         if key not in lower:
             if params.missing_field_as == "error":
                 raise FieldError(
-                    f"missing field {col.name} in NDJSON line {ln} "
-                    "(set MISSING_FIELD_AS to load anyway)"
+                    f"Missing value for column {ci} ({col.name} {label}). "
+                    "current FILE_FORMAT option: MISSING_FIELD_AS=ERROR"
                 )
             if params.missing_field_as == "null":
-                out.append(_null_for(col))
+                if not col.nullable:
+                    raise FieldError(
+                        f"Missing value for column {ci} ({col.name} "
+                        f"{label}). current FILE_FORMAT option: "
+                        "MISSING_FIELD_AS=NULL. the column is not nullable"
+                    )
+                out.append(None)
             else:
                 out.append(col.type_default())
             continue
@@ -893,10 +914,30 @@ def _object_to_row(
             if params.null_field_as == "field_default":
                 out.append(col.type_default())
             else:
-                out.append(_null_for(col))
+                if not col.nullable:
+                    raise FieldError(
+                        f"Invalid value 'null' for column {ci} ({col.name} "
+                        f"{label}): null value is not allowed for "
+                        "non-nullable field, when NULL_FIELDS_AS=NULL"
+                    )
+                out.append(None)
             continue
-        out.append(_json_value(v, col, params))
+        try:
+            out.append(_json_value(v, col, params))
+        except FieldError as e:
+            raise FieldError(
+                f"Invalid value {_jtxt(v)!r} for column {ci} "
+                f"({col.name} {label}): {e}"
+            ) from None
     return tuple(out)
+
+
+def _jtxt(v) -> str:
+    return (
+        json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+        if isinstance(v, (dict, list))
+        else str(v)
+    )
 
 
 def _json_value(v, col: ColSpec, params: FormatParams):

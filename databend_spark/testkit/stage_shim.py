@@ -689,6 +689,8 @@ class StageManager:
         fmt = self._fmt_for(
             opts.get("__file_format"), st, picked[0][1] if picked else None
         )
+        if _tflag(opts.get("disable_variant_check")):
+            fmt = replace(fmt, variant_check=False)
         numeric_cast = self.get_setting("numeric_cast_option", "rounding")
 
         results = []

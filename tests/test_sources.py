@@ -191,3 +191,55 @@ def test_ngram_index_prunes_like_scan(spark, tmp_path):
     # that produced result rows; the marked file has no 'common' rows)
     full_files = unsel.select(F.input_file_name()).distinct().count()
     assert full_files == 7
+
+
+def test_distributed_copy_decode(spark, tmp_path):
+    """Engine path for COPY at scale: file-granularity mapInPandas decode
+    (sources/copy_into.py), same per-file decoder as the harness; the
+    per-file error summary is a distributed groupBy, no driver loop."""
+    from pyspark.sql import types as T
+
+    from databend_spark.sources.copy_into import (
+        copy_error_summary,
+        copy_into_distributed,
+    )
+    from databend_spark.sources.stage_format import ColSpec, resolve_format
+
+    files = []
+    for i in range(4):
+        p = tmp_path / f"part{i}.csv"
+        body = f"{i},alpha\n{i + 10},beta\n"
+        if i == 3:
+            body += "notanint,gamma\n"
+        p.write_text(body)
+        files.append(str(p))
+
+    fmt = resolve_format({"type": "csv"})
+    cols = [
+        ColSpec("a", "int", db_type="Int32"),
+        ColSpec("b", "string", db_type="String"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("a", T.IntegerType(), True),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    decoded = copy_into_distributed(spark, files, fmt, cols, schema)
+    good = decoded.filter("_error IS NULL")
+    assert good.count() == 8
+    assert good.agg({"a": "sum"}).collect()[0][0] == sum(
+        i + i + 10 for i in range(4)
+    )
+    # plan check: decode runs in tasks (mapInPandas), not on the driver
+    assert "MapInPandas" in good._jdf.queryExecution().executedPlan().toString()
+
+    summary = {r["file"]: r for r in copy_error_summary(decoded).collect()}
+    bad = [f for f in files if f.endswith("part3.csv")][0]
+    assert summary[bad]["errors_seen"] == 1
+    assert "invalid text for number" in summary[bad]["first_error"]
+    assert all(
+        summary[f]["rows_loaded"] == 2 and summary[f]["errors_seen"] == 0
+        for f in files
+        if f != bad
+    )
