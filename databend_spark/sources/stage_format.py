@@ -138,6 +138,9 @@ class FormatParams:
     # COPY-level flag (DISABLE_VARIANT_CHECK): invalid variants load as
     # JSON null instead of erroring
     variant_check: bool = True
+    # session setting enable_auto_detect_datetime_format: lenient
+    # (non-padded) date/timestamp parsing
+    auto_detect_datetime: bool = False
 
     @property
     def is_text_like(self) -> bool:
@@ -315,6 +318,8 @@ class ColSpec:
     scale: int = 0
     bits: int = 32
     signed: bool = True
+    subs: list["ColSpec"] | None = None  # tuple members
+    elem: "ColSpec | None" = None  # array element / map value
 
     def type_default(self):
         if self.default is not _NO_DEFAULT:
@@ -347,7 +352,10 @@ def _jsonb_error_msg(t: str, e: Exception) -> str:
     return f"expected value, pos {pos + 1}"
 
 
-def parse_timestamp_text(s: str) -> datetime:
+_EPOCH_DT0 = datetime(1970, 1, 1)
+
+
+def parse_timestamp_text(s: str, lenient: bool = False) -> datetime:
     txt = s.strip()
     # trailing zone: +08:00 / Z / +0800
     zm = re.search(r"(Z|[+-]\d{2}:?\d{2})$", txt)
@@ -371,25 +379,34 @@ def parse_timestamp_text(s: str) -> datetime:
             return dt
         except ValueError:
             continue
-    # epoch seconds / micros
+    # epoch numbers: unit by magnitude (reference auto-detects s/ms/us)
     if re.fullmatch(r"-?\d+", txt):
         v = int(txt)
         if abs(v) < 10**10:
             return datetime.utcfromtimestamp(v)
-        return datetime.utcfromtimestamp(v / 1e6)
+        if abs(v) < 10**13:
+            return _EPOCH_DT0 + __import__("datetime").timedelta(milliseconds=v)
+        if abs(v) < 10**16:
+            return _EPOCH_DT0 + __import__("datetime").timedelta(microseconds=v)
+        return _EPOCH_DT0 + __import__("datetime").timedelta(microseconds=v // 1000)
+    if lenient:
+        m = re.fullmatch(r"(\d{1,4})-(\d{1,2})-(\d{1,2})", txt)
+        if m:
+            return datetime(int(m.group(1)), int(m.group(2)), int(m.group(3)))
     raise FieldError("invalid text for timestamp")
 
 
-def parse_date_text(s: str) -> date:
+def parse_date_text(s: str, lenient: bool = False) -> date:
     txt = s.strip()
-    m = re.fullmatch(r"(\d{1,4})-(\d{1,2})-(\d{1,2})", txt)
+    pat = r"(\d{1,4})-(\d{1,2})-(\d{1,2})" if lenient else r"(\d{4})-(\d{2})-(\d{2})"
+    m = re.fullmatch(pat, txt)
     if m:
         try:
             return date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
         except ValueError as e:
             raise FieldError("invalid text for date") from e
     try:
-        return parse_timestamp_text(txt).date()
+        return parse_timestamp_text(txt, lenient).date()
     except FieldError:
         raise FieldError("invalid text for date") from None
 
@@ -467,9 +484,9 @@ def parse_field_text(
             return False
         raise FieldError("invalid text for boolean")
     if k == "date":
-        return parse_date_text(s)
+        return parse_date_text(s, params.auto_detect_datetime)
     if k == "timestamp":
-        return parse_timestamp_text(s)
+        return parse_timestamp_text(s, params.auto_detect_datetime)
     if k == "binary":
         t = s.strip()
         if params.binary_format == "base64":
@@ -499,16 +516,120 @@ def parse_field_text(
         ):
             raise FieldError("invalid text for uuid")
         return t.lower()
-    if k in ("array", "map", "tuple"):
+    if k in ("array", "tuple"):
         t = s.strip()
+        if t.startswith(("[", "(")) and t.endswith(("]", ")")):
+            parts = _split_bracket_list(t[1:-1])
+            if k == "tuple" and col.subs:
+                if len(parts) != len(col.subs):
+                    raise FieldError("invalid text for tuple")
+                return tuple(
+                    parse_field_text(p, sub, params, numeric_cast)
+                    if p not in ("NULL", "null") else None
+                    for p, sub in zip(parts, col.subs)
+                )
+            if k == "array" and col.elem is not None:
+                return [
+                    parse_field_text(p, col.elem, params, numeric_cast)
+                    if p not in ("NULL", "null") else None
+                    for p in parts
+                ]
         try:
             return json.dumps(
                 json.loads(t), separators=(",", ":"), ensure_ascii=False
             )
         except ValueError:
             raise FieldError(f"invalid text for {k}") from None
+    if k == "map":
+        t = s.strip()
+        if t.startswith("{") and t.endswith("}"):
+            out = {}
+            for part in _split_bracket_list(t[1:-1]):
+                if not part:
+                    continue
+                kv = _split_top_colon(part)
+                if kv is None:
+                    raise FieldError("invalid text for map")
+                kk, vv = kv
+                key = parse_field_text(
+                    kk, col.subs[0] if col.subs else ColSpec("k", "string"),
+                    params, numeric_cast,
+                ) if col.subs else kk
+                val = (
+                    None
+                    if vv in ("NULL", "null") and col.elem is not None
+                    else parse_field_text(
+                        vv,
+                        col.elem or ColSpec("v", "string"),
+                        params,
+                        numeric_cast,
+                    )
+                )
+                out[key] = val
+            return out
+        try:
+            return json.loads(t)
+        except ValueError:
+            raise FieldError("invalid text for map") from None
     # string & everything else: identity
     return s
+
+
+def _split_top_colon(part: str) -> tuple[str, str] | None:
+    """Split `key:value` at the top level, respecting quotes/brackets."""
+    depth, i, n = 0, 0, len(part)
+    while i < n:
+        ch = part[i]
+        if ch == "'":
+            i += 1
+            while i < n and part[i] != "'":
+                i += 1
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == ":" and depth == 0:
+            k = part[:i].strip().strip("'")
+            v = part[i + 1 :].strip()
+            if v.startswith("'") and v.endswith("'"):
+                v = v[1:-1]
+            return k, v
+        i += 1
+    return None
+
+
+def _split_bracket_list(inner: str) -> list[str]:
+    """Split a Databend composite literal body ['a', ('b', 1)] on
+    top-level commas; an element that is entirely quoted loses its
+    quotes, nested quotes stay verbatim for the recursive parse."""
+    parts, buf, depth, i, n = [], [], 0, 0, len(inner)
+    while i < n:
+        ch = inner[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and inner[j] != "'":
+                j += 1
+            buf.append(inner[i : j + 1])
+            i = j + 1
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    last = "".join(buf).strip()
+    if last or parts:
+        parts.append(last)
+    return [
+        p[1:-1] if len(p) >= 2 and p[0] == "'" and p[-1] == "'" else p
+        for p in parts
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -983,11 +1104,48 @@ def _json_value(v, col: ColSpec, params: FormatParams):
 # encode (unload)
 
 
+def _composite_text(v) -> str:
+    """Databend serialization of nested values in text unloads: tuples
+    render as JSON arrays, map keys raw, variant strings embed as raw
+    canonical JSON (csv_types.test roundtrip goldens)."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if hasattr(v, "__fields__") or isinstance(v, tuple):
+        return "[" + ",".join(_composite_text(x) for x in v) + "]"
+    if isinstance(v, list):
+        return "[" + ",".join(_composite_text(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k if not isinstance(k, str) else json.dumps(k, ensure_ascii=False)}:"
+            f"{_composite_text(x)}"
+            for k, x in v.items()
+        ) + "}"
+    if isinstance(v, str):
+        t = v.strip()
+        if t[:1] in "[{":
+            try:
+                return json.dumps(
+                    json.loads(t), separators=(",", ":"), ensure_ascii=False
+                )
+            except ValueError:
+                pass
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, datetime):
+        return '"' + v.strftime("%Y-%m-%d %H:%M:%S.%f") + '"'
+    if isinstance(v, date):
+        return '"' + v.isoformat() + '"'
+    return str(v)
+
+
 def render_value(v, col: ColSpec | None, params: FormatParams) -> str | None:
     """Databend text display of one value (None => caller writes
     null_display)."""
     if v is None:
         return None
+    if isinstance(v, (list, dict)) or hasattr(v, "__fields__"):
+        return _composite_text(v)
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):

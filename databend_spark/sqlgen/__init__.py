@@ -497,36 +497,85 @@ _TUPLE_TYPE = re.compile(r"\bTUPLE\s*\(((?:[^()<>]|\([^()<>]*\))*)\)", re.I)
 def _rewrite_ddl_nested_types(s: str) -> str:
     """``Array(Int Null)`` → ``ARRAY<INT>``, ``Map(String, Int)`` →
     ``MAP<STRING, INT>``, ``Tuple(A, B)`` → ``STRUCT<`1`: A, `2`: B>``
-    (positional fields match the t.1 access rewrite). DDL-only — in DML
-    ``array(...)``/``map(...)`` are constructor calls."""
+    (positional fields match the t.1 access rewrite). Fully recursive —
+    arbitrarily nested Tuple/Map/Array compose (csv_types' complex
+    column). DDL-only — in DML ``array(...)``/``map(...)`` are
+    constructor calls."""
 
     def strip_null(t: str) -> str:
         return re.sub(r"\s*(NOT\s+)?NULL\b", "", t, flags=re.I).strip()
 
-    def tuple_repl(m: re.Match) -> str:
-        parts = [strip_null(p) for p in m.group(1).split(",")]
-        # named fields (`Tuple(a Int, b String)`) keep their names;
-        # unnamed get positional names matching the t.N access rewrite
-        named = all(len(p.split()) >= 2 for p in parts)
+    def split_top(body: str) -> list[str]:
+        parts, buf, depth = [], [], 0
+        for ch in body:
+            if ch in "(<":
+                depth += 1
+            elif ch in ")>":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+        if buf or parts:
+            parts.append("".join(buf).strip())
+        return parts
+
+    def conv_type(t: str) -> str:
+        t = strip_null(t)
+        m = re.match(r"^(TUPLE|ARRAY|MAP|NULLABLE)\s*\((.*)\)$", t, re.I | re.S)
+        if not m:
+            return t
+        kind = m.group(1).upper()
+        body = m.group(2)
+        if kind == "NULLABLE":
+            return conv_type(body)
+        parts = split_top(body)
+        if kind == "ARRAY":
+            return f"ARRAY<{conv_type(parts[0])}>"
+        if kind == "MAP":
+            return f"MAP<{conv_type(parts[0])}, {conv_type(parts[1])}>"
+        # TUPLE: named (`a Int`) or positional
+        named = all(
+            len(p.split(None, 1)) >= 2
+            and re.match(r"^[A-Za-z_]\w*$", p.split(None, 1)[0])
+            and not re.match(
+                r"^(TUPLE|ARRAY|MAP|NULLABLE)$", p.split(None, 1)[0], re.I
+            )
+            for p in parts
+        )
         if named:
             fields = ", ".join(
-                f"{p.split(None, 1)[0]}: {p.split(None, 1)[1]}"
+                f"{p.split(None, 1)[0]}: {conv_type(p.split(None, 1)[1])}"
                 for p in parts
             )
         else:
             fields = ", ".join(
-                f"`{i + 1}`: {p}" for i, p in enumerate(parts)
+                f"`{i + 1}`: {conv_type(p)}" for i, p in enumerate(parts)
             )
         return f"STRUCT<{fields}>"
 
-    for _ in range(10):
-        new = _ARRAY_TYPE.sub(lambda m: f"ARRAY<{strip_null(m.group(1))}>", s)
-        new = _MAP_TYPE.sub(lambda m: f"MAP<{strip_null(m.group(1))}>", new)
-        new = _TUPLE_TYPE.sub(tuple_repl, new)
-        if new == s:
-            return s
-        s = new
-    return s
+    # scan for top-level TUPLE/ARRAY/MAP( ... ) type expressions with
+    # balanced parens and convert each recursively
+    out, i, n = [], 0, len(s)
+    rx = re.compile(r"\b(TUPLE|ARRAY|MAP)\s*\(", re.I)
+    while i < n:
+        m = rx.search(s, i)
+        if not m:
+            out.append(s[i:])
+            break
+        out.append(s[i : m.start()])
+        depth, j = 0, m.end() - 1
+        while j < n:
+            depth += s[j] == "("
+            depth -= s[j] == ")"
+            if depth == 0:
+                break
+            j += 1
+        seg = s[m.start() : j + 1]
+        out.append(conv_type(seg))
+        i = j + 1
+    return "".join(out)
 
 
 _QUANT_CMP = re.compile(

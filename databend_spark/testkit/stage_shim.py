@@ -158,6 +158,15 @@ def build_colspecs(
         spec = ColSpec(
             name=f.name, kind=kind, db_type=db, nullable=nullable, **extra
         )
+        if isinstance(f.dataType, T.StructType):
+            spec.subs = [
+                _sub_spec(sf.name, sf.dataType) for sf in f.dataType.fields
+            ]
+        elif isinstance(f.dataType, T.ArrayType):
+            spec.elem = _sub_spec("elem", f.dataType.elementType)
+        elif isinstance(f.dataType, T.MapType):
+            spec.subs = [_sub_spec("key", f.dataType.keyType)]
+            spec.elem = _sub_spec("value", f.dataType.valueType)
         dflt = defaults.get(f.name.lower())
         if dflt is not None:
             v = _literal_default(dflt, kind)
@@ -165,6 +174,19 @@ def build_colspecs(
                 spec.default = v
         out.append(spec)
     return out
+
+
+def _sub_spec(name: str, dt: T.DataType) -> ColSpec:
+    kind, extra = _spark_kind(dt)
+    spec = ColSpec(name=name, kind=kind, db_type=kind.capitalize(), **extra)
+    if isinstance(dt, T.StructType):
+        spec.subs = [_sub_spec(sf.name, sf.dataType) for sf in dt.fields]
+    elif isinstance(dt, T.ArrayType):
+        spec.elem = _sub_spec("elem", dt.elementType)
+    elif isinstance(dt, T.MapType):
+        spec.subs = [_sub_spec("key", dt.keyType)]
+        spec.elem = _sub_spec("value", dt.valueType)
+    return spec
 
 
 _NOPE = object()
@@ -691,6 +713,10 @@ class StageManager:
         )
         if _tflag(opts.get("disable_variant_check")):
             fmt = replace(fmt, variant_check=False)
+        if str(
+            self.get_setting("enable_auto_detect_datetime_format", "0")
+        ).lower() in ("1", "true"):
+            fmt = replace(fmt, auto_detect_datetime=True)
         numeric_cast = self.get_setting("numeric_cast_option", "rounding")
 
         results = []
@@ -974,6 +1000,19 @@ class StageManager:
             ffname = kw.get("file_format")
             listed = self.list_files(st, sub, pattern=pattern, files=files)
             if not listed:
+                posrefs = [int(x) for x in re.findall(r"\$(\d+)", sql)]
+                if posrefs:
+                    width = max(posrefs)
+                    cols_sql = ", ".join(
+                        f"CAST(NULL AS STRING) AS _c{i}" for i in range(width)
+                    )
+                    view = "__stage_empty_pos"
+                    self.spark.sql(
+                        f"SELECT {cols_sql} WHERE false"
+                    ).createOrReplaceTempView(view)
+                    out = out.replace(m.group(0), view)
+                    seen_cols = [f"_c{i}" for i in range(width)]
+                    continue
                 if re.search(r"select\s+(\*|[\w.]+\.\*)\s+from", sql, re.I):
                     view = "__stage_empty"
                     self.spark.sql("SELECT NULL AS c WHERE false").createOrReplaceTempView(view)
