@@ -16,6 +16,7 @@ Output is a ``pyarrow.Table`` whose columns hold plain Python values
 from __future__ import annotations
 
 import json
+import re
 import struct
 import zlib
 from datetime import date, datetime, timedelta, timezone
@@ -147,7 +148,7 @@ def read_avro_records(
     """Decode an Avro container file -> (records, parsed schema)."""
     r = _Reader(raw)
     if r.read(4) != _MAGIC:
-        raise ValueError("[1046] not an Avro object container file")
+        raise ValueError("[1046] Not a AVRO file (wrong magic in header)")
     meta = {}
     while True:
         n = r.zlong()
@@ -216,3 +217,161 @@ def _as_py_safe(v):
     if isinstance(v, (dict, list)):
         return json.dumps(v, default=str, separators=(",", ":"))
     return str(v)
+
+
+# ---------------------------------------------------------------------------
+# writer (COPY INTO @stage ... FILE_FORMAT=(type=avro))
+
+
+def _zz(n: int) -> bytes:
+    """zigzag varint encode."""
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_schema_for(dt, name="r") -> object:
+    """Spark DataType -> Avro schema (nullable unions everywhere)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        base = "int"
+    elif isinstance(dt, T.LongType):
+        base = "long"
+    elif isinstance(dt, T.FloatType):
+        base = "float"
+    elif isinstance(dt, T.DoubleType):
+        base = "double"
+    elif isinstance(dt, T.BooleanType):
+        base = "boolean"
+    elif isinstance(dt, T.BinaryType):
+        base = "bytes"
+    elif isinstance(dt, T.DecimalType):
+        base = {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": dt.precision, "scale": dt.scale,
+        }
+    elif isinstance(dt, T.DateType):
+        base = {"type": "int", "logicalType": "date"}
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        base = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(dt, T.ArrayType):
+        base = {"type": "array", "items": _avro_schema_for(dt.elementType)}
+    elif isinstance(dt, T.MapType):
+        base = {"type": "map", "values": _avro_schema_for(dt.valueType)}
+    elif isinstance(dt, T.StructType):
+        base = {
+            "type": "record",
+            "name": f"{name}_rec",
+            # positional tuple members (Spark digit names or auto
+            # col1..colN) serialize as field_N (0-based), matching the
+            # reference's avro unload naming
+            "fields": [
+                {
+                    "name": (
+                        f"field_{i}"
+                        if f.name.isdigit()
+                        or re.fullmatch(r"col\d+", f.name)
+                        else f.name
+                    ),
+                    "type": _avro_schema_for(f.dataType, f.name),
+                }
+                for i, f in enumerate(dt.fields)
+            ],
+        }
+    else:
+        base = "string"
+    return ["null", base]
+
+
+def _enc(w: bytearray, v, schema) -> None:
+    if isinstance(schema, list):  # nullable union [null, base]
+        if v is None:
+            w += _zz(0)
+            return
+        w += _zz(1)
+        _enc(w, v, schema[1])
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    logical = schema.get("logicalType") if isinstance(schema, dict) else None
+    if t in ("int", "long"):
+        if logical == "date":
+            v = (v - _EPOCH).days
+        elif logical == "timestamp-micros":
+            v = int((v - _EPOCH_DT).total_seconds() * 1_000_000)
+        w += _zz(int(v))
+    elif t == "boolean":
+        w += b"\x01" if v else b"\x00"
+    elif t == "float":
+        w += struct.pack("<f", float(v))
+    elif t == "double":
+        w += struct.pack("<d", float(v))
+    elif t == "string":
+        b = str(v).encode("utf-8")
+        w += _zz(len(b)) + b
+    elif t == "bytes":
+        if logical == "decimal":
+            unscaled = int(v.scaleb(schema["scale"]))
+            blen = max(1, (unscaled.bit_length() + 8) // 8)
+            b = unscaled.to_bytes(blen, "big", signed=True)
+        else:
+            b = bytes(v)
+        w += _zz(len(b)) + b
+    elif t == "array":
+        items = list(v)
+        if items:
+            w += _zz(len(items))
+            for x in items:
+                _enc(w, x, schema["items"])
+        w += _zz(0)
+    elif t == "map":
+        items = list(v.items())
+        if items:
+            w += _zz(len(items))
+            for k, x in items:
+                kb = str(k).encode("utf-8")
+                w += _zz(len(kb)) + kb
+                _enc(w, x, schema["values"])
+        w += _zz(0)
+    elif t == "record":
+        vals = list(v) if not isinstance(v, dict) else [
+            v.get(f["name"]) for f in schema["fields"]
+        ]
+        for x, f in zip(vals, schema["fields"]):
+            _enc(w, x, f["type"])
+    else:
+        raise ValueError(f"avro encode: unsupported type {t}")
+
+
+def write_avro_bytes(rows, spark_schema) -> bytes:
+    """Rows (Spark Row tuples) + Spark schema -> Avro container bytes
+    (null codec, deterministic sync marker)."""
+    schema = {
+        "type": "record",
+        "name": "output",
+        "fields": [
+            {"name": f.name, "type": _avro_schema_for(f.dataType, f.name)}
+            for f in spark_schema.fields
+        ],
+    }
+    body = bytearray()
+    for r in rows:
+        _enc(body, tuple(r), schema)
+    sync = b"\x00" * 16
+    meta_schema = json.dumps(schema).encode()
+    out = bytearray(_MAGIC)
+    out += _zz(2)
+    for k, v in ((b"avro.schema", meta_schema), (b"avro.codec", b"null")):
+        out += _zz(len(k)) + k + _zz(len(v)) + v
+    out += _zz(0)
+    out += sync
+    if rows:
+        out += _zz(len(rows)) + _zz(len(body)) + body + sync
+    return bytes(out)

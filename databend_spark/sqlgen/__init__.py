@@ -3948,6 +3948,16 @@ def rewrite_databend_sql(sql: str) -> str:
             masked = pat.sub("", masked)
         if not _is_ctas:
             masked = _rewrite_ddl_nested_types(masked)
+            # INTERVAL columns store the canonical interval text
+            # (functions/interval_type.py model); Spark's INTERVAL types
+            # are not writable to parquet tables. Type position only —
+            # an INTERVAL literal in a DEFAULT keeps its keyword.
+            masked = re.sub(
+                r"\bINTERVAL\b(?=\s*(,|\)|NULL\b|NOT\b|DEFAULT\b|COMMENT\b))",
+                "STRING",
+                masked,
+                flags=re.I,
+            )
         elif masked[_is_ctas.end() - 6 : _is_ctas.end()].upper() == "SELECT":
             # a bare NULL select item makes a VOID column Spark's v1
             # writers refuse; the reference types it as nullable string

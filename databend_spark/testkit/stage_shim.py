@@ -44,6 +44,44 @@ from databend_spark.sources.stage_format import (
 REF_DATA = "/root/reference/tests/data"
 STAGE_ROOT = "/tmp/slt_stages"
 
+_DATA_FARM = os.path.join(STAGE_ROOT, "__data_farm")
+
+
+def _data_farm() -> str:
+    """Writable mirror of the reference fixtures: every file is a
+    symlink into /root/reference/tests/data, so REMOVE/overwrite only
+    ever touch /tmp. Built once per process, refreshed if stale."""
+    marker = os.path.join(_DATA_FARM, ".complete")
+    if os.path.exists(marker):
+        # rebuild if a test removed fixture links (shared-bucket state)
+        have = sum(
+            1
+            for dirp, _d, fs in os.walk(_DATA_FARM)
+            for f in fs
+            if os.path.islink(os.path.join(dirp, f))
+        )
+        want = int(open(marker).read() or 0)
+        if have >= want:
+            return _DATA_FARM
+    import shutil as _sh
+
+    _sh.rmtree(_DATA_FARM, ignore_errors=True)
+    count = 0
+    for dirp, _dirs, files in os.walk(REF_DATA):
+        rel = os.path.relpath(dirp, REF_DATA)
+        dst = os.path.join(_DATA_FARM, rel) if rel != "." else _DATA_FARM
+        os.makedirs(dst, exist_ok=True)
+        for f in files:
+            try:
+                os.symlink(os.path.join(dirp, f), os.path.join(dst, f))
+                count += 1
+            except OSError:
+                pass
+    with open(marker, "w") as fh:
+        fh.write(str(count))
+    return _DATA_FARM
+
+
 # s3 test buckets the reference's CI seeds from tests/data
 _BUCKET_MAP = {"testbucket": "/root/reference/tests"}
 
@@ -232,8 +270,12 @@ class StageManager:
 
     def _builtin(self):
         self.stages["~"] = Stage("~", self._dir("user_tilde"))
+        # the reference's CI bucket is writable (unload tests write under
+        # @data); expose it as a symlink farm so writes/removes land in
+        # /tmp while the read-only fixtures stay untouched
+        farm = _data_farm()
         for nm in ("data", "data_s3", "data_fs"):
-            self.stages[nm] = Stage(nm, REF_DATA, read_only=True)
+            self.stages[nm] = Stage(nm, farm)
 
     def _dir(self, name: str) -> str:
         d = os.path.join(STAGE_ROOT, re.sub(r"[^\w.]", "_", name))
@@ -291,10 +333,14 @@ class StageManager:
                 root = "/" + bucket
                 return Stage("_url", root, read_only=False), path
             if bucket in _BUCKET_MAP:
-                return (
-                    Stage("_url", _BUCKET_MAP[bucket], read_only=True),
-                    path,
-                )
+                # bucket root = a dir whose data/ entry is the writable
+                # fixtures farm; realpath-keyed dedup sees one identity
+                broot = os.path.join(STAGE_ROOT, f"__bucket_{bucket}")
+                os.makedirs(broot, exist_ok=True)
+                link = os.path.join(broot, "data")
+                if not os.path.lexists(link):
+                    os.symlink(_data_farm(), link)
+                return Stage("_url", broot), path
             raise ValueError(f"[2501] unknown bucket {bucket}")
         raise ValueError(f"[2501] cannot resolve stage location {ref!r}")
 
@@ -333,7 +379,7 @@ class StageManager:
                 for root in roots:
                     if not os.path.isdir(root):
                         continue
-                    for dirp, _dirs, fs in os.walk(root):
+                    for dirp, _dirs, fs in os.walk(root, followlinks=True):
                         for f in fs:
                             if f.startswith((".", "_")):
                                 continue
@@ -668,7 +714,7 @@ class StageManager:
             transform_sql = src[1:-1].strip()
             self._validate_transform(transform_sql)
             msrc = re.search(
-                r"@[\w$~]+(?:/[^\s(),;]*)?", transform_sql
+                r"@[\w$~]+(?:/[^\s(),;']*)?", transform_sql
             )
             if not msrc:
                 raise ValueError("[1005] COPY transform needs a stage source")
@@ -693,7 +739,8 @@ class StageManager:
         for rel, p in listed:
             stt = os.stat(p)
             sig = (stt.st_size, int(stt.st_mtime))
-            if not force and hist.get(p) == sig:
+            key = os.path.realpath(p)
+            if not force and hist.get(key) == sig:
                 continue
             picked.append((rel, p, sig))
         if max_files:
@@ -731,16 +778,24 @@ class StageManager:
                     fields, run_sql,
                 )
                 results.append((rel, nrows, 0, None, None))
-                hist[p] = sig
+                hist[os.path.realpath(p)] = sig
                 continue
             raw = open(p, "rb").read()
-            if fmt.type in ("parquet", "orc", "avro", "arrow"):
-                rows, errors = self._decode_binary_fmt(
-                    p, fmt, specs, fields
-                )
-            else:
-                dec = decode_file(raw, rel, fmt, specs, numeric_cast)
-                rows, errors = dec.rows, dec.errors
+            try:
+                if fmt.type in ("parquet", "orc", "avro", "arrow"):
+                    rows, errors = self._decode_binary_fmt(
+                        p, fmt, specs, fields
+                    )
+                else:
+                    dec = decode_file(raw, rel, fmt, specs, numeric_cast)
+                    rows, errors = dec.rows, dec.errors
+            except Exception as fe:  # noqa: BLE001 whole-file failure
+                if on_error != "continue":
+                    raise
+                msg = re.sub(r"^\[\d+\]\s*", "", str(fe))
+                results.append((rel, 0, 1, msg, 1))
+                hist[os.path.realpath(p)] = sig
+                continue
             if errors:
                 if on_error == "abort":
                     ln, msg = errors[0]
@@ -757,7 +812,7 @@ class StageManager:
             if rows:
                 df = self.spark.createDataFrame(rows, schema)
                 self._insert(df, table, fields)
-            hist[p] = sig
+            hist[os.path.realpath(p)] = sig
             if total_err_budget is not None:
                 results.append((rel, len(rows), 0, None, None))
             else:
@@ -781,8 +836,8 @@ class StageManager:
     def _decode_binary_fmt(self, path, fmt, specs, fields):
         """parquet/orc/arrow load: pyarrow read + name-matched, option-
         driven column mapping (missing_field_as, null_if, case rules)."""
-        import pyarrow as pa
-
+        if fmt.type == "avro":
+            return self._decode_avro(path, fmt, specs)
         tbl = _read_arrow(path, fmt)
         cols_lower = {c.lower(): c for c in tbl.column_names}
         arrays = []
@@ -811,14 +866,53 @@ class StageManager:
         rows = list(zip(*arrays)) if arrays else []
         return rows, []
 
+    def _decode_avro(self, path, fmt, specs):
+        """Avro loads bypass Arrow inference: records stay Python maps
+        so empty avro maps do not grow phantom struct keys."""
+        from databend_spark.sources.avro_reader import read_avro_records
+
+        records, _schema = read_avro_records(
+            open(path, "rb").read(), fmt.use_logic_type
+        )
+        rows, errors = [], []
+        for ln, rec in enumerate(records, 1):
+            lower = {k.lower(): v for k, v in rec.items()}
+            out = []
+            err = None
+            for ci, spec in enumerate(specs):
+                key = spec.name.lower()
+                if key not in lower:
+                    if fmt.missing_field_as == "error":
+                        err = (
+                            ln,
+                            f"Missing value for column {ci} ({spec.name} "
+                            f"{spec.db_type}"
+                            + ("" if not spec.nullable else " NULL")
+                            + "). current FILE_FORMAT option: "
+                            "MISSING_FIELD_AS=ERROR",
+                        )
+                        break
+                    out.append(
+                        None
+                        if fmt.missing_field_as == "null"
+                        else spec.type_default()
+                    )
+                    continue
+                out.append(_avro_cast(lower[key], spec))
+            if err:
+                errors.append(err)
+            else:
+                rows.append(tuple(out))
+        return rows, errors
+
     def _load_transform(
         self, inner_sql, stage_ref, st, rel, path, fmt, table, fields, run_sql
     ):
         view = self._stage_view_for_files(st, [(rel, path)], fmt)
         q = inner_sql
-        # swap the stage ref (plus any immediate arg list / alias keeps)
+        # swap the stage ref (plus quotes and any immediate arg list)
         q = re.sub(
-            re.escape(stage_ref) + r"(\s*\((?:[^()]|\([^()]*\))*\))?",
+            "'?" + re.escape(stage_ref) + r"'?(\s*\((?:[^()]|\([^()]*\))*\))?",
             view,
             q,
         )
@@ -895,7 +989,15 @@ class StageManager:
                     pfx = b
         os.makedirs(base, exist_ok=True)
 
-        if fmt.type in ("parquet", "orc", "arrow"):
+        if fmt.type == "avro":
+            from databend_spark.sources.avro_reader import write_avro_bytes
+
+            payload = write_avro_bytes(rows, df.schema)
+            input_bytes = len(payload)
+            fmt = replace(fmt, compression="none")
+            blob = payload
+            name = exact or (pfx + self._next_name(fmt))
+        elif fmt.type in ("parquet", "orc", "arrow"):
             # columnar formats compress internally — no outer codec
             payload, input_bytes = _write_arrow_bytes(df, fmt)
             fmt = replace(fmt, compression="none")
@@ -929,7 +1031,7 @@ class StageManager:
     # SELECT-side stage refs
 
     _re_stage_ref = re.compile(
-        r"@([\w$~]+)((?:/[^\s(),;]*)?)"
+        r"'?@([\w$~]+)((?:/[^\s(),;']*)?)'?"
         r"(\s*\(\s*[\w$]+\s*=>(?:[^()]|\([^()]*\))*\))?"
     )
 
@@ -1192,7 +1294,26 @@ class StageManager:
         columns + metadata$ virtual columns; returns the view name."""
         spark = self.spark
         vname = f"__stage_v{abs(hash((st.dir, tuple(r for r, _ in listed), fmt.type))) % 999983}"
-        if fmt.type in ("parquet", "orc", "avro", "arrow"):
+        if fmt.type == "avro":
+            from databend_spark.sources.avro_reader import read_avro_records
+
+            rows_avro = []
+            for rel, p in listed:
+                recs, _sch = read_avro_records(
+                    open(p, "rb").read(), fmt.use_logic_type
+                )
+                for rn, rec in enumerate(recs):
+                    rows_avro.append((_avro_json(rec), rel, rn))
+            schema_a = T.StructType(
+                [T.StructField("_c0", T.StringType(), True),
+                 T.StructField("metadata$filename", T.StringType(), True),
+                 T.StructField("metadata$file_row_number", T.LongType(), True)]
+            )
+            sdf = spark.createDataFrame(rows_avro, schema_a)
+            sdf.createOrReplaceTempView(vname)
+            self._view_cols[vname] = ["_c0"]
+            return vname
+        if fmt.type in ("parquet", "orc", "arrow"):
             dfs = []
             names = None
             for rel, p in listed:
@@ -1290,6 +1411,77 @@ class StageManager:
         sdf.createOrReplaceTempView(vname)
         self._view_cols[vname] = cols
         return vname
+
+
+def _avro_json(rec) -> str:
+    """Canonical (sorted-key) JSON text of one Avro record — the stage
+    select surface exposes each record as a single variant column."""
+    import json as _json
+
+    return _json.dumps(
+        _avro_jsonable(rec), sort_keys=True, separators=(",", ":"),
+        ensure_ascii=False,
+    )
+
+
+def _avro_jsonable(v):
+    import datetime as _dt
+    from decimal import Decimal as _D
+
+    if isinstance(v, dict):
+        return {k: _avro_jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_avro_jsonable(x) for x in v]
+    if isinstance(v, _D):
+        return float(v) if v == v.to_integral_value() and abs(v) < 10**15 else str(v)
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex().upper()
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return None
+        return v
+    return v
+
+
+def _avro_cast(v, spec: ColSpec):
+    """Avro value -> target column python value."""
+    import json as _json
+
+    if v is None:
+        return None
+    k = spec.kind
+    if k == "variant":
+        return _json.dumps(
+            _avro_jsonable(v), sort_keys=True, separators=(",", ":"),
+            ensure_ascii=False,
+        )
+    if k == "map" and isinstance(v, dict):
+        return {kk: _avro_cast(x, spec.elem) if spec.elem else x
+                for kk, x in v.items()}
+    if k == "array" and isinstance(v, list):
+        return [_avro_cast(x, spec.elem) if spec.elem else x for x in v]
+    if k == "tuple" and isinstance(v, dict):
+        lower = {kk.lower().lstrip("_"): x for kk, x in v.items()}
+        subs = spec.subs or []
+        if any(sub.name.lower().lstrip("_") in lower for sub in subs):
+            return tuple(
+                _avro_cast(lower.get(sub.name.lower().lstrip("_")), sub)
+                for sub in subs
+            )
+        return tuple(
+            _avro_cast(x, sub) for x, sub in zip(v.values(), subs)
+        )
+    if k == "int" and not isinstance(v, int):
+        return int(v)
+    if k == "float" and not isinstance(v, float):
+        return float(v)
+    if k == "string" and not isinstance(v, str):
+        return _json.dumps(_avro_jsonable(v), separators=(",", ":"))
+    return v
 
 
 def _read_text(path: str, rel: str, fmt: FormatParams) -> str:
