@@ -138,8 +138,12 @@ def _decode(r: _Reader, schema, use_logic: bool = True):
 
 
 def _dec_from_bytes(b: bytes, scale: int) -> Decimal:
+    import decimal as _d
+
     unscaled = int.from_bytes(b, "big", signed=True)
-    return Decimal(unscaled).scaleb(-scale)
+    with _d.localcontext() as ctx:
+        ctx.prec = 100  # p<=76 plus headroom; default 28 would round
+        return Decimal(unscaled).scaleb(-scale)
 
 
 def read_avro_records(

@@ -1415,13 +1415,43 @@ class StageManager:
 
 def _avro_json(rec) -> str:
     """Canonical (sorted-key) JSON text of one Avro record — the stage
-    select surface exposes each record as a single variant column."""
-    import json as _json
+    select surface exposes each record as a single variant column.
+    Hand-rolled so decimals emit full-precision raw number tokens
+    (json.dumps would quote or round them)."""
+    return _jdump(rec)
 
-    return _json.dumps(
-        _avro_jsonable(rec), sort_keys=True, separators=(",", ":"),
-        ensure_ascii=False,
-    )
+
+def _jdump(v) -> str:
+    import datetime as _dt
+    import json as _json
+    from decimal import Decimal as _D
+
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, _D):
+        return format(v, "f")
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{_json.dumps(str(k), ensure_ascii=False)}:{_jdump(x)}"
+            for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))
+        ) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_jdump(x) for x in v) + "]"
+    if isinstance(v, _dt.datetime):
+        return _json.dumps(v.strftime("%Y-%m-%d %H:%M:%S.%f"))
+    if isinstance(v, _dt.date):
+        return _json.dumps(v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return _json.dumps(bytes(v).hex().upper())
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return "null"
+        return _json.dumps(v)
+    if isinstance(v, int):
+        return str(v)
+    return _json.dumps(v, ensure_ascii=False)
 
 
 def _avro_jsonable(v):
