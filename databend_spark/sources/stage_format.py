@@ -968,7 +968,9 @@ def _field_value(
             if params.quoted_empty_field_as == "field_default":
                 return col.type_default()
             if col.kind != "string":
-                raise FieldError(f"invalid text for {col.kind}")
+                # STRING mode only applies to string columns; a quoted
+                # empty for any other type loads as NULL (ontime CSV)
+                return _null_for(col)
             return ""
         if params.allow_quoted_nulls and ftxt == params.null_display:
             return _null_for(col)

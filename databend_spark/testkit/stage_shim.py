@@ -350,6 +350,7 @@ class StageManager:
         subpath: str = "",
         pattern: str | None = None,
         files: list[str] | None = None,
+        exact_first: bool = True,
     ) -> list[tuple[str, str]]:
         """-> [(rel_name, abs_path)], rel to the stage's rel_root.
         Directory / exact-file / name-prefix resolution mirrors the
@@ -366,7 +367,12 @@ class StageManager:
                     raise ValueError(f"[1006] file {f} not found in stage")
         else:
             target = os.path.join(base, subpath) if subpath else base
-            if True:
+            if exact_first and os.path.isfile(target):
+                # COPY/SELECT with an exact file path reads just that
+                # file; LIST keeps pure prefix semantics (exact_first
+                # False) so cd.csv also surfaces cd.csv.bk
+                out.append((os.path.relpath(target, stage.rel_root), target))
+            else:
                 # prefix semantics (reference list API): a non-slash
                 # path component matches every object whose name starts
                 # with it — `/ab` matches ab.csv, ab/cd.csv, ab2/x
@@ -484,6 +490,11 @@ class StageManager:
         m = self._re_create_stage.match(sql)
         if m:
             replace_flag, if_not_exists, name, tail = m.groups()
+            if name.lower().startswith("_databend"):
+                raise RuntimeError(
+                    f"[2501] stage name {name} is reserved (prefix "
+                    "_databend)"
+                )
             key = name if "$" in name else name.lower()
             if key in self.stages and not (replace_flag or if_not_exists):
                 raise RuntimeError(f"[2502] stage {name} already exists")
@@ -590,6 +601,34 @@ class StageManager:
 
         if self._re_copy.match(sql):
             return self._copy(sql, run_sql)
+        mi = re.match(
+            r"^\s*INSERT\s+INTO\s+([\w.`\"]+)\s+"
+            r"(?:VALUES\s*(\([^)]*\))?\s+)?FROM\s+(@\S+)\s*(.*)$",
+            sql,
+            re.I | re.S,
+        )
+        if mi:
+            # streaming-load form: INSERT INTO t [VALUES (lit, ?, …)]
+            # FROM @stage — loads like COPY, `?` placeholders take the
+            # file's columns in order, and consumes (purges) the files
+            opts = self._parse_tail(mi.group(4))
+            opts.setdefault("purge", "true")
+            src = mi.group(3)
+            if mi.group(2):
+                items = [
+                    x.strip() for x in mi.group(2)[1:-1].split(",")
+                ]
+                n = 0
+                sel = []
+                for it in items:
+                    if it == "?":
+                        n += 1
+                        sel.append(f"${n}")
+                    else:
+                        sel.append(it)
+                src = f"(SELECT {', '.join(sel)} FROM {src})"
+            self._load(mi.group(1), src, opts, run_sql)
+            return empty()
         return None
 
     def _list_df(self, st: Stage, sub: str, pattern: str | None):
@@ -597,7 +636,7 @@ class StageManager:
         import hashlib
 
         rows = []
-        for rel, p in self.list_files(st, sub, pattern=pattern):
+        for rel, p in self.list_files(st, sub, pattern=pattern, exact_first=False):
             size = os.path.getsize(p)
             md5 = hashlib.md5(open(p, "rb").read()).hexdigest()
             mtime = _dt.datetime.utcfromtimestamp(os.path.getmtime(p))
