@@ -236,7 +236,13 @@ def _apply_options(p: FormatParams, opts: dict[str, object]) -> FormatParams:
         elif k == "output_header":
             p.output_header = _boolish(v)
         elif k == "nan_display":
-            p.nan_display = str(v)
+            nv = str(v)
+            if nv.lower() not in ("nan", "null"):
+                raise ValueError(
+                    "[2507] Invalid CSV option value: NAN_DISPLAY must be "
+                    "'nan' (any case) or 'null'"
+                )
+            p.nan_display = nv
         elif k == "null_display":
             p.null_display = str(v)
         elif k == "error_on_column_count_mismatch":
@@ -255,7 +261,12 @@ def _apply_options(p: FormatParams, opts: dict[str, object]) -> FormatParams:
                 raise ValueError(f"[2507] Invalid binary_format {b}")
             p.binary_format = b
         elif k == "quote_style":
-            p.quote_style = str(v).lower()
+            qs = str(v).lower()
+            p.quote_style = {
+                "quote_minimal": "minimal", "quote_all": "always",
+                "quote_necessary": "necessary", "quote_none": "never",
+                "none": "never",
+            }.get(qs, qs)
         elif k == "missing_field_as":
             m = str(v).lower()
             if m not in ("error", "null", "field_default"):
@@ -294,6 +305,7 @@ def _unescape(s: str) -> str:
         .replace("\\n", "\n")
         .replace("\\r", "\r")
         .replace("\\0", "\0")
+        .replace("\\\\", "\\")
     )
 
 
@@ -320,8 +332,15 @@ class ColSpec:
     signed: bool = True
     subs: list["ColSpec"] | None = None  # tuple members
     elem: "ColSpec | None" = None  # array element / map value
+    default_expr: str = ""  # non-literal DEFAULT (e.g. uuid())
 
     def type_default(self):
+        if self.default_expr.lower().replace(" ", "").rstrip("()") in (
+            "uuid", "gen_random_uuid",
+        ):
+            import uuid as _uuid
+
+            return str(_uuid.uuid4())
         if self.default is not _NO_DEFAULT:
             return self.default
         if self.nullable:
@@ -1154,7 +1173,7 @@ def render_value(v, col: ColSpec | None, params: FormatParams) -> str | None:
         if math.isnan(v):
             return params.nan_display
         if math.isinf(v):
-            return "inf" if v > 0 else "-inf"
+            return "Infinity" if v > 0 else "-Infinity"
         if v == int(v) and abs(v) < 1e16:
             return str(int(v)) + ".0"
         return repr(v)
@@ -1177,14 +1196,22 @@ def _csv_field(v, col, params: FormatParams) -> str:
         return params.null_display
     q, fd, rd = params.quote, params.field_delimiter, params.record_delimiter
     style = params.quote_style
-    need = style == "always" or (
-        style not in ("never",)
-        and (
-            q in s or fd in s or rd in s or "\n" in s or "\r" in s
-            # non-ASCII strings are quoted (reference CSV output encoder)
-            or any(ord(ch) > 127 for ch in s)
-        )
+    is_stringish = isinstance(v, str) or isinstance(v, (list, dict)) or hasattr(
+        v, "__fields__"
     )
+    contains_special = (
+        q in s or fd in s or rd in s or "\n" in s or "\r" in s
+        or (params.escape and params.escape in s)
+        # a literal \N would read back as the escape-style null marker
+        # (custom NULL_DISPLAY collisions are left ambiguous — pinned by
+        # csv_option_quote_minimal_roundtrip.test)
+        or (is_stringish and s == "\\N")
+    )
+    # default style quotes every string-typed value; QUOTE_MINIMAL only
+    # quotes when the text is ambiguous (csv_option_quote_minimal.test)
+    need = style == "always" or (
+        style == "necessary" and (is_stringish or contains_special)
+    ) or (style == "minimal" and contains_special)
     if need:
         s = q + s.replace(q, q + q) + q
     return s

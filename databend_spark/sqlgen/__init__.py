@@ -3948,6 +3948,15 @@ def rewrite_databend_sql(sql: str) -> str:
             masked = pat.sub("", masked)
         if not _is_ctas:
             masked = _rewrite_ddl_nested_types(masked)
+            # volatile DEFAULT expressions (uuid()) — Spark only allows
+            # constant defaults; the runner keeps the expression in its
+            # ddl_defaults registry and evaluates it per COPY row
+            masked = re.sub(
+                r"\bDEFAULT\s+(uuid|gen_random_uuid)\s*\(\s*\)",
+                "",
+                masked,
+                flags=re.I,
+            )
             # INTERVAL columns store the canonical interval text
             # (functions/interval_type.py model); Spark's INTERVAL types
             # are not writable to parquet tables. Type position only —

@@ -210,6 +210,8 @@ def build_colspecs(
             v = _literal_default(dflt, kind)
             if v is not _NOPE:
                 spec.default = v
+            else:
+                spec.default_expr = dflt
         out.append(spec)
     return out
 
@@ -518,7 +520,12 @@ class StageManager:
                 )
             else:
                 d = self._dir(key)
-                if replace_flag:
+                if key not in self.stages:
+                    # a fresh CREATE must not see files left by an
+                    # earlier session's stage of the same name
+                    shutil.rmtree(d, ignore_errors=True)
+                    os.makedirs(d, exist_ok=True)
+                elif replace_flag:
                     shutil.rmtree(d, ignore_errors=True)
                     os.makedirs(d, exist_ok=True)
                 self.stages[key] = Stage(key, d, fmt=fmt)
@@ -531,6 +538,15 @@ class StageManager:
             st = self.stages.pop(key, None)
             if st and not st.read_only and st.dir.startswith(STAGE_ROOT):
                 shutil.rmtree(st.dir, ignore_errors=True)
+            elif st is None and m.group(1):
+                # IF EXISTS on an untracked name still clears any stale
+                # per-name dir a previous session left behind
+                shutil.rmtree(
+                    os.path.join(
+                        STAGE_ROOT, re.sub(r"[^\w.]", "_", key)
+                    ),
+                    ignore_errors=True,
+                )
             return empty()
         m = self._re_desc_stage.match(sql)
         if m:
