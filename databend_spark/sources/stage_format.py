@@ -801,7 +801,7 @@ def split_text_records(
             in_q = quoted = True
             i += 1
             continue
-        if text.startswith(fd, i):
+        if fd and text.startswith(fd, i):
             fields.append(("".join(buf), quoted))
             buf, quoted = [], False
             i += len(fd)
@@ -839,7 +839,7 @@ def _split_tsv(text: str, params: FormatParams) -> list[list[tuple[str, bool]]]:
                 )
             i += 2
             continue
-        if text.startswith(fd, i):
+        if fd and text.startswith(fd, i):
             fields.append(("".join(buf), False))
             buf = []
             i += len(fd)
