@@ -27,11 +27,11 @@ _UNSUPPORTED = [
 # structs with positional field names `1`,`2`… which Spark needs
 # backquoted. The receiver must be an identifier or a call's closing
 # paren — a leading digit would be a float literal like 1.5.
-_TUPLE_FIELD = re.compile(r"((?:[A-Za-z_]\w*|\)))\.(\d+)\b")
+_TUPLE_FIELD = re.compile(r"((?:[A-Za-z_]\w*|\)|\]))\.(\d+)\b")
 # col:a / col:a.b / col:a[0]:b — Databend variant path extraction; the
 # lookbehind/lookahead exclude `::` casts, the leading-letter requirement
 # excludes array slices like arr[1:3]
-_VARIANT_SEG = r"(?:[A-Za-z_]\w*|\[\s*(?:\x00\d+\x00|\d+)\s*\])"
+_VARIANT_SEG = r"(?:[A-Za-z_]\w*|\d+|\[\s*(?:\x00\d+\x00|\d+)\s*\])"
 _VARIANT_PATH = re.compile(
     r"(?<![:\w.`])((?:try_)?parse_json\s*\((?:[^()]|\([^()]*\))*\)"
     r"|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*:(?!:)\s*"

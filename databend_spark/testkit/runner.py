@@ -5830,25 +5830,31 @@ def run_slt_file(
                         return spark.sql(forced)
                     except Exception:  # noqa: BLE001
                         pass
-            mfnf = re.search(
-                r"No such struct field `(\d+)` in ((?:`[^`]+`(?:,\s*)?)+)",
-                msg,
-            )
-            if mfnf:
-                # Databend positional tuple access (t.N) on a NAMED
-                # tuple: resolve N against the field list the error
-                # reports (types/tuple access, reference member_fields)
-                fields = re.findall(r"`([^`]+)`", mfnf.group(2))
+            # Databend positional tuple access (t.N) on a NAMED tuple:
+            # resolve N against the field list the error reports
+            # (types/tuple access, reference member_fields); loop since
+            # one query can hold several positional accesses
+            forced = rewritten
+            for _ in range(8):
+                mfnf = re.search(
+                    r"No such struct field `(\d+)` in "
+                    r"((?:`[^`]+`(?:,\s*)?)+)",
+                    msg,
+                )
+                if not mfnf:
+                    break
+                flds = re.findall(r"`([^`]+)`", mfnf.group(2))
                 idx = int(mfnf.group(1))
-                if 1 <= idx <= len(fields):
-                    forced = rewritten.replace(
-                        f"`{idx}`", f"`{fields[idx - 1]}`"
-                    )
-                    if forced != rewritten:
-                        try:
-                            return spark.sql(forced)
-                        except Exception:  # noqa: BLE001
-                            pass
+                if not 1 <= idx <= len(flds):
+                    break
+                nxt = forced.replace(f"`{idx}`", f"`{flds[idx - 1]}`")
+                if nxt == forced:
+                    break
+                forced = nxt
+                try:
+                    return spark.sql(forced)
+                except Exception as e2:  # noqa: BLE001
+                    msg = str(e2)
             if "COLUMN_IS_NOT_VARIANT_TYPE" in msg:
                 # Databend `col:path` reads named tuples AND json — Spark's
                 # native `:` needs true VARIANT. Retry as struct access,
