@@ -45,6 +45,11 @@ class FieldError(ValueError):
     error text (e.g. "invalid text for number")."""
 
 
+class BareFieldError(FieldError):
+    """FieldError whose text is already complete — the per-row wrapper
+    must not prepend the "Invalid value ..." context."""
+
+
 # ---------------------------------------------------------------------------
 # option parsing
 
@@ -300,6 +305,11 @@ def _apply_options(p: FormatParams, opts: dict[str, object]) -> FormatParams:
 
 
 def _unescape(s: str) -> str:
+    s = re.sub(
+        r"(?:\\)?\\x([0-9a-fA-F]{2})",
+        lambda m: chr(int(m.group(1), 16)),
+        s,
+    )
     return (
         s.replace("\\t", "\t")
         .replace("\\n", "\n")
@@ -333,6 +343,7 @@ class ColSpec:
     subs: list["ColSpec"] | None = None  # tuple members
     elem: "ColSpec | None" = None  # array element / map value
     default_expr: str = ""  # non-literal DEFAULT (e.g. uuid())
+    idx: int = 0  # 0-based position in the target column list
 
     def type_default(self):
         if self.default_expr.lower().replace(" ", "").rstrip("()") in (
@@ -449,7 +460,9 @@ def parse_field_text(
     Raises FieldError with the reference's message text."""
     k = col.kind
     if k == "int":
-        t = s.strip()
+        t = s
+        if t != t.strip():
+            raise FieldError("invalid text for number")
         try:
             v = int(t)
         except ValueError:
@@ -468,7 +481,9 @@ def parse_field_text(
             raise FieldError("number overflow")
         return v
     if k == "float":
-        t = s.strip()
+        t = s
+        if t != t.strip():
+            raise FieldError("invalid text for number")
         if t == params.nan_display or t.lower() == "nan":
             return float("nan")
         if t.lower() in ("inf", "infinity", "+inf", "+infinity"):
@@ -480,7 +495,7 @@ def parse_field_text(
         except ValueError:
             raise FieldError("invalid text for number") from None
     if k == "decimal":
-        t = s.strip()
+        t = s
         try:
             d = Decimal(t)
         except InvalidOperation:
@@ -766,6 +781,8 @@ def split_text_records(
     if params.type in ("tsv", "text"):
         return _split_tsv(text, params)
     fd, rd, q = params.field_delimiter, params.record_delimiter, params.quote
+    if rd == "\r\n":
+        rd = "\n"  # CRLF mode also accepts bare LF (reference reader)
     esc = params.escape
     records: list[list[tuple[str, bool]]] = []
     fields: list[tuple[str, bool]] = []
@@ -822,6 +839,8 @@ def split_text_records(
 
 def _split_tsv(text: str, params: FormatParams) -> list[list[tuple[str, bool]]]:
     fd, rd, esc = params.field_delimiter, params.record_delimiter, params.escape
+    if rd == "\r\n":
+        rd = "\n"
     records, fields, buf = [], [], []
     i, n = 0, len(text)
     while i < n:
@@ -832,11 +851,12 @@ def _split_tsv(text: str, params: FormatParams) -> list[list[tuple[str, bool]]]:
                 # \N null marker: keep literal for the null check
                 buf.append("\\N")
             else:
-                buf.append(
-                    {"n": "\n", "t": "\t", "r": "\r", "0": "\0", "\\": "\\"}.get(
-                        nxt, "\\" + nxt
-                    )
-                )
+                mapped = {"n": "\n", "t": "\t", "r": "\r", "0": "\0"}.get(nxt)
+                if mapped is None:
+                    # unknown ALNUM escapes keep their backslash (\i);
+                    # punctuation/control escapes strip it (\', \<tab>)
+                    mapped = "\\" + nxt if nxt.isalnum() else nxt
+                buf.append(mapped)
             i += 2
             continue
         if fd and text.startswith(fd, i):
@@ -866,6 +886,7 @@ def _split_tsv(text: str, params: FormatParams) -> list[list[tuple[str, bool]]]:
 class DecodeResult:
     rows: list[tuple]
     errors: list[tuple[int, str]]  # (1-based line, message)
+    seen: int = 0  # records present after header skip (incl. blanks)
 
 
 def db_type_label(col: ColSpec) -> str:
@@ -919,14 +940,16 @@ def _decode_text(
     records = split_text_records(text, params)
     rows: list[tuple] = []
     errors: list[tuple[int, str]] = []
+    seen = 0
     ncols = len(cols)
     for ln, rec in enumerate(records, 1):
         if ln <= params.skip_header:
             continue
+        seen += 1
         if len(rec) == 1 and rec[0][0] == "" and not rec[0][1]:
             continue  # blank line
         if len(rec) != ncols:
-            if params.error_on_column_count_mismatch and params.type == "csv":
+            if params.error_on_column_count_mismatch:
                 errors.append(
                     (
                         ln,
@@ -940,10 +963,14 @@ def _decode_text(
         out = []
         err = None
         for ci, (col, (ftxt, quoted)) in enumerate(zip(cols, rec)):
+            col.idx = ci
             try:
                 out.append(
                     _field_value(ftxt, quoted, col, params, numeric_cast)
                 )
+            except BareFieldError as e:
+                err = (ln, str(e))
+                break
             except FieldError as e:
                 err = (
                     ln,
@@ -955,7 +982,7 @@ def _decode_text(
             errors.append(err)
         else:
             rows.append(tuple(out))
-    return DecodeResult(rows, errors)
+    return DecodeResult(rows, errors, seen)
 
 
 def _field_value(
@@ -969,15 +996,35 @@ def _field_value(
         if ftxt in params.null_if:
             return _null_for(col)
         if ftxt == "":
-            if params.empty_field_as == "string" and col.kind == "string":
-                return ""
+            base = (col.db_type or col.kind).replace(" NULL", "")
+            if params.empty_field_as == "string":
+                if col.kind == "string":
+                    return ""
+                # non-string columns fall back to NULL / their default;
+                # only a NOT NULL column without default errors
+                if col.nullable:
+                    return None
+                if col.default is not _NO_DEFAULT or col.default_expr:
+                    return col.type_default()
+                raise BareFieldError(
+                    f"Encountered an empty value for column {col.idx} "
+                    f"(`{col.name}` of type {base}), with the FILE_FORMAT "
+                    "option `EMPTY_FIELD_AS=STRING`. To resolve this, "
+                    "please consider Set EMPTY_FIELD_AS to FIELD_DEFAULT "
+                    "or NULL."
+                )
             if params.empty_field_as == "field_default":
                 return col.type_default()
-            if col.kind == "string" and params.empty_field_as == "null" and not col.nullable:
-                # reference: empty for a NOT NULL string errors unless
-                # empty_field_as covers it
-                return ""
-            return _null_for(col)
+            if not col.nullable:
+                raise BareFieldError(
+                    f"Encountered an empty value for column {col.idx} "
+                    f"(`{col.name}` of type {base}), with the FILE_FORMAT "
+                    "option `EMPTY_FIELD_AS=NULL`. To resolve this, "
+                    "please consider one of the following options: 1. "
+                    f"Modify the `{col.name}` column to allow NULL "
+                    "values. 2. Set EMPTY_FIELD_AS to FIELD_DEFAULT."
+                )
+            return None
     else:
         if ftxt == "":
             # quoted-empty handling wins over allow_quoted_nulls even

@@ -159,40 +159,40 @@ _NUMBERS_TVF = re.compile(
 # type-name aliases (Databend unsigned/width names + common dialect
 # spellings) → Spark types; unsigned widen per SURVEY §1.2
 _TYPE_ALIASES = [
-    (re.compile(r"\bUTINYINT\b", re.I), "SMALLINT"),
-    (re.compile(r"\bUSMALLINT\b", re.I), "INT"),
-    (re.compile(r"\bUINTEGER\b", re.I), "BIGINT"),
-    (re.compile(r"\bUBIGINT\b", re.I), "DECIMAL(20,0)"),
-    (re.compile(r"\bUINT8\b", re.I), "SMALLINT"),
-    (re.compile(r"\bUINT16\b", re.I), "INT"),
-    (re.compile(r"\bUINT32\b", re.I), "BIGINT"),
-    (re.compile(r"\bUINT64\b", re.I), "DECIMAL(20,0)"),
-    (re.compile(r"\bINT8\b", re.I), "BIGINT"),
-    (re.compile(r"\bINT4\b", re.I), "INT"),
-    (re.compile(r"\bINT2\b", re.I), "SMALLINT"),
-    (re.compile(r"\bINT1\b", re.I), "TINYINT"),
-    (re.compile(r"\bINT16\b", re.I), "SMALLINT"),
-    (re.compile(r"\bINT32\b", re.I), "INT"),
-    (re.compile(r"\bINT64\b", re.I), "BIGINT"),
-    (re.compile(r"\bFLOAT32\b", re.I), "FLOAT"),
-    (re.compile(r"\bFLOAT64\b", re.I), "DOUBLE"),
-    (re.compile(r"\bHUGEINT\b", re.I), "DECIMAL(38,0)"),
+    (re.compile(r"(?<![`.\w])UTINYINT\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "SMALLINT"),
+    (re.compile(r"(?<![`.\w])USMALLINT\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "INT"),
+    (re.compile(r"(?<![`.\w])UINTEGER\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "BIGINT"),
+    (re.compile(r"(?<![`.\w])UBIGINT\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "DECIMAL(20,0)"),
+    (re.compile(r"(?<![`.\w])UINT8\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "SMALLINT"),
+    (re.compile(r"(?<![`.\w])UINT16\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "INT"),
+    (re.compile(r"(?<![`.\w])UINT32\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "BIGINT"),
+    (re.compile(r"(?<![`.\w])UINT64\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "DECIMAL(20,0)"),
+    (re.compile(r"(?<![`.\w])INT8\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "BIGINT"),
+    (re.compile(r"(?<![`.\w])INT4\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "INT"),
+    (re.compile(r"(?<![`.\w])INT2\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "SMALLINT"),
+    (re.compile(r"(?<![`.\w])INT1\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "TINYINT"),
+    (re.compile(r"(?<![`.\w])INT16\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "SMALLINT"),
+    (re.compile(r"(?<![`.\w])INT32\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "INT"),
+    (re.compile(r"(?<![`.\w])INT64\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "BIGINT"),
+    (re.compile(r"(?<![`.\w])FLOAT32\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "FLOAT"),
+    (re.compile(r"(?<![`.\w])FLOAT64\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "DOUBLE"),
+    (re.compile(r"(?<![`.\w])HUGEINT\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "DECIMAL(38,0)"),
     (re.compile(r"\bDATETIME\s*\(\s*\d+\s*\)", re.I), "TIMESTAMP"),
     (re.compile(r"\bDATETIME\b", re.I), "TIMESTAMP"),
-    (re.compile(r"\bFLOAT4\b", re.I), "FLOAT"),
-    (re.compile(r"\bFLOAT8\b", re.I), "DOUBLE"),
+    (re.compile(r"(?<![`.\w])FLOAT4\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "FLOAT"),
+    (re.compile(r"(?<![`.\w])FLOAT8\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "DOUBLE"),
     (re.compile(r"\bVARCHAR\b(?!\s*\()", re.I), "STRING"),
     # CHAR only as a bare type name — char(97) is the code-point function
     (re.compile(r"\bCHAR\b(?!\s*\()", re.I), "STRING"),
-    (re.compile(r"\bBOOL\b", re.I), "BOOLEAN"),
+    (re.compile(r"(?<![`.\w])BOOL\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "BOOLEAN"),
     # TEXT only in type position (cast syntax) — `text` is a common
     # column name and must not be rewritten
     (re.compile(r"::\s*TEXT\b", re.I), "::STRING"),
     (re.compile(r"\bAS\s+TEXT\s*\)", re.I), "AS STRING)"),
-    (re.compile(r"\bBYTEA\b", re.I), "BINARY"),
+    (re.compile(r"(?<![`.\w])BYTEA\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "BINARY"),
     # our Variant model is JSON-as-string (functions.registry
     # parse_json_variant); Spark 4's native VARIANT lacks most accessors
-    (re.compile(r"\bVARIANT\b", re.I), "STRING"),
+    (re.compile(r"(?<![`.\w])VARIANT\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "STRING"),
     # JSON as a declared type (not the json_* function family)
     (re.compile(r"\bJSON\b(?!\s*\()", re.I), "STRING"),
     # Vector(N) → float array (reference types/vector.rs)
@@ -3180,6 +3180,14 @@ def _rewrite_asof_outer(s, m, kind, rel, alias, i, on, um):
 def rewrite_databend_sql(sql: str) -> str:
     """Rewrite the Databend-only constructs we support; raise a clear
     error on the ones we don't (never silently mis-parse)."""
+    # CREATE TEMP TABLE — session-scoped in the reference; the harness's
+    # per-file database already gives that scope, so it is a plain table
+    sql = re.sub(
+        r"^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?)TEMP(?:ORARY)?\s+TABLE\b",
+        r"\1TABLE",
+        sql,
+        flags=re.I,
+    )
     # dollar-quoted strings $$…$$ → standard literals (pre-masking)
     if "$$" in sql:
         sql = re.sub(

@@ -43,6 +43,14 @@ from databend_spark.sources.stage_format import (
 )
 
 REF_DATA = "/root/reference/tests/data"
+
+# column names that the SQL rewriter would treat as cast-type aliases
+_TYPEY_NAMES = {
+    "int1", "int2", "int4", "int8", "int16", "int32", "int64",
+    "uint8", "uint16", "uint32", "uint64", "float4", "float8",
+    "float32", "float64", "bool", "bytea", "variant", "hugeint",
+    "utinyint", "usmallint", "uinteger", "ubigint", "datetime",
+}
 STAGE_ROOT = "/tmp/slt_stages"
 
 _DATA_FARM = os.path.join(STAGE_ROOT, "__data_farm")
@@ -842,9 +850,11 @@ class StageManager:
                     rows, errors = self._decode_binary_fmt(
                         p, fmt, specs, fields
                     )
+                    seen = len(rows)
                 else:
                     dec = decode_file(raw, rel, fmt, specs, numeric_cast)
                     rows, errors = dec.rows, dec.errors
+                    seen = dec.seen
             except Exception as fe:  # noqa: BLE001 whole-file failure
                 if on_error != "continue" or "[1006]" in str(fe):
                     raise
@@ -870,8 +880,9 @@ class StageManager:
                 self._insert(df, table, fields)
             hist[os.path.realpath(p)] = sig
             if total_err_budget is not None:
-                results.append((rel, len(rows), 0, None, None))
-            else:
+                if rows or errors or seen:
+                    results.append((rel, len(rows), 0, None, None))
+            elif rows or errors or seen:
                 first = errors[0] if errors else (None, None)
                 results.append(
                     (rel, len(rows), len(errors), first[1], first[0])
@@ -881,8 +892,6 @@ class StageManager:
                     os.remove(p)
                 except OSError:
                     pass
-        # files with nothing loaded and no errors produce no result row
-        results = [r for r in results if r[1] or r[2]]
         if return_failed_only:
             results = [r for r in results if r[2]]
         if not results:
@@ -992,6 +1001,12 @@ class StageManager:
             q,
         )
         q = _rewrite_positional(q, self._view_cols[view])
+        try:
+            q = _protect_typey(
+                q, [f.name for f in self.spark.table(view).schema.fields]
+            )
+        except Exception:  # noqa: BLE001
+            pass
         df = run_sql(q)
         n = df.count()
         casted = df.toDF(*[f.name for f in fields[: len(df.columns)]])
@@ -1123,6 +1138,7 @@ class StageManager:
     )
 
     _view_cols: dict[str, list[str]] = {}
+    _last_all_cols: list[str] | None = None
 
     def has_ref(self, sql: str) -> bool:
         return "@" in sql and bool(self._re_stage_ref.search(sql))
@@ -1225,7 +1241,15 @@ class StageManager:
             )
             out = out.replace(m.group(0), view)
             seen_cols = self._view_cols[view]
+            try:
+                self._last_all_cols = [
+                    f.name for f in self.spark.table(view).schema.fields
+                ]
+            except Exception:  # noqa: BLE001
+                self._last_all_cols = list(seen_cols)
             is_text = is_text or fmt.type in ("csv", "tsv", "text")
+        if seen_cols is not None:
+            out = _protect_typey(out, self._last_all_cols or [])
         if seen_cols is not None and re.match(
             r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\b", out, re.I
         ):
@@ -1508,7 +1532,7 @@ class StageManager:
                     else:
                         vals.append(ftxt)
                 maxw = max(maxw, len(vals))
-                rows_all.append([vals, rel, rn - 1 - fmt.skip_header])
+                rows_all.append([vals, rel, rn])
                 rn += 1
         if fmt.type == "ndjson":
             cols = ["_c0"]
@@ -1615,6 +1639,9 @@ def _avro_cast(v, spec: ColSpec):
     if k == "map" and isinstance(v, dict):
         return {kk: _avro_cast(x, spec.elem) if spec.elem else x
                 for kk, x in v.items()}
+    if k == "map" and isinstance(v, list):
+        return {kk: _avro_cast(x, spec.elem) if spec.elem else x
+                for kk, x in v}
     if k == "array" and isinstance(v, list):
         return [_avro_cast(x, spec.elem) if spec.elem else x for x in v]
     if k == "tuple" and isinstance(v, dict):
@@ -1790,6 +1817,17 @@ def _db_arrow_type(t, nested: bool) -> str:
     return str(t).upper()
 
 
+def _protect_typey(sql: str, cols: list[str]) -> str:
+    """Backtick stage columns named like type keywords (int64, float32)
+    so the cast-alias rewriter leaves them alone (select_orc.test)."""
+    for c in set(cols):
+        if c.lower() in _TYPEY_NAMES and re.search(
+            rf"(?<![`\w$.]){re.escape(c)}\b", sql
+        ):
+            sql = re.sub(rf"(?<![`\w$]){re.escape(c)}\b", f"`{c}`", sql)
+    return sql
+
+
 def _rewrite_positional(sql: str, cols: list[str]) -> str:
     """$N (optionally alias-qualified) -> the Nth stage column name."""
 
@@ -1904,6 +1942,9 @@ def _arrow_cast(v, spec: ColSpec, fmt: FormatParams):
                     ) from None
                 return "null"
         return _json.dumps(_canon(v), separators=(",", ":"), ensure_ascii=False)
+    if k == "map" and isinstance(v, list):
+        # pyarrow maps surface as [key, value] pair lists
+        return {kk: _canon(x) for kk, x in v}
     if k in ("array", "map", "tuple"):
         return _canon(v)
     if k == "int":
