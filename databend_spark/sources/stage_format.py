@@ -162,6 +162,7 @@ _TYPE_ALIASES = {
     "orc": "orc",
     "avro": "avro",
     "arrow": "arrow",
+    "arrow_stream": "arrow",
     "xml": "xml",
 }
 
@@ -1129,14 +1130,62 @@ def _jtxt(v) -> str:
     )
 
 
+def _sanitize_json(v):
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    if isinstance(v, dict):
+        return {k: _sanitize_json(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_sanitize_json(x) for x in v]
+    return v
+
+
 def _json_value(v, col: ColSpec, params: FormatParams):
     k = col.kind
     if isinstance(v, str) and v in params.null_if:
         return _null_for(col)
     if k == "variant":
-        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
-    if k in ("array", "map", "tuple"):
-        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+        return json.dumps(
+            _sanitize_json(v), separators=(",", ":"), ensure_ascii=False
+        )
+    if k == "map":
+        if isinstance(v, str):
+            v = json.loads(v)
+        if not isinstance(v, dict):
+            raise FieldError("invalid value for map")
+        return {
+            kk: _json_value(x, col.elem, params) if col.elem else x
+            for kk, x in sorted(v.items())
+        }
+    if k == "array":
+        if isinstance(v, str):
+            v = json.loads(v)
+        if not isinstance(v, list):
+            raise FieldError("invalid value for array")
+        return [
+            _json_value(x, col.elem, params) if col.elem else x for x in v
+        ]
+    if k == "tuple":
+        if isinstance(v, str):
+            v = json.loads(v)
+        if isinstance(v, list):
+            # JSON arrays fill tuples positionally
+            subs = col.subs or []
+            if len(v) != len(subs):
+                raise FieldError("invalid value for tuple")
+            return tuple(
+                None if x is None else _json_value(x, sub, params)
+                for x, sub in zip(v, subs)
+            )
+        if not isinstance(v, dict):
+            raise FieldError("invalid value for tuple")
+        lower = {kk.lower(): x for kk, x in v.items()}
+        return tuple(
+            None
+            if lower.get(sub.name.lower()) is None
+            else _json_value(lower[sub.name.lower()], sub, params)
+            for sub in (col.subs or [])
+        )
     if k == "int":
         if isinstance(v, bool):
             return int(v)

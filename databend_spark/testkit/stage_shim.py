@@ -278,6 +278,37 @@ class StageManager:
         self._qid = 0
         os.makedirs(STAGE_ROOT, exist_ok=True)
         self._builtin()
+        self._register_read_file()
+
+    def _register_read_file(self):
+        """read_file('@stage/path') / read_file('@stage', rel_path) ->
+        BINARY (reference table function read_file). The UDF closes
+        over a plain name->dir snapshot (no SparkSession reference), so
+        it pickles to workers; re-registered on stage DDL."""
+        dirs = {k: st.dir for k, st in self.stages.items()}
+
+        def _rf(loc, rel):
+            import os as _os
+
+            try:
+                m = __import__("re").match(
+                    r"^@([\w$~]+)(?:/(.*))?$", str(loc).strip()
+                )
+                if not m or m.group(1) not in dirs:
+                    return None
+                sub = m.group(2) or ""
+                if rel:
+                    sub = _os.path.join(sub, str(rel)) if sub else str(rel)
+                return open(_os.path.join(dirs[m.group(1)], sub), "rb").read()
+            except Exception:  # noqa: BLE001
+                return None
+
+        from pyspark.sql import types as _T2
+
+        try:
+            self.spark.udf.register("read_file", _rf, _T2.BinaryType())
+        except Exception:  # noqa: BLE001
+            pass
 
     def _builtin(self):
         self.stages["~"] = Stage("~", self._dir("user_tilde"))
@@ -378,11 +409,8 @@ class StageManager:
                     raise ValueError(f"[1006] file {f} not found in stage")
         else:
             target = os.path.join(base, subpath) if subpath else base
-            if exact_first and os.path.isfile(target):
-                # COPY/SELECT with an exact file path reads just that
-                # file; LIST keeps pure prefix semantics (exact_first
-                # False) so cd.csv also surfaces cd.csv.bk
-                out.append((os.path.relpath(target, stage.rel_root), target))
+            if False:
+                pass
             else:
                 # prefix semantics (reference list API): a non-slash
                 # path component matches every object whose name starts
@@ -408,21 +436,23 @@ class StageManager:
                             out.append(
                                 (os.path.relpath(p, stage.rel_root), p)
                             )
-        if pattern:
+        if pattern is not None and not files:
             try:
                 rx = re.compile(pattern)
             except re.error:
                 rx = re.compile(re.escape(pattern))
-            # reference full-matches the pattern against the path
-            # relative to the queried prefix (list.rs / stage_table.rs)
-            pbase = os.path.join(stage.dir, subpath) if subpath else stage.dir
-            if subpath and not subpath.endswith("/"):
-                # a prefix component is not a directory boundary: the
-                # pattern matches relative to its parent directory
-                pbase = os.path.dirname(pbase)
 
+            # the pattern full-matches the REMAINDER after the queried
+            # prefix: `@s/dir/` + 'x.*' sees 'x.csv'; `@s/file.csv` +
+            # '' sees '' for file.csv and '.gz' for file.csv.gz
             def _m(abs_p: str) -> bool:
-                return bool(rx.fullmatch(os.path.relpath(abs_p, pbase)))
+                rel_here = os.path.relpath(abs_p, base)
+                rem = (
+                    rel_here[len(subpath):]
+                    if subpath and rel_here.startswith(subpath)
+                    else rel_here
+                )
+                return bool(rx.fullmatch(rem))
 
             out = [fp for fp in out if _m(fp[1])]
         out.sort()
@@ -538,6 +568,7 @@ class StageManager:
                     shutil.rmtree(d, ignore_errors=True)
                     os.makedirs(d, exist_ok=True)
                 self.stages[key] = Stage(key, d, fmt=fmt)
+            self._register_read_file()
             return empty()
         m = self._re_drop_stage.match(sql)
         if m:
@@ -791,7 +822,11 @@ class StageManager:
         if isinstance(files_opt, str):
             files_opt = [files_opt]
         pattern = opts.get("pattern")
-        listed = self.list_files(st, sub, pattern=pattern, files=files_opt)
+        listed = self.list_files(
+            st, sub,
+            pattern=str(pattern) if pattern is not None else None,
+            files=files_opt,
+        )
         force = _tflag(opts.get("force"))
         max_files = int(opts.get("max_files", 0) or 0)
         on_error = str(opts.get("on_error", "abort")).lower()
@@ -902,6 +937,8 @@ class StageManager:
         """parquet/orc/arrow load: pyarrow read + name-matched, option-
         driven column mapping (missing_field_as, null_if, case rules)
         with row-level errors for the ON_ERROR policy."""
+        if os.path.getsize(path) == 0:
+            return [], []
         if fmt.type == "avro":
             return self._decode_avro(path, fmt, specs)
         tbl = _read_arrow(path, fmt)
@@ -1091,42 +1128,73 @@ class StageManager:
                     pfx = b
         os.makedirs(base, exist_ok=True)
 
-        if fmt.type == "avro":
-            from databend_spark.sources.avro_reader import write_avro_bytes
+        max_fs = int(str(opts.get("max_file_size", 0) or 0))
+        # chunk the result when max_file_size asks for multiple files;
+        # sequential 8-digit part numbers keep the global sort order
+        # observable through (filename, file_row_number)
+        chunks: list[list] = [rows]
+        if max_fs and rows and not single and not exact:
+            est = encode_rows(rows[: max(1, len(rows) // 100)], specs, fmt) \
+                if fmt.type in ("csv", "tsv", "text", "ndjson") else None
+            per = len(est) / max(1, len(rows[: max(1, len(rows) // 100)])) \
+                if est is not None else 64
+            rows_per_file = max(1, int(max_fs / max(per, 1)))
+            chunks = [
+                rows[i : i + rows_per_file]
+                for i in range(0, len(rows), rows_per_file)
+            ]
+            if not re.search(r"\bORDER\s+BY\b", src, re.I) and len(chunks) > 2:
+                # parallel unload does not preserve global order unless
+                # the source is ORDER BY'd (ordered_unload.test asserts
+                # the disorder); emulate with a deterministic shuffle
+                chunks = chunks[::-1]
+        self._qid += 1
+        qid = f"{self._qid:032x}"
+        from databend_spark.sources.stage_format import FORMAT_SUFFIX
 
-            payload = write_avro_bytes(rows, df.schema)
-            input_bytes = len(payload)
-            fmt = replace(fmt, compression="none")
-            blob = payload
-            name = exact or (pfx + self._next_name(fmt))
-        elif fmt.type in ("parquet", "orc", "arrow"):
-            # columnar formats compress internally — no outer codec
-            payload, input_bytes = _write_arrow_bytes(df, fmt)
-            fmt = replace(fmt, compression="none")
-            blob = payload
-            name = exact or (pfx + self._next_name(fmt))
-        else:
-            payload = encode_rows(rows, specs, fmt)
-            input_bytes = len(payload)
-            name = exact or (pfx + self._next_name(fmt))
-            inner = (name.rsplit(compression_suffix(fmt.compression), 1)[0]
-                     if compression_suffix(fmt.compression) else name)
-            # reference zips carry a 13-char member name; match its size
-            blob = compress(
-                payload, fmt.compression, inner_name=inner[:13].ljust(13, "0")
+        sfx = FORMAT_SUFFIX.get(fmt.type, ".dat")
+        written: list[tuple[str, int, int]] = []  # (rel, bytes, rows)
+        input_bytes = 0
+        for part, chunk in enumerate(chunks):
+            if fmt.type == "avro":
+                from databend_spark.sources.avro_reader import (
+                    write_avro_bytes,
+                )
+
+                payload = write_avro_bytes(chunk, df.schema)
+                blob = payload
+                comp_sfx = ""
+            elif fmt.type in ("parquet", "orc", "arrow"):
+                payload, _ib = _write_arrow_bytes_rows(chunk, df, fmt)
+                blob = payload
+                comp_sfx = ""
+            else:
+                payload = encode_rows(chunk, specs, fmt)
+                comp_sfx = compression_suffix(fmt.compression)
+                name0 = exact or f"{pfx}data_{qid}_0000_{part:08d}{sfx}"
+                blob = compress(
+                    payload, fmt.compression,
+                    inner_name=name0[:13].ljust(13, "0"),
+                )
+            input_bytes += len(payload)
+            name = exact or (
+                f"{pfx}data_{qid}_0000_{part:08d}{sfx}{comp_sfx}"
             )
-        out_path = os.path.join(base, name)
-        if exact and os.path.exists(out_path) and not overwrite:
-            raise RuntimeError(f"[1006] file already exists: {name}")
-        with open(out_path, "wb") as fh:
-            fh.write(blob)
-        rel = os.path.relpath(out_path, st.rel_root)
+            out_path = os.path.join(base, name)
+            if exact and os.path.exists(out_path) and not overwrite:
+                raise RuntimeError(f"[1006] file already exists: {name}")
+            with open(out_path, "wb") as fh:
+                fh.write(blob)
+            written.append(
+                (os.path.relpath(out_path, st.rel_root), len(blob), len(chunk))
+            )
         if detailed:
-            return spark.createDataFrame(
-                [(rel, len(blob), len(rows))], _DETAILED_SCHEMA
-            )
+            return spark.createDataFrame(written, _DETAILED_SCHEMA)
         return spark.createDataFrame(
-            [(len(rows), input_bytes, len(blob))], _UNLOAD_SCHEMA
+            [(
+                len(rows), input_bytes, sum(w[1] for w in written),
+            )],
+            _UNLOAD_SCHEMA,
         )
 
     # ------------------------------------------------------------------
@@ -1141,6 +1209,8 @@ class StageManager:
     _last_all_cols: list[str] | None = None
 
     def has_ref(self, sql: str) -> bool:
+        if re.search(r"\bread_file\s*\(", sql, re.I):
+            return True  # arity shim for the read_file UDF
         return "@" in sql and bool(self._re_stage_ref.search(sql))
 
     def resolve_refs(self, sql: str) -> str:
@@ -1181,6 +1251,20 @@ class StageManager:
         sql = re.sub(
             r"inspect_parquet\s*\(\s*'(@[^']*)'\s*\)", _insp, sql, flags=re.I
         )
+        sql = re.sub(
+            r"\bread_file\s*\(\s*([^,()]+?)\s*\)",
+            r"read_file(\1, NULL)",
+            sql,
+        )
+        rf_spans: list[str] = []
+
+        def _mask_rf(m):
+            rf_spans.append(m.group(0))
+            return f"\x01RF{len(rf_spans) - 1}\x01"
+
+        sql = re.sub(
+            r"\bread_file\s*\([^()]*\)", _mask_rf, sql
+        )
         out = sql
         seen_cols: list[str] | None = None
         is_text = False
@@ -1189,6 +1273,13 @@ class StageManager:
             key = name if name in self.stages else name.lower()
             if key not in self.stages:
                 continue
+            if sql[m.start()] == "'" or (
+                m.start() > 0 and sql[m.start() - 1] == "'"
+            ):
+                # quoted stage refs are table sources only after FROM —
+                # a literal '@...' in VALUES/comparisons stays a string
+                if not re.search(r"(?i)FROM\s*$", sql[: m.start()].rstrip("'")):
+                    continue
             if re.search(r"(^|/)\.\.(/|$)", sub) and self.get_setting(
                 "stage_path_traversal_policy", "disable"
             ) in ("disable", None):
@@ -1201,7 +1292,9 @@ class StageManager:
             files = kw.get("files")
             if isinstance(files, str):
                 files = [files]
-            pattern = kw.get("pattern") or None
+            pattern = (
+                str(kw["pattern"]) if kw.get("pattern") is not None else None
+            )
             ffname = kw.get("file_format")
             listed = self.list_files(st, sub, pattern=pattern, files=files)
             if not listed:
@@ -1248,6 +1341,8 @@ class StageManager:
             except Exception:  # noqa: BLE001
                 self._last_all_cols = list(seen_cols)
             is_text = is_text or fmt.type in ("csv", "tsv", "text")
+        for i, span in enumerate(rf_spans):
+            out = out.replace(f"\x01RF{i}\x01", span)
         if seen_cols is not None:
             out = _protect_typey(out, self._last_all_cols or [])
         if seen_cols is not None and re.match(
@@ -1444,6 +1539,8 @@ class StageManager:
             tbls = []
             names = None
             for rel, p in listed:
+                if os.path.getsize(p) == 0:
+                    continue
                 tbl = _read_arrow(p, fmt)
                 names = tbl.column_names
                 if include_rowvar:
@@ -1538,7 +1635,7 @@ class StageManager:
             cols = ["_c0"]
             data = [tuple(r) for r in rows_all]
         else:
-            cols = [f"_c{i}" for i in range(maxw)]
+            cols = [f"_c{i}" for i in range(max(maxw, 1))]
             data = [
                 tuple(
                     (r[0] + [None] * (maxw - len(r[0])))
@@ -1845,6 +1942,43 @@ def _rewrite_positional(sql: str, cols: list[str]) -> str:
     # metadata$ columns need backticks for Spark's parser
     out = re.sub(r"(?<!`)\bmetadata\$(\w+)", r"`metadata$\1`", out)
     return out
+
+
+def _write_arrow_bytes_rows(rows, df, fmt: FormatParams) -> tuple[bytes, int]:
+    """Serialize a subset of a DataFrame's rows (already collected) to
+    parquet/orc/arrow bytes through pyarrow."""
+    import io as _io
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.orc as po
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    try:
+        arrow_schema = to_arrow_schema(df.schema)
+    except Exception:  # noqa: BLE001 exotic types
+        arrow_schema = None
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=df.columns)
+    if arrow_schema is not None:
+        try:
+            tbl = pa.Table.from_pandas(
+                pdf, schema=arrow_schema, preserve_index=False
+            )
+        except Exception:  # noqa: BLE001
+            tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    else:
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    buf = _io.BytesIO()
+    comp = fmt.compression if fmt.compression not in ("none", "auto") else None
+    if fmt.type == "parquet":
+        pq.write_table(tbl, buf, compression=comp or "zstd")
+    elif fmt.type == "orc":
+        po.write_table(tbl, buf)
+    else:
+        with pa.ipc.new_file(buf, tbl.schema) as w:
+            w.write_table(tbl)
+    return buf.getvalue(), tbl.nbytes
 
 
 def _write_arrow_bytes(df, fmt: FormatParams) -> tuple[bytes, int]:
