@@ -1362,6 +1362,13 @@ def encode_rows(rows: list[tuple], cols: list[ColSpec], params: FormatParams) ->
                 obj[c.name] = _jsonable(v, c)
             lines.append(json.dumps(obj, ensure_ascii=False, separators=(",", ":")))
         return ("\n".join(lines) + "\n" if lines else "").encode("utf-8")
+    if t == "json":
+        docs = [
+            {c.name: _jsonable(v, c) for v, c in zip(r, cols)} for r in rows
+        ]
+        return (
+            json.dumps(docs, ensure_ascii=False, separators=(",", ":")) + "\n"
+        ).encode("utf-8")
     raise ValueError(f"[2507] encode_rows does not handle {t}")
 
 

