@@ -221,7 +221,7 @@ _DDL_OPTIONS = [
         r"\b(row_per_block|block_per_segment|block_size_threshold|"
         r"bloom_index_columns|storage_format|compression|"
         r"data_retention_period_in_hours|change_tracking|"
-        r"data_retention_num_snapshots_to_keep|"
+        r"data_retention_num_snapshots_to_keep|enable_auto_analyze|"
         r"approx_distinct_columns|analyze_frequency_columns|"
         r"analyze_top_n_size|"
         r"enable_auto_vacuum)"

@@ -584,6 +584,12 @@ def _rewrite_nextval(sql: str, sequences: dict, spark) -> str:
 
 
 _SETTINGS_BASE = [
+    ("script_max_steps", "10000", "None",
+     "Maximum steps a SQL script may execute.", "UInt64"),
+    ("enable_auto_detect_datetime_format", "0", "None",
+     "Lenient (non-padded) date/time parsing in loads.", "UInt64"),
+    ("stage_path_traversal_policy", "disable", "None",
+     "Whether ../ stage paths are allowed.", "String"),
     ("numeric_cast_option", "rounding", "None",
      "Set numeric cast mode as \"rounding\" or \"truncating\".",
      "String"),
@@ -717,6 +723,42 @@ def _bootstrap_system_db(spark: SparkSession) -> None:
         except Exception:
             pass
     _SYSTEM_DB_READY.add(sid)
+
+
+def _split_args(text: str) -> list[str]:
+    """Split an argument/type list on top-level commas."""
+    parts, buf, depth = [], [], 0
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf or parts:
+        parts.append("".join(buf))
+    return parts
+
+
+_PTYPE_NORM = {
+    "int": "int32", "integer": "int32", "int32": "int32",
+    "bigint": "int64", "int64": "int64", "uint8": "uint8",
+    "smallint": "int16", "int16": "int16", "tinyint": "int8",
+    "int8": "int8", "float": "float32", "float32": "float32",
+    "double": "float64", "float64": "float64", "string": "string",
+    "varchar": "string", "bool": "boolean", "boolean": "boolean",
+}
+
+
+def _norm_ptype(t: str) -> str:
+    t = re.sub(r"\s+", " ", t.strip().lower())
+    base = re.sub(r"\(.*", "", t).strip()
+    if base in _PTYPE_NORM:
+        return _PTYPE_NORM[base] + t[len(base):].replace(" ", "")
+    return t.replace(" ", "")
 
 
 def run_slt_file(
@@ -940,6 +982,59 @@ def run_slt_file(
         get_setting=lambda k, d=None: setting_overrides.get(k, d),
         table_info=_stage_table_info,
     )
+
+    # -- SQL scripting: session variables + stored procedures
+    # (reference parser/script.rs, query/script/) --------------------
+    session_vars: dict[str, object] = {}
+    procedures: dict[tuple[str, tuple], dict] = {}
+    dedup_labels: set[str] = set()
+
+    def _ptype_display(t: str) -> str:
+        base = re.sub(r"\(.*", "", t.strip()).lower()
+        disp = {
+            "int": "Int32", "integer": "Int32", "int32": "Int32",
+            "bigint": "Int64", "int64": "Int64", "uint8": "UInt8",
+            "uint16": "UInt16", "uint32": "UInt32", "uint64": "UInt64",
+            "smallint": "Int16", "tinyint": "Int8", "float": "Float32",
+            "float32": "Float32", "double": "Float64",
+            "float64": "Float64", "string": "String", "varchar": "String",
+            "bool": "Boolean", "boolean": "Boolean", "date": "Date",
+            "timestamp": "Timestamp", "decimal": "Decimal",
+        }.get(base, t.strip())
+        tail = t.strip()[len(base):].replace(" ", "")
+        return disp + (tail if base == "decimal" else "")
+
+    def _refresh_procedures_view():
+        rows = []
+        for (pname, _sig), proc in sorted(procedures.items()):
+            args = ",".join(_ptype_display(a[1]) for a in proc["args"])
+            rows.append(
+                (
+                    pname,
+                    f"{pname}({args}) RETURN "
+                    f"({_ptype_display(proc['returns'])})",
+                )
+            )
+        try:
+            spark.sql("CREATE DATABASE IF NOT EXISTS system")
+            if rows:
+                vals = ", ".join(
+                    "('{}', '{}')".format(
+                        r[0].replace("'", "''"), r[1].replace("'", "''")
+                    )
+                    for r in rows
+                )
+                spark.sql(
+                    "CREATE OR REPLACE VIEW system.procedures AS SELECT * "
+                    f"FROM VALUES {vals} AS t(name, arguments)"
+                )
+            else:
+                spark.sql(
+                    "CREATE OR REPLACE VIEW system.procedures AS SELECT "
+                    "'' name, '' arguments WHERE false"
+                )
+        except Exception:  # noqa: BLE001
+            pass
 
     # table → {column → declared-nullable} captured from CREATE TABLE
     # (Databend columns default NOT NULL; Spark loses this)
@@ -2300,6 +2395,281 @@ def run_slt_file(
             stage_mgr.copy_history.pop(
                 _mhist.group(1).strip('`"').split(".")[-1].strip('`"').lower(),
                 None,
+            )
+        # deduplicate_label hint: a label can apply a DML only once
+        # (reference txn dedup; 15_0007) — strip the hint, skip reuse
+        _mlbl = re.search(
+            r"/\*\+\s*SET_VAR\(\s*deduplicate_label\s*=\s*'([^']*)'\s*\)"
+            r"\s*\*/",
+            sql,
+        )
+        if _mlbl:
+            sql = sql[: _mlbl.start()] + sql[_mlbl.end() :]
+            if _mlbl.group(1) in dedup_labels:
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            dedup_labels.add(_mlbl.group(1))
+        # -- SQL scripting surface (EXECUTE IMMEDIATE, procedures,
+        # session variables) — before any rewriting mangles $$ bodies
+        _msv = re.match(
+            r"^\s*SET\s+VARIABLE\s+(\w+)\s*=\s*(.+?);?\s*$", sql, re.I | re.S
+        )
+        if _msv:
+            from databend_spark.operators.script import ScriptRunner
+
+            session_vars[_msv.group(1).lower()] = ScriptRunner(
+                run_sql
+            )._eval(_msv.group(2))
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        if session_vars and re.search(r"\$[A-Za-z_]\w*", sql) and not re.match(
+            r"^\s*EXECUTE\s+IMMEDIATE", sql, re.I
+        ):
+            from databend_spark.operators.script import _sql_literal
+
+            def _subvar(mv):
+                nm = mv.group(1).lower()
+                if nm in session_vars:
+                    return _sql_literal(session_vars[nm])
+                return mv.group(0)
+
+            sql = re.sub(r"\$([A-Za-z_]\w*)", _subvar, sql)
+        _mex = re.match(
+            r"^\s*EXECUTE\s+IMMEDIATE\s+(.+?);?\s*$", sql, re.I | re.S
+        )
+        if _mex:
+            from databend_spark.operators.script import ScriptRunner
+
+            src = _mex.group(1).strip()
+            if src.startswith("$$"):
+                body = src[2:].rsplit("$$", 1)[0]
+            elif src.startswith("$"):
+                body = str(session_vars.get(src[1:].lower(), ""))
+            elif src.startswith("'"):
+                body = src[1:-1].replace("''", "'")
+            else:
+                body = src
+            kind, val = ScriptRunner(
+                run_sql,
+                max_steps=int(
+                    setting_overrides.get("script_max_steps", 10000)
+                ),
+            ).execute(body)
+            if kind == "table":
+                return val
+            return spark.createDataFrame(
+                [(str(val) if val is not None else None,)], "Result string"
+            )
+        _mcp = re.match(
+            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?PROCEDURE\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+            r"\(((?:[^()]|\([^()]*\))*)\)\s*"
+            r"RETURNS\s+(\w+(?:\s*\([^)]*\))?)(\s+NOT\s+NULL)?\s+"
+            r"LANGUAGE\s+\w+\s*(?:COMMENT\s*=\s*'[^']*'\s*)?AS\s+"
+            r"\$\$(.*)\$\$\s*;?\s*$",
+            sql,
+            re.I | re.S,
+        )
+        if _mcp:
+            arglist = [
+                a.strip().split(None, 1)
+                for a in _split_args(_mcp.group(4))
+                if a.strip()
+            ]
+            sig = tuple(
+                _norm_ptype(a[1] if len(a) > 1 else "int") for a in arglist
+            )
+            key = (_mcp.group(3).lower(), sig)
+            if key in procedures and not (_mcp.group(1) or _mcp.group(2)):
+                raise RuntimeError(
+                    f"[3131] procedure {_mcp.group(3)} already exists"
+                )
+            if key in procedures and _mcp.group(2) and not _mcp.group(1):
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            procedures[key] = {
+                "args": [(a[0], a[1] if len(a) > 1 else "int") for a in arglist],
+                "returns": _mcp.group(5),
+                "body": _mcp.group(7).strip(),
+            }
+            _refresh_procedures_view()
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        _mdp = re.match(
+            r"^\s*DROP\s+PROCEDURE\s+(IF\s+EXISTS\s+)?(\w+)\s*"
+            r"\(((?:[^()]|\([^()]*\))*)\)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if _mdp:
+            sig = tuple(
+                _norm_ptype(a) for a in _split_args(_mdp.group(3)) if a.strip()
+            )
+            key = (_mdp.group(2).lower(), sig)
+            if key not in procedures and not _mdp.group(1):
+                raise RuntimeError(
+                    f"[3130] unknown procedure {_mdp.group(2)}"
+                )
+            procedures.pop(key, None)
+            _refresh_procedures_view()
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        _mdesc = re.match(
+            r"^\s*DESC(?:RIBE)?\s+PROCEDURE\s+(\w+)\s*"
+            r"\(((?:[^()]|\([^()]*\))*)\)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if _mdesc:
+            sig = tuple(
+                _norm_ptype(a)
+                for a in _split_args(_mdesc.group(2))
+                if a.strip()
+            )
+            proc = procedures.get((_mdesc.group(1).lower(), sig))
+            if proc is None:
+                raise RuntimeError(
+                    f"[3130] unknown procedure {_mdesc.group(1)}"
+                )
+            sig = "(" + ",".join(a[0] for a in proc["args"]) + ")"
+            rtype = {
+                "int": "Int32", "bigint": "Int64", "string": "String",
+                "float": "Float32", "double": "Float64",
+            }.get(proc["returns"].lower(), proc["returns"])
+            body_one = re.sub(r"\s+", " ", proc["body"]).strip()
+            return spark.createDataFrame(
+                [
+                    ("signature", sig),
+                    ("returns", f"({rtype})"),
+                    ("language", "SQL"),
+                    ("body", body_one),
+                ],
+                "Property string, Value string",
+            )
+        _madm = re.match(
+            r"^\s*CALL\s+admin\$(\w+)\s*\((.*)\)\s*;?\s*$", sql, re.I | re.S
+        )
+        if _madm:
+            # admin$* system procedures: quota surface reports zeros
+            return spark.createDataFrame(
+                [(0, 0, 0, 0)],
+                "max_databases int, max_tables_per_database int, "
+                "max_stages int, max_files_per_stage int",
+            )
+        _mcall = re.match(
+            r"^\s*CALL\s+PROCEDURE\s+"
+            r"(IDENTIFIER\s*\(\s*'[^']*'\s*\)|\w+)\s*\((.*)\)\s*;?\s*$",
+            sql,
+            re.I | re.S,
+        )
+        if _mcall:
+            from databend_spark.operators.script import ScriptRunner
+
+            argtxt = [
+                a.strip() for a in _split_args(_mcall.group(2)) if a.strip()
+            ]
+            pname = _mcall.group(1).lower()
+            mid = re.match(r"identifier\s*\(\s*'([^']*)'\s*\)", pname)
+            if mid:
+                pname = mid.group(1).lower()
+            # a procedure with DDL auto-commits an enclosing txn
+            _all_bodies = [
+                v["body"] for k, v in procedures.items() if k[0] == pname
+            ]
+            if txn_state["active"] and any(
+                re.search(
+                    r"\b(CREATE|DROP|ALTER)\s+(?:OR\s+REPLACE\s+)?"
+                    r"(?:TEMP\w*\s+)?TABLE\b",
+                    b,
+                    re.I,
+                )
+                for b in _all_bodies
+            ):
+                _txn_end(rollback=False)
+            cands = [
+                (k, v) for k, v in procedures.items()
+                if k[0] == pname and len(k[1]) == len(argtxt)
+            ]
+            if not cands:
+                raise RuntimeError(
+                    f"[3130] unknown procedure {_mcall.group(1)}"
+                )
+            # overload resolution (reference procedure binder): a
+            # single candidate always binds; with several, an explicit
+            # ::cast or the evaluated value type must pick EXACTLY one,
+            # otherwise the call is ambiguous (3132)
+            proc = None
+            cast_sig = tuple(
+                _norm_ptype(mm.group(1)) if (mm := re.search(
+                    r"::\s*(\w+(?:\s*\([^)]*\))?)\s*$", a
+                )) else None
+                for a in argtxt
+            )
+            if len(cands) == 1:
+                k1 = cands[0][0]
+                if any(
+                    c is not None and c != t
+                    for c, t in zip(cast_sig, k1[1])
+                ):
+                    raise RuntimeError(
+                        "[3132] no overload of procedure "
+                        f"{_mcall.group(1)} matches the given cast types"
+                    )
+                proc = cands[0][1]
+            else:
+                exact = [
+                    v for k, v in cands
+                    if all(c == t for c, t in zip(cast_sig, k[1]))
+                ]
+                if len(exact) == 1:
+                    proc = exact[0]
+                elif any(c is not None for c in cast_sig):
+                    raise RuntimeError(
+                        "[3132] no overload of procedure "
+                        f"{_mcall.group(1)} matches the given cast types"
+                    )
+                else:
+                    import datetime as _dtm
+
+                    from databend_spark.operators.script import (
+                        ScriptRunner,
+                    )
+
+                    probe = ScriptRunner(run_sql)
+                    vsig = []
+                    for a in argtxt:
+                        try:
+                            v = probe._eval(a)
+                        except Exception:  # noqa: BLE001
+                            v = None
+                        if isinstance(v, _dtm.datetime):
+                            vsig.append("timestamp")
+                        elif isinstance(v, _dtm.date):
+                            vsig.append("date")
+                        elif isinstance(v, bool):
+                            vsig.append("boolean")
+                        else:
+                            vsig.append(None)
+                    byval = [
+                        v for k, v in cands
+                        if all(
+                            c is None or c == t
+                            for c, t in zip(vsig, k[1])
+                        )
+                        and any(c == t for c, t in zip(vsig, k[1]))
+                    ]
+                    if len(byval) == 1:
+                        proc = byval[0]
+                    else:
+                        raise RuntimeError(
+                            "[3132] ambiguous call to procedure "
+                            f"{_mcall.group(1)}: multiple overloads match"
+                        )
+            rn = ScriptRunner(run_sql)
+            vals = [rn._eval(a) for a in argtxt]
+            kind, val = ScriptRunner(run_sql).execute(
+                proc["body"],
+                {a[0]: v for a, v in zip(proc["args"], vals)},
+            )
+            if kind == "table":
+                return val
+            return spark.createDataFrame(
+                [(str(val) if val is not None else None,)], "Result string"
             )
         # account-management surface (users/roles/grants) — emulated
         # session state, see testkit/rbac.py
@@ -6763,6 +7133,22 @@ def run_slt_file(
         ):
             buf.append(lines[j])
             j += 1
+        # an unclosed $$…$$ block (scripting bodies contain blank lines)
+        # keeps reading until the closing $$
+        while (
+            j < n
+            and sum(l.count("$$") for l in buf) % 2 == 1
+        ):
+            buf.append(lines[j])
+            j += 1
+            # resume normal accumulation after the block closes
+            if sum(l.count("$$") for l in buf) % 2 == 0:
+                while j < n and lines[j].strip() != "" and not (
+                    stop_at_dashes and lines[j].strip() == "----"
+                ):
+                    buf.append(lines[j])
+                    j += 1
+                break
         return "\n".join(buf), j
 
     pending_skip = False
@@ -6910,7 +7296,7 @@ def run_slt_file(
                 rep.passed += 1
                 continue
             if _SETTINGS_STMT.match(sql) and not re.match(
-                r"^\s*set\s+(role|secondary)\b", sql, re.I
+                r"^\s*set\s+(role|secondary|variable)\b", sql, re.I
             ):
                 rep.skipped += 1  # engine-specific session settings
                 continue
