@@ -1375,7 +1375,12 @@ def encode_rows(rows: list[tuple], cols: list[ColSpec], params: FormatParams) ->
 def _jsonable(v, col: ColSpec):
     if v is None:
         return None
-    if col.kind in ("variant", "array", "map", "tuple") and isinstance(v, str):
+    if isinstance(v, str) and (
+        col.kind in ("variant", "array", "map", "tuple")
+        or v[:1] in "[{"
+    ):
+        # variant columns reach the writer as JSON text (and unload
+        # specs built from a bare SELECT lose the declared kind)
         try:
             return json.loads(v)
         except ValueError:

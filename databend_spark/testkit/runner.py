@@ -977,10 +977,19 @@ def run_slt_file(
             ddl_defaults.get(tkey, {}),
         )
 
+    def _note_decl(table: str, col: str, decl: str) -> None:
+        tkey = table.split(".")[-1].strip("`").lower()
+        ddl_decl_types.setdefault(tkey, {})[col.lower()] = decl
+        ddl_nullability.setdefault(tkey, {})[col.lower()] = True
+
     stage_mgr = StageManager(
         spark,
         get_setting=lambda k, d=None: setting_overrides.get(k, d),
         table_info=_stage_table_info,
+        note_decl=_note_decl,
+        table_options=lambda t: ddl_options.get(
+            t.split(".")[-1].strip("`").lower(), {}
+        ),
     )
 
     # -- SQL scripting: session variables + stored procedures
@@ -4446,10 +4455,15 @@ def run_slt_file(
                 tname = m.group(1).strip("`").split(".")[-1].lower()
                 declared = ddl_nullability.get(tname, {})
                 dflts = ddl_defaults.get(tname, {})
+                decls = ddl_decl_types.get(tname, {})
                 rows = [
                     (
                         f.name,
-                        _SPARK_TO_DB_TYPE.get(
+                        "VARIANT"
+                        if str(
+                            decls.get(f.name.lower(), "")
+                        ).lower().startswith(("variant", "json"))
+                        else _SPARK_TO_DB_TYPE.get(
                             f.dataType.simpleString(),
                             f.dataType.simpleString().upper(),
                         ),

@@ -417,9 +417,12 @@ def _literal_default(txt: str, kind: str):
 class StageManager:
     """Per-SLT-file stage state + statement dispatch."""
 
-    def __init__(self, spark, get_setting=None, table_info=None):
+    def __init__(self, spark, get_setting=None, table_info=None,
+                 note_decl=None, table_options=None):
         self.spark = spark
         self.get_setting = get_setting or (lambda k, d=None: d)
+        self.note_decl = note_decl
+        self.table_options = table_options or (lambda t: {})
         # table_info(table_name) -> (StructType fields, decl, nulls, defaults)
         self.table_info = table_info
         self.stages: dict[str, Stage] = {}
@@ -1040,6 +1043,12 @@ class StageManager:
         )
         if conn:
             tail = tail[: conn.start()] + " " + tail[conn.end() :]
+        evo = re.search(
+            r"\bSCHEMA_EVOLUTION\s*=\s*\(([^()]*)\)", tail, re.I | re.S
+        )
+        if evo:
+            opts["__schema_evolution"] = evo.group(1)
+            tail = tail[: evo.start()] + " " + tail[evo.end() :]
         opts.update(parse_option_list(tail))
         return opts
 
@@ -1143,6 +1152,14 @@ class StageManager:
         if max_files:
             picked = picked[:max_files]
 
+        _topts = {
+            k.lower(): str(v).lower()
+            for k, v in (self.table_options(table) or {}).items()
+        }
+        if opts.get("__schema_evolution") is not None or _topts.get(
+            "enable_schema_evolution"
+        ) in ("true", "1"):
+            self._apply_schema_evolution(table, picked, opts)
         fields, decl, nulls, defaults = self.table_info(table)
         if col_list:
             by_name = {f.name.lower(): f for f in fields}
@@ -1230,6 +1247,101 @@ class StageManager:
         if not results:
             return spark.createDataFrame([], _COPY_RESULT_SCHEMA)
         return spark.createDataFrame(results, _COPY_RESULT_SCHEMA)
+
+    def _apply_schema_evolution(self, table, picked, opts):
+        """COPY … SCHEMA_EVOLUTION=(sample_files=…, …): sample the
+        staged files, ALTER TABLE ADD the new columns, and error if the
+        sample missed columns present elsewhere in the load."""
+        import json as _json
+
+        evo = parse_option_list(str(opts.get("__schema_evolution") or ""))
+
+        def _lim(key):
+            v = str(evo.get(key, "auto")).lower()
+            return None if v in ("auto", "") else int(v)
+
+        sample_files = _lim("sample_files")
+        per_file = _lim("sample_records_per_file")
+        total = _lim("sample_total_records")
+        fields, _d, _n, _df = self.table_info(table)
+        existing = {f.name.lower() for f in fields}
+        fmt = self._fmt_for(
+            opts.get("__file_format"), None,
+            picked[0][1] if picked else None,
+        )
+
+        def _keys_of(path, limit):
+            if fmt.type == "ndjson":
+                out = []
+                text = _read_text(path, path, fmt)
+                for i, line in enumerate(x for x in text.split("\n") if x.strip()):
+                    if limit is not None and i >= limit:
+                        break
+                    try:
+                        obj = _json.loads(line)
+                    except ValueError:
+                        continue
+                    out.append(
+                        [(k.lower(), _render_infer(_classify_json(v)))
+                         for k, v in obj.items()]
+                    )
+                return out
+            import pyarrow.parquet as pq
+
+            sch = pq.read_schema(path)
+            return [
+                [(f.name.lower(), _db_arrow_type(f.type, nested=False))
+                 for f in sch]
+            ]
+
+        new_cols: dict[str, str] = {}
+        seen_keys: set[str] = set()
+        nrec = 0
+        for fi, (rel, p, _sig) in enumerate(picked):
+            full = _keys_of(p, None)
+            for rec in full:
+                for k, _t in rec:
+                    seen_keys.add(k)
+            if sample_files is not None and fi >= sample_files:
+                continue
+            for ri, rec in enumerate(full):
+                if per_file is not None and ri >= per_file:
+                    break
+                if total is not None and nrec >= total:
+                    break
+                nrec += 1
+                for k, t in rec:
+                    if k in existing:
+                        continue
+                    if k in new_cols and new_cols[k] != t:
+                        raise RuntimeError(
+                            "[1046] schema evolution type mismatch for "
+                            f"column {k}: {new_cols[k]} vs {t}"
+                        )
+                    new_cols[k] = t
+        missed = sorted(seen_keys - existing - set(new_cols))
+        if missed:
+            raise RuntimeError(
+                "[1046] schema evolution sample did not include all "
+                f"columns. Extra columns: {', '.join(missed)}. Consider "
+                "raising SAMPLE_FILES / SAMPLE_RECORDS_PER_FILE / "
+                "SAMPLE_TOTAL_RECORDS"
+            )
+        if new_cols:
+            cols_sql = ", ".join(
+                f"`{k}` {_spark_type_for_display(t)}"
+                for k, t in new_cols.items()
+            )
+            self.spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({cols_sql})")
+            if self.note_decl is not None:
+                for k, t in new_cols.items():
+                    self.note_decl(
+                        table,
+                        k,
+                        "variant"
+                        if t.startswith(("TUPLE", "ARRAY", "MAP", "VARIANT"))
+                        else t.lower(),
+                    )
 
     def _decode_binary_fmt(self, path, fmt, specs, fields):
         """parquet/orc/arrow load: pyarrow read + name-matched, option-
@@ -2059,6 +2171,15 @@ def _avro_cast(v, spec: ColSpec):
     if k == "string" and not isinstance(v, str):
         return _json.dumps(_avro_jsonable(v), separators=(",", ":"))
     return v
+
+
+def _spark_type_for_display(t: str) -> str:
+    if t.startswith(("TUPLE", "ARRAY", "MAP")):
+        return "STRING"  # variant model: JSON text
+    return {
+        "BIGINT": "BIGINT", "DOUBLE": "DOUBLE", "VARCHAR": "STRING",
+        "BOOLEAN": "BOOLEAN", "INT": "INT", "TINYINT UNSIGNED": "SMALLINT",
+    }.get(t, "STRING")
 
 
 def _read_text(path: str, rel: str, fmt: FormatParams) -> str:
