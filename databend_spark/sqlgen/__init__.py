@@ -3177,9 +3177,142 @@ def _rewrite_asof_outer(s, m, kind, rel, alias, i, on, um):
     return s[:probe_start] + repl + s[end:]
 
 
+def _fmt_matches(value: str, fmt: str) -> bool:
+    """Oracle-style numeric format check (9=optional digit, 0=required,
+    G=group separator, D=decimal point, S=sign)."""
+    v = value.strip()
+    f = fmt.strip().upper()
+    if f.startswith("S"):
+        f = f[1:]
+        if v[:1] in "+-":
+            v = v[1:]
+    elif v[:1] in "+-":
+        v = v[1:]
+    fi, _, ff = f.partition("D")
+    vi, dot, vf = v.partition(".")
+    if dot and "D" not in f:
+        return False
+    # fractional: left-aligned
+    fr = ff
+    for ch in vf:
+        if not fr or fr[0] not in "90" or not ch.isdigit():
+            return False
+        fr = fr[1:]
+    if any(c == "0" for c in fr):
+        return False
+    # integer: right-aligned
+    fi_r, vi_r = fi[::-1], vi[::-1]
+    k = 0
+    for fc in fi_r:
+        if fc == "G":
+            if k < len(vi_r) and vi_r[k] == ",":
+                k += 1
+            continue
+        if fc in "90":
+            if k < len(vi_r):
+                if not vi_r[k].isdigit():
+                    return False
+                k += 1
+            elif fc == "0":
+                return False
+        else:
+            return False
+    return k == len(vi_r)
+
+
+def _rewrite_to_decimal(sql: str) -> str:
+    """Snowflake-style TO_DECIMAL/TO_NUMBER/TO_NUMERIC and TRY_ variants
+    (str[, fmt][, precision[, scale]]) — format-validate literals, strip
+    group separators, cast with rounding; default (38, 0). The curried
+    Databend form to_decimal(p, s)(expr) is left alone."""
+    rx = re.compile(r"\b(TRY_)?TO_(?:DECIMAL|NUMBER|NUMERIC)\s*\(", re.I)
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        m = rx.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        is_try = bool(m.group(1))
+        j, depth = m.end() - 1, 0
+        while j < n:
+            ch = sql[j]
+            if ch == "'":
+                j += 1
+                while j < n and sql[j] != "'":
+                    j += 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        inner = sql[m.end() : j]
+        after = sql[j + 1 :].lstrip()
+        if after.startswith("(") and not inner.lstrip().startswith("'"):
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        args, buf, d2, k = [], [], 0, 0
+        while k < len(inner):
+            ch = inner[k]
+            if ch == "'":
+                e = k + 1
+                while e < len(inner) and inner[e] != "'":
+                    e += 1
+                buf.append(inner[k : e + 1])
+                k = e + 1
+                continue
+            d2 += ch == "("
+            d2 -= ch == ")"
+            if ch == "," and d2 == 0:
+                args.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+            k += 1
+        if buf:
+            args.append("".join(buf).strip())
+        expr = args[0] if args else "NULL"
+        fmt = ""
+        p_, s_ = "38", "0"
+        rest = args[1:]
+        if rest and rest[0].startswith("'"):
+            fmt = rest[0][1:-1]
+            rest = rest[1:]
+        if len(rest) >= 1:
+            p_ = rest[0]
+        if len(rest) >= 2:
+            s_ = rest[1]
+        bad = None
+        if fmt and "PR" in fmt.upper():
+            bad = "format element PR is not supported"
+        lit = re.fullmatch(r"'([^']*)'", expr)
+        if bad is None and fmt and lit and not _fmt_matches(lit.group(1), fmt):
+            bad = (
+                f"value {lit.group(1)!r} does not match format {fmt!r}"
+            )
+        out.append(sql[i : m.start()])
+        if bad is not None:
+            if is_try:
+                out.append(f"CAST(NULL AS DECIMAL({p_},{s_}))")
+            else:
+                raise ValueError(f"[1006] to_decimal: {bad}")
+        else:
+            clean = f"replace(CAST({expr} AS STRING), ',', '')"
+            cast_kw = "TRY_CAST" if is_try else "CAST"
+            out.append(f"{cast_kw}({clean} AS DECIMAL({p_},{s_}))")
+        i = j + 1
+    return "".join(out)
+
+
 def rewrite_databend_sql(sql: str) -> str:
     """Rewrite the Databend-only constructs we support; raise a clear
     error on the ones we don't (never silently mis-parse)."""
+    if re.search(
+        r"\b(TRY_)?TO_(DECIMAL|NUMBER|NUMERIC)\s*\(\s*'", sql, re.I
+    ):
+        sql = _rewrite_to_decimal(sql)
     # CREATE TEMP TABLE — session-scoped in the reference; the harness's
     # per-file database already gives that scope, so it is a plain table
     sql = re.sub(
@@ -3507,13 +3640,20 @@ def rewrite_databend_sql(sql: str) -> str:
     # reference decimals reach precision 76 (decimal256); Spark caps at
     # 38 — clamp the type token, keeping as much scale as the integer
     # digits allow (text output is identical whenever the value fits)
+    def _clamp_dec(m):
+        p_ = int(m.group(1))
+        if p_ > 76:
+            # the reference's decimal256 ceiling (types/decimal.rs:82)
+            raise ValueError(
+                f"[1049] Decimal precision {p_} exceeds the maximum (76)"
+            )
+        if p_ <= 38:
+            return m.group(0)
+        return "DECIMAL(38, %d)" % min(int(m.group(2)), 37)
+
     masked = re.sub(
         r"\bDECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
-        lambda m: (
-            m.group(0)
-            if int(m.group(1)) <= 38
-            else "DECIMAL(38, %d)" % min(int(m.group(2)), 37)
-        ),
+        _clamp_dec,
         masked,
         flags=re.I,
     )

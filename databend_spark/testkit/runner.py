@@ -725,6 +725,88 @@ def _bootstrap_system_db(spark: SparkSession) -> None:
     _SYSTEM_DB_READY.add(sid)
 
 
+def _trunc_decimal_expr(expr: str, p: int, sc: int) -> str:
+    """Truncating (toward zero) decimal cast: numeric_cast_option =
+    'truncating' (reference mode.rs) — Spark's CAST rounds half-up, so
+    rewrite through integer DIV which truncates."""
+    inner_s = min(sc + 6, 37)
+    q = "1" if sc == 0 else "0." + "0" * (sc - 1) + "1"
+    return (
+        f"CAST(CAST(CAST(({expr}) AS DECIMAL(38,{inner_s})) DIV "
+        f"CAST({q} AS DECIMAL(38,{sc})) AS DECIMAL(38,0)) * "
+        f"CAST({q} AS DECIMAL(38,{sc})) AS DECIMAL({p},{sc}))"
+    )
+
+
+_INT_WIDTH = {
+    "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INT",
+    "integer": "INT", "bigint": "BIGINT", "int8": "BIGINT",
+    "int16": "SMALLINT", "int32": "INT", "int64": "BIGINT",
+}
+
+
+def _apply_truncating_casts(sql: str) -> str:
+    """Rewrite CAST(e AS DECIMAL(p,s)) / ::decimal(p,s) / CAST(e AS INT)
+    to truncation when numeric_cast_option='truncating'."""
+    out, i, n = [], 0, len(sql)
+    rx = re.compile(r"\bCAST\s*\(", re.I)
+    while i < n:
+        m = rx.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        depth, j = 0, m.end() - 1
+        while j < n:
+            depth += sql[j] == "("
+            depth -= sql[j] == ")"
+            if depth == 0:
+                break
+            j += 1
+        inner = sql[m.end() : j]
+        # split at the LAST top-level " AS "
+        depth2, as_at = 0, -1
+        for k in range(len(inner)):
+            depth2 += inner[k] == "("
+            depth2 -= inner[k] == ")"
+            if depth2 == 0 and inner[k : k + 4].upper() == " AS ":
+                as_at = k
+        if as_at < 0:
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        expr = _apply_truncating_casts(inner[:as_at])
+        typ = inner[as_at + 4 :].strip()
+        md = re.fullmatch(
+            r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", typ, re.I
+        )
+        mi_ = re.fullmatch(r"(\w+)", typ)
+        out.append(sql[i : m.start()])
+        if md:
+            out.append(
+                _trunc_decimal_expr(expr, int(md.group(1)), int(md.group(2)))
+            )
+        elif mi_ and mi_.group(1).lower() in _INT_WIDTH:
+            w = _INT_WIDTH[mi_.group(1).lower()]
+            out.append(
+                f"CAST(CAST(({expr}) AS DECIMAL(38,6)) DIV 1 AS {w})"
+            )
+        else:
+            out.append(f"CAST({expr} AS {typ})")
+        i = j + 1
+    res = "".join(out)
+    # ::decimal(p,s) postfix on a simple primary (identifier / literal /
+    # parenthesized group handled by the CAST form after sqlgen rewrite)
+    res = re.sub(
+        r"(?<![\w.])([\w.'']+)\s*::\s*DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
+        lambda mm: _trunc_decimal_expr(
+            mm.group(1), int(mm.group(2)), int(mm.group(3))
+        ),
+        res,
+        flags=re.I,
+    )
+    return res
+
+
 def _split_args(text: str) -> list[str]:
     """Split an argument/type list on top-level commas."""
     parts, buf, depth = [], [], 0
@@ -3078,6 +3160,10 @@ def run_slt_file(
             sql = re.sub(
                 r"(\bFROM\s+[\w.`]+)@\w+", r"\1", sql, flags=re.I
             )
+        if setting_overrides.get("numeric_cast_option") == "truncating" and re.search(
+            r"\bCAST\s*\(|::", sql, re.I
+        ):
+            sql = _apply_truncating_casts(sql)
         if re.match(r"^\s*INSERT\b", sql, re.I) and re.search(
             r"\d{39,}", sql
         ):
