@@ -208,6 +208,27 @@ _TYPE_ALIASES = [
     (re.compile(r"\bUNSIGNED\b", re.I), "BIGINT"),
     (re.compile(r"\bSIGNED\b", re.I), "BIGINT"),
 ]
+# postfix-cast occurrences (`x::Int64 alias`) must rewrite even when an
+# identifier follows — the name-vs-type lookahead above only protects
+# bare column positions (select_orc reads columns literally named int8)
+_POSTFIX_CASTS = [
+    ("UTINYINT", "SMALLINT"), ("USMALLINT", "INT"), ("UINTEGER", "BIGINT"),
+    ("UBIGINT", "DECIMAL(20,0)"), ("UINT8", "SMALLINT"), ("UINT16", "INT"),
+    ("UINT32", "BIGINT"), ("UINT64", "DECIMAL(20,0)"), ("INT8", "BIGINT"),
+    ("INT4", "INT"), ("INT2", "SMALLINT"), ("INT1", "TINYINT"),
+    ("INT16", "SMALLINT"), ("INT32", "INT"), ("INT64", "BIGINT"),
+    ("FLOAT32", "FLOAT"), ("FLOAT64", "DOUBLE"), ("HUGEINT", "DECIMAL(38,0)"),
+    ("FLOAT4", "FLOAT"), ("FLOAT8", "DOUBLE"), ("BOOL", "BOOLEAN"),
+    ("BYTEA", "BINARY"), ("VARIANT", "STRING"),
+]
+_TYPE_ALIASES = [
+    (re.compile(rf"(?<=::)\s*{nm}\b(?!\s*`)", re.I), rep)
+    for nm, rep in _POSTFIX_CASTS
+] + [
+    (re.compile(rf"(\bAS\s+){nm}\b(?=\s*[,)\s])", re.I), rf"\g<1>{rep}")
+    for nm, rep in _POSTFIX_CASTS
+] + _TYPE_ALIASES
+
 _DDL_TEXT = re.compile(r"\bTEXT\b", re.I)
 
 # Databend-only table options in DDL (fuse-engine knobs) — no Spark analog
