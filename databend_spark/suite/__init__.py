@@ -58,3 +58,7 @@ try:
     import databend_spark.suite.variant_suite  # noqa: F401
 except ImportError:
     pass
+try:
+    import databend_spark.suite.stage_suite  # noqa: F401
+except ImportError:
+    pass
