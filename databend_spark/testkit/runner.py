@@ -1589,9 +1589,27 @@ def run_slt_file(
                     tbl_segments.update(saved[1])
                     cluster_blocks.clear()
                     cluster_blocks.update(saved[2])
+                # COPY file-history recorded in this txn rolls back, and
+                # deferred purges are skipped (copy_into_txn.test)
+                for tkey, key, old in reversed(
+                    txn_state.get("stage_hist_undo", [])
+                ):
+                    h = stage_mgr.copy_history.setdefault(tkey, {})
+                    if old is None:
+                        h.pop(key, None)
+                    else:
+                        h[key] = old
+                txn_state.pop("stage_purges", None)
             else:
                 for bak in txn_state["backups"].values():
                     spark.sql(f"DROP TABLE IF EXISTS {cur}.`{bak}`")
+                import os as _os2
+
+                for _p in txn_state.pop("stage_purges", []):
+                    try:
+                        _os2.remove(_p)
+                    except OSError:
+                        pass
                 for sname, pt in txn_state.get("consumed", {}).items():
                     if sname in sql_streams:
                         st2 = sql_streams[sname]
@@ -2472,6 +2490,13 @@ def run_slt_file(
 
     def run_sql(sql: str):
         sql = _preserve_unknown_escapes(sql)
+        if txn_state.get("aborted") and not re.match(
+            r"^\s*(COMMIT|ROLLBACK|BEGIN|ABORT)\b", sql, re.I
+        ):
+            raise RuntimeError(
+                "[4002] current transaction is aborted, commands ignored "
+                "until end of transaction block"
+            )
         # TRUNCATE / DROP / re-CREATE reset the table's COPY file
         # history (reference: fuse table copied-file meta lives in the
         # snapshot; truncate purges it)
@@ -5700,7 +5725,13 @@ def run_slt_file(
             if kw.startswith(("BEGIN", "START")):
                 _txn_begin()
             else:
-                _txn_end(rollback=kw in ("ROLLBACK", "ABORT"))
+                # committing an ABORTED txn rolls back (reference txn
+                # abort semantics, copy_into_txn.test)
+                _txn_end(
+                    rollback=kw in ("ROLLBACK", "ABORT")
+                    or bool(txn_state.get("aborted"))
+                )
+                txn_state["aborted"] = False
             return spark.sql("SELECT 1 AS ok WHERE false")
         mti = re.match(
             r"^\s*INSERT\s+(OVERWRITE\s+)?(FIRST|ALL)\b(.*)$",
@@ -7405,6 +7436,9 @@ def run_slt_file(
                 err = None
             except Exception as e:  # noqa: BLE001
                 err = e
+                if txn_state.get("active") and "[4002]" not in str(e):
+                    # an error inside an open txn aborts it
+                    txn_state["aborted"] = True
             if err is None and expect_error:
                 # NOT NULL enforcement that error-recovery retry paths
                 # may have bypassed (e.g. variant-path INSERT ... SELECT)

@@ -418,11 +418,12 @@ class StageManager:
     """Per-SLT-file stage state + statement dispatch."""
 
     def __init__(self, spark, get_setting=None, table_info=None,
-                 note_decl=None, table_options=None):
+                 note_decl=None, table_options=None, txn=None):
         self.spark = spark
         self.get_setting = get_setting or (lambda k, d=None: d)
         self.note_decl = note_decl
         self.table_options = table_options or (lambda t: {})
+        self.txn = txn or (lambda: {})
         # table_info(table_name) -> (StructType fields, decl, nulls, defaults)
         self.table_info = table_info
         self.stages: dict[str, Stage] = {}
@@ -1192,7 +1193,7 @@ class StageManager:
                     fields, run_sql,
                 )
                 results.append((rel, nrows, 0, None, None))
-                hist[os.path.realpath(p)] = sig
+                self._note_hist(table, hist, p, sig)
                 continue
             raw = open(p, "rb").read()
             try:
@@ -1210,7 +1211,7 @@ class StageManager:
                     raise
                 msg = re.sub(r"^\[\d+\]\s*", "", str(fe))
                 results.append((rel, 0, 1, msg, 1))
-                hist[os.path.realpath(p)] = sig
+                self._note_hist(table, hist, p, sig)
                 continue
             if errors:
                 if on_error == "abort":
@@ -1228,7 +1229,7 @@ class StageManager:
             if rows:
                 df = self.spark.createDataFrame(rows, schema)
                 self._insert(df, table, fields)
-            hist[os.path.realpath(p)] = sig
+            self._note_hist(table, hist, p, sig)
             if total_err_budget is not None:
                 if rows or errors or seen:
                     results.append((rel, len(rows), 0, None, None))
@@ -1238,10 +1239,14 @@ class StageManager:
                     (rel, len(rows), len(errors), first[1], first[0])
                 )
             if purge and not st.read_only:
-                try:
-                    os.remove(p)
-                except OSError:
-                    pass
+                if self.txn().get("active"):
+                    # purge is durable only at COMMIT (copy_into_txn)
+                    self.txn().setdefault("stage_purges", []).append(p)
+                else:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
         if return_failed_only:
             results = [r for r in results if r[2]]
         if not results:
@@ -1431,6 +1436,17 @@ class StageManager:
             else:
                 rows.append(tuple(out))
         return rows, errors
+
+    def _note_hist(self, table, hist, p, sig):
+        """Record COPY file history; inside a txn, remember the prior
+        value so ROLLBACK restores it (copy_into_txn.test)."""
+        hk = os.path.realpath(p)
+        tx = self.txn()
+        if tx.get("active"):
+            tx.setdefault("stage_hist_undo", []).append(
+                (table.lower(), hk, hist.get(hk))
+            )
+        hist[hk] = sig
 
     def _load_transform(
         self, inner_sql, stage_ref, st, rel, path, fmt, table, fields, run_sql
