@@ -2512,6 +2512,15 @@ def run_slt_file(
                 _mhist.group(1).strip('`"').split(".")[-1].strip('`"').lower(),
                 None,
             )
+        # /*+ set_var(...) */ hints: session-scoped knobs the harness
+        # doesn't model — strip so Spark's parser never sees them
+        # (deduplicate_label is handled just below and must strip first)
+        if "/*+" in sql and not re.search(
+            r"deduplicate_label", sql, re.I
+        ):
+            sql = re.sub(
+                r"/\*\+\s*SET_VAR\([^)]*\)\s*\*/", " ", sql, flags=re.I
+            )
         # deduplicate_label hint: a label can apply a DML only once
         # (reference txn dedup; 15_0007) — strip the hint, skip reuse
         _mlbl = re.search(
@@ -3823,10 +3832,52 @@ def run_slt_file(
                 files = files + [
                     f"{files[0]}#b{i}" for i in range(nblocks - len(files))
                 ]
-            rows = ", ".join(f"('{f}')" for f in files) or "('')"
+            counts: list[int] = []
+            if opts.get("ROW_PER_BLOCK") and files:
+                try:
+                    cnt = spark.table(f"{db}.{tbl}").count()
+                except Exception:  # noqa: BLE001
+                    cnt = 0
+                rpb = int(opts["ROW_PER_BLOCK"])
+                nb = max(1, -(-cnt // max(rpb, 1)))
+                files = [f"{files[0]}#b{i}" if i else files[0] for i in range(nb)]
+                counts = [min(rpb, cnt - rpb * i) for i in range(nb)]
+            elif nblocks > len([f for f in files if "#b" not in f]) and files:
+                # a threshold split: rows distribute rpb-per-block with
+                # the remainder in the last block (reference compactor)
+                try:
+                    cnt = spark.table(f"{db}.{tbl}").count()
+                except Exception:  # noqa: BLE001
+                    cnt = 0
+                rpb = None
+                if opts.get("ROW_PER_BLOCK"):
+                    rpb = int(opts["ROW_PER_BLOCK"])
+                if rpb:
+                    counts = [rpb] * (nblocks - 1)
+                    counts.append(cnt - rpb * (nblocks - 1))
+                else:
+                    per = cnt // max(nblocks, 1)
+                    counts = [per] * nblocks
+                    if counts:
+                        counts[-1] = cnt - per * (nblocks - 1)
+            else:
+                for f in files:
+                    try:
+                        import pyarrow.parquet as _pq
+
+                        counts.append(
+                            _pq.ParquetFile(
+                                f.removeprefix("file:")
+                            ).metadata.num_rows
+                        )
+                    except Exception:  # noqa: BLE001
+                        counts.append(0)
+            rows = ", ".join(
+                f"('{f}', {c})" for f, c in zip(files, counts)
+            ) or "('', 0)"
             return (
-                f"(SELECT * FROM VALUES {rows} AS __fb(block_path) "
-                "WHERE block_path <> '')"
+                f"(SELECT * FROM VALUES {rows} AS __fb(block_path, "
+                "row_count) WHERE block_path <> '')"
             )
 
         if re.search(r"\bfuse_(?:snapshot|block)\s*\(", sql, re.I):

@@ -1050,6 +1050,12 @@ class StageManager:
         if evo:
             opts["__schema_evolution"] = evo.group(1)
             tail = tail[: evo.start()] + " " + tail[evo.end() :]
+        mpat = re.search(r"\bPATTERN\s*=>?\s*(\S)", tail, re.I)
+        if mpat and mpat.group(1) != "'":
+            # PATTERN takes a constant string literal only
+            raise ValueError(
+                "[1005] COPY PATTERN must be a constant string literal"
+            )
         opts.update(parse_option_list(tail))
         return opts
 
@@ -1227,7 +1233,9 @@ class StageManager:
                         f"the last error: {msg}\nat file '{rel}', line {ln}"
                     )
             if rows:
-                df = self.spark.createDataFrame(rows, schema)
+                # one COPY file -> one block write (keeps the fuse block
+                # accounting sane and avoids 32 shards for tiny loads)
+                df = self.spark.createDataFrame(rows, schema).coalesce(1)
                 self._insert(df, table, fields)
             self._note_hist(table, hist, p, sig)
             if total_err_budget is not None:
@@ -1502,10 +1510,18 @@ class StageManager:
         from pyspark.sql import functions as F
 
         given = {f.name.lower() for f in fields}
+        defaults = self.table_info(table)[3] or {}
         sel = []
         for f in full.schema.fields:
             if f.name.lower() in given:
                 sel.append(F.col(f.name))
+            elif f.name.lower() in defaults:
+                # unspecified column takes its declared DEFAULT
+                sel.append(
+                    F.expr(str(defaults[f.name.lower()]))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
             else:
                 sel.append(F.lit(None).cast(f.dataType).alias(f.name))
         df.select(
@@ -1785,15 +1801,16 @@ class StageManager:
                 flags=re.I,
             )
         if seen_cols is not None:
-            if re.search(r"\$\d+", out) and re.search(
-                r"select\s+(distinct\s+)?\*\s*,", out, re.I
-            ):
-                raise ValueError(
-                    "[1065] select * from file only support Parquet format"
-                )
-            if is_text and re.search(
-                r"select\s+(distinct\s+)?(\*|\w+\.\*)\s+from", out, re.I
-            ) and not re.search(r"\$\d+", out):
+            star = re.search(
+                r"select\s+(distinct\s+)?(\*|\w+\.\*)(\s|,|$)", out, re.I
+            )
+            if is_text and star:
+                # text formats have no column names: * never binds
+                if re.search(r"\$\d+", out):
+                    raise ValueError(
+                        "[1065] select * from file only support Parquet "
+                        "format"
+                    )
                 raise ValueError(
                     "[1065] Query from CSV file lacks column positions. "
                     "Specify as $1, $2, etc."
