@@ -1461,6 +1461,7 @@ class StageManager:
     ):
         view = self._stage_view_for_files(
             st, [(rel, path)], fmt,
+            include_meta="metadata$" in inner_sql,
             include_rowvar=bool(re.search(r"\$\d", inner_sql))
             and fmt.type in ("parquet", "orc", "arrow"),
         )
