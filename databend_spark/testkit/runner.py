@@ -3373,9 +3373,23 @@ def run_slt_file(
                 f"ALTER TABLE {mal.group(1)} ADD COLUMN"
                 f" {mal.group(2)} {mal.group(3)}"
             )
-        elif re.search(r"\bnextval\s*\(", sql, re.I) and re.match(
+        _mmod = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+MODIFY\s+COLUMN\s+"
+            r"([\w`]+)\s+\w+(?:\([^)]*\))?(?:\s+NOT\s+NULL)?\s+"
+            r"DEFAULT\s+(.+?);?\s*$",
+            sql,
+            re.I,
+        )
+        if _mmod and not re.search(r"\bnextval\s*\(", sql, re.I):
+            # replace the column's declared DEFAULT (metadata-only)
+            _tk = _mmod.group(1).split(".")[-1].strip("`").lower()
+            _ck = _mmod.group(2).strip("`").lower()
+            ddl_defaults.setdefault(_tk, {})[_ck] = _mmod.group(3).strip()
+            seq_defaults.get(_tk, {}).pop(_ck, None)
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        if re.search(r"\bnextval\s*\(", sql, re.I) and re.match(
             r"^\s*ALTER\s+TABLE\b", sql, re.I
-        ):
+        ) and not re.search(r"\bADD\s+COLUMN\b", sql, re.I):
             raise ValueError(
                 "[1065] nextval DEFAULT is not allowed in ALTER TABLE"
             )
@@ -3399,7 +3413,8 @@ def run_slt_file(
                 re.I,
             )
             defs = re.findall(
-                r"([\w`]+)\s+(\w+)\s+default\s+nextval\s*\(\s*([\w`]+)\s*\)",
+                r"([\w`]+)\s+(\w+)(?:\s+not\s+null)?\s+default\s+"
+                r"nextval\s*\(\s*([\w`]+)\s*\)",
                 cols_txt,
                 re.I,
             )
@@ -3465,6 +3480,98 @@ def run_slt_file(
                     f"INSERT INTO {mdi.group(1)} ({add_cols},"
                     f" {mdi.group(2)}) VALUES " + ", ".join(new_tuples)
                 )
+        # INSERT INTO t(cols) SELECT … with sequence-DEFAULT columns:
+        # append one sequence value per produced row via row_number
+        mdsel = re.match(
+            r"^\s*INSERT\s+INTO\s+([\w.`]+)\s*\(([^)]*)\)\s*(SELECT\b.*)$",
+            sql,
+            re.I | re.S,
+        )
+        if mdsel:
+            _tk2 = mdsel.group(1).split(".")[-1].strip("`").lower()
+            tdefs = seq_defaults.get(_tk2, {})
+            given = [
+                c.strip().strip("`").lower()
+                for c in mdsel.group(2).split(",")
+            ]
+            missing_seq = [c for c in tdefs if c not in given]
+            lit_defs = {
+                c: v
+                for c, v in ddl_defaults.get(_tk2, {}).items()
+                if c not in given and c not in tdefs
+            }
+            if missing_seq:
+                adds = []
+                body = mdsel.group(3).rstrip().rstrip(";")
+                try:
+                    nrows = spark.sql(
+                        rewrite_databend_sql(body)
+                    ).count()
+                except Exception:  # noqa: BLE001
+                    nrows = 0
+                for c in missing_seq:
+                    sq = tdefs[c]
+                    if sq not in sequences:
+                        raise ValueError(f"[3101] unknown sequence {sq}")
+                    start, inc = sequences[sq]
+                    adds.append(
+                        f"{start} - 1 + {inc} * (row_number() OVER "
+                        f"(ORDER BY 1)) AS `{c}`"
+                    )
+                    sequences[sq][0] = start + nrows * inc
+                sql = (
+                    f"INSERT INTO {mdsel.group(1)} ({mdsel.group(2)}, "
+                    + ", ".join(f"`{c}`" for c in missing_seq)
+                    + f") SELECT __src.*, {', '.join(adds)} FROM "
+                    f"({body}) AS __src"
+                )
+        # literal DEFAULTs fill remaining unspecified columns (the
+        # reference stores declared defaults; Spark would insert NULL)
+        mdl = re.match(
+            r"^\s*INSERT\s+INTO\s+([\w.`]+)\s*\(([^)]*)\)\s*"
+            r"(VALUES\s*\(.*|SELECT\b.*)$",
+            sql,
+            re.I | re.S,
+        )
+        if mdl:
+            _tk3 = mdl.group(1).split(".")[-1].strip("`").lower()
+            given3 = [
+                c.strip().strip("`").lower() for c in mdl.group(2).split(",")
+            ]
+            lit3 = {
+                c: v
+                for c, v in ddl_defaults.get(_tk3, {}).items()
+                if c not in given3
+                and c not in seq_defaults.get(_tk3, {})
+                and re.fullmatch(
+                    r"-?\d+(\.\d+)?|'(?:[^']|'')*'|true|false|NULL",
+                    str(v).strip(),
+                    re.I,
+                )
+            }
+            if lit3:
+                cols3 = ", ".join(f"`{c}`" for c in lit3)
+                body3 = mdl.group(3).rstrip().rstrip(";")
+                if re.match(r"^VALUES", body3, re.I):
+                    tuples3 = re.split(
+                        r"\)\s*,\s*\(",
+                        body3[len("VALUES"):].strip().lstrip("(").rstrip(")"),
+                    )
+                    vals3 = ", ".join(
+                        "(" + t + ", " + ", ".join(str(v) for v in lit3.values()) + ")"
+                        for t in tuples3
+                    )
+                    sql = (
+                        f"INSERT INTO {mdl.group(1)} ({mdl.group(2)}, "
+                        f"{cols3}) VALUES {vals3}"
+                    )
+                else:
+                    sql = (
+                        f"INSERT INTO {mdl.group(1)} ({mdl.group(2)}, "
+                        f"{cols3}) SELECT __dsrc.*, "
+                        + ", ".join(str(v) for v in lit3.values())
+                        + f" FROM ({body3}) AS __dsrc"
+                    )
         mvt = re.match(
             r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP\w*\s+)?TABLE\s+"
             r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*\((.*)$",
