@@ -3327,9 +3327,64 @@ def _rewrite_to_decimal(sql: str) -> str:
     return "".join(out)
 
 
+def _rewrite_from_parts(sql: str) -> str:
+    """timestamp_from_parts / timestamp_tz_from_parts (reference
+    scalars/datetime.rs) -> make_timestamp_ntz / make_timestamp."""
+
+    def repl(m):
+        fn = m.group(1).lower()
+        args = [a.strip() for a in _split_top_commas(m.group(2))]
+        tz = None
+        if fn == "timestamp_tz_from_parts" and args and args[-1].lstrip(
+        ).startswith("'"):
+            tz = args.pop()
+        y, mo, d, h, mi, sec = args[:6]
+        if len(args) >= 7:
+            sec = f"({sec}) + ({args[6]}) / 1000000000.0"
+        if tz is not None:
+            return (
+                f"make_timestamp({y}, {mo}, {d}, {h}, {mi}, {sec}, {tz})"
+            )
+        return f"make_timestamp_ntz({y}, {mo}, {d}, {h}, {mi}, {sec})"
+
+    return re.sub(
+        r"\b(timestamp_from_parts|timestamp_tz_from_parts)\s*"
+        r"\(((?:[^()']|'[^']*'|\([^()]*\))*)\)",
+        repl,
+        sql,
+        flags=re.I,
+    )
+
+
+def _split_top_commas(text: str) -> list[str]:
+    parts, buf, depth, i, n = [], [], 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and text[j] != "'":
+                j += 1
+            buf.append(text[i : j + 1])
+            i = j + 1
+            continue
+        depth += ch == "("
+        depth -= ch == ")"
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if buf or parts:
+        parts.append("".join(buf))
+    return parts
+
+
 def rewrite_databend_sql(sql: str) -> str:
     """Rewrite the Databend-only constructs we support; raise a clear
     error on the ones we don't (never silently mis-parse)."""
+    if re.search(r"\b(timestamp|timestamp_tz)_from_parts\s*\(", sql, re.I):
+        sql = _rewrite_from_parts(sql)
     if re.search(
         r"\b(TRY_)?TO_(DECIMAL|NUMBER|NUMERIC)\s*\(\s*'", sql, re.I
     ):
