@@ -800,6 +800,14 @@ class StageManager:
                 )
             if url_m:
                 u = url_m.group(1)
+                mfs0 = re.match(r"^(?:fs|file)://(/?.*)$", u, re.I)
+                if mfs0 and mfs0.group(1).strip("/"):
+                    # named stages may not point at arbitrary local
+                    # paths (reference storage allow-list; prefix.test)
+                    raise RuntimeError(
+                        "[2501] local file path is not allowed for "
+                        "CREATE STAGE"
+                    )
                 u2 = u.rstrip("/")
                 if "://" not in u2:
                     u2 = u  # don't strip below the scheme (fs:///)
@@ -1805,13 +1813,13 @@ class StageManager:
             star = re.search(
                 r"select\s+(distinct\s+)?(\*|\w+\.\*)(\s|,|$)", out, re.I
             )
+            if star and re.search(r"\$\d+", out):
+                # * never mixes with positional refs, any format
+                raise ValueError(
+                    "[1065] select * from file only support Parquet format"
+                )
             if is_text and star:
                 # text formats have no column names: * never binds
-                if re.search(r"\$\d+", out):
-                    raise ValueError(
-                        "[1065] select * from file only support Parquet "
-                        "format"
-                    )
                 raise ValueError(
                     "[1065] Query from CSV file lacks column positions. "
                     "Specify as $1, $2, etc."
