@@ -309,7 +309,10 @@ def _enc(w: bytearray, v, schema) -> None:
         if logical == "date":
             v = (v - _EPOCH).days
         elif logical == "timestamp-micros":
-            v = int((v - _EPOCH_DT).total_seconds() * 1_000_000)
+            # integer arithmetic: total_seconds() is float64 and can
+            # round the microsecond component on round-trips
+            d = v - _EPOCH_DT
+            v = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
         w += _zz(int(v))
     elif t == "boolean":
         w += b"\x01" if v else b"\x00"

@@ -23,7 +23,8 @@ from databend_spark.suite.base import register
     "stage_csv_roundtrip",
     oracle=(
         "SELECT count(*) AS n, CAST(round(sum(o_totalprice), 2) AS "
-        "DECIMAL(38,2)) AS total, min(o_orderdate) AS first_day "
+        "DECIMAL(38,2)) AS total, CAST(min(o_orderdate) AS DATE) AS "
+        "first_day "
         "FROM orders WHERE o_orderkey < 4096"
     ),
     doc="CSV unload+distributed COPY decode round-trip (stage_format.py"

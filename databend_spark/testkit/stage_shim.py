@@ -1197,8 +1197,18 @@ class StageManager:
 
         results = []
         total_err_budget = None
+        skip_thresh = None
         if m := re.fullmatch(r"abort_(\d+)", on_error):
             total_err_budget = int(m.group(1))
+        elif on_error == "skip_file":
+            skip_thresh = 1
+        elif m := re.fullmatch(r"skip_file_(\d+)", on_error):
+            skip_thresh = int(m.group(1))
+        elif on_error not in ("abort", "continue"):
+            raise ValueError(f"[1005] invalid ON_ERROR option: {on_error}")
+        # abort_N accumulates ONE job-wide error counter across all
+        # picked files (reference error_handler.rs:26,56 AtomicU64)
+        cum_errors = 0
 
         for rel, p, sig in picked:
             if transform_sql is not None:
@@ -1221,7 +1231,9 @@ class StageManager:
                     rows, errors = dec.rows, dec.errors
                     seen = dec.seen
             except Exception as fe:  # noqa: BLE001 whole-file failure
-                if on_error != "continue" or "[1006]" in str(fe):
+                if (
+                    on_error != "continue" and skip_thresh is None
+                ) or "[1006]" in str(fe):
                     raise
                 msg = re.sub(r"^\[\d+\]\s*", "", str(fe))
                 results.append((rel, 0, 1, msg, 1))
@@ -1234,12 +1246,23 @@ class StageManager:
                         f"[1046] error happens after fetched {len(rows)} "
                         f"rows: {msg}\nat file '{rel}', line {ln}"
                     )
-                if total_err_budget is not None and len(errors) >= total_err_budget:
-                    ln, msg = errors[total_err_budget - 1]
+                if (
+                    total_err_budget is not None
+                    and cum_errors + len(errors) >= total_err_budget
+                ):
+                    ln, msg = errors[total_err_budget - cum_errors - 1]
                     raise RuntimeError(
                         f"[1046] abort after {total_err_budget} errors! "
                         f"the last error: {msg}\nat file '{rel}', line {ln}"
                     )
+                cum_errors += len(errors)
+                if skip_thresh is not None and len(errors) >= skip_thresh:
+                    # discard the whole file's rows (reference skips the
+                    # file once its error count reaches the threshold)
+                    ln, msg = errors[0]
+                    results.append((rel, 0, len(errors), msg, ln))
+                    self._note_hist(table, hist, p, sig)
+                    continue
             if rows:
                 # one COPY file -> one block write (keeps the fuse block
                 # accounting sane and avoids 32 shards for tiny loads)
@@ -1632,8 +1655,12 @@ class StageManager:
             out_path = os.path.join(base, name)
             if exact and os.path.exists(out_path) and not overwrite:
                 raise RuntimeError(f"[1006] file already exists: {name}")
-            with open(out_path, "wb") as fh:
+            # write temp + os.replace: replaces a symlink entry instead
+            # of following it (stage dirs may symlink shared fixtures)
+            tmp_path = f"{out_path}.tmp.{os.getpid()}"
+            with open(tmp_path, "wb") as fh:
                 fh.write(blob)
+            os.replace(tmp_path, out_path)
             written.append(
                 (os.path.relpath(out_path, st.rel_root), len(blob), len(chunk))
             )
@@ -2013,6 +2040,9 @@ class StageManager:
                         pa.array(range(tbl.num_rows), type=pa.int64()),
                     )
                 tbls.append(tbl)
+            if not tbls:
+                # every listed file was zero bytes — same as no files
+                raise ValueError("[1065] no files found")
             big = (
                 pa.concat_tables(tbls, promote_options="permissive")
                 if len(tbls) > 1
