@@ -314,6 +314,24 @@ SQL_MACROS: dict[str, str] = {
         5: "__regexp_instr({0}, {1}, {2}, {3}, {4}, '')",
         6: "__regexp_instr({0}, {1}, {2}, {3}, {4}, {5})",
     },
+    # Databend regexp_extract: 2-arg = whole match (group 0); 3rd arg
+    # may be a group index or a name list (→ map rendered as JSON);
+    # group>9 / out-of-range semantics differ from Spark's builtin
+    # (string_multi_args.rs:333-412) — route through the UDF
+    "regexp_extract": lambda args: (
+        f"__regexp_extract_named({args[0]}, {args[1]}, {args[2]})"
+        if len(args) == 3
+        and re.match(r"^\s*(\[|array\s*\()", args[2], re.I)
+        else f"__regexp_extract({args[0]}, {args[1]}, "
+        + (args[2] if len(args) == 3 else "0")
+        + ")"
+        if len(args) in (2, 3)
+        else None
+    ),
+    "regexp_extract_all": {
+        2: "__regexp_extract_all({0}, {1}, 0)",
+        3: "__regexp_extract_all({0}, {1}, {2})",
+    },
     "regexp_substr": {
         2: "__regexp_substr({0}, {1}, 1, 1, '')",
         3: "__regexp_substr({0}, {1}, {2}, 1, '')",
@@ -1150,6 +1168,16 @@ def _typeof_macro(args: list[str]) -> str | None:
                 f"regexp_replace({expr}, {lit('BIGINT')}, {lit('UINT64')})"
             )
         return expr
+    # typeof over a VARIANT value is its jsonb runtime type
+    # (variant.rs:2558: same RawJsonb::type_of as json_typeof)
+    if re.search(r"__variant_access\s*\(", t) or re.match(
+        r"^\$\d+\b", t
+    ):
+        return (
+            f"CASE WHEN upper(__json_typeof(CAST(({t}) AS STRING)))"
+            " = 'STRING' THEN 'VARCHAR'"
+            f" ELSE upper(__json_typeof(CAST(({t}) AS STRING))) END"
+        )
     return (
         f"CASE upper(t\x03ypeof({t})) WHEN 'STRING' THEN 'VARCHAR'"
         f" ELSE regexp_replace(upper(t\x03ypeof({t})), ',\\\\s*', ', ')"

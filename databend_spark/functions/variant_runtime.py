@@ -723,6 +723,96 @@ def regexp_substr_eval(s, pat, pos, occ, mt):
     return None
 
 
+def regexp_extract_eval(s, pat, group):
+    """Databend regexp_extract (string_multi_args.rs:623-684): on a
+    match, group > 9 errors; a group index beyond the pattern's groups
+    (or an unmatched optional group) yields ''; no match yields ''
+    — never NULL for non-NULL args."""
+    if s is None or pat is None or group is None:
+        return None
+    group = int(group)
+    rx = re.compile(pat)
+    m = rx.search(s)
+    if m is None:
+        return ""
+    if group > 9:
+        raise ValueError("Group index must be between 0 and 9!")
+    if group > rx.groups:
+        return ""
+    return m.group(group) or ""
+
+
+def regexp_extract_all_eval(s, pat, group):
+    """Databend regexp_extract_all (string_multi_args.rs:544-622):
+    group > 9 errors unconditionally; group beyond the pattern's
+    groups errors per match; unmatched optional groups yield ''."""
+    if s is None or pat is None or group is None:
+        return None
+    group = int(group)
+    rx = re.compile(pat)
+    if group > 9:
+        raise ValueError("Group index must be between 0 and 9!")
+    out = []
+    for m in rx.finditer(s):
+        if group > rx.groups:
+            raise ValueError(
+                f"Pattern has {rx.groups + 1} groups. "
+                f"Cannot access group {group}"
+            )
+        out.append(m.group(group) or "")
+    return out
+
+
+def regexp_extract_named_eval(s, pat, names):
+    """Databend regexp_extract(s, pat, [names...]) → JSON object of the
+    LAST match's positional groups keyed by the given names
+    (string_multi_args.rs:348-412: captures_iter().last(), values by
+    position, '' for misses)."""
+    if s is None or pat is None or names is None:
+        return None
+    rx = re.compile(pat)
+    last = None
+    for last in rx.finditer(s):
+        pass
+    if last is not None and len(names) > rx.groups:
+        raise ValueError("Not enough group names in regexp_extract")
+    obj = {}
+    for i, name in enumerate(names):
+        v = last.group(i + 1) if last is not None else None
+        obj[name] = v or ""
+    return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
+
+
+def wide_decimal_cast_eval(v, p, s):
+    """Decimal256 cast emulation (reference types/decimal.rs:82,
+    p<=76): exact fixed-point rendering of values Spark's 38-digit
+    decimal cannot hold; raises a message containing 'overflow' when
+    the integer digits exceed p-s (decimal_overflow_error)."""
+    if v is None:
+        return None
+    import decimal as _dec
+
+    t = str(v).strip()
+    if t.startswith('"') and t.endswith('"'):
+        t = t[1:-1]
+    if t == "" or t.lower() == "null":
+        return None
+    with _dec.localcontext() as ctx:
+        ctx.prec = 160
+        try:
+            d = _dec.Decimal(t)
+        except Exception:
+            raise ValueError(f"[1006] cannot parse '{t}' as decimal")
+        q = d.quantize(
+            _dec.Decimal(1).scaleb(-int(s)), rounding=_dec.ROUND_HALF_UP
+        )
+        if abs(q) >= _dec.Decimal(1).scaleb(int(p) - int(s)):
+            raise ValueError(
+                f"[1002] Decimal overflow at precision {p}, scale {s}"
+            )
+        return str(q)
+
+
 def regexp_replace_eval(s, pat, repl, pos, occ, mt):
     """occ = 0 replaces every occurrence from pos."""
     if (s is None or pat is None or repl is None or pos is None
@@ -1928,6 +2018,17 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__chr", chr_eval, StringType())
     spark.udf.register("__variant_like", variant_like_eval, BooleanType())
     spark.udf.register("__regexp_instr", regexp_instr_eval, LongType())
+    spark.udf.register("__regexp_extract", regexp_extract_eval, StringType())
+    spark.udf.register(
+        "__regexp_extract_all", regexp_extract_all_eval,
+        ArrayType(StringType()),
+    )
+    spark.udf.register(
+        "__regexp_extract_named", regexp_extract_named_eval, StringType()
+    )
+    spark.udf.register(
+        "__wide_decimal_cast", wide_decimal_cast_eval, StringType()
+    )
     spark.udf.register("__regexp_substr", regexp_substr_eval, StringType())
     spark.udf.register("__regexp_replace", regexp_replace_eval, StringType())
     spark.udf.register("__time_slice", time_slice, StringType())

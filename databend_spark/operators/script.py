@@ -359,9 +359,11 @@ class ScriptRunner:
             if saved is not None:
                 self.vars[var_l] = saved
             return
-        # row loop: resultset name or inline SELECT
+        # row loop: cursor name, resultset name, or inline SELECT
         src = source.strip()
-        if src.lower() in self.rsets:
+        if src.lower() in self.cursors:
+            df = self.cursors[src.lower()]["df"]
+        elif src.lower() in self.rsets:
             df = self.rsets[src.lower()]
         else:
             df = self.run_sql(self._substitute(src, rows))

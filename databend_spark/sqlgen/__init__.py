@@ -72,6 +72,12 @@ def variant_paths_to_access(sql: str) -> str:
     def repl(m: re.Match) -> str:
         tail = masked[m.end() :]
         cm = re.match(r"\s*::\s*(STRING|VARCHAR|TEXT)\b", tail, re.I)
+        # temporal casts need the UNQUOTED text (variant string →
+        # date/timestamp cast, reference variant.rs as_* semantics) but
+        # keep the cast itself
+        cm_t = cm or re.match(
+            r"\s*::\s*(DATE|DATETIME|TIMESTAMP)\b", tail, re.I
+        )
         after = tail[cm.end() :] if cm else tail
         if re.match(r"\s*(=|<>|!=|<=|>=|<|>|\bIN\b|\bLIKE\b)", after, re.I):
             return m.group(0)
@@ -83,7 +89,7 @@ def variant_paths_to_access(sql: str) -> str:
 
         path = re.sub("\\[\\s*\x00(\\d+)\x00\\s*\\]", seg, path)
         path_lit = "'" + path.replace("'", "''") + "'"
-        text = "true" if cm else "false"
+        text = "true" if cm_t else "false"
         return (
             f"__variant_access(CAST({m.group(1)} AS STRING), 'path',"
             f" {path_lit}, {text})" + ("\x04" if cm else "")
@@ -2551,6 +2557,56 @@ def _strip_nullable_wrappers(t: str) -> str:
         t = t[: m.start()] + t[m.end() : j] + t[j + 1 :]
 
 
+_WIDE_DEC_POSTFIX = re.compile(
+    r"::\s*DECIMAL\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", re.I
+)
+
+
+def _rewrite_wide_decimal_postfix(s: str) -> str:
+    """`expr::DECIMAL(p, s)` with p>38 or s>37 →
+    `__wide_decimal_cast(CAST(expr AS STRING), p, s)` — decimal256
+    emulation for widths Spark's native decimal cannot hold
+    (reference types/decimal.rs:82, p<=76)."""
+    while True:
+        m = None
+        for cand in _WIDE_DEC_POSTFIX.finditer(s):
+            p_ = int(cand.group(1))
+            sc = int(cand.group(2) or 0)
+            if 38 < p_ <= 76 or sc > 37:
+                m = cand
+                break
+        if m is None:
+            return s
+        # scan backward over the preceding primary expression
+        i = m.start()
+        depth = 0
+        while i > 0:
+            ch = s[i - 1]
+            if ch in ")]":
+                depth += 1
+                i -= 1
+            elif ch in "([":
+                if depth == 0:
+                    break
+                depth -= 1
+                i -= 1
+            elif depth > 0:
+                i -= 1
+            elif ch.isalnum() or ch in "_.$`\x00":
+                i -= 1
+            else:
+                break
+        expr = s[i : m.start()]
+        if not expr.strip():
+            return s
+        s = (
+            s[:i]
+            + f"__wide_decimal_cast(CAST(({expr}) AS STRING), "
+            + f"{int(m.group(1))}, {int(m.group(2) or 0)})"
+            + s[m.end():]
+        )
+
+
 def _rewrite_cast_paren_types(s: str) -> str:
     pos = 0
     while True:
@@ -3713,6 +3769,11 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = _rewrite_cast_paren_types(masked)
     for pat, repl in _TYPE_ALIASES:
         masked = pat.sub(repl, masked)
+    # postfix casts to decimal256 widths (p>38 or s>37) — Spark's
+    # native decimal caps at 38 (reference types/decimal.rs:82 allows
+    # p<=76) — evaluate through a Python Decimal UDF that renders the
+    # exact fixed-point text and raises on overflow
+    masked = _rewrite_wide_decimal_postfix(masked)
     # reference decimals reach precision 76 (decimal256); Spark caps at
     # 38 — clamp the type token, keeping as much scale as the integer
     # digits allow (text output is identical whenever the value fits)

@@ -1530,6 +1530,7 @@ def run_slt_file(
             backups[t.name.lower()] = bak
         txn_state.update(
             active=True,
+            bumped=set(),
             backups=backups,
             saved=(
                 _copy.deepcopy(tbl_commits),
@@ -2129,6 +2130,14 @@ def run_slt_file(
 
     def _bump_commit(tbl: str) -> None:
         k = _commit_key(tbl)
+        if txn_state.get("active"):
+            # all DMLs on a table inside one transaction fold into ONE
+            # snapshot at COMMIT (15_0005_procedure_snapshots.test)
+            bumped = txn_state.setdefault("bumped", set())
+            if k in bumped:
+                tbl_segments[k] = tbl_segments.get(k, 0) + 1
+                return
+            bumped.add(k)
         tbl_commits[k] = tbl_commits.get(k, 0) + 1
         tbl_segments[k] = tbl_segments.get(k, 0) + 1
         tbl_commit_times.setdefault(k, []).append(time.time())

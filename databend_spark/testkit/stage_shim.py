@@ -2026,10 +2026,15 @@ class StageManager:
                 names = tbl.column_names
                 if include_rowvar:
                     # $1 on a columnar file binds the whole record as a
-                    # sorted-key variant (parquet_to_variant.test)
-                    tbl = tbl.append_column(
-                        "__row_variant",
-                        pa.array([_jdump(r) for r in tbl.to_pylist()]),
+                    # sorted-key variant (parquet_to_variant.test); the
+                    # named columns do NOT coexist with it — a query
+                    # mixing $1 with a named column must fail to resolve
+                    tbl = pa.table(
+                        {
+                            "__row_variant": pa.array(
+                                [_jdump(r) for r in tbl.to_pylist()]
+                            )
+                        }
                     )
                 if include_meta:
                     tbl = tbl.append_column(
@@ -2166,6 +2171,14 @@ def _jdump(v) -> str:
             for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))
         ) + "}"
     if isinstance(v, (list, tuple)):
+        # pyarrow MAP columns arrive as lists of (key, value) 2-TUPLES
+        # (list/struct children arrive as dicts) — render as a JSON
+        # object with sorted keys like the reference's jsonb
+        if v and all(isinstance(x, tuple) and len(x) == 2 for x in v):
+            return "{" + ",".join(
+                f"{_json.dumps(str(k), ensure_ascii=False)}:{_jdump(x)}"
+                for k, x in sorted(v, key=lambda kv: str(kv[0]))
+            ) + "}"
         return "[" + ",".join(_jdump(x) for x in v) + "]"
     if isinstance(v, _dt.datetime):
         return _json.dumps(v.strftime("%Y-%m-%d %H:%M:%S.%f"))
