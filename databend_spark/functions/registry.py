@@ -332,6 +332,12 @@ SQL_MACROS: dict[str, str] = {
         2: "__regexp_extract_all({0}, {1}, 0)",
         3: "__regexp_extract_all({0}, {1}, {2})",
     },
+    # Databend split/split_part use a LITERAL separator (string.rs:987)
+    # — Spark's split is regex-based
+    "split": {2: "__split(CAST({0} AS STRING), CAST({1} AS STRING))"},
+    "split_part": {
+        3: "__split_part(CAST({0} AS STRING), CAST({1} AS STRING), {2})"
+    },
     "regexp_substr": {
         2: "__regexp_substr({0}, {1}, 1, 1, '')",
         3: "__regexp_substr({0}, {1}, {2}, 1, '')",
@@ -927,7 +933,7 @@ def _to_bitmap(args: list[str]) -> str | None:
     if "\x00" in args[0]:  # string literal '0, 1, 2'
         return (
             "array_sort(array_d\x03istinct(transform("
-            f"split({args[0]}, ','), x -> CAST(trim(x) AS BIGINT))))"
+            f"sp\x03lit({args[0]}, ','), x -> CAST(trim(x) AS BIGINT))))"
         )
     return f"array(CAST({args[0]} AS BIGINT))"
 
@@ -1915,7 +1921,7 @@ def _regexp_split_sql(args: list[str], explode: bool) -> str | None:
         raw = (f"(?{flags})" if flags else "") + raw
         CURRENT_LITERALS.append("'" + raw.replace("'", "''") + "'")
         pat_sql = f"\x00{len(CURRENT_LITERALS) - 1}\x00"
-    base = f"split({args[0]}, {pat_sql})"
+    base = f"sp\x03lit({args[0]}, {pat_sql})"
     if raw is not None:
         try:
             matches_empty = re.match(raw.replace("\\\\", "\\"), "") is not None

@@ -783,6 +783,36 @@ def regexp_extract_named_eval(s, pat, names):
     return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
 
 
+def split_eval(s, sep):
+    """Databend split (string.rs:987): LITERAL separator (not regex);
+    s == sep → [""], empty sep → [s], else str.split keeping empties."""
+    if s is None or sep is None:
+        return None
+    if s == sep:
+        return [""]
+    if sep == "":
+        return [s]
+    return s.split(sep)
+
+
+def split_part_eval(s, sep, part):
+    """Databend split_part (string.rs:1037): literal separator; part 0
+    behaves like 1, negatives count from the end, out-of-range → ''."""
+    if s is None or sep is None or part is None:
+        return None
+    part = int(part)
+    if sep == "":
+        return s if part in (0, 1, -1) else ""
+    if s == sep:
+        return ""
+    parts = s.split(sep)
+    if part < 0:
+        idx = len(parts) + part
+        return parts[idx] if idx >= 0 else ""
+    idx = 0 if part == 0 else part - 1
+    return parts[idx] if idx < len(parts) else ""
+
+
 def wide_decimal_cast_eval(v, p, s):
     """Decimal256 cast emulation (reference types/decimal.rs:82,
     p<=76): exact fixed-point rendering of values Spark's 38-digit
@@ -2029,6 +2059,8 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register(
         "__wide_decimal_cast", wide_decimal_cast_eval, StringType()
     )
+    spark.udf.register("__split", split_eval, ArrayType(StringType()))
+    spark.udf.register("__split_part", split_part_eval, StringType())
     spark.udf.register("__regexp_substr", regexp_substr_eval, StringType())
     spark.udf.register("__regexp_replace", regexp_replace_eval, StringType())
     spark.udf.register("__time_slice", time_slice, StringType())

@@ -483,21 +483,30 @@ def _rewrite_map_literals(s: str) -> str:
         out = []
         depth = 0
         i = 0
+        keys: list[str] = []
+        seg_start = 0
         while i < len(body):
             ch = body[i]
             if ch in "([":
                 depth += 1
             elif ch in ")]":
                 depth -= 1
+            if ch == "," and depth == 0:
+                seg_start = i + 1
             if ch == ":" and depth == 0:
                 if i + 1 < len(body) and body[i + 1] == ":":
                     out.append("::")
                     i += 2
                     continue
+                keys.append(body[seg_start:i].strip())
                 out.append(", ")
             else:
                 out.append(ch)
             i += 1
+        # literal duplicate keys error in the reference (map semantics)
+        lit_keys = [k for k in keys if re.fullmatch(r"[\x00\d.\w-]+", k)]
+        if len(lit_keys) != len(set(lit_keys)):
+            raise ValueError("[1006] map keys have to be unique")
         flat = "".join(out)
         # scientific-notation values parse as DOUBLE in Spark but as
         # DECIMAL in the reference; expand to plain decimal text so the

@@ -1222,6 +1222,35 @@ def run_slt_file(
             dm = re.search(r"\bDEFAULT\s*(\(.*\)|\S+)", c, re.I)
             if dm:
                 dflt[name] = dm.group(1).strip("()")
+        # a MAP key type must be scalar — Array/Map/Tuple keys are
+        # invalid (reference check_valid_map_key_type)
+        for c in cols:
+            if re.search(
+                r"\bMAP\s*\(\s*(ARRAY|MAP|TUPLE)\b", c, re.I
+            ):
+                raise ValueError(
+                    "[1006] the key of a MAP must be a scalar type"
+                )
+        # an integer-typed literal DEFAULT must fit the declared width
+        # (reference binder checks at CREATE; 03_0027 e smallint
+        # default -872582066 → 1006)
+        _iranges = {
+            "tinyint": (-128, 127), "int8": (-128, 127),
+            "smallint": (-32768, 32767), "int16": (-32768, 32767),
+            "int": (-(2**31), 2**31 - 1), "int32": (-(2**31), 2**31 - 1),
+            "integer": (-(2**31), 2**31 - 1),
+            "uint8": (0, 255), "uint16": (0, 65535),
+            "uint32": (0, 2**32 - 1), "uint64": (0, 2**64 - 1),
+        }
+        for _dn, _dv in dflt.items():
+            _dty = decl.get(_dn, "").lower().rstrip(",").split("(")[0]
+            _rng = _iranges.get(_dty)
+            if _rng and re.fullmatch(r"-?\d+", str(_dv).strip()):
+                if not (_rng[0] <= int(_dv) <= _rng[1]):
+                    raise ValueError(
+                        f"[1006] default value {_dv} is out of range "
+                        f"for column {_dn} ({_dty})"
+                    )
         ddl_decl_types[tbl] = decl
         ddl_defaults[tbl] = dflt
         comments = {}
@@ -2506,6 +2535,21 @@ def run_slt_file(
                 "[4002] current transaction is aborted, commands ignored "
                 "until end of transaction block"
             )
+        # PRQL dialect (reference planner.rs:110-120): pipelines compile
+        # to SQL; plain SELECT text is a parse error while active
+        if (
+            setting_overrides.get("sql_dialect", "").strip("'\"").lower()
+            == "prql"
+        ):
+            _s0 = sql.lstrip()
+            if re.match(r"^from\s", _s0, re.I):
+                from databend_spark.sqlgen.prql import prql_to_sql
+
+                sql = prql_to_sql(_s0)
+            elif re.match(r"^(SELECT|WITH)\b", _s0, re.I):
+                raise ValueError(
+                    "[1005] PRQL parse error: expected a pipeline"
+                )
         # TRUNCATE / DROP / re-CREATE reset the table's COPY file
         # history (reference: fuse table copied-file meta lives in the
         # snapshot; truncate purges it)
@@ -3355,6 +3399,46 @@ def run_slt_file(
             r"^\s*(DESC(?:RIBE)?\s+SEQUENCE|SHOW\s+SEQUENCES)\b", sql, re.I
         ):
             return spark.sql("SELECT 1 AS ok WHERE false")
+        mdc = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+COLUMN\s+"
+            r"(IF\s+EXISTS\s+)?([\w`]+)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if mdc:
+            # Spark's v1 parquet tables reject DROP COLUMN — emulate by
+            # CTAS-without-the-column + rename (data preserved)
+            _dt = mdc.group(1)
+            _dc = mdc.group(3).strip("`").lower()
+            _dcols = [f.name for f in spark.table(_dt).schema.fields]
+            if _dc not in [c.lower() for c in _dcols]:
+                if mdc.group(2):
+                    return spark.sql("SELECT 1 AS ok WHERE false")
+                raise ValueError(f"[1065] unknown column {_dc}")
+            if len(_dcols) == 1:
+                raise ValueError(
+                    "[1113] cannot drop the only column of a table"
+                )
+            _keep = [f"`{c}`" for c in _dcols if c.lower() != _dc]
+            _parts = _dt.replace("`", "").split(".")
+            _bare = _parts[-1]
+            _tmp = ".".join(
+                f"`{p}`" for p in _parts[:-1] + [_bare + "__dcol"]
+            )
+            _qt = ".".join(f"`{p}`" for p in _parts)
+            spark.sql(f"DROP TABLE IF EXISTS {_tmp}")
+            spark.sql(
+                f"CREATE TABLE {_tmp} AS SELECT "
+                f"{', '.join(_keep)} FROM {_qt}"
+            )
+            spark.sql(f"DROP TABLE {_qt}")
+            spark.sql(f"ALTER TABLE {_tmp} RENAME TO `{_bare}`")
+            for _meta in (
+                ddl_decl_types, ddl_defaults, ddl_nullability,
+                ddl_col_comments,
+            ):
+                _meta.get(_bare.lower(), {}).pop(_dc, None)
+            return spark.sql("SELECT 1 AS ok WHERE false")
         mal = re.match(
             r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+COLUMN\s+([\w`]+)\s+"
             r"(\w+)\s+default\s+nextval\s*\(\s*([\w`]+)\s*\)\s*;?\s*$",
@@ -3533,6 +3617,88 @@ def run_slt_file(
                     + ", ".join(f"`{c}`" for c in missing_seq)
                     + f") SELECT __src.*, {', '.join(adds)} FROM "
                     f"({body}) AS __src"
+                )
+        # DEFAULT keyword as a VALUE inside tuples → the column's
+        # declared default (NULL when none) — reference binder fills
+        # per-position (03_0027_insert_default.test)
+        mdk = re.match(
+            r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.`]+)\s*"
+            r"(?:\(([^)]*)\))?\s*VALUES\s*(\(.*)$",
+            sql,
+            re.I | re.S,
+        )
+        if mdk and re.search(
+            r"(?<![\w`])default(?![\w`(])", mdk.group(3), re.I
+        ):
+            from databend_spark.sqlgen import _mask_strings, _unmask_strings
+
+            _tk4 = mdk.group(1).split(".")[-1].strip("`").lower()
+            cols4 = (
+                [
+                    c.strip().strip('`"').lower()
+                    for c in mdk.group(2).split(",")
+                ]
+                if mdk.group(2)
+                else list(ddl_decl_types.get(_tk4, {}).keys())
+            )
+            body4, lits4 = _mask_strings(
+                mdk.group(3).rstrip().rstrip(";")
+            )
+            dflt4 = ddl_defaults.get(_tk4, {})
+            # depth-aware tuple/value split
+            tuples4: list[list[str]] = []
+            vals4: list[str] = []
+            depth4, start4 = 0, 0
+            for i4, ch4 in enumerate(body4):
+                if ch4 == "(":
+                    depth4 += 1
+                    if depth4 == 1:
+                        vals4, start4 = [], i4 + 1
+                elif ch4 == ")":
+                    depth4 -= 1
+                    if depth4 == 0:
+                        vals4.append(body4[start4:i4])
+                        tuples4.append(vals4)
+                elif ch4 == "," and depth4 == 1:
+                    vals4.append(body4[start4:i4])
+                    start4 = i4 + 1
+            changed4 = False
+            newt4 = []
+            for vals4 in tuples4:
+                for j4, v4 in enumerate(vals4):
+                    if re.fullmatch(
+                        r"default", v4.strip(), re.I
+                    ) and j4 < len(cols4):
+                        c4 = cols4[j4]
+                        d4 = dflt4.get(c4)
+                        if d4 is None and not ddl_nullability.get(
+                            _tk4, {}
+                        ).get(c4, True):
+                            # NOT NULL without a declared default → the
+                            # type's zero value (reference fills
+                            # Scalar::default_value)
+                            ty4 = (
+                                ddl_decl_types.get(_tk4, {})
+                                .get(c4, "")
+                                .lower()
+                                .split("(")[0]
+                            )
+                            d4 = {
+                                "varchar": "''", "string": "''",
+                                "text": "''", "date": "'1970-01-01'",
+                                "timestamp": "'1970-01-01 00:00:00'",
+                                "boolean": "false", "bool": "false",
+                            }.get(ty4, "0")
+                        vals4[j4] = (
+                            str(d4) if d4 is not None else "NULL"
+                        )
+                        changed4 = True
+                newt4.append("(" + ", ".join(vals4) + ")")
+            if changed4 and cols4:
+                head4 = f"({mdk.group(2)}) " if mdk.group(2) else ""
+                sql = (
+                    f"INSERT INTO {mdk.group(1)} {head4}VALUES "
+                    + _unmask_strings(", ".join(newt4), lits4)
                 )
         # literal DEFAULTs fill remaining unspecified columns (the
         # reference stores declared defaults; Spark would insert NULL)
@@ -6003,6 +6169,105 @@ def run_slt_file(
                     return spark.createDataFrame(
                         [(after - before,)], "count bigint"
                     )
+        def _retry_insert_casts(sql):
+            """Mixed-type VALUES rows (e.g. map literals with differing
+            key/value types): the reference casts each row to the
+            TARGET column types — retry with explicit per-branch casts;
+            returns None when inapplicable."""
+            mins = re.match(
+                r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.`]+)\s*"
+                r"(?:\(([^)]*)\))?\s*VALUES\s*(\(.*)$",
+                sql,
+                re.I | re.S,
+            )
+            if mins:
+                try:
+                    tsch = {
+                        f.name.lower(): f.dataType.simpleString()
+                        for f in spark.table(
+                            mins.group(1)
+                        ).schema.fields
+                    }
+                except Exception:  # noqa: BLE001
+                    tsch = {}
+                ccols = (
+                    [
+                        c.strip().strip("`").lower()
+                        for c in mins.group(2).split(",")
+                    ]
+                    if mins.group(2)
+                    else [
+                        f.name.lower()
+                        for f in spark.table(mins.group(1)).schema
+                    ]
+                )
+                from databend_spark.sqlgen import (
+                    _mask_strings,
+                    _unmask_strings,
+                )
+
+                bodyi, litsi = _mask_strings(
+                    mins.group(3).rstrip().rstrip(";")
+                )
+                rowsi, valsi, depi, sti = [], [], 0, 0
+                for ii, chi in enumerate(bodyi):
+                    if chi == "(":
+                        depi += 1
+                        if depi == 1:
+                            valsi, sti = [], ii + 1
+                    elif chi == ")":
+                        depi -= 1
+                        if depi == 0:
+                            valsi.append(bodyi[sti:ii])
+                            rowsi.append(valsi)
+                    elif chi == "," and depi == 1:
+                        valsi.append(bodyi[sti:ii])
+                        sti = ii + 1
+                if tsch and rowsi:
+                    # rewrite each row's expressions FIRST (map/
+                    # array literals etc.), then assemble the cast
+                    # statement and run it UN-rewritten so generic
+                    # type commas survive
+                    sels = []
+                    try:
+                        for valsi in rowsi:
+                            row_sql = rewrite_databend_sql(
+                                _unmask_strings(
+                                    "SELECT " + ", ".join(valsi),
+                                    litsi,
+                                )
+                            )
+                            rmask, rlits = _mask_strings(
+                                row_sql[len("SELECT "):]
+                            )
+                            exprs = [
+                                _unmask_strings(p, rlits)
+                                for p in _split_args(rmask)
+                            ]
+                            casted = [
+                                f"CAST(({v}) AS {tsch[c]}) AS `{c}`"
+                                if c in tsch
+                                else v
+                                for v, c in zip(exprs, ccols)
+                            ]
+                            sels.append(
+                                "SELECT " + ", ".join(casted)
+                            )
+                        head_i = (
+                            f"({mins.group(2)}) "
+                            if mins.group(2)
+                            else ""
+                        )
+                        return spark.sql(
+                            f"INSERT INTO {mins.group(1)} {head_i}"
+                            "SELECT /*+ COALESCE(1) */ * FROM ("
+                            + " UNION ALL ".join(sels)
+                            + ") __vc"
+                        )
+                    except Exception:  # noqa: BLE001
+                        pass
+            return None
+
         rewritten = rewrite_databend_sql(sql)
         wcommit = ins or re.match(
             r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.`]+)", sql, re.I
@@ -6636,6 +6901,31 @@ def run_slt_file(
                             return spark.sql(forced)
                         except Exception:  # noqa: BLE001
                             pass
+            if (
+                "INCOMPATIBLE_COLUMN_TYPE" in msg
+                or "CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE" in msg
+            ) and re.match(r"^\s*INSERT\s", sql, re.I):
+                out = _retry_insert_casts(sql)
+                if out is not None:
+                    return out
+            if (
+                "UNEXPECTED_INPUT_TYPE" in msg
+                and '"(NOT ' in msg
+                and re.search(r"\bnot\s*\(", sql, re.I)
+            ):
+                # NOT over an integer column: the reference coerces
+                # int→bool (0 = false) — retry as `expr = 0`
+                alt = re.sub(
+                    r"\bnot\s*\(((?:[^()]|\([^()]*\))*)\)",
+                    r"((\1) = 0)",
+                    sql,
+                    flags=re.I,
+                )
+                if alt != sql:
+                    try:
+                        return spark.sql(rewrite_databend_sql(alt))
+                    except Exception:  # noqa: BLE001
+                        pass
             if ("DATATYPE_MISMATCH" in msg or "CAST_INVALID_INPUT" in msg) and re.search(
                 r"\barray_(insert|distinct|intersection|except|overlap"
                 r"|slice|concat|append|prepend|compact|contains|flatten"
@@ -7292,7 +7582,15 @@ def run_slt_file(
 
                 forced = rewrite_databend_sql(rewrite_values_as_select(sql))
                 if forced != rewritten:
-                    return spark.sql(forced)
+                    try:
+                        return spark.sql(forced)
+                    except Exception:  # noqa: BLE001
+                        # still incompatible across rows → cast every
+                        # row to the TARGET column types
+                        out = _retry_insert_casts(sql)
+                        if out is not None:
+                            return out
+                        raise
             raise
 
     if isolate:  # fresh database per file — files reuse table names
