@@ -31,12 +31,39 @@ _TUPLE_FIELD = re.compile(r"((?:[A-Za-z_]\w*|\)|\]))\.(\d+)\b")
 # col:a / col:a.b / col:a[0]:b — Databend variant path extraction; the
 # lookbehind/lookahead exclude `::` casts, the leading-letter requirement
 # excludes array slices like arr[1:3]
-_VARIANT_SEG = r"(?:[A-Za-z_]\w*|\d+|\[\s*(?:\x00\d+\x00|\d+)\s*\])"
+_VARIANT_SEG = r"(?:[A-Za-z_]\w*|\d+|\x00\d+\x00|\"[^\"]*\"|\[\s*(?:\x00\d+\x00|\d+)\s*\])"
 _VARIANT_PATH = re.compile(
     r"(?<![:\w.`])((?:try_)?parse_json\s*\((?:[^()]|\([^()]*\))*\)"
     r"|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*:(?!:)\s*"
     rf"({_VARIANT_SEG}(?:[.:]{_VARIANT_SEG}|\[\s*(?:\x00\d+\x00|\d+)\s*\])*)"
 )
+
+
+def _variant_path_text(raw: str, lits: list[str]) -> str:
+    """Canonical dotted/bracketed path text from a matched `:a.b["k"]`
+    accessor: identifier segments dotted, quoted segments (double-quoted
+    or masked single-quoted) become bracket keys with single quotes."""
+    segs = re.findall(
+        '"[^"]*"|\\[\\s*(?:\x00\\d+\x00|\\d+)\\s*\\]'
+        "|\x00\\d+\x00|[A-Za-z_]\\w*|\\d+",
+        raw,
+    )
+    parts: list[str] = []
+    for sg in segs:
+        if sg.startswith('"'):
+            parts.append("['" + sg[1:-1] + "']")
+        elif re.fullmatch("\x00\\d+\x00", sg):
+            i = int(sg.strip("\x00"))
+            parts.append("[" + lits[i] + "]" if i < len(lits) else sg)
+        elif sg.startswith("["):
+            inner = sg[1:-1].strip()
+            mi = re.fullmatch("\x00(\\d+)\x00", inner)
+            if mi and int(mi.group(1)) < len(lits):
+                inner = lits[int(mi.group(1))]
+            parts.append("[" + inner + "]")
+        else:
+            parts.append(("." + sg) if parts else sg)
+    return "".join(parts)
 
 
 def variant_paths_to_json(sql: str) -> str:
@@ -47,13 +74,7 @@ def variant_paths_to_json(sql: str) -> str:
     masked, lits = _mask_strings(sql)
 
     def repl(m: re.Match) -> str:
-        path = m.group(2).replace(":", ".")
-        # inline bracket-quoted keys so the whole path can be a literal
-        def seg(sm: re.Match) -> str:
-            i = int(sm.group(1))
-            return "[" + lits[i] + "]" if i < len(lits) else sm.group(0)
-
-        path = re.sub("\\[\\s*\x00(\\d+)\x00\\s*\\]", seg, path)
+        path = _variant_path_text(m.group(2), lits)
         path_lit = "'$." + path.replace("'", "''") + "'"
         return f"get_json_object(CAST({m.group(1)} AS STRING), {path_lit})"
 
@@ -81,13 +102,7 @@ def variant_paths_to_access(sql: str) -> str:
         after = tail[cm.end() :] if cm else tail
         if re.match(r"\s*(=|<>|!=|<=|>=|<|>|\bIN\b|\bLIKE\b)", after, re.I):
             return m.group(0)
-        path = m.group(2).replace(":", ".")
-
-        def seg(sm: re.Match) -> str:
-            i = int(sm.group(1))
-            return "[" + lits[i] + "]" if i < len(lits) else sm.group(0)
-
-        path = re.sub("\\[\\s*\x00(\\d+)\x00\\s*\\]", seg, path)
+        path = _variant_path_text(m.group(2), lits)
         path_lit = "'" + path.replace("'", "''") + "'"
         text = "true" if cm_t else "false"
         return (
@@ -116,8 +131,15 @@ def variant_paths_to_struct(sql: str) -> str:
     def repl(m: re.Match) -> str:
         if "[" in m.group(2):  # bracket segs are json-only territory
             return m.group(0)
-        fields = re.split(r"[.:]", m.group(2))
-        return m.group(1) + "".join(f".`{f}`" for f in fields)
+        fields = re.findall(r'"[^"]*"|[^.:]+', m.group(2))
+        out = []
+        for f in fields:
+            mq = re.fullmatch("\x00(\\d+)\x00", f)
+            if mq:
+                f = lits[int(mq.group(1))]
+            # quoted field name (`col:b:"X测试"`) → backticked
+            out.append(f".`{f.strip(chr(39) + chr(34))}`")
+        return m.group(1) + "".join(out)
 
     sel = re.match(r"(\s*SELECT\s+)(.*?)(\s+FROM\b.*)$", masked, re.I | re.S)
     if sel:
@@ -136,7 +158,9 @@ def variant_paths_to_struct(sql: str) -> str:
         for it in items:
             mm = _VARIANT_PATH.fullmatch(it.strip())
             if mm and "[" not in mm.group(2):
-                orig = it.strip().replace("`", "")
+                # double quotes dropped: a later pass rewrites "x" →
+                # `x` even inside this backticked alias
+                orig = it.strip().replace("`", "").replace('"', "")
                 out_items.append(f"{repl(mm)} AS `{orig}`")
             else:
                 out_items.append(_VARIANT_PATH.sub(repl, it))
@@ -571,10 +595,11 @@ def _rewrite_ddl_nested_types(s: str) -> str:
             return f"ARRAY<{conv_type(parts[0])}>"
         if kind == "MAP":
             return f"MAP<{conv_type(parts[0])}, {conv_type(parts[1])}>"
-        # TUPLE: named (`a Int`) or positional
+        # TUPLE: named (`a Int`, backtick-quoted names allowed) or
+        # positional
         named = all(
             len(p.split(None, 1)) >= 2
-            and re.match(r"^[A-Za-z_]\w*$", p.split(None, 1)[0])
+            and re.match(r"^([A-Za-z_]\w*|`[^`]+`)$", p.split(None, 1)[0])
             and not re.match(
                 r"^(TUPLE|ARRAY|MAP|NULLABLE)$", p.split(None, 1)[0], re.I
             )

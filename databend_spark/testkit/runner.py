@@ -2129,6 +2129,37 @@ def run_slt_file(
         "binary": "BINARY",
     }
 
+    # nested display uses the reference's internal names
+    # (TUPLE(1 INT32, …) in DESC, expression/types display)
+    _NESTED_DB_TYPE = {
+        "int": "INT32", "bigint": "INT64", "smallint": "INT16",
+        "tinyint": "INT8", "string": "VARCHAR", "double": "FLOAT64",
+        "float": "FLOAT32", "boolean": "BOOLEAN", "date": "DATE",
+        "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+        "binary": "BINARY",
+    }
+
+    def _db_complex_type(dt) -> str:
+        """Spark DataType → Databend display text for nested types."""
+        from pyspark.sql import types as _T
+
+        if isinstance(dt, _T.StructType):
+            return "TUPLE(" + ", ".join(
+                f"{f.name} {_db_complex_type(f.dataType)}"
+                for f in dt.fields
+            ) + ")"
+        if isinstance(dt, _T.ArrayType):
+            return f"ARRAY({_db_complex_type(dt.elementType)})"
+        if isinstance(dt, _T.MapType):
+            return (
+                f"MAP({_db_complex_type(dt.keyType)}, "
+                f"{_db_complex_type(dt.valueType)})"
+            )
+        ss = dt.simpleString()
+        if ss.startswith("decimal("):
+            return "DECIMAL" + ss[len("decimal"):].replace(",", ", ")
+        return _NESTED_DB_TYPE.get(ss, ss.upper())
+
     # dropped-database log feeding system.databases_with_history
     # (reference: storages/system/src/databases_table.rs WithHistory)
     dropped_dbs: list[tuple[str, float]] = []
@@ -4909,7 +4940,7 @@ def run_slt_file(
                         ).lower().startswith(("variant", "json"))
                         else _SPARK_TO_DB_TYPE.get(
                             f.dataType.simpleString(),
-                            f.dataType.simpleString().upper(),
+                            _db_complex_type(f.dataType),
                         ),
                         "YES"
                         if declared.get(f.name.lower(), f.nullable)
