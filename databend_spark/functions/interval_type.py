@@ -104,16 +104,27 @@ def interval_parse(s: str) -> tuple[int, int, int]:
         spec = m_spec.group(1).lower()
         pos += m_spec.end()
         found = True
+        # overflow SWALLOWS the group (reference from_cstring uses
+        # `let _ = apply_specifier(...)` — '120000000000 months' parses
+        # as the empty interval, 02_0079 golden '00:00:00')
+        _I32 = 2**31 - 1
+        _I64 = 2**63 - 1
         if not spec:
             micros += sign * number
             if frac_digits:
                 micros += sign * int(frac_digits[:6].ljust(6, "0")[:6])
         elif spec in _SPECIFIER_MONTHS:
-            months += sign * number * _SPECIFIER_MONTHS[spec]
+            v = number * _SPECIFIER_MONTHS[spec]
+            if abs(v) <= _I32 and abs(months + sign * v) <= _I32:
+                months += sign * v
         elif spec in _SPECIFIER_DAYS:
-            days += sign * number * _SPECIFIER_DAYS[spec]
+            v = number * _SPECIFIER_DAYS[spec]
+            if abs(v) <= _I32 and abs(days + sign * v) <= _I32:
+                days += sign * v
         elif spec in _SPECIFIER_MICROS:
-            micros += sign * number * _SPECIFIER_MICROS[spec]
+            v = number * _SPECIFIER_MICROS[spec]
+            if abs(v) <= _I64 and abs(micros + sign * v) <= _I64:
+                micros += sign * v
         else:
             raise ValueError(f"Invalid date part specifier: {spec}")
     if not found:
@@ -136,6 +147,10 @@ def _parse_iso8601(t: str) -> tuple[int, int, int]:
     days = int(w or 0) * 7 + int(d or 0)
     micros = int(h or 0) * MICROS_PER_HOUR + int(mi or 0) * MICROS_PER_MIN
     if se:
+        if "." in se and len(se.split(".")[1]) > 6:
+            # sub-microsecond precision is unrepresentable
+            # (reference jiff Span → micros conversion errors)
+            raise ValueError("nanosecond precision not supported")
         micros += int(float(se) * MICROS_PER_SEC)
     if neg:
         return (-months, -days, -micros)

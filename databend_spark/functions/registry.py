@@ -2270,6 +2270,27 @@ SQL_MACROS.update(
         "to_interval": "__interval_text(CAST({0} AS STRING))",
         "try_to_interval": "__interval_text(CAST({0} AS STRING))",
         "as_interval": "__interval_text(CAST({0} AS STRING))",
+        # number → interval constructors (reference interval.rs
+        # register_number_to_interval)
+        "to_millennia": "__interval_make({0}, 'millennium')",
+        "to_centuries": "__interval_make({0}, 'century')",
+        "to_decades": "__interval_make({0}, 'decade')",
+        "to_years": "__interval_make({0}, 'year')",
+        "to_months": "__interval_make({0}, 'month')",
+        "to_weeks": "__interval_make({0}, 'week')",
+        "to_days": "__interval_make({0}, 'day')",
+        "to_hours": "__interval_make({0}, 'hour')",
+        "to_minutes": "__interval_make({0}, 'minute')",
+        "to_seconds": "__interval_make({0}, 'second')",
+        "to_milliseconds": "__interval_make({0}, 'millisecond')",
+        "to_microseconds": "__interval_make({0}, 'microsecond')",
+        # PostgreSQL age(): calendar-component interval between two
+        # timestamps (1-arg form anchors at current_date)
+        "age": {
+            1: "__age(CAST(current_date() AS STRING), "
+               "CAST({0} AS STRING))",
+            2: "__age(CAST({0} AS STRING), CAST({1} AS STRING))",
+        },
         "to_timestamp_tz": lambda a: _to_timestamp_tz_sql(a, "to_timestamp"),
         "try_to_timestamp_tz": lambda a: _to_timestamp_tz_sql(
             a, "try_to_timestamp"

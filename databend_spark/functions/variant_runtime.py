@@ -813,6 +813,164 @@ def split_part_eval(s, sep, part):
     return parts[idx] if idx < len(parts) else ""
 
 
+def interval_add_eval(a, b):
+    """interval + interval (reference months_days_micros add)."""
+    from databend_spark.functions.interval_type import (
+        interval_format,
+        interval_parse,
+    )
+
+    if a is None or b is None:
+        return None
+    ma, da, ua = interval_parse(str(a))
+    mb, db, ub = interval_parse(str(b))
+    return interval_format(ma + mb, da + db, ua + ub)
+
+
+def interval_mul_eval(a, k):
+    """interval * integer (component-wise)."""
+    from databend_spark.functions.interval_type import (
+        interval_format,
+        interval_parse,
+    )
+
+    if a is None or k is None:
+        return None
+    m, d, u = interval_parse(str(a))
+    k = int(k)
+    return interval_format(m * k, d * k, u * k)
+
+
+def interval_from_micros_eval(m):
+    """micros total → interval display (sum() over intervals folds
+    months at 30 days into the micros bucket — 11_0007 sum goldens)."""
+    from databend_spark.functions.interval_type import interval_format
+
+    if m is None:
+        return None
+    return interval_format(0, 0, int(m))
+
+
+def interval_make_eval(n, unit):
+    """Number→interval constructors (reference interval.rs
+    register_number_to_interval: to_years/to_weeks/to_hours/…)."""
+    from databend_spark.functions.interval_type import interval_format
+
+    if n is None or unit is None:
+        return None
+    n = int(n)
+    months = {"millennium": 12000, "century": 1200, "decade": 120,
+              "year": 12, "month": 1}
+    days = {"week": 7, "day": 1}
+    micros = {"hour": 3_600_000_000, "minute": 60_000_000,
+              "second": 1_000_000, "millisecond": 1000, "microsecond": 1}
+    if unit in months:
+        return interval_format(n * months[unit], 0, 0)
+    if unit in days:
+        return interval_format(0, n * days[unit], 0)
+    return interval_format(0, 0, n * micros[unit])
+
+
+def interval_extract_eval(field, s):
+    """EXTRACT(field FROM interval) — reference interval→i64
+    extractors: the time bucket does NOT roll into days (hour of
+    '48 hours' is 48), months fold at 12 into years."""
+    from databend_spark.functions.interval_type import interval_parse
+
+    if field is None or s is None:
+        return None
+    m, d, u = interval_parse(str(s))
+    f = str(field).lower()
+    if f == "epoch":
+        return m * 2_592_000.0 + d * 86_400.0 + u / 1_000_000.0
+    if f == "year":
+        return float(int(m / 12))
+    if f == "month":
+        return float(m - int(m / 12) * 12)
+    if f == "day":
+        return float(d)
+    if f == "hour":
+        return float(int(u / 3_600_000_000))
+    rem = u - int(u / 3_600_000_000) * 3_600_000_000
+    if f == "minute":
+        return float(int(rem / 60_000_000))
+    rem -= int(rem / 60_000_000) * 60_000_000
+    if f == "second":
+        return rem / 1_000_000.0
+    if f == "microsecond":
+        return float(rem)
+    if f == "millisecond":
+        return rem / 1000.0
+    raise ValueError(f"cannot extract {field} from interval")
+
+
+def age_eval(a, b):
+    """PostgreSQL-style age(end, begin) → interval display (reference
+    interval.rs age: calendar years/months/days + time remainder)."""
+    import datetime as _dt
+
+    from databend_spark.functions.interval_type import interval_format
+
+    if a is None or b is None:
+        return None
+
+    def _to_dt(x):
+        if isinstance(x, _dt.datetime):
+            return x
+        if isinstance(x, _dt.date):
+            return _dt.datetime(x.year, x.month, x.day)
+        t = str(x).strip()
+        # trailing UTC offset (+0800 / +08:00) → convert to UTC naive
+        mo = re.search(r"\s*([+-])(\d{2}):?(\d{2})?$", t)
+        off = None
+        # an offset only follows a time component (bare dates like
+        # '2026-08-15' must not lose their day to the regex)
+        if mo and ":" in t[: mo.start()]:
+            off = (1 if mo.group(1) == "+" else -1) * (
+                int(mo.group(2)) * 60 + int(mo.group(3) or 0)
+            )
+            t = t[: mo.start()].strip()
+        for fmt in (
+            "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"
+        ):
+            try:
+                d = _dt.datetime.strptime(t, fmt)
+                if off is not None:
+                    d -= _dt.timedelta(minutes=off)
+                return d
+            except ValueError:
+                continue
+        raise ValueError(f"cannot parse timestamp {x!r}")
+
+    end, beg = _to_dt(a), _to_dt(b)
+    sign = 1
+    if end < beg:
+        end, beg = beg, end
+        sign = -1
+
+    def _dim(y, mo):
+        return [31, 29 if y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+                else 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31][mo - 1]
+
+    def _shift_back(d, n):
+        # d minus n calendar months, END-anchored with day clamping
+        # (jiff Span semantics — the reference's age counts whole
+        # months backward from the end timestamp)
+        y, mo = divmod(d.year * 12 + d.month - 1 - n, 12)
+        return d.replace(year=y, month=mo + 1,
+                         day=min(d.day, _dim(y, mo + 1)))
+
+    months = (end.year - beg.year) * 12 + (end.month - beg.month)
+    anchor = _shift_back(end, months)
+    if anchor < beg:
+        months -= 1
+        anchor = _shift_back(end, months)
+    delta = anchor - beg
+    days = delta.days
+    micros = delta.seconds * 1_000_000 + delta.microseconds
+    return interval_format(sign * months, sign * days, sign * micros)
+
+
 def wide_decimal_cast_eval(v, p, s):
     """Decimal256 cast emulation (reference types/decimal.rs:82,
     p<=76): exact fixed-point rendering of values Spark's 38-digit
@@ -2061,6 +2219,16 @@ def register_variant_udfs(spark: SparkSession) -> None:
     )
     spark.udf.register("__split", split_eval, ArrayType(StringType()))
     spark.udf.register("__split_part", split_part_eval, StringType())
+    spark.udf.register("__interval_add", interval_add_eval, StringType())
+    spark.udf.register("__interval_mul", interval_mul_eval, StringType())
+    spark.udf.register(
+        "__interval_from_micros", interval_from_micros_eval, StringType()
+    )
+    spark.udf.register("__interval_make", interval_make_eval, StringType())
+    from pyspark.sql.types import DoubleType as _DT
+
+    spark.udf.register("__interval_extract", interval_extract_eval, _DT())
+    spark.udf.register("__age", age_eval, StringType())
     spark.udf.register("__regexp_substr", regexp_substr_eval, StringType())
     spark.udf.register("__regexp_replace", regexp_replace_eval, StringType())
     spark.udf.register("__time_slice", time_slice, StringType())

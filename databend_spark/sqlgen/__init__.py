@@ -2595,6 +2595,49 @@ _WIDE_DEC_POSTFIX = re.compile(
     r"::\s*DECIMAL\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", re.I
 )
 
+_INTERVAL_POSTFIX = re.compile(r"::\s*INTERVAL\b", re.I)
+
+
+def _scan_postfix_expr_start(s: str, end: int) -> int:
+    """Scan backward from `end` over the primary expression a postfix
+    cast applies to (identifier chain, call, masked literal, parens)."""
+    i = end
+    depth = 0
+    while i > 0:
+        ch = s[i - 1]
+        if ch in ")]":
+            depth += 1
+            i -= 1
+        elif ch in "([":
+            if depth == 0:
+                break
+            depth -= 1
+            i -= 1
+        elif depth > 0:
+            i -= 1
+        elif ch.isalnum() or ch in "_.$`\x00":
+            i -= 1
+        else:
+            break
+    return i
+
+
+def _rewrite_interval_cast_postfix(s: str) -> str:
+    """`expr::INTERVAL` → `__interval_text(CAST(expr AS STRING))`."""
+    while True:
+        m = _INTERVAL_POSTFIX.search(s)
+        if m is None:
+            return s
+        i = _scan_postfix_expr_start(s, m.start())
+        expr = s[i : m.start()]
+        if not expr.strip():
+            return s
+        s = (
+            s[:i]
+            + f"__interval_text(CAST(({expr}) AS STRING))"
+            + s[m.end():]
+        )
+
 
 def _rewrite_wide_decimal_postfix(s: str) -> str:
     """`expr::DECIMAL(p, s)` with p>38 or s>37 →
@@ -3565,6 +3608,16 @@ def rewrite_databend_sql(sql: str) -> str:
         sql,
         flags=re.I,
     )
+    # `INTERVAL (expr) unit` (non-literal count — Spark only parses
+    # INTERVAL literals) → the number→interval constructor
+    sql = re.sub(
+        r"\bINTERVAL\s+(\((?:[^()]|\([^()]*\))*\))\s+"
+        r"(millennium|century|decade|year|quarter|month|week|day|hour"
+        r"|minute|second|millisecond|microsecond)s?\b",
+        r"__interval_make(CAST(\1 AS BIGINT), '\2')",
+        sql,
+        flags=re.I,
+    )
     # literal interval expressions fold at rewrite time (pre-masking)
     if re.search(
         r"\bto_interval\s*\(|\binterval\s+'|\bto_(millennia|centuries"
@@ -3588,6 +3641,25 @@ def rewrite_databend_sql(sql: str) -> str:
         r"\b(date_between|date_diff|datediff|date_add|date_sub|dateadd"
         r"|datesub)\s*\(\s*'(\w+)'\s*,",
         r"\1(\2,",
+        sql,
+        flags=re.I,
+    )
+    # EXTRACT over an INTERVAL value: the time bucket does not roll
+    # into days (reference interval.rs extractors) — must run before
+    # the generic EXTRACT→function fold below captures EPOCH
+    def _iv_extract(m: re.Match) -> str:
+        f = m.group(1).lower()
+        call = f"__interval_extract('{f}', CAST(({m.group(2)}) AS STRING))"
+        if f in ("year", "month", "day", "hour", "minute", "microsecond"):
+            return f"CAST({call} AS BIGINT)"
+        return call
+
+    sql = re.sub(
+        r"\bEXTRACT\s*\(\s*(\w+)\s+FROM\s+"
+        r"((?:[^()]|\([^()]*\))*?::\s*INTERVAL"
+        r"|to_interval\s*\([^()]*\)"
+        r"|age\s*\((?:[^()]|\([^()]*\))*\))\s*\)",
+        _iv_extract,
         sql,
         flags=re.I,
     )
@@ -3803,6 +3875,9 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = _rewrite_cast_paren_types(masked)
     for pat, repl in _TYPE_ALIASES:
         masked = pat.sub(repl, masked)
+    # `expr::INTERVAL` → canonical interval text (reference interval
+    # display, types/interval.rs); Spark has no textual interval type
+    masked = _rewrite_interval_cast_postfix(masked)
     # postfix casts to decimal256 widths (p>38 or s>37) — Spark's
     # native decimal caps at 38 (reference types/decimal.rs:82 allows
     # p<=76) — evaluate through a Python Decimal UDF that renders the
@@ -4326,7 +4401,97 @@ def rewrite_databend_sql(sql: str) -> str:
         _reg.CURRENT_LITERALS = []
     if re.search(r"\bexplode\s*\(", masked, re.I):
         masked = _rewrite_srf_post(masked)
+    if "__interval_" in masked:
+        masked = _rewrite_interval_algebra(masked)
     return _unmask_strings(masked, literals)
+
+
+# an interval-valued call expression (post-macro text)
+_IV_CALL = (
+    r"__interval_(?:text|make|add|mul|from_micros)\s*"
+    r"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+)
+
+
+def _rewrite_interval_algebra(masked: str) -> str:
+    """Post-macro interval arithmetic: IV ± IV → __interval_add,
+    IV * n / n * IV → __interval_mul, EXTRACT(f FROM IV) →
+    __interval_extract (reference interval.rs arithmetic/extractors),
+    and ORDER BY keys that alias an interval expression sort by the
+    normalized micros key (interval total order, not text order)."""
+    for _ in range(8):
+        out = re.sub(
+            rf"({_IV_CALL})\s*\+\s*({_IV_CALL})",
+            r"__interval_add(\1, \2)",
+            masked,
+        )
+        out = re.sub(
+            rf"({_IV_CALL})\s*-\s*({_IV_CALL})",
+            r"__interval_add(\1, __interval_mul(\2, -1))",
+            out,
+        )
+        out = re.sub(
+            rf"({_IV_CALL})\s*\*\s*(-?\d+|[\w.`]+)",
+            r"__interval_mul(\1, \2)",
+            out,
+        )
+        out = re.sub(
+            rf"(-?\d+|[\w.`]+)\s*\*\s*({_IV_CALL})",
+            r"__interval_mul(\2, \1)",
+            out,
+        )
+        if out == masked:
+            break
+        masked = out
+    _INT_FIELDS = (
+        "year", "month", "day", "hour", "minute", "microsecond"
+    )
+
+    def _ext(m: re.Match) -> str:
+        f = m.group(1).lower()
+        call = f"__interval_extract('{f}', {m.group(2)})"
+        if f in _INT_FIELDS:
+            return f"CAST({call} AS BIGINT)"
+        return call
+
+    masked = re.sub(
+        rf"\bEXTRACT\s*\(\s*(\w+)\s+FROM\s+({_IV_CALL})\s*\)",
+        _ext,
+        masked,
+        flags=re.I,
+    )
+    # interval-aliased names: ORDER BY keys sort by the micros key
+    # (incl. inside OVER clauses); alias * n multiplies the interval
+    _KW = {
+        "from", "where", "group", "order", "having", "limit", "as",
+        "union", "on", "join", "and", "or", "when", "then", "else",
+    }
+    aliases = {
+        a
+        for a in re.findall(
+            rf"(?:{_IV_CALL})\s+(?:AS\s+)?([A-Za-z_]\w*)", masked, re.I
+        )
+        if a.lower() not in _KW
+    }
+    if aliases:
+        names = "|".join(re.escape(a) for a in aliases)
+        masked = re.sub(
+            rf"(\bORDER\s+BY\s+)({names})\b(?!\s*\()",
+            r"\1__interval_key(\2)",
+            masked,
+            flags=re.I,
+        )
+        masked = re.sub(
+            rf"\b({names})\s*\*\s*(-?\d+)\b",
+            r"__interval_mul(\1, \2)",
+            masked,
+        )
+        masked = re.sub(
+            rf"(?<![\w.`])(-?\d+)\s*\*\s*({names})\b(?!\s*\()",
+            r"__interval_mul(\2, \1)",
+            masked,
+        )
+    return masked
 
 
 def inline_select_aliases(sql: str) -> str:

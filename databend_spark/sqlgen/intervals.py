@@ -71,12 +71,21 @@ def parse_interval(text: str) -> tuple[int, int, int]:
         except ValueError as e:
             raise ValueError(f"malformed interval: {text!r}") from e
         u = toks[i + 1]
+        # a group that overflows the storage width is SWALLOWED, not an
+        # error (reference interval.rs from_cstring: `let _ =
+        # apply_specifier(...)` — '120000000000 months' → 00:00:00)
         if u in _UNIT_MONTHS:
-            months += int(n * _UNIT_MONTHS[u])
+            v = int(n * _UNIT_MONTHS[u])
+            if abs(v) <= 2**31 - 1 and abs(months + v) <= 2**31 - 1:
+                months += v
         elif u in _UNIT_DAYS:
-            days += int(n * _UNIT_DAYS[u])
+            v = int(n * _UNIT_DAYS[u])
+            if abs(v) <= 2**31 - 1 and abs(days + v) <= 2**31 - 1:
+                days += v
         elif u in _UNIT_MICROS:
-            micros += round(n * _UNIT_MICROS[u])
+            v = round(n * _UNIT_MICROS[u])
+            if abs(v) <= 2**63 - 1 and abs(micros + v) <= 2**63 - 1:
+                micros += v
         else:
             raise ValueError(f"unknown interval unit {u!r}")
     return sign * months, sign * days, sign * micros
@@ -92,6 +101,8 @@ def render_interval(months: int, days: int, micros: int) -> str:
         parts.append(f"{months} month" + ("s" if abs(months) != 1 else ""))
     if days:
         parts.append(f"{days} day" + ("s" if abs(days) != 1 else ""))
+    if not parts and not micros:
+        return "00:00:00"  # all-zero special case (interval.rs:132)
     if micros or not parts:
         neg = micros < 0
         us = abs(micros)

@@ -3731,6 +3731,93 @@ def run_slt_file(
                     f"INSERT INTO {mdk.group(1)} {head4}VALUES "
                     + _unmask_strings(", ".join(newt4), lits4)
                 )
+        # INTERVAL-typed columns (reference types/interval.rs): stored
+        # as canonical display text; ordering/compare/sum go through the
+        # normalized micros key (__interval_key)
+        _iv_tbls = re.findall(
+            r"\b(?:from|into|update)\s+([\w.`]+)", sql, re.I
+        )
+        _iv_cols: set[str] = set()
+        for _ivt in _iv_tbls:
+            _ivk = _ivt.split(".")[-1].strip("`").lower()
+            for _c, _ty in ddl_decl_types.get(_ivk, {}).items():
+                if str(_ty).lower().startswith("interval"):
+                    _iv_cols.add(_c)
+        if _iv_cols:
+            _ivm = re.match(
+                r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.`]+)\s*"
+                r"(?:\(([^)]*)\))?\s*VALUES\s*(\(.*)$",
+                sql,
+                re.I | re.S,
+            )
+            if _ivm:
+                _tk5 = _ivm.group(1).split(".")[-1].strip("`").lower()
+                _cols5 = (
+                    [
+                        c.strip().strip('`"').lower()
+                        for c in _ivm.group(2).split(",")
+                    ]
+                    if _ivm.group(2)
+                    else list(ddl_decl_types.get(_tk5, {}).keys())
+                )
+                _dec5 = ddl_decl_types.get(_tk5, {})
+                _body5 = _ivm.group(3).rstrip().rstrip(";")
+                _tuples5, _vals5, _dep5, _st5 = [], [], 0, 0
+                for _i5, _ch5 in enumerate(_body5):
+                    if _ch5 == "(":
+                        _dep5 += 1
+                        if _dep5 == 1:
+                            _vals5, _st5 = [], _i5 + 1
+                    elif _ch5 == ")":
+                        _dep5 -= 1
+                        if _dep5 == 0:
+                            _vals5.append(_body5[_st5:_i5])
+                            _tuples5.append(_vals5)
+                    elif _ch5 == "," and _dep5 == 1:
+                        _vals5.append(_body5[_st5:_i5])
+                        _st5 = _i5 + 1
+                _chg5 = False
+                _new5 = []
+                for _vals5 in _tuples5:
+                    for _j5, _v5 in enumerate(_vals5):
+                        if _j5 < len(_cols5) and str(
+                            _dec5.get(_cols5[_j5], "")
+                        ).lower().startswith("interval"):
+                            _vals5[_j5] = (
+                                "__interval_text(CAST(("
+                                + _v5
+                                + ") AS STRING))"
+                            )
+                            _chg5 = True
+                    _new5.append("(" + ", ".join(_vals5) + ")")
+                if _chg5:
+                    _h5 = f"({_ivm.group(2)}) " if _ivm.group(2) else ""
+                    sql = (
+                        f"INSERT INTO {_ivm.group(1)} {_h5}VALUES "
+                        + ", ".join(_new5)
+                    )
+            _ivnames = "|".join(re.escape(c) for c in sorted(_iv_cols))
+            sql = re.sub(
+                rf"\bsum\s*\(\s*({_ivnames})\s*\)",
+                r"__interval_from_micros(sum(__interval_key(\1)))",
+                sql,
+                flags=re.I,
+            )
+            sql = re.sub(
+                rf"(\bORDER\s+BY\s+)({_ivnames})\b(?!\s*\()",
+                r"\1__interval_key(\2)",
+                sql,
+                flags=re.I,
+            )
+            sql = re.sub(
+                rf"\b({_ivnames})\s*(<=|>=|<>|!=|<|>|=)\s*"
+                rf"(?:interval\s+)?(to_interval\s*\([^()]*\)"
+                rf"|'(?:[^']|'')*')",
+                r"__interval_key(\1) \2 __interval_key(CAST((\3) "
+                r"AS STRING))",
+                sql,
+                flags=re.I,
+            )
         # literal DEFAULTs fill remaining unspecified columns (the
         # reference stores declared defaults; Spark would insert NULL)
         mdl = re.match(
@@ -6067,6 +6154,10 @@ def run_slt_file(
                     g = "map('k', 1)"
                 elif st.startswith(("struct", "binary")):
                     g = "NULL"
+                elif st == "tinyint":
+                    g = "CAST(rand() * 127 AS BIGINT)"
+                elif st == "smallint":
+                    g = "CAST(rand() * 32767 AS BIGINT)"
                 else:
                     g = "CAST(rand() * 1000000 AS BIGINT)"
                 parts.append(f"CAST(({g}) AS {st}) AS `{f.name}`")
@@ -6074,7 +6165,7 @@ def run_slt_file(
             spark.sql(
                 f"CREATE OR REPLACE VIEW {tgt_r} AS SELECT "
                 + ", ".join(parts)
-                + " FROM range(1000)"
+                + " FROM range(100000)"
             )
             random_views.add(tgt_r.strip("`").split(".")[-1].lower())
             return spark.sql("SELECT 1 AS ok WHERE false")
