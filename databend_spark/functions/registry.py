@@ -427,18 +427,26 @@ SQL_MACROS: dict[str, str] = {
         " (acc, x) -> acc + x)"
         " / size(filter({0}, x -> x IS NOT NULL)))"
     ),
+    # map_insert (reference scalars/map.rs): inserting an EXISTING key
+    # errors unless allow_update=true, which replaces in place; a new
+    # key appends at the end; NULL/empty maps behave as empty
     "map_insert": {
         3: (
-            "map_from_entries(concat(map_entries({0}),"
-            " map_entries(map({1}, {2}))))"
+            "map_from_entries(concat(IF(assert_true(coalesce(NOT "
+            "array_contains(map_keys({0}), {1}), true), 'map key "
+            "already exists') IS NULL, coalesce(map_entries({0}), "
+            "array()), array()), map_entries(map({1}, {2}))))"
         ),
-        # allow_update flag: true → new value wins (append), false →
-        # existing value wins (prepend under LAST_WIN dedup)
         4: (
-            "CASE WHEN {3} THEN map_from_entries(concat(map_entries({0}),"
-            " map_entries(map({1}, {2}))))"
-            " ELSE map_from_entries(concat(map_entries(map({1}, {2})),"
-            " map_entries({0}))) END"
+            "CASE WHEN ({3}) THEN (CASE WHEN coalesce(array_contains("
+            "map_keys({0}), {1}), false) THEN transform_values({0}, "
+            "(k, v) -> IF(k <=> {1}, {2}, v)) ELSE map_from_entries("
+            "concat(coalesce(map_entries({0}), array()), "
+            "map_entries(map({1}, {2})))) END) ELSE "
+            "map_from_entries(concat(IF(assert_true(coalesce(NOT "
+            "array_contains(map_keys({0}), {1}), true), 'map key "
+            "already exists') IS NULL, coalesce(map_entries({0}), "
+            "array()), array()), map_entries(map({1}, {2})))) END"
         ),
     },
     "array_remove_first": "sl\x03ice({0}, 2, greatest(size({0}) - 1, 0))",
@@ -679,7 +687,27 @@ def _keyset_expr(args: list[str]) -> str | None:
     return "array(" + ", ".join(args[1:]) + ")"
 
 
+def _json_map_lambda(spark_fn: str, args: list[str]) -> str | None:
+    """json_map_{transform_keys,transform_values,filter}(variant, λ):
+    a cast-to-variant of a NATIVE map serializes via to_json; json-text
+    variants read directly (reference scalars/map.rs json_map_*)."""
+    if len(args) != 2:
+        return None
+    a = args[0].strip()
+    # by macro time ::VARIANT was aliased to STRING — strip it back
+    mm = re.match(
+        r"^(?:try_)?cast\s*\((.*)\s+as\s+string\s*\)$", a, re.I | re.S
+    ) or re.match(r"^(.*)::\s*string$", a, re.I | re.S)
+    src = f"to_json({mm.group(1)})" if mm else f"CAST({a} AS STRING)"
+    return (
+        f"__parse_json_strict(to_json({spark_fn}(from_json({src},"
+        f" 'map<string,string>'), {args[1]})))"
+    )
+
+
 def _map_delete(args: list[str]) -> str | None:
+    if args and args[0].strip().lower() in ("map()", "{}"):
+        return "map()"  # empty map: nothing to delete (void-typed keys)
     keys = _keyset_expr(args)
     if keys is None:
         return None
@@ -687,6 +715,8 @@ def _map_delete(args: list[str]) -> str | None:
 
 
 def _map_pick(args: list[str]) -> str | None:
+    if args and args[0].strip().lower() in ("map()", "{}"):
+        return "map()"
     keys = _keyset_expr(args)
     if keys is None:
         return None
@@ -1012,6 +1042,10 @@ def _cast_two_arg(args: list[str]) -> str | None:
     ):
         return f"CAST({args[0]} AS {args[1]}, {args[2]})"
     if len(args) != 2 or "\x00" in args[1] or "(" in args[1]:
+        return None
+    if re.search(r"\sAS\s", args[0], re.I):
+        # standard CAST(x AS MAP<K, V>) whose generic comma split the
+        # args — passthrough, it is already valid
         return None
     if not re.fullmatch(r"[\w<>, ]+", args[1].strip()):
         return None
@@ -2113,7 +2147,22 @@ SQL_MACROS.update(
         "json_array": _array_construct,
         "array_intersection": "array_intersect({0}, {1})",
         "map_transform_values": "transform_values({0}, {1})",
-        "map_transform_keys": "transform_keys({0}, {1})",
+        # transformed keys must stay unique (reference map.rs errors;
+        # Spark's LAST_WIN would silently collapse duplicates)
+        "map_transform_keys": (
+            "IF(assert_true(size(transform_keys({0}, {1})) = size({0}),"
+            " 'map keys have to be unique') IS NULL,"
+            " transform_keys({0}, {1}), NULL)"
+        ),
+        # variant-object lambda functions (reference scalars/map.rs
+        # json_map_*): evaluate over a string map, canonical sorted dump
+        "json_map_transform_keys": lambda a: _json_map_lambda(
+            "transform_keys", a
+        ),
+        "json_map_transform_values": lambda a: _json_map_lambda(
+            "transform_values", a
+        ),
+        "json_map_filter": lambda a: _json_map_lambda("map_filter", a),
         "jaro_winkler": "__jaro_winkler(CAST({0} AS STRING), CAST({1} AS STRING))",
         "object_construct": _object_construct_mode(False, False),
         "json_object": _object_construct_mode(False, False),

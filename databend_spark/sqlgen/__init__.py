@@ -1361,7 +1361,7 @@ def _rewrite_quantified_comparisons(s: str) -> str:
         if quant in ("ANY", "SOME"):
             if op == "=":
                 repl = f"IN ({q})"
-            elif op in _NEG_OP:
+            elif op in _NEG_OP or op in ("!=", "<>"):
                 case_kind = "any"
         else:  # ALL
             if op in ("!=", "<>"):

