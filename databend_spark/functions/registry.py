@@ -1041,6 +1041,19 @@ def _cast_two_arg(args: list[str]) -> str | None:
         and re.fullmatch(r"\s*\d+\s*\)\s*", args[2])
     ):
         return f"CAST({args[0]} AS {args[1]}, {args[2]})"
+    if len(args) == 2 and re.fullmatch(
+        r"(ARRAY|MAP|TUPLE|VECTOR)\s*\(.*\)\s*",
+        args[1].strip(),
+        re.I | re.S,
+    ):
+        # function-style cast with a paren-nested type target
+        from databend_spark.sqlgen import _rewrite_ddl_nested_types
+
+        return (
+            f"CAST({args[0]} AS "
+            + _rewrite_ddl_nested_types(args[1].strip())
+            + ")"
+        )
     if len(args) != 2 or "\x00" in args[1] or "(" in args[1]:
         return None
     if re.search(r"\sAS\s", args[0], re.I):
@@ -1144,6 +1157,29 @@ def _typeof_macro(args: list[str]) -> str | None:
     t = args[0].strip()
     if re.fullmatch(r"-?\d+", t):
         return "'" + databend_int_literal_type(t) + "'"
+    if t.upper() == "NULL":
+        return "'NULL'"
+    # integer-literal arithmetic: the reference FOLDS the constant and
+    # re-infers the literal's minimal unsigned/signed width
+    # (02_0001_function_type_of goldens: 256-256 → TINYINT UNSIGNED)
+    if re.fullmatch(r"[\d\s+\-*/()]*\d[\d\s+\-*/()]*", t):
+        if "/" in t:
+            return "'DOUBLE'"
+        try:
+            v = eval(t, {"__builtins__": {}}, {})  # noqa: S307 digits+ops only
+        except Exception:  # noqa: BLE001
+            v = None
+        if isinstance(v, int):
+            return "'" + databend_int_literal_type(str(v)) + "'"
+    # numbers() column arithmetic: number is UInt64 in the reference
+    mnum = re.fullmatch(r"number(?:\s*([+\-*/])\s*\d+)?", t, re.I)
+    if mnum:
+        op = mnum.group(1)
+        if op == "/":
+            return "'DOUBLE'"
+        if op == "-":
+            return "'BIGINT'"
+        return "'BIGINT UNSIGNED'"
     # a cast to an unsigned width names it UNSIGNED in the reference;
     # Spark's widened signed/decimal model loses that — read the cast
     # target straight off the expression text
@@ -1689,6 +1725,61 @@ def _histogram(args: list[str]) -> str | None:
 # when True (runner retry pass), get() always takes the variant path —
 # set by testkit on DATATYPE_MISMATCH from the element_at interpretation
 VARIANT_GET_MODE: list[bool] = [False]
+
+# set by the runner when the statement references VECTOR-typed columns
+# (reference types/vector.rs stores float32 — distances compute in f32)
+VECTOR_F32_MODE: list[bool] = [False]
+
+
+def _vec_arg_to_array(a: str) -> str:
+    """A vector argument → ARRAY<DOUBLE> expression: json-text sources
+    (string literals / parse_json) go through from_json, arrays CAST."""
+    a = a.strip()
+    # strip a trailing ::ARRAY<…>/::VECTOR(...) cast — re-applied below
+    core = re.sub(
+        r"\s*::\s*(ARRAY\s*[<(][^<>()]*[>)]|VECTOR\s*\(\s*\d+\s*\))\s*$",
+        "",
+        a,
+        flags=re.I,
+    ).strip()
+    if re.fullmatch(
+        r"\x00\d+\x00|'(?:[^']|'')*'"
+        r"|(?:__parse_json_strict|try_parse_json|parse_json)\s*\(.*\)",
+        core,
+        re.I | re.S,
+    ):
+        return f"from_json(CAST({core} AS STRING), 'array<double>')"
+    return f"CAST(({core}) AS ARRAY<DOUBLE>)"
+
+
+def _vec_distance_macro(metric: str, args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    f32 = VECTOR_F32_MODE[0] or bool(
+        re.search(
+            r"vector\s*\(|ARRAY\s*[<(]\s*FLOAT\b|AS\s+FLOAT\b",
+            args[0] + " " + args[1],
+            re.I,
+        )
+    )
+    return (
+        f"__vec_distance({_vec_arg_to_array(args[0])},"
+        f" {_vec_arg_to_array(args[1])}, '{metric}',"
+        f" {str(f32).lower()})"
+    )
+
+
+SQL_MACROS["cosine_distance"] = lambda a: _vec_distance_macro("cosine", a)
+SQL_MACROS["l1_distance"] = lambda a: _vec_distance_macro("l1", a)
+SQL_MACROS["l2_distance"] = lambda a: _vec_distance_macro("l2", a)
+SQL_MACROS["inner_product"] = lambda a: _vec_distance_macro("dot", a)
+SQL_MACROS["vector_dims"] = "size({0})"
+SQL_MACROS["vector_norm"] = lambda a: (
+    f"__vec_norm(CAST(({a[0]}) AS ARRAY<DOUBLE>),"
+    f" {str(bool(VECTOR_F32_MODE[0])).lower()})"
+    if len(a) == 1
+    else None
+)
 
 _VARIANTISH = re.compile(
     r"^\s*((try_)?parse_json\s*\(|null\s*$|__variant_access\s*\()", re.I

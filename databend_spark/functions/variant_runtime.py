@@ -971,6 +971,60 @@ def age_eval(a, b):
     return interval_format(sign * months, sign * days, sign * micros)
 
 
+def vec_distance_eval(a, b, metric, f32):
+    """cosine/l1/l2/dot distances (reference scalars/vector.rs): the
+    VECTOR type computes in float32, bare float arrays in float64."""
+    if a is None or b is None:
+        return None
+    import math
+
+    if f32:
+        import numpy as np
+
+        va = np.asarray([float(x) for x in a], dtype=np.float32)
+        vb = np.asarray([float(x) for x in b], dtype=np.float32)
+        if metric == "cosine":
+            dot = np.float32(np.dot(va, vb))
+            na = np.sqrt(np.float32(np.dot(va, va)))
+            nb = np.sqrt(np.float32(np.dot(vb, vb)))
+            return float(np.float32(1.0) - np.float32(dot / (na * nb)))
+        if metric == "l1":
+            return float(np.float32(np.abs(va - vb).sum(dtype=np.float32)))
+        if metric == "l2":
+            d = va - vb
+            return float(np.sqrt(np.float32(np.dot(d, d))))
+        if metric == "dot":
+            return float(np.float32(np.dot(va, vb)))
+        raise ValueError(f"unknown vector metric {metric}")
+    va = [float(x) for x in a]
+    vb = [float(x) for x in b]
+    if metric == "cosine":
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(y * y for y in vb))
+        return 1.0 - dot / (na * nb)
+    if metric == "l1":
+        return sum(abs(x - y) for x, y in zip(va, vb))
+    if metric == "l2":
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(va, vb)))
+    if metric == "dot":
+        return sum(x * y for x, y in zip(va, vb))
+    raise ValueError(f"unknown vector metric {metric}")
+
+
+def vec_norm_eval(a, f32):
+    if a is None:
+        return None
+    import math
+
+    if f32:
+        import numpy as np
+
+        va = np.asarray([float(x) for x in a], dtype=np.float32)
+        return float(np.sqrt(np.float32(np.dot(va, va))))
+    return math.sqrt(sum(float(x) ** 2 for x in a))
+
+
 def wide_decimal_cast_eval(v, p, s):
     """Decimal256 cast emulation (reference types/decimal.rs:82,
     p<=76): exact fixed-point rendering of values Spark's 38-digit
@@ -2229,6 +2283,8 @@ def register_variant_udfs(spark: SparkSession) -> None:
 
     spark.udf.register("__interval_extract", interval_extract_eval, _DT())
     spark.udf.register("__age", age_eval, StringType())
+    spark.udf.register("__vec_distance", vec_distance_eval, _DT())
+    spark.udf.register("__vec_norm", vec_norm_eval, _DT())
     spark.udf.register("__regexp_substr", regexp_substr_eval, StringType())
     spark.udf.register("__regexp_replace", regexp_replace_eval, StringType())
     spark.udf.register("__time_slice", time_slice, StringType())

@@ -4403,7 +4403,47 @@ def rewrite_databend_sql(sql: str) -> str:
         masked = _rewrite_srf_post(masked)
     if "__interval_" in masked:
         masked = _rewrite_interval_algebra(masked)
+    if re.search(r"<=>|<\+>|<->", masked):
+        masked = _rewrite_vector_operators(masked)
     return _unmask_strings(masked, literals)
+
+
+_VEC_OPERAND = (
+    r"(array\s*\((?:[^()]|\([^()]*\))*\)(?:\s*::\s*[\w<>()]+)?"
+    r"|[\w.`]+(?:\s*::\s*[\w<>()]+)?)"
+)
+_VEC_OP_RE = re.compile(
+    rf"{_VEC_OPERAND}\s*(<=>|<\+>|<->)\s*{_VEC_OPERAND}"
+)
+
+
+def _rewrite_vector_operators(masked: str) -> str:
+    """Vector distance operators (reference scalars/vector.rs):
+    `<=>` cosine, `<+>` l1, `<->` l2. Integer-literal arrays coerce to
+    VECTOR (float32 math); arrays with decimal elements stay float64.
+    A `<=>` whose operands don't look like arrays keeps its MySQL
+    null-safe-equality meaning."""
+    metric = {"<=>": "cosine", "<+>": "l1", "<->": "l2"}
+
+    def rep(m: re.Match) -> str:
+        left, op, right = m.group(1), m.group(2), m.group(3)
+        arrayish = (
+            left.lstrip().lower().startswith("array(")
+            or right.lstrip().lower().startswith("array(")
+            or "vector" in (left + right).lower()
+        )
+        if op == "<=>" and not arrayish:
+            return m.group(0)
+        f32 = "vector" in (left + right).lower() or not re.search(
+            r"\d+\.\d", left + right
+        )
+        return (
+            f"__vec_distance(CAST(({left}) AS ARRAY<DOUBLE>),"
+            f" CAST(({right}) AS ARRAY<DOUBLE>), '{metric[op]}',"
+            f" {str(f32).lower()})"
+        )
+
+    return _VEC_OP_RE.sub(rep, masked)
 
 
 # an interval-valued call expression (post-macro text)

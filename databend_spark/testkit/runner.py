@@ -3929,7 +3929,8 @@ def run_slt_file(
                     else [f.name for f in schema.fields]
                 )
                 exprs = ", ".join(
-                    f"IF(size(c{i}) = {dims[c.lower()]}, c{i},"
+                    f"IF(c{i} IS NULL OR size(c{i}) = {dims[c.lower()]},"
+                    f" c{i},"
                     f" raise_error('vector dimension mismatch:"
                     f" expected {dims[c.lower()]}'))"
                     if c.lower() in dims
@@ -6533,7 +6534,26 @@ def run_slt_file(
                         pass
             return None
 
-        rewritten = rewrite_databend_sql(sql)
+        # VECTOR-typed columns compute distances in float32 — flag the
+        # registry macros when a referenced table declares Vector(N)
+        if vector_cols and re.search(
+            r"\b(cosine_distance|l[12]_distance|inner_product"
+            r"|vector_norm)\s*\(",
+            sql,
+            re.I,
+        ):
+            from databend_spark.functions.registry import VECTOR_F32_MODE
+
+            VECTOR_F32_MODE[0] = any(
+                vector_cols.get(t.split(".")[-1].strip("`").lower())
+                for t in re.findall(r"\bfrom\s+([\w.`]+)", sql, re.I)
+            )
+            try:
+                rewritten = rewrite_databend_sql(sql)
+            finally:
+                VECTOR_F32_MODE[0] = False
+        else:
+            rewritten = rewrite_databend_sql(sql)
         wcommit = ins or re.match(
             r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.`]+)", sql, re.I
         )
