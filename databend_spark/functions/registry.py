@@ -452,7 +452,7 @@ SQL_MACROS: dict[str, str] = {
     "array_remove_first": "sl\x03ice({0}, 2, greatest(size({0}) - 1, 0))",
     "array_remove_last": "sl\x03ice({0}, 1, greatest(size({0}) - 1, 0))",
     # Databend arg order is (elem, arr); Spark's is (arr, elem)
-    "array_prepend": "array_p\x03repend({1}, {0})",
+    "array_prepend": "array_p\x03repend(coalesce({1}, array()), {0})",
     # array access/slicing — Databend is 1-based with an inclusive end
     # index; Spark is 0-based with a length arg
     "get": "element_at({0}, {1})",
@@ -2309,11 +2309,14 @@ SQL_MACROS.update(
         "array_overlap": _va_dispatch(
             "__va_overlap({0}, {1})", "arrays_overlap({0}, {1})"
         ),
+        # NULL arrays behave as empty (reference array.rs append/prepend)
         "array_append": _va_dispatch(
-            "__va_append({0}, {e1})", "array_a\x03ppend({0}, {1})"
+            "__va_append({0}, {e1})",
+            "array_a\x03ppend(coalesce({0}, array()), {1})",
         ),
         "array_prepend": _va_dispatch(
-            "__va_prepend({e0}, {1})", "array_p\x03repend({1}, {0})"
+            "__va_prepend({e0}, {1})",
+            "array_p\x03repend(coalesce({1}, array()), {0})",
         ),
         "array_contains": _va_dispatch(
             "__va_contains({0}, {e1})", "array_c\x03ontains({0}, {1})"

@@ -6407,10 +6407,19 @@ def run_slt_file(
                     # insert; prior rows were checked on THEIR insert, so
                     # null-violating rows are exactly the new ones
                     tkey = ins.group(2).strip("`").split(".")[-1].lower()
+                    try:  # stale bare-name metadata can name columns a
+                        # SAME-NAMED table in another db doesn't have
+                        _live = {
+                            c.lower()
+                            for c in spark.table(ins.group(2)).columns
+                        }
+                    except Exception:  # noqa: BLE001
+                        _live = None
                     nn_cols = [
                         c
                         for c, nullable in ddl_nullability.get(tkey, {}).items()
                         if not nullable
+                        and (_live is None or c.lower() in _live)
                     ]
                     if nn_cols and after > before:
                         viol_cond = " OR ".join(
@@ -6534,6 +6543,91 @@ def run_slt_file(
                         pass
             return None
 
+        # DuckDB-style COLUMNS(...) expansion (reference binder
+        # select_columns): name-lambda / regex / * EXCLUDE over the
+        # FROM relation's column list
+        if re.search(r"\bcolumns\s*\(", sql, re.I) and re.match(
+            r"^\s*SELECT\b", sql, re.I
+        ):
+            _cf = re.search(r"\bfrom\s+([\w.`]+)", sql, re.I)
+            _ccols = None
+            if _cf:
+                try:
+                    _ccols = spark.table(_cf.group(1)).columns
+                except Exception:  # noqa: BLE001
+                    _ccols = None
+            if _ccols:
+                def _expand_columns(m: re.Match) -> str:
+                    arg = m.group(1).strip()
+                    me = re.match(
+                        r"^\*\s*exclude\s*\(?([\w,\s`]+?)\)?$", arg, re.I
+                    )
+                    if me:
+                        ex = {
+                            c.strip().strip("`").lower()
+                            for c in me.group(1).split(",")
+                        }
+                        keep = [
+                            c for c in _ccols if c.lower() not in ex
+                        ]
+                    elif arg.startswith("'") and arg.endswith("'"):
+                        pat = arg[1:-1]
+                        keep = [
+                            c for c in _ccols if re.fullmatch(pat, c)
+                        ]
+                    else:
+                        ml = re.match(r"^(\w+)\s*->\s*(.*)$", arg, re.S)
+                        if not ml:
+                            return m.group(0)
+                        var, pred = ml.groups()
+                        vals = ", ".join(f"('{c}')" for c in _ccols)
+                        keep = [
+                            r[0]
+                            for r in spark.sql(
+                                f"SELECT {var} FROM (VALUES {vals}) AS"
+                                f" __c({var}) WHERE {pred}"
+                            ).collect()
+                        ]
+                    if not keep:
+                        raise ValueError(
+                            "[1065] COLUMNS expression matched no "
+                            "columns"
+                        )
+                    return ", ".join(f"`{c}`" for c in keep)
+
+                sql = re.sub(
+                    r"\bcolumns\s*\(((?:[^()]|\([^()]*\))*)\)",
+                    _expand_columns,
+                    sql,
+                    flags=re.I,
+                )
+        # excluding EVERY column of the relation is an error
+        # (reference binder: SELECT with no columns)
+        _mex = re.search(
+            r"(?:[\w.`]+\s*\.\s*)?\*\s+exclude\s+"
+            r"(?:\(([^)]*)\)|([\w`]+))",
+            sql,
+            re.I,
+        )
+        if _mex:
+            _cf2 = re.findall(r"\b(?:from|join)\s+([\w.`]+)", sql, re.I)
+            if len(_cf2) == 1:
+                try:
+                    _all2 = {
+                        c.lower()
+                        for c in spark.table(_cf2[0]).columns
+                    }
+                except Exception:  # noqa: BLE001
+                    _all2 = None
+                _ex2 = {
+                    c.strip().strip("`").lower()
+                    for c in (_mex.group(1) or _mex.group(2)).split(",")
+                }
+                if _all2 and _all2 <= _ex2:
+                    raise ValueError(
+                        "[1065] SELECT with no columns: every column "
+                        "is excluded"
+                    )
         # VECTOR-typed columns compute distances in float32 — flag the
         # registry macros when a referenced table declares Vector(N)
         if vector_cols and re.search(
@@ -7186,6 +7280,50 @@ def run_slt_file(
                             return spark.sql(forced)
                         except Exception:  # noqa: BLE001
                             pass
+            if "AMBIGUOUS_REFERENCE" in msg and re.search(
+                r"\*\s+(EXCLUDE|EXCEPT)\b", sql, re.I
+            ):
+                # `* EXCLUDE id` over a join where both sides have the
+                # column: the reference drops it from EVERY side —
+                # expand to per-relation qualified stars
+                mex2 = re.match(
+                    r"^(\s*SELECT\s+)\*\s+(?:EXCLUDE|EXCEPT)\s*"
+                    r"(?:\(([^)]*)\)|([\w`]+))\s*(\s+FROM\s+.*)$",
+                    sql,
+                    re.I | re.S,
+                )
+                if mex2:
+                    exn = {
+                        c.strip().strip("`").lower()
+                        for c in (
+                            mex2.group(2) or mex2.group(3)
+                        ).split(",")
+                    }
+                    rels = re.findall(
+                        r"\b(?:from|join)\s+([\w.`]+)",
+                        mex2.group(4),
+                        re.I,
+                    )
+                    stars = []
+                    try:
+                        for r_ in rels:
+                            rc = [
+                                c
+                                for c in spark.table(r_).columns
+                                if c.lower() not in exn
+                            ]
+                            qual = r_.split(".")[-1].strip("`")
+                            stars.extend(
+                                f"`{qual}`.`{c}`" for c in rc
+                            )
+                        alt = (
+                            mex2.group(1)
+                            + ", ".join(stars)
+                            + mex2.group(4)
+                        )
+                        return spark.sql(rewrite_databend_sql(alt))
+                    except Exception:  # noqa: BLE001
+                        pass
             if (
                 "INCOMPATIBLE_COLUMN_TYPE" in msg
                 or "CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE" in msg
@@ -8203,10 +8341,20 @@ def run_slt_file(
                         mi.group(1).strip('`"').split(".")[-1]
                         .strip('`"').lower()
                     )
+                    try:
+                        _live2 = {
+                            c.lower()
+                            for c in spark.table(
+                                mi.group(1).strip('`"')
+                            ).columns
+                        }
+                    except Exception:  # noqa: BLE001
+                        _live2 = None
                     nn = [
                         c
                         for c, nl in ddl_nullability.get(tk, {}).items()
                         if not nl
+                        and (_live2 is None or c.lower() in _live2)
                     ]
                     cond = " OR ".join(f"`{c}` IS NULL" for c in nn)
                     tref = ".".join(
