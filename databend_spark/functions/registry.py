@@ -983,14 +983,88 @@ SQL_MACROS["median_tdigest"] = "percentile({0}, 0.5)"
 
 def _quantile_cont(args: list[str]) -> str | None:
     """quantile_cont(x[, p...]) after the fn(p)(x) → fn(x, p...)
-    normalization; multiple quantiles return an array."""
+    normalization; multiple quantiles return an array. A DECIMAL input
+    keeps the decimal type — the reference indexes the sorted values
+    (no float interpolation) and renders at the declared scale."""
     if not args:
         return None
+    mdec = re.search(
+        r"::\s*decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)"
+        r"|AS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
+        args[0],
+        re.I,
+    )
+    if mdec:
+        return _quantile_disc([args[0]] + (args[1:] or ["0.5"]))
     if len(args) == 1:
         return f"percentile({args[0]}, 0.5)"
     if len(args) == 2:
         return f"percentile({args[0]}, {args[1]})"
     return f"percentile({args[0]}, array({', '.join(args[1:])}))"
+
+
+def _quantile_tdigest(args: list[str]) -> str | None:
+    """quantile_tdigest(x, p...): the reference's tdigest sketch over
+    singleton centroids interpolates at rank q*n - 0.5
+    (aggregate_quantile_tdigest.rs) — slightly different from the
+    (n-1)*q percentile rule."""
+    if not args:
+        return None
+    qs = args[1:] or ["0.5"]
+    base = (
+        f"__quantile_tdigest(collect_list(CAST({args[0]} AS DOUBLE)),"
+        f" array({', '.join(qs)}))"
+    )
+    if len(qs) == 1:
+        return f"element_at({base}, 1)"
+    return base
+
+
+def _quantile_tdigest_weighted(args: list[str]) -> str | None:
+    """quantile_tdigest_weighted(x, w, p...) — weight replicates the
+    value into the sketch."""
+    if len(args) < 3:
+        return None
+    qs = args[2:]
+    base = (
+        f"__quantile_tdigest(flatten(collect_list(array_repeat("
+        f"CAST({args[0]} AS DOUBLE), CAST({args[1]} AS INT)))),"
+        f" array({', '.join(qs)}))"
+    )
+    if len(qs) == 1:
+        return f"element_at({base}, 1)"
+    return base
+
+
+def _moving_agg(kind: str, args: list[str]) -> str | None:
+    """group_array_moving_{sum,avg}(x[, w]) (reference
+    aggregate_array_moving.rs): prefix sums without a window; avg
+    divides by the window size (or total n), even for the ramp-up."""
+    if not args:
+        return None
+    if len(args) == 2 and not re.fullmatch(r"\s*\d+\s*", args[1]):
+        raise ValueError(
+            "[2004] the window size of moving aggregates must be a "
+            "positive integer"
+        )
+    agg = f"collect_list({args[0]})"
+    if len(args) == 2:
+        w = int(args[1])
+        start = f"greatest(1, __mi + 2 - {w})"
+        denom = str(w)
+    else:
+        start = "1"
+        denom = f"size({agg})"
+    ssum = (
+        f"aggregate(sl\x03ice({agg}, {start}, __mi + 2 - ({start})),"
+        f" __mv - __mv, (a, e) -> a + e)"
+    )
+    if kind == "sum":
+        return f"transform({agg}, (__mv, __mi) -> {ssum})"
+    return (
+        f"transform({agg}, (__mv, __mi) -> CAST(({ssum}) AS DOUBLE)"
+        f" / {denom})"
+    )
 
 
 def _quantile_disc(args: list[str]) -> str | None:
@@ -1028,7 +1102,10 @@ SQL_MACROS["window_funnel"] = _window_funnel_sql
 SQL_MACROS["quantile_disc"] = _quantile_disc
 SQL_MACROS["medians"] = _quantile_disc
 SQL_MACROS["quantile_cont"] = _quantile_cont
-SQL_MACROS["quantile_tdigest"] = _quantile_cont
+SQL_MACROS["quantile_tdigest"] = _quantile_tdigest
+SQL_MACROS["quantile_tdigest_weighted"] = _quantile_tdigest_weighted
+SQL_MACROS["group_array_moving_sum"] = lambda a: _moving_agg("sum", a)
+SQL_MACROS["group_array_moving_avg"] = lambda a: _moving_agg("avg", a)
 SQL_MACROS["quantile"] = {2: "percentile({0}, {1})"}
 
 def _cast_two_arg(args: list[str]) -> str | None:
@@ -1679,6 +1756,49 @@ def _histogram_tpl(col: str, k: str) -> str:
     )
 
 
+def _moment_agg(kind: str, args: list[str]) -> str | None:
+    """Aggregate skewness / excess kurtosis exactly as the reference
+    computes them from power sums (aggregate_{skewness,kurtosis}.rs):
+    degenerate inputs (n too small, zero variance) yield 0.0."""
+    if len(args) != 1:
+        return None
+    x = f"CAST(({args[0]}) AS DOUBLE)"
+    n = f"CAST(count({x}) AS DOUBLE)"
+    s1 = f"sum({x})"
+    s2 = f"sum(({x}) * ({x}))"
+    s3 = f"sum(({x}) * ({x}) * ({x}))"
+    s4 = f"sum(({x}) * ({x}) * ({x}) * ({x}))"
+    if kind == "skew":
+        div = f"sqrt(pow((({s2}) - ({s1}) * ({s1}) / {n}) / {n}, 3))"
+        val = (
+            f"(sqrt({n} * ({n} - 1.0)) / ({n} - 2.0)) * "
+            f"(({s3}) - 3.0 * ({s2}) * ({s1}) / {n}"
+            f" + 2.0 * pow({s1}, 3) / ({n} * {n})) / ({n} * ({div}))"
+        )
+        return (
+            f"(CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE)"
+            f" WHEN {n} <= 2 THEN CAST(0.0 AS DOUBLE)"
+            f" WHEN ({div}) = 0.0 THEN CAST(0.0 AS DOUBLE)"
+            f" ELSE {val} END)"
+        )
+    m2 = f"((({s2}) - ({s1}) * ({s1}) / {n}) / {n})"
+    m4 = (
+        f"((({s4}) - 4.0 * ({s3}) * ({s1}) / {n}"
+        f" + 6.0 * ({s2}) * ({s1}) * ({s1}) / ({n} * {n})"
+        f" - 3.0 * pow({s1}, 4) / pow({n}, 3)) / {n})"
+    )
+    val = (
+        f"(({n} - 1.0) * (({n} + 1.0) * ({m4}) / (({m2}) * ({m2}))"
+        f" - 3.0 * ({n} - 1.0)) / (({n} - 2.0) * ({n} - 3.0)))"
+    )
+    return (
+        f"(CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE)"
+        f" WHEN {n} <= 3 THEN CAST(0.0 AS DOUBLE)"
+        f" WHEN (({s2}) - ({s1}) * ({s1}) / {n}) = 0.0"
+        f" THEN CAST(0.0 AS DOUBLE) ELSE {val} END)"
+    )
+
+
 def _array_moment_tpl(kind: str) -> str:
     """Sample skewness / excess kurtosis of an array via power sums,
     bound once through a single-element transform lambda."""
@@ -2225,11 +2345,17 @@ SQL_MACROS.update(
         # compact JSON text, insertion order preserved
         "json_array_agg": "to_json(collect_list({0}))",
         "json_agg": "to_json(collect_list({0}))",
+        # pairs with a NULL key OR value are skipped
+        # (aggregate_json_object_agg.rs)
         "json_object_agg": (
-            "to_json(map_from_entries(collect_list(struct({0}, {1}))))"
+            "to_json(map_from_entries(filter(collect_list(struct({0} AS"
+            " k, {1} AS v)), s -> s.k IS NOT NULL AND s.v IS NOT"
+            " NULL)))"
         ),
         "json_objectagg": (
-            "to_json(map_from_entries(collect_list(struct({0}, {1}))))"
+            "to_json(map_from_entries(filter(collect_list(struct({0} AS"
+            " k, {1} AS v)), s -> s.k IS NOT NULL AND s.v IS NOT"
+            " NULL)))"
         ),
         # misc sweep gaps (reference scalars/{string,array,map}.rs)
         "regexp_split_to_array": lambda args: _regexp_split_sql(args, False),
@@ -2468,6 +2594,11 @@ SQL_MACROS.update(
         # skewness/kurtosis aggregates (verified against the SLT goldens)
         "array_skewness": _array_moment_tpl("skew"),
         "array_kurtosis": _array_moment_tpl("kurt"),
+        # aggregate skewness/kurtosis: the reference's bias-corrected
+        # sample estimators with 0.0 (not NULL) for degenerate inputs
+        # (aggregate_skewness.rs:83-98, aggregate_kurtosis.rs:85-117)
+        "skewness": lambda a: _moment_agg("skew", a),
+        "kurtosis": lambda a: _moment_agg("kurt", a),
         # misc gaps from the sweep
         "isinf": (
             "({0} = CAST('Infinity' AS DOUBLE)"

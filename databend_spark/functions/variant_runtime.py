@@ -971,6 +971,55 @@ def age_eval(a, b):
     return interval_format(sign * months, sign * days, sign * micros)
 
 
+def _jsonb_rank(x) -> tuple:
+    """Databend jsonb total order (jsonb crate compare): boolean <
+    number < string < object < array < null (json null largest)."""
+    if isinstance(x, bool):
+        return (0, 1.0 if x else 0.0, "")
+    if isinstance(x, (int, float)):
+        return (1, float(x), "")
+    if isinstance(x, str):
+        return (2, 0.0, x)
+    if isinstance(x, dict):
+        return (3, 0.0, _canon(x))
+    if isinstance(x, list):
+        return (4, 0.0, _canon(x))
+    return (5, 0.0, "")  # json null
+
+
+def json_order_key_eval(v):
+    """Sortable struct key reproducing jsonb value ordering."""
+    if v is None:
+        return None
+    try:
+        x = json.loads(v)
+    except (ValueError, TypeError):
+        x = v
+    return _jsonb_rank(x)
+
+
+def json_array_sort_eval(arr, asc):
+    """Sort an array of variant (JSON text) values in jsonb order."""
+    if arr is None:
+        return None
+    keyed = sorted(
+        (x for x in arr if x is not None),
+        key=lambda s: _jsonb_rank(
+            json.loads(s) if _try_json(s) else s
+        ),
+        reverse=not asc,
+    )
+    return list(keyed)
+
+
+def _try_json(s) -> bool:
+    try:
+        json.loads(s)
+        return True
+    except (ValueError, TypeError):
+        return False
+
+
 def vec_distance_eval(a, b, metric, f32):
     """cosine/l1/l2/dot distances (reference scalars/vector.rs): the
     VECTOR type computes in float32, bare float arrays in float64."""
@@ -1010,6 +1059,31 @@ def vec_distance_eval(a, b, metric, f32):
     if metric == "dot":
         return sum(x * y for x, y in zip(va, vb))
     raise ValueError(f"unknown vector metric {metric}")
+
+
+def quantile_tdigest_eval(vals, qs):
+    """tdigest quantiles over singleton centroids (reference
+    aggregate_quantile_tdigest.rs): rank = q*n - 0.5 interpolated
+    between adjacent sorted values, clamped at the ends."""
+    if vals is None or qs is None:
+        return None
+    a = sorted(float(x) for x in vals if x is not None)
+    n = len(a)
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append(None)
+            continue
+        r = float(q) * n - 0.5
+        if r <= 0:
+            out.append(a[0])
+        elif r >= n - 1:
+            out.append(a[-1])
+        else:
+            i = int(r)
+            frac = r - i
+            out.append(a[i] + frac * (a[i + 1] - a[i]))
+    return out
 
 
 def vec_norm_eval(a, f32):
@@ -2285,6 +2359,26 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__age", age_eval, StringType())
     spark.udf.register("__vec_distance", vec_distance_eval, _DT())
     spark.udf.register("__vec_norm", vec_norm_eval, _DT())
+    from pyspark.sql.types import IntegerType as _IT
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    spark.udf.register(
+        "__json_order_key",
+        json_order_key_eval,
+        _ST([
+            _SF("rank", _IT()),
+            _SF("num", _DT()),
+            _SF("txt", StringType()),
+        ]),
+    )
+    spark.udf.register(
+        "__json_array_sort", json_array_sort_eval,
+        ArrayType(StringType()),
+    )
+    spark.udf.register(
+        "__quantile_tdigest", quantile_tdigest_eval, ArrayType(_DT())
+    )
     spark.udf.register("__regexp_substr", regexp_substr_eval, StringType())
     spark.udf.register("__regexp_replace", regexp_replace_eval, StringType())
     spark.udf.register("__time_slice", time_slice, StringType())

@@ -482,7 +482,7 @@ _SQRT_OP = re.compile(r"\|/\s*(-?[\w.]+(?:\([^()]*\))?)")
 _CBRT_OP = re.compile(r"\|\|/\s*(-?[\w.]+(?:\([^()]*\))?)")
 
 _PARAM_AGG = re.compile(
-    r"\b(quantile_cont|quantile_disc|quantile_tdigest|quantile|"
+    r"\b(quantile_cont|quantile_disc|quantile_tdigest_weighted|quantile_tdigest|quantile|"
     r"try_to_decimal|to_decimal|as_decimal|approx_count_distinct|window_funnel|"
     r"intersect_count|"
     r"group_array_moving_avg|group_array_moving_sum|histogram)"
@@ -4389,6 +4389,37 @@ def rewrite_databend_sql(sql: str) -> str:
             masked,
             flags=re.I,
         )
+    # reference binder rejections the Spark analyzer would accept
+    if re.search(r"\(\s*DISTINCT\b[^()]*\)\s*FILTER\b", masked, re.I):
+        raise ValueError(
+            "[1006] DISTINCT aggregates do not support FILTER"
+        )
+    if re.search(
+        r"\bpercentile_cont\s*\([^()]*\)\s*WITHIN\s+GROUP", masked, re.I
+    ):
+        raise ValueError(
+            "[1006] percentile_cont does not support WITHIN GROUP"
+        )
+    if re.search(
+        r"\bORDER\s+BY\b", masked, re.I
+    ) and re.search(
+        r"\b(array_agg|list|listagg|string_agg|group_concat)\s*\(",
+        masked,
+        re.I,
+    ):
+        masked = _rewrite_ordered_aggs(masked)
+    # PostgreSQL regex-match operators: `a ~ 'p'` / `a !~ 'p'`
+    if re.search(r"[!\s\w`)]~\s*\x00", masked):
+        masked = re.sub(
+            r"([\w.`)\x00]+)\s*!~\s*(\x00\d+\x00)",
+            r"(\1 NOT RLIKE \2)",
+            masked,
+        )
+        masked = re.sub(
+            r"([\w.`)\x00]+)\s*~\s*(\x00\d+\x00)",
+            r"(\1 RLIKE \2)",
+            masked,
+        )
     masked = rewrite_function_names(masked)
     # literal-inspecting macros (array_aggregate's op name, array_sort's
     # direction, …) need to see through the masking placeholders
@@ -4406,6 +4437,75 @@ def rewrite_databend_sql(sql: str) -> str:
     if re.search(r"<=>|<\+>|<->", masked):
         masked = _rewrite_vector_operators(masked)
     return _unmask_strings(masked, literals)
+
+
+def _ordered_agg(x_text: str, keys_text: str) -> str:
+    """array_agg(x ORDER BY keys) → sorted-struct transform (Spark's
+    collect_list has no WITHIN GROUP). Null ordering defaults follow
+    the reference: NULLS FIRST for ASC, NULLS LAST for DESC."""
+    keys = []
+    for part in _split_top_commas(keys_text):
+        mm = re.match(
+            r"^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+            part.strip(),
+            re.I | re.S,
+        )
+        expr = mm.group(1).strip()
+        desc = (mm.group(2) or "").upper() == "DESC"
+        if mm.group(3):
+            nf = mm.group(3).upper() == "FIRST"
+        else:
+            nf = not desc
+        keys.append((expr, desc, nf))
+    fields = ", ".join(
+        f"({e}) AS __k{i}" for i, (e, _, _) in enumerate(keys)
+    )
+    cmp = "0"
+    for i in range(len(keys) - 1, -1, -1):
+        _, desc, nf = keys[i]
+        lv, rv = f"l.__k{i}", f"r.__k{i}"
+        lt, gt = ("1", "-1") if desc else ("-1", "1")
+        nc = "-1" if nf else "1"
+        pnc = "1" if nf else "-1"
+        cmp = (
+            f"CASE WHEN {lv} <=> {rv} THEN {cmp}"
+            f" WHEN {lv} IS NULL THEN {nc}"
+            f" WHEN {rv} IS NULL THEN {pnc}"
+            f" WHEN {lv} < {rv} THEN {lt} ELSE {gt} END"
+        )
+    return (
+        f"transform(array_sort(collect_list(struct({fields},"
+        f" ({x_text}) AS __v)), (l, r) -> {cmp}), s -> s.__v)"
+    )
+
+
+def _rewrite_ordered_aggs(masked: str) -> str:
+    """ORDER BY inside aggregate calls: listagg-family inline orders
+    become WITHIN GROUP (Spark-native); array_agg orders become
+    sorted-struct transforms."""
+    masked = re.sub(
+        r"\b(listagg|string_agg|group_concat)\s*"
+        r"\(((?:[^()]|\([^()]*\))*?)\s+ORDER\s+BY\s+"
+        r"((?:[^()]|\([^()]*\))*)\)",
+        r"\1(\2) WITHIN GROUP (ORDER BY \3)",
+        masked,
+        flags=re.I,
+    )
+    masked = re.sub(
+        r"\b(?:array_agg|list)\s*\(((?:[^()]|\([^()]*\))*)\)\s*"
+        r"WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+((?:[^()]|\([^()]*\))*)\)",
+        lambda m: _ordered_agg(m.group(1), m.group(2)),
+        masked,
+        flags=re.I,
+    )
+    masked = re.sub(
+        r"\b(?:array_agg|list)\s*\(((?:[^()]|\([^()]*\))*?)\s+"
+        r"ORDER\s+BY\s+((?:[^()]|\([^()]*\))*)\)",
+        lambda m: _ordered_agg(m.group(1), m.group(2)),
+        masked,
+        flags=re.I,
+    )
+    return masked
 
 
 _VEC_OPERAND = (

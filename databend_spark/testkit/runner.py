@@ -6628,6 +6628,79 @@ def run_slt_file(
                         "[1065] SELECT with no columns: every column "
                         "is excluded"
                     )
+        # VARIANT-typed columns order by jsonb value order (bool <
+        # number < string < object < array < null) in min/max/arg_*,
+        # and aggregate into raw-spliced json arrays
+        if ddl_decl_types and re.search(
+            r"\b(arg_max|arg_min|max|min|json_agg|json_array_agg"
+            r"|json_object_agg|array_agg|list|array_sort)\s*\(",
+            sql,
+            re.I,
+        ):
+            _va_cols: set[str] = set()
+            for _vat in re.findall(r"\bfrom\s+([\w.`]+)", sql, re.I):
+                _vak = _vat.split(".")[-1].strip("`").lower()
+                for _c, _ty in ddl_decl_types.get(_vak, {}).items():
+                    if str(_ty).lower().startswith(("variant", "json")):
+                        _va_cols.add(_c)
+            for _vc in sorted(_va_cols):
+                sql = re.sub(
+                    rf"\barg_max\s*\(\s*([\w`.]+)\s*,\s*{_vc}\s*\)",
+                    rf"max_by(\1, __json_order_key({_vc}))",
+                    sql,
+                    flags=re.I,
+                )
+                sql = re.sub(
+                    rf"\barg_min\s*\(\s*([\w`.]+)\s*,\s*{_vc}\s*\)",
+                    rf"min_by(\1, __json_order_key({_vc}))",
+                    sql,
+                    flags=re.I,
+                )
+                sql = re.sub(
+                    rf"\bmax\s*\(\s*{_vc}\s*\)",
+                    rf"max_by({_vc}, __json_order_key({_vc}))",
+                    sql,
+                    flags=re.I,
+                )
+                sql = re.sub(
+                    rf"\bmin\s*\(\s*{_vc}\s*\)",
+                    rf"min_by({_vc}, __json_order_key({_vc}))",
+                    sql,
+                    flags=re.I,
+                )
+                sql = re.sub(
+                    rf"\barray_sort\s*\(\s*(?:list|array_agg"
+                    rf"|collect_list)\s*\(\s*{_vc}\s*\)\s*"
+                    rf"(?:,\s*'(asc|desc)'\s*)?\)",
+                    lambda m, c=_vc: (
+                        "__parse_json_strict(concat('[', concat_ws(',',"
+                        f" __json_array_sort(collect_list(CAST({c} AS"
+                        f" STRING)), "
+                        + ("false" if (m.group(1) or "asc").lower()
+                           == "desc" else "true")
+                        + ")), ']'))"
+                    ),
+                    sql,
+                    flags=re.I,
+                )
+                sql = re.sub(
+                    rf"\b(?:json_agg|json_array_agg|array_agg|list)"
+                    rf"\s*\(\s*{_vc}\s*\)",
+                    rf"__parse_json_strict(concat('[', concat_ws(',',"
+                    rf" collect_list(CAST({_vc} AS STRING))), ']'))",
+                    sql,
+                    flags=re.I,
+                )
+                sql = re.sub(
+                    rf"\bjson_object_agg\s*\(\s*([\w`.]+)\s*,\s*{_vc}"
+                    rf"\s*\)",
+                    rf"__parse_json_strict(concat('{{', concat_ws(',',"
+                    rf" collect_list(CASE WHEN \1 IS NOT NULL AND {_vc}"
+                    rf" IS NOT NULL THEN concat('\"', \1, '\":',"
+                    rf" CAST({_vc} AS STRING)) END)), '}}'))",
+                    sql,
+                    flags=re.I,
+                )
         # VECTOR-typed columns compute distances in float32 — flag the
         # registry macros when a referenced table declares Vector(N)
         if vector_cols and re.search(
