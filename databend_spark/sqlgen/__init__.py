@@ -14,6 +14,7 @@ not plain SQL.
 
 from __future__ import annotations
 
+import json
 import re
 
 _UNSUPPORTED = [
@@ -4436,7 +4437,56 @@ def rewrite_databend_sql(sql: str) -> str:
         masked = _rewrite_interval_algebra(masked)
     if re.search(r"<=>|<\+>|<->", masked):
         masked = _rewrite_vector_operators(masked)
+    if re.search(r"get_json_object|__variant_access", masked):
+        masked = _rewrite_variant_equality(masked, literals)
     return _unmask_strings(masked, literals)
+
+
+def _rewrite_variant_equality(masked: str, lits: list[str]) -> str:
+    """Equality between a variant accessor and a literal compares the
+    JSON TEXT (mixed-type variant values would otherwise hit ANSI cast
+    errors: `m:a = 2` over a row holding true)."""
+
+    def _lit_token(sql_lit: str) -> str:
+        lits.append(sql_lit)
+        return f"\x00{len(lits) - 1}\x00"
+
+    def jtext(tok: str, quoted_strings: bool) -> str:
+        mm = re.fullmatch("\x00(\\d+)\x00", tok)
+        if mm:
+            if not quoted_strings:
+                return tok  # get_json_object returns unquoted strings
+            raw = lits[int(mm.group(1))]
+            inner = raw[1:-1].replace("''", "'")
+            jnew = json.dumps(inner, ensure_ascii=False)
+            return _lit_token("'" + jnew.replace("'", "''") + "'")
+        if tok.lower() in ("true", "false"):
+            return _lit_token(f"'{tok.lower()}'")
+        return _lit_token(f"'{tok}'")
+
+    for fn, quoted in (
+        ("get_json_object", False),
+        ("__variant_access", True),
+    ):
+        acc = rf"({fn}\s*\((?:[^()]|\([^()]*\))*\))"
+        lit = r"(\x00\d+\x00|-?\d+(?:\.\d+)?|true|false)"
+        masked = re.sub(
+            acc + r"\s*(=|!=|<>)\s*" + lit + r"(?![\w.])",
+            lambda m, q=quoted: (
+                f"{m.group(1)} {m.group(2)} {jtext(m.group(3), q)}"
+            ),
+            masked,
+            flags=re.I,
+        )
+        masked = re.sub(
+            r"(?<![\w.`])" + lit + r"\s*(=|!=|<>)\s*" + acc,
+            lambda m, q=quoted: (
+                f"{jtext(m.group(1), q)} {m.group(2)} {m.group(3)}"
+            ),
+            masked,
+            flags=re.I,
+        )
+    return masked
 
 
 def _ordered_agg(x_text: str, keys_text: str) -> str:

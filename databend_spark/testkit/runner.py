@@ -125,7 +125,10 @@ def _norm_cell(v) -> str:
 # ('\x' → 'x'), while the reference keeps it (blob tests expect '\xaa'
 # verbatim, regexp literals rely on '\d'). Double the backslash for any
 # escape Spark doesn't define so the literal survives parsing unchanged.
-_KNOWN_ESCAPES = set("0'\"bnrtZ\\%_uU")
+# `\"` inside a single-quoted literal KEEPS its backslash in the
+# reference (03_0018 id 16: '"a\"b"' stores text "a\"b") — excluded
+# from the processed set so it doubles into a literal backslash
+_KNOWN_ESCAPES = set("0'bnrtZ\\%_uU")
 _SQUOTE_LIT = re.compile(r"'(?:[^'\\]|\\.|'')*'")
 
 
@@ -969,6 +972,10 @@ def run_slt_file(
             spark.sql(f"ALTER TABLE {q(old)} RENAME TO {q(bare)}")
             raise
         spark.sql(f"DROP TABLE {q(old)}")
+        try:  # cached plans may still point at the swapped-out files
+            spark.catalog.refreshTable(f"`{tdb}`.`{bare}`")
+        except Exception:  # noqa: BLE001
+            pass
 
     _show_tables = re.compile(
         r"^\s*SHOW\s+(FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+([\w`]+))?"
@@ -3706,13 +3713,13 @@ def run_slt_file(
             vals4: list[str] = []
             depth4, start4 = 0, 0
             for i4, ch4 in enumerate(body4):
-                if ch4 == "(":
+                if ch4 in "([{":
                     depth4 += 1
-                    if depth4 == 1:
+                    if depth4 == 1 and ch4 == "(":
                         vals4, start4 = [], i4 + 1
-                elif ch4 == ")":
+                elif ch4 in ")]}":
                     depth4 -= 1
-                    if depth4 == 0:
+                    if depth4 == 0 and ch4 == ")":
                         vals4.append(body4[start4:i4])
                         tuples4.append(vals4)
                 elif ch4 == "," and depth4 == 1:
@@ -3786,16 +3793,21 @@ def run_slt_file(
                     else list(ddl_decl_types.get(_tk5, {}).keys())
                 )
                 _dec5 = ddl_decl_types.get(_tk5, {})
-                _body5 = _ivm.group(3).rstrip().rstrip(";")
+                from databend_spark.sqlgen import (
+                    _mask_strings as _ms5,
+                    _unmask_strings as _us5,
+                )
+
+                _body5, _lits5 = _ms5(_ivm.group(3).rstrip().rstrip(";"))
                 _tuples5, _vals5, _dep5, _st5 = [], [], 0, 0
                 for _i5, _ch5 in enumerate(_body5):
-                    if _ch5 == "(":
+                    if _ch5 in "([{":
                         _dep5 += 1
-                        if _dep5 == 1:
+                        if _dep5 == 1 and _ch5 == "(":
                             _vals5, _st5 = [], _i5 + 1
-                    elif _ch5 == ")":
+                    elif _ch5 in ")]}":
                         _dep5 -= 1
-                        if _dep5 == 0:
+                        if _dep5 == 0 and _ch5 == ")":
                             _vals5.append(_body5[_st5:_i5])
                             _tuples5.append(_vals5)
                     elif _ch5 == "," and _dep5 == 1:
@@ -3817,9 +3829,10 @@ def run_slt_file(
                     _new5.append("(" + ", ".join(_vals5) + ")")
                 if _chg5:
                     _h5 = f"({_ivm.group(2)}) " if _ivm.group(2) else ""
-                    sql = (
+                    sql = _us5(
                         f"INSERT INTO {_ivm.group(1)} {_h5}VALUES "
-                        + ", ".join(_new5)
+                        + ", ".join(_new5),
+                        _lits5,
                     )
             _ivnames = "|".join(re.escape(c) for c in sorted(_iv_cols))
             sql = re.sub(
@@ -5489,7 +5502,7 @@ def run_slt_file(
         # on conflict keys (reference plans/insert REPLACE semantics)
         mrep = re.match(
             r"^\s*REPLACE\s+INTO\s+([\w.`]+)\s*(\(([^)]*)\))?\s+"
-            r"ON\s*\(([^)]*)\)\s+(.+?)\s*;?\s*$",
+            r"ON\s*(?:CONFLICT\s*)?\(([^)]*)\)\s+(.+?)\s*;?\s*$",
             sql,
             re.I | re.S,
         )
@@ -6341,6 +6354,166 @@ def run_slt_file(
             return _multi_table_insert(
                 bool(mti.group(1)), mti.group(2).upper(), mti.group(3)
             )
+        # VARIANT columns: INSERT VALUES must hold VALID json (the
+        # binder parses to jsonb — 03_0018 expects bad text to error),
+        # and bracket subscripts read jsonb (0-based), not Spark maps
+        if ddl_decl_types and re.match(
+            r"^\s*INSERT\s+INTO\b", sql, re.I
+        ):
+            _vim = re.match(
+                r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.`]+)\s*"
+                r"(?:\(([^)]*)\))?\s*VALUES\s*(\(.*)$",
+                sql,
+                re.I | re.S,
+            )
+            if _vim:
+                _tk6 = _vim.group(1).split(".")[-1].strip("`").lower()
+                _dec6 = ddl_decl_types.get(_tk6, {})
+                _cols6 = (
+                    [
+                        c.strip().strip('`"').lower()
+                        for c in _vim.group(2).split(",")
+                    ]
+                    if _vim.group(2)
+                    else list(_dec6.keys())
+                )
+                if any(
+                    str(_dec6.get(c, "")).lower().startswith(
+                        ("variant", "json")
+                    )
+                    for c in _cols6
+                ):
+                    from databend_spark.sqlgen import (
+                        _mask_strings as _ms6,
+                        _unmask_strings as _us6,
+                    )
+
+                    _body6, _lits6 = _ms6(
+                        _vim.group(3).rstrip().rstrip(";")
+                    )
+                    _t6, _v6, _d6, _s6 = [], [], 0, 0
+                    for _i6, _c6 in enumerate(_body6):
+                        if _c6 in "([{":
+                            _d6 += 1
+                            if _d6 == 1 and _c6 == "(":
+                                _v6, _s6 = [], _i6 + 1
+                        elif _c6 in ")]}":
+                            _d6 -= 1
+                            if _d6 == 0 and _c6 == ")":
+                                _v6.append(_body6[_s6:_i6])
+                                _t6.append(_v6)
+                        elif _c6 == "," and _d6 == 1:
+                            _v6.append(_body6[_s6:_i6])
+                            _s6 = _i6 + 1
+                    _chg6 = False
+                    _n6 = []
+                    for _v6 in _t6:
+                        for _j6, _x6 in enumerate(_v6):
+                            if _j6 < len(_cols6) and str(
+                                _dec6.get(_cols6[_j6], "")
+                            ).lower().startswith(("variant", "json")):
+                                if not re.fullmatch(
+                                    r"\s*(NULL|DEFAULT)\s*", _x6, re.I
+                                ):
+                                    _v6[_j6] = (
+                                        "__parse_json_strict(CAST(("
+                                        + _x6
+                                        + ") AS STRING))"
+                                    )
+                                    _chg6 = True
+                        _n6.append("(" + ", ".join(_v6) + ")")
+                    if _chg6:
+                        _h6 = (
+                            f"({_vim.group(2)}) " if _vim.group(2) else ""
+                        )
+                        sql = _us6(
+                            f"INSERT INTO {_vim.group(1)} {_h6}VALUES "
+                            + ", ".join(_n6),
+                            _lits6,
+                        )
+        # VARIANT-typed columns order by jsonb value order (bool <
+        # number < string < object < array < null) in min/max/arg_*,
+        # and aggregate into raw-spliced json arrays
+        if ddl_decl_types and (
+            "[" in sql
+            or re.search(
+                r"\b(arg_max|arg_min|max|min|json_agg|json_array_agg"
+                r"|json_object_agg|array_agg|list|array_sort)\s*\(",
+                sql,
+                re.I,
+            )
+        ):
+            _va_cols: set[str] = set()
+            for _vat in re.findall(r"\bfrom\s+([\w.`]+)", sql, re.I):
+                _vak = _vat.split(".")[-1].strip("`").lower()
+                for _c, _ty in ddl_decl_types.get(_vak, {}).items():
+                    if str(_ty).lower().startswith(("variant", "json")):
+                        _va_cols.add(_c)
+            for _vc in sorted(_va_cols):
+                # bracket subscripts on a variant column read jsonb
+                # (0-based); route through the ::json subscript rewrite
+                sql = re.sub(
+                    rf"(?<![\w.`:']){_vc}\s*\[",
+                    rf"{_vc}::json[",
+                    sql,
+                )
+                sql = re.sub(
+                    rf"\barg_max\s*\(\s*([\w`.]+)\s*,\s*{_vc}\s*\)",
+                    rf"max_by(\1, __json_order_key({_vc}))",
+                    sql,
+                    flags=re.I,
+                )
+                sql = re.sub(
+                    rf"\barg_min\s*\(\s*([\w`.]+)\s*,\s*{_vc}\s*\)",
+                    rf"min_by(\1, __json_order_key({_vc}))",
+                    sql,
+                    flags=re.I,
+                )
+                sql = re.sub(
+                    rf"\bmax\s*\(\s*{_vc}\s*\)",
+                    rf"max_by({_vc}, __json_order_key({_vc}))",
+                    sql,
+                    flags=re.I,
+                )
+                sql = re.sub(
+                    rf"\bmin\s*\(\s*{_vc}\s*\)",
+                    rf"min_by({_vc}, __json_order_key({_vc}))",
+                    sql,
+                    flags=re.I,
+                )
+                sql = re.sub(
+                    rf"\barray_sort\s*\(\s*(?:list|array_agg"
+                    rf"|collect_list)\s*\(\s*{_vc}\s*\)\s*"
+                    rf"(?:,\s*'(asc|desc)'\s*)?\)",
+                    lambda m, c=_vc: (
+                        "__parse_json_strict(concat('[', concat_ws(',',"
+                        f" __json_array_sort(collect_list(CAST({c} AS"
+                        f" STRING)), "
+                        + ("false" if (m.group(1) or "asc").lower()
+                           == "desc" else "true")
+                        + ")), ']'))"
+                    ),
+                    sql,
+                    flags=re.I,
+                )
+                sql = re.sub(
+                    rf"\b(?:json_agg|json_array_agg|array_agg|list)"
+                    rf"\s*\(\s*{_vc}\s*\)",
+                    rf"__parse_json_strict(concat('[', concat_ws(',',"
+                    rf" collect_list(CAST({_vc} AS STRING))), ']'))",
+                    sql,
+                    flags=re.I,
+                )
+                sql = re.sub(
+                    rf"\bjson_object_agg\s*\(\s*([\w`.]+)\s*,\s*{_vc}"
+                    rf"\s*\)",
+                    rf"__parse_json_strict(concat('{{', concat_ws(',',"
+                    rf" collect_list(CASE WHEN \1 IS NOT NULL AND {_vc}"
+                    rf" IS NOT NULL THEN concat('\"', \1, '\":',"
+                    rf" CAST({_vc} AS STRING)) END)), '}}'))",
+                    sql,
+                    flags=re.I,
+                )
         ins = re.match(
             r"^\s*INSERT\s+(OVERWRITE\s+)?(?:INTO\s+)?(?:TABLE\s+)?([\w.`]+)",
             sql,
@@ -6628,79 +6801,6 @@ def run_slt_file(
                         "[1065] SELECT with no columns: every column "
                         "is excluded"
                     )
-        # VARIANT-typed columns order by jsonb value order (bool <
-        # number < string < object < array < null) in min/max/arg_*,
-        # and aggregate into raw-spliced json arrays
-        if ddl_decl_types and re.search(
-            r"\b(arg_max|arg_min|max|min|json_agg|json_array_agg"
-            r"|json_object_agg|array_agg|list|array_sort)\s*\(",
-            sql,
-            re.I,
-        ):
-            _va_cols: set[str] = set()
-            for _vat in re.findall(r"\bfrom\s+([\w.`]+)", sql, re.I):
-                _vak = _vat.split(".")[-1].strip("`").lower()
-                for _c, _ty in ddl_decl_types.get(_vak, {}).items():
-                    if str(_ty).lower().startswith(("variant", "json")):
-                        _va_cols.add(_c)
-            for _vc in sorted(_va_cols):
-                sql = re.sub(
-                    rf"\barg_max\s*\(\s*([\w`.]+)\s*,\s*{_vc}\s*\)",
-                    rf"max_by(\1, __json_order_key({_vc}))",
-                    sql,
-                    flags=re.I,
-                )
-                sql = re.sub(
-                    rf"\barg_min\s*\(\s*([\w`.]+)\s*,\s*{_vc}\s*\)",
-                    rf"min_by(\1, __json_order_key({_vc}))",
-                    sql,
-                    flags=re.I,
-                )
-                sql = re.sub(
-                    rf"\bmax\s*\(\s*{_vc}\s*\)",
-                    rf"max_by({_vc}, __json_order_key({_vc}))",
-                    sql,
-                    flags=re.I,
-                )
-                sql = re.sub(
-                    rf"\bmin\s*\(\s*{_vc}\s*\)",
-                    rf"min_by({_vc}, __json_order_key({_vc}))",
-                    sql,
-                    flags=re.I,
-                )
-                sql = re.sub(
-                    rf"\barray_sort\s*\(\s*(?:list|array_agg"
-                    rf"|collect_list)\s*\(\s*{_vc}\s*\)\s*"
-                    rf"(?:,\s*'(asc|desc)'\s*)?\)",
-                    lambda m, c=_vc: (
-                        "__parse_json_strict(concat('[', concat_ws(',',"
-                        f" __json_array_sort(collect_list(CAST({c} AS"
-                        f" STRING)), "
-                        + ("false" if (m.group(1) or "asc").lower()
-                           == "desc" else "true")
-                        + ")), ']'))"
-                    ),
-                    sql,
-                    flags=re.I,
-                )
-                sql = re.sub(
-                    rf"\b(?:json_agg|json_array_agg|array_agg|list)"
-                    rf"\s*\(\s*{_vc}\s*\)",
-                    rf"__parse_json_strict(concat('[', concat_ws(',',"
-                    rf" collect_list(CAST({_vc} AS STRING))), ']'))",
-                    sql,
-                    flags=re.I,
-                )
-                sql = re.sub(
-                    rf"\bjson_object_agg\s*\(\s*([\w`.]+)\s*,\s*{_vc}"
-                    rf"\s*\)",
-                    rf"__parse_json_strict(concat('{{', concat_ws(',',"
-                    rf" collect_list(CASE WHEN \1 IS NOT NULL AND {_vc}"
-                    rf" IS NOT NULL THEN concat('\"', \1, '\":',"
-                    rf" CAST({_vc} AS STRING)) END)), '}}'))",
-                    sql,
-                    flags=re.I,
-                )
         # VECTOR-typed columns compute distances in float32 — flag the
         # registry macros when a referenced table declares Vector(N)
         if vector_cols and re.search(
