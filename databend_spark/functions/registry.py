@@ -562,7 +562,34 @@ SQL_MACROS: dict[str, str] = {
     # check the statement succeeds
     "sleep": "(0 * CAST(({0}) AS INT))",
     # Databend to_binary(s) = utf8 bytes; Spark's 1-arg default is HEX
-    "to_binary": {1: "CAST({0} AS BINARY)"},
+    "to_binary": lambda a: _to_binary_macro(a, "CAST"),
+    "try_to_binary": lambda a: _to_binary_macro(a, "TRY_CAST"),
+    # jsonb binary encoding of a variant (jsonb crate layout)
+    "to_jsonb_binary": "__jsonb_binary(CAST({0} AS STRING))",
+    # WKT/EWKT constructors → (E)WKB binary geometry values
+    # (reference types/geometry.rs; geography drops the SRID flag)
+    "st_geometryfromwkt": {
+        1: "__wkt_ewkb(CAST({0} AS STRING), NULL, true)",
+        2: "__wkt_ewkb(CAST({0} AS STRING), {1}, true)",
+    },
+    "st_geomfromwkt": {
+        1: "__wkt_ewkb(CAST({0} AS STRING), NULL, true)",
+        2: "__wkt_ewkb(CAST({0} AS STRING), {1}, true)",
+    },
+    "st_geomfromtext": {
+        1: "__wkt_ewkb(CAST({0} AS STRING), NULL, true)",
+        2: "__wkt_ewkb(CAST({0} AS STRING), {1}, true)",
+    },
+    "st_geometryfromtext": {
+        1: "__wkt_ewkb(CAST({0} AS STRING), NULL, true)",
+        2: "__wkt_ewkb(CAST({0} AS STRING), {1}, true)",
+    },
+    "st_geographyfromewkt": {
+        1: "__wkt_ewkb(CAST({0} AS STRING), NULL, false)",
+    },
+    "st_geogfromwkt": {
+        1: "__wkt_ewkb(CAST({0} AS STRING), NULL, false)",
+    },
     # numeric truncate-toward-zero (Spark's trunc is date-only); BIGINT
     # cast truncates toward zero for both signs
     # truncate-toward-zero; the modulo form avoids BIGINT overflow on
@@ -685,6 +712,20 @@ def _keyset_expr(args: list[str]) -> str | None:
     if len(args) == 2 and args[1].lstrip().lower().startswith("array("):
         return args[1]
     return "array(" + ", ".join(args[1:]) + ")"
+
+
+def _to_binary_macro(args: list[str], cast: str) -> str | None:
+    """to_binary/try_to_binary: bitmap values (sorted-bigint-array
+    model) serialize through __bitmap_binary; geometry values
+    (__wkt_ewkb) are already binary; strings CAST."""
+    if len(args) != 1:
+        return None
+    a = args[0]
+    if re.search(r"to_bitmap\s*\(|build_bitmap\s*\(|sort_array\s*\(", a, re.I):
+        return f"__bitmap_binary({a})"
+    if re.search(r"__wkt_ewkb\s*\(|st_ge\w*from\w*\s*\(", a, re.I):
+        return f"({a})"
+    return f"{cast}({a} AS BINARY)"
 
 
 def _json_map_lambda(spark_fn: str, args: list[str]) -> str | None:

@@ -1061,6 +1061,96 @@ def vec_distance_eval(a, b, metric, f32):
     raise ValueError(f"unknown vector metric {metric}")
 
 
+def jsonb_binary_eval(v):
+    """Databend jsonb binary encoding (jsonb crate layout): u32 BE
+    container header (0x20000000 scalar / 0x40000000 object /
+    0x80000000 array | count), u32 BE JEntries (0x10000000|len string,
+    0x20000000|len number, 0x00000000 null, 0x30000000 false,
+    0x40000000 true), then payloads; numbers as 0x50-tagged minimal
+    big-endian magnitudes; object keys sorted."""
+    import struct as _st
+
+    if v is None:
+        return None
+    x = json.loads(v)
+
+    def enc_num(n) -> bytes:
+        if isinstance(n, float) and not float(n).is_integer():
+            raise ValueError("non-integer jsonb numbers unsupported")
+        n = int(n)
+        mag = n.to_bytes(max(1, (n.bit_length() + 7) // 8), "big")
+        return b"\x50" + mag
+
+    def entry_payload(val) -> tuple[int, bytes]:
+        if val is None:
+            return (0x00000000, b"")
+        if isinstance(val, bool):
+            return (0x40000000 if val else 0x30000000, b"")
+        if isinstance(val, str):
+            b = val.encode("utf-8")
+            return (0x10000000 | len(b), b)
+        if isinstance(val, (int, float)):
+            b = enc_num(val)
+            return (0x20000000 | len(b), b)
+        raise ValueError("nested containers unsupported in jsonb enc")
+
+    out = bytearray()
+    if isinstance(x, dict):
+        items = sorted(x.items())
+        out += _st.pack(">I", 0x40000000 | len(items))
+        entries, payloads = [], []
+        for k, _ in items:
+            kb = k.encode("utf-8")
+            entries.append(0x10000000 | len(kb))
+            payloads.append(kb)
+        for _, val in items:
+            e, p = entry_payload(val)
+            entries.append(e)
+            payloads.append(p)
+        for e in entries:
+            out += _st.pack(">I", e)
+        for p in payloads:
+            out += p
+    elif isinstance(x, list):
+        out += _st.pack(">I", 0x80000000 | len(x))
+        entries, payloads = [], []
+        for val in x:
+            e, p = entry_payload(val)
+            entries.append(e)
+            payloads.append(p)
+        for e in entries:
+            out += _st.pack(">I", e)
+        for p in payloads:
+            out += p
+    else:
+        out += _st.pack(">I", 0x20000000)
+        e, p = entry_payload(x)
+        out += _st.pack(">I", e)
+        out += p
+    return bytes(out)
+
+
+def bitmap_binary_eval(vals):
+    """Databend bitmap binary serialization observed in the goldens:
+    magic 'HB', version 0x0100 LE, LEB128 cardinality, sorted u64 LE
+    values."""
+    import struct as _st
+
+    if vals is None:
+        return None
+    out = bytearray(b"HB\x01\x00")
+    n = len(vals)
+    while True:  # LEB128
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            break
+    for v in sorted(int(x) for x in vals):
+        out += _st.pack("<q", v)
+    return bytes(out)
+
+
 def quantile_tdigest_eval(vals, qs):
     """tdigest quantiles over singleton centroids (reference
     aggregate_quantile_tdigest.rs): rank = q*n - 0.5 interpolated
@@ -2378,6 +2468,17 @@ def register_variant_udfs(spark: SparkSession) -> None:
     )
     spark.udf.register(
         "__quantile_tdigest", quantile_tdigest_eval, ArrayType(_DT())
+    )
+    from pyspark.sql.types import BinaryType as _BT
+
+    spark.udf.register("__jsonb_binary", jsonb_binary_eval, _BT())
+    spark.udf.register("__bitmap_binary", bitmap_binary_eval, _BT())
+    from databend_spark.functions.geometry import wkt_to_ewkb
+
+    spark.udf.register(
+        "__wkt_ewkb",
+        lambda t, srid=None, ws=True: wkt_to_ewkb(t, srid, ws),
+        _BT(),
     )
     spark.udf.register("__regexp_substr", regexp_substr_eval, StringType())
     spark.udf.register("__regexp_replace", regexp_replace_eval, StringType())

@@ -3874,6 +3874,25 @@ def rewrite_databend_sql(sql: str) -> str:
             masked,
         )
     masked = _rewrite_cast_paren_types(masked)
+    # TRY_CAST to an unsigned width must reject negatives (the alias
+    # widens to a signed Spark type, losing the range check)
+    if re.search(r"\bTRY_CAST\b", masked, re.I):
+        _UW = {
+            "unsigned": "BIGINT", "uint8": "SMALLINT",
+            "uint16": "INT", "uint32": "BIGINT",
+            "uint64": "DECIMAL(20,0)",
+        }
+        masked = re.sub(
+            r"\bTRY_CAST\s*\(((?:[^()]|\([^()]*\))*)\s+AS\s+"
+            r"(UNSIGNED|UINT8|UINT16|UINT32|UINT64)\s*\)",
+            lambda m: (
+                f"(CASE WHEN TRY_CAST({m.group(1)} AS DECIMAL(38,0))"
+                f" < 0 THEN NULL ELSE TRY_CAST({m.group(1)} AS"
+                f" {_UW[m.group(2).lower()]}) END)"
+            ),
+            masked,
+            flags=re.I,
+        )
     for pat, repl in _TYPE_ALIASES:
         masked = pat.sub(repl, masked)
     # `expr::INTERVAL` → canonical interval text (reference interval
