@@ -66,6 +66,27 @@ HEADLINE = [
 ]
 
 
+def _table_rows(sf_dir: str) -> dict[str, int]:
+    """Row count per table from parquet footers (no data scan) — recorded
+    in the bench JSON so a stale/undersized data dir can't silently
+    produce non-credible numbers (round-5 postmortem)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        try:
+            rows[name] = pq.ParquetFile(path).metadata.num_rows
+        except Exception:  # noqa: BLE001 — directory-style parquet
+            n = 0
+            for part in glob.glob(os.path.join(path, "*.parquet")):
+                n += pq.ParquetFile(part).metadata.num_rows
+            rows[name] = n
+    return rows
+
+
 def main() -> None:
     from databend_spark.session import get_spark
     from databend_spark.suite import queries
@@ -96,6 +117,7 @@ def main() -> None:
             total - times.get("ev_funnel", 0.0), 3
         ),
         "sf": float(sf),
+        "table_rows": _table_rows(SF_DIR),
     }
 
     # primary scale: sf1 (facts replicated 10×, tools/gen_scale.py) —
@@ -117,6 +139,10 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — sf1 is optional
             pass
     if os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        # section isolation: the sf1 numbers must not inherit cache/storage
+        # state from the sf0.1 loop (round-6 postmortem — leaked persists
+        # poisoned every sf1 measurement)
+        spark.catalog.clearCache()
         sf1_times: dict[str, float] = {}
         for name in HEADLINE:
             samples = []
@@ -133,6 +159,7 @@ def main() -> None:
         out["sf1_total_excl_ev_funnel"] = round(
             sf1_total - sf1_times.get("ev_funnel", 0.0), 3
         )
+        out["sf1_table_rows"] = _table_rows(sf1_dir)
 
     print(json.dumps(out))
 

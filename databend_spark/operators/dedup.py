@@ -21,30 +21,72 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _tokens_expr(text_col: str):
+    """Whitespace-token array; engine-standard normalization (lower, squeeze)."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+
+
+def _bind(expr, fn):
+    """Let-binding for an expensive expression used inside per-element
+    lambdas. Catalyst's CollapseProject inlines a projected alias into
+    every reference — so ``transform(idx, i -> f(tokens[i]))`` with
+    ``tokens = split(regexp_replace(...))`` re-runs the regex+split for
+    EVERY lambda element (measured 15x slowdown on shingling). Wrapping
+    the expression in a single-element array and binding it as the outer
+    transform's lambda variable forces exactly one evaluation per row;
+    ``fn`` must return an array (flatten unwraps the singleton)."""
+    return F.flatten(F.transform(F.array(expr), fn))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster when it arrives in fewer
+    partitions than cores (e.g. one small parquet file = one scan task):
+    shingling is CPU-bound, so a single-task scan serializes the whole
+    tokenize+shingle pipeline. No-op (returns df unchanged) when the
+    input already has enough partitions — at warehouse scale inputs
+    arrive in thousands of file splits and must NOT be re-shuffled."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens; engine-standard normalization (lower, squeeze)."""
-    return df.withColumn(
-        "tokens",
-        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
-    )
+    return df.withColumn("tokens", _tokens_expr(text_col))
+
+
+def shingle_expr(text_col: str, n: int = 3):
+    """Distinct word n-gram shingle array as a single Column.
+
+    Per-gram build is unrolled ``concat(t[i], ' ', t[i+1], ...)`` —
+    measured ~6x faster than ``concat_ws(' ', slice(t, i+1, n))`` — and
+    the token array is let-bound (see ``_bind``) so normalization runs
+    once per row, not once per gram."""
+
+    def build(t):
+        gram = lambda i: F.concat(  # noqa: E731
+            *[
+                part
+                for k in range(1, n + 1)
+                for part in (F.element_at(t, i + k), F.lit(" "))
+            ][:-1]
+        )
+        return F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(0), F.size(t) - n), gram)
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+
+    return _bind(_tokens_expr(text_col), build)
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (column ``shingles``)."""
-    toks = tokenize(df, text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size("tokens") - n, F.lit(0)))
-    return toks.withColumn(
-        "shingles",
-        F.when(
-            F.size("tokens") >= n,
-            F.array_distinct(
-                F.transform(
-                    idx,
-                    lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, n)),
-                )
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", F.col("tokens")))),
-    )
+    return df.withColumn("shingles", shingle_expr(text_col, n))
 
 
 def exact_dedup(
@@ -91,7 +133,7 @@ def ngram_jaccard_pairs(
     exercised in tests. Pass ``None`` for exact semantics regardless of
     cost, or an int to pin the cap.
     """
-    sh = shingles(df.select(id_col, text_col), text_col, n).select(
+    sh = shingles(_spread(df.select(id_col, text_col)), text_col, n).select(
         F.col(id_col).alias("doc"), "shingles"
     )
     # join on the 8-byte shingle hash, not the shingle text: at corpus
@@ -111,12 +153,27 @@ def ngram_jaccard_pairs(
         )
         ex = ex.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
     # the exploded shingle stream feeds both join sides AND the set sizes
-    # — persist so tokenize+shingle runs once, not 3×.  Sizes come from
-    # the capped stream, so Jaccard is computed over the capped shingle
+    # — persist so tokenize+shingle runs once, not 3×, then eagerly
+    # materialize the (small) pair result and unpersist in a finally so
+    # repeated calls never leak executor storage.  Sizes come from the
+    # capped stream, so Jaccard is computed over the capped shingle
     # universe: stop-shingles leave both |A∩B| and |A∪B| — true near-dup
     # pairs keep their high Jaccard instead of being dragged under the
     # threshold by a dropped shared stop-shingle.
     ex = ex.persist()
+    try:
+        # eager localCheckpoint: runs the job now, truncates lineage so the
+        # result no longer references the persisted stream; blocks are
+        # reference-counted and freed by the context cleaner when the
+        # returned DataFrame is dropped
+        return _ngram_pair_plan(ex, threshold).localCheckpoint(eager=True)
+    finally:
+        ex.unpersist()
+
+
+def _ngram_pair_plan(ex: DataFrame, threshold: float) -> DataFrame:
+    """Pair-join plan over the exploded (doc, sh) shingle stream
+    (factored out so plan tests can pin its shape pre-checkpoint)."""
     sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = ex.select(F.col("doc").alias("da"), "sh")
     b = ex.select(F.col("doc").alias("db"), "sh")
@@ -126,11 +183,15 @@ def ngram_jaccard_pairs(
         .groupBy("da", "db")
         .agg(F.count("*").alias("inter"))
     )
+    # plain shuffle joins for the per-doc sizes: an explicit broadcast
+    # of an O(n_docs) relation is a driver OOM at corpus scale — AQE
+    # converts to broadcast at runtime only when the sizes side is
+    # genuinely small
     sa = sizes.select(F.col("doc").alias("da"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc").alias("db"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(F.broadcast(sa), "da")
-        .join(F.broadcast(sb), "db")
+        inter.join(sa, "da")
+        .join(sb, "db")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -150,18 +211,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: sig[s] = min over shingles of
     xxhash64(s, shingle). Pure built-ins (nested higher-order functions),
-    entirely codegen'd — no UDF."""
-    sh = shingles(df.select(id_col, text_col), text_col, shingle_n)
+    entirely codegen'd — no UDF. The shingle array is let-bound (see
+    ``_bind``) so it is built once per row, not once per hash seed."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return sh.select(
-        F.col(id_col).alias("doc"),
-        "shingles",
-        F.transform(
+    sig = _bind(
+        shingle_expr(text_col, shingle_n),
+        lambda sh: F.transform(
             seeds,
-            lambda s: F.array_min(
-                F.transform("shingles", lambda t: F.xxhash64(s, t))
-            ),
-        ).alias("sig"),
+            lambda s: F.array_min(F.transform(sh, lambda t: F.xxhash64(s, t))),
+        ),
+    )
+    return _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"),
+        shingle_expr(text_col, shingle_n).alias("shingles"),
+        sig.alias("sig"),
     )
 
 
@@ -183,8 +246,21 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     # both the band join (twice) and the verify back-join read this —
-    # persist so tokenize+shingle+minhash computes once
+    # persist so tokenize+shingle+minhash computes once; eagerly
+    # materialize the pair result and unpersist in a finally so repeated
+    # calls never leak executor storage
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    try:
+        return _minhash_lsh_pairs_inner(
+            sigs, bands, r, verify_threshold
+        ).localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+
+
+def _minhash_lsh_pairs_inner(
+    sigs: DataFrame, bands: int, r: int, verify_threshold: float | None
+) -> DataFrame:
     # the band join carries ONLY (band, bh, doc): at corpus scale the
     # LSH join's shuffle weight must not be dominated by the documents'
     # shingle arrays (r3 shipped sha/shb through the join, pre-dedup);
@@ -239,7 +315,7 @@ def simhash_signatures(
     per-bit tally uses an explode over the bit positions — a 63× row
     blowup of the token stream, but fully parallel and shuffle-aggregated
     (map-side combine collapses it to 63 rows per doc)."""
-    toks = tokenize(df.select(id_col, text_col), text_col).select(
+    toks = tokenize(_spread(df.select(id_col, text_col)), text_col).select(
         F.col(id_col).alias("doc"), F.explode("tokens").alias("tok")
     )
     hashed = toks.select("doc", F.xxhash64("tok").alias("h"))

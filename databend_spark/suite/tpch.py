@@ -11,37 +11,57 @@ missing columns are adapted while keeping their operator shape
 
 Exercises (SURVEY.md §2): multi-way joins, partial→final agg, scalar &
 correlated subqueries, EXISTS/NOT EXISTS (semi/anti), IN, CTE, TopN,
-HAVING, CASE, LEFT JOIN, decimal arithmetic.
+HAVING, CASE, LEFT JOIN, exact money arithmetic.
+
+Money arithmetic strategy (exact AND fast):
+  The raw money columns are DOUBLE holding 2-decimal values. Summing
+  them as wide DECIMALs (the r2-r6 approach) is order-independent and
+  bit-exact but falls off Spark's codegen fast path — sum buffers with
+  precision > 18 do per-row BigDecimal adds (measured 10-20x slower on
+  6M rows). Instead we convert to *unscaled integer cents*
+  (``CAST(ROUND(col * 100) AS BIGINT)``), do all products/sums on
+  longs — fully codegen'd in Spark, int128-exact in DuckDB — and divide
+  back to DOUBLE once at the end. Integer sums are exact and
+  order-independent, the final int→double cast and IEEE division are
+  bit-identical across engines, so oracle hashes still match.
+  Bounds: per-row charge ≈ 1e11 (price_cents·100·100); a signed-long
+  accumulator is exact to ~9.2e18 ≈ 90M lineitem rows per group (sf15).
+  Beyond that, partial sums per finer group (or a DECIMAL(38) final
+  pass) are the scale-out; at bench scale the long path is exact.
 """
 
 from databend_spark.suite.base import sql_query
 
 
-def dec(col: str, p: int = 12) -> str:
-    """Exact money arithmetic: cast the raw DOUBLE to decimal before any
-    SUM so aggregation is order-independent and bit-identical across
-    engines (see base.py)."""
-    return f"CAST({col} AS DECIMAL({p},2))"
+def cents(col: str) -> str:
+    """Exact integer cents from a raw 2-decimal DOUBLE money column.
+
+    ROUND first (the double may sit a hair under the true value, e.g.
+    905.17*100 = 90516.999...), then CAST — after ROUND the double holds
+    an exact integer, so Spark's truncating cast and DuckDB's rounding
+    cast agree."""
+    return f"CAST(ROUND({col} * 100) AS BIGINT)"
 
 
-QTY = dec("l_quantity")
-PRICE = dec("l_extendedprice")
-DISC = "CAST(l_discount AS DECIMAL(4,2))"
-TAX = "CAST(l_tax AS DECIMAL(4,2))"
-REVENUE = f"{PRICE} * (1 - {DISC})"
+QTY_C = cents("l_quantity")
+PRICE_C = cents("l_extendedprice")
+DISC_C = cents("l_discount")
+TAX_C = cents("l_tax")
+# revenue in 1e-4 units: price_cents * (100 - discount_cents)
+REV_C = f"({PRICE_C} * (100 - {DISC_C}))"
 
 # --- Q1: pricing summary — full-table agg, 8 aggregates -------------------
 sql_query(
     "tpch_q1",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum({QTY}) AS DOUBLE)                      AS sum_qty,
-           CAST(sum({PRICE}) AS DOUBLE)                    AS sum_base_price,
-           CAST(sum({REVENUE}) AS DOUBLE)                  AS sum_disc_price,
-           CAST(sum({REVENUE} * (1 + {TAX})) AS DOUBLE)    AS sum_charge,
-           CAST(CAST(sum({QTY}) AS DOUBLE) / count(*) AS DOUBLE)   AS avg_qty,
-           CAST(CAST(sum({PRICE}) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
-           CAST(CAST(sum({DISC}) AS DOUBLE) / count(*) AS DOUBLE)  AS avg_disc,
+           CAST(sum({QTY_C}) AS DOUBLE) / 100.0                  AS sum_qty,
+           CAST(sum({PRICE_C}) AS DOUBLE) / 100.0                AS sum_base_price,
+           CAST(sum({REV_C}) AS DOUBLE) / 10000.0                AS sum_disc_price,
+           CAST(sum({REV_C} * (100 + {TAX_C})) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(sum({QTY_C}) AS DOUBLE) / 100.0 / count(*)       AS avg_qty,
+           CAST(sum({PRICE_C}) AS DOUBLE) / 100.0 / count(*)     AS avg_price,
+           CAST(sum({DISC_C}) AS DOUBLE) / 100.0 / count(*)      AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -54,8 +74,8 @@ sql_query(
     "tpch_q3",
     f"""
     SELECT l_orderkey,
-           CAST(sum({REVENUE}) AS DOUBLE) AS revenue,
-           CAST(o_orderdate AS DATE)      AS o_orderdate
+           CAST(sum({REV_C}) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(o_orderdate AS DATE)              AS o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -87,7 +107,7 @@ sql_query(
 sql_query(
     "tpch_q5",
     f"""
-    SELECT n_name, CAST(sum({REVENUE}) AS DOUBLE) AS revenue
+    SELECT n_name, CAST(sum({REV_C}) AS DOUBLE) / 10000.0 AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -103,7 +123,7 @@ sql_query(
 sql_query(
     "tpch_q6",
     f"""
-    SELECT CAST(sum({PRICE} * {DISC}) AS DOUBLE) AS revenue
+    SELECT CAST(sum({PRICE_C} * {DISC_C}) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -117,11 +137,11 @@ sql_query(
     "tpch_q7",
     f"""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(sum(volume) AS DOUBLE) AS revenue
+           CAST(sum(volume) AS DOUBLE) / 10000.0 AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
-               {REVENUE} AS volume
+               {REV_C} AS volume
         FROM supplier, lineitem, orders, customer, nation n1, nation n2
         WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
           AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -144,7 +164,7 @@ sql_query(
                 / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
     FROM (
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-               {REVENUE} AS volume,
+               {REV_C} AS volume,
                n2.n_name AS nation
         FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
         WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
@@ -162,11 +182,11 @@ sql_query(
 sql_query(
     "tpch_q9",
     f"""
-    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) / 10000.0 AS sum_profit
     FROM (
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS INT) AS o_year,
-               {REVENUE} AS amount
+               {REV_C} AS amount
         FROM part, supplier, lineitem, orders, nation
         WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
           AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -181,7 +201,7 @@ sql_query(
     "tpch_q10",
     f"""
     SELECT c_custkey, c_name,
-           CAST(sum({REVENUE}) AS DOUBLE) AS revenue,
+           CAST(sum({REV_C}) AS DOUBLE) / 10000.0 AS revenue,
            CAST(c_acctbal AS DOUBLE) AS c_acctbal,
            n_name
     FROM customer, orders, lineitem, nation
@@ -230,8 +250,8 @@ sql_query(
 sql_query(
     "tpch_q14",
     f"""
-    SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {REVENUE} ELSE 0 END) AS DOUBLE)
-                / CAST(sum({REVENUE}) AS DOUBLE) AS DOUBLE) AS promo_revenue
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {REV_C} ELSE 0 END) AS DOUBLE)
+                / CAST(sum({REV_C}) AS DOUBLE) AS DOUBLE) AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -245,13 +265,14 @@ sql_query(
     f"""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               sum({REVENUE}) AS total_revenue
+               sum({REV_C}) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) / 10000.0 AS total_revenue
     FROM supplier, revenue
     WHERE s_suppkey = supplier_no
       AND total_revenue = (SELECT max(total_revenue) FROM revenue)
@@ -262,11 +283,12 @@ sql_query(
 sql_query(
     "tpch_q17",
     f"""
-    SELECT CAST(CAST(sum({PRICE}) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    SELECT CAST(sum({PRICE_C}) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#11'
       AND l_quantity < (
-          SELECT CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / (5.0 * count(*))
+          SELECT CAST(sum({QTY_C.replace('l_quantity', 'l2.l_quantity')}) AS DOUBLE)
+                 / 100.0 / (5.0 * count(*))
           FROM lineitem l2 WHERE l2.l_partkey = p_partkey
       )
     """,
@@ -279,12 +301,12 @@ sql_query(
     SELECT c_name, c_custkey, o_orderkey,
            CAST(o_orderdate AS DATE) AS o_orderdate,
            CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-           CAST(sum({QTY}) AS DOUBLE) AS sum_qty
+           CAST(sum({QTY_C}) AS DOUBLE) / 100.0 AS sum_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (
             SELECT l_orderkey FROM lineitem
             GROUP BY l_orderkey
-            HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250
+            HAVING sum({QTY_C}) > 25000
           )
       AND c_custkey = o_custkey AND o_orderkey = l_orderkey
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
@@ -297,7 +319,7 @@ sql_query(
 sql_query(
     "tpch_q19",
     f"""
-    SELECT CAST(sum({REVENUE}) AS DOUBLE) AS revenue
+    SELECT CAST(sum({REV_C}) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND ((p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
@@ -312,15 +334,15 @@ sql_query(
 # --- Q22: global sales opportunity — NOT EXISTS (anti join) + avg subquery -
 sql_query(
     "tpch_q22",
-    """
+    f"""
     SELECT cntrycode, count(*) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+           CAST(sum({cents('c_acctbal')}) AS DOUBLE) / 100.0 AS totacctbal
     FROM (
         SELECT c_nationkey AS cntrycode, c_acctbal
         FROM customer
         WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
           AND c_acctbal > (
-              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+              SELECT CAST(sum({cents('c_acctbal')}) AS DOUBLE) / 100.0 / count(*)
               FROM customer
               WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
           )
@@ -351,7 +373,7 @@ sql_query(
 # --- Q20 (adapted): suppliers shipping >1.1% of period volume ---------------
 sql_query(
     "tpch_q20",
-    """
+    f"""
     SELECT s_suppkey, s_name, n_name
     FROM supplier, nation
     WHERE s_nationkey = n_nationkey
@@ -361,8 +383,8 @@ sql_query(
           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
             AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
           GROUP BY l_suppkey
-          HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > (
-              SELECT sum(CAST(l_quantity AS DECIMAL(12,2))) * 0.011
+          HAVING sum({QTY_C}) > (
+              SELECT sum({QTY_C}) * 0.011
               FROM lineitem
               WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
                 AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -406,15 +428,17 @@ sql_query(
 # deterministic partsupp is derived inline from part x supplier (sparse:
 # every 4th pair; availqty/supplycost are arithmetic in the keys), with
 # the SAME portable SQL on both engines — closing the "q2/q11 blocked by
-# testdata" gap flagged in round-1 VERDICT. ---------------------------------
+# testdata" gap flagged in round-1 VERDICT. ps_supplycost_c is integer
+# cents (== 100x the old DECIMAL(12,2) value, exactly) so sums/min/joins
+# stay on the long fast path. ------------------------------------------------
 _PARTSUPP = """
     partsupp AS (
         SELECT p_partkey AS ps_partkey,
                s_suppkey AS ps_suppkey,
                CAST((p_partkey * 7 + s_suppkey * 3) % 1000 + 1 AS INT)
                    AS ps_availqty,
-               CAST(((p_partkey * 13 + s_suppkey * 11) % 90000) / 100.0
-                    + 10 AS DECIMAL(12,2)) AS ps_supplycost
+               CAST((p_partkey * 13 + s_suppkey * 11) % 90000 + 1000 AS BIGINT)
+                   AS ps_supplycost_c
         FROM part CROSS JOIN supplier
         WHERE (p_partkey + s_suppkey) % 4 = 0
     )
@@ -425,7 +449,7 @@ sql_query(
     f"""
     WITH {_PARTSUPP}
     SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-           CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
+           CAST(ps_supplycost_c AS DOUBLE) / 100.0 AS ps_supplycost
     FROM part, supplier, partsupp, nation, region
     WHERE p_partkey = ps_partkey
       AND s_suppkey = ps_suppkey
@@ -433,8 +457,8 @@ sql_query(
       AND s_nationkey = n_nationkey
       AND n_regionkey = r_regionkey
       AND r_name = 'EUROPE'
-      AND ps_supplycost = (
-          SELECT min(ps_supplycost)
+      AND ps_supplycost_c = (
+          SELECT min(ps_supplycost_c)
           FROM partsupp, supplier s2, nation n2, region r2
           WHERE p_partkey = ps_partkey
             AND s2.s_suppkey = ps_suppkey
@@ -453,15 +477,14 @@ sql_query(
     f"""
     WITH {_PARTSUPP}
     SELECT ps_partkey,
-           CAST(CAST(sum(ps_supplycost * ps_availqty) AS DECIMAL(20,2))
-                AS DOUBLE) AS value
+           CAST(sum(ps_supplycost_c * ps_availqty) AS DOUBLE) / 100.0 AS value
     FROM partsupp, supplier, nation
     WHERE ps_suppkey = s_suppkey
       AND s_nationkey = n_nationkey
       AND n_name = 'NATION_1'
     GROUP BY ps_partkey
-    HAVING sum(ps_supplycost * ps_availqty) > (
-        SELECT sum(ps_supplycost * ps_availqty) * 0.001
+    HAVING sum(ps_supplycost_c * ps_availqty) > (
+        SELECT sum(ps_supplycost_c * ps_availqty) * 0.001
         FROM partsupp, supplier s2, nation n2
         WHERE ps_suppkey = s2.s_suppkey
           AND s2.s_nationkey = n2.n_nationkey

@@ -77,8 +77,37 @@ def test_semi_join_not_materialized(spark, sf_dir):
 
 
 def test_minhash_has_no_cartesian(spark, sf_dir):
-    df = queries()["llm_dedup_minhash_lsh"](spark, sf_dir)
+    # pin the pre-checkpoint pair plan (the public fn eagerly
+    # materializes, which would hide the join shape behind a scan)
+    from databend_spark.operators.dedup import (
+        _minhash_lsh_pairs_inner,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text", 32, 3)
+    df = _minhash_lsh_pairs_inner(sigs, 8, 4, 0.8)
     assert_no_cartesian(df)
+
+
+def test_ngram_pair_plan_no_sizes_broadcast(spark, sf_dir):
+    """The per-doc sizes relation is O(n_docs) — an explicit broadcast
+    hint on it is a driver OOM at corpus scale. Pin: no hint in the
+    logical plan (AQE may still broadcast at runtime when small) and no
+    cartesian product."""
+    from databend_spark.operators.dedup import _ngram_pair_plan, shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = (
+        shingles(docs.select("doc_id", "text"), "text", 3)
+        .select(F.col("doc_id").alias("doc"), F.explode("shingles").alias("s"))
+        .select("doc", F.xxhash64("s").alias("sh"))
+    )
+    df = _ngram_pair_plan(ex, 0.8)
+    assert_no_cartesian(df)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, logical
+    assert "UnresolvedHint" not in logical, logical
 
 
 def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
