@@ -569,20 +569,20 @@ SQL_MACROS: dict[str, str] = {
     # WKT/EWKT constructors → (E)WKB binary geometry values
     # (reference types/geometry.rs; geography drops the SRID flag)
     "st_geometryfromwkt": {
-        1: "__wkt_ewkb(CAST({0} AS STRING), NULL, true)",
-        2: "__wkt_ewkb(CAST({0} AS STRING), {1}, true)",
+        1: "__geo_parse(hex({0}), NULL, false)",
+        2: "__geo_parse(hex({0}), CAST({1} AS BIGINT), false)",
     },
     "st_geomfromwkt": {
-        1: "__wkt_ewkb(CAST({0} AS STRING), NULL, true)",
-        2: "__wkt_ewkb(CAST({0} AS STRING), {1}, true)",
+        1: "__geo_parse(hex({0}), NULL, false)",
+        2: "__geo_parse(hex({0}), CAST({1} AS BIGINT), false)",
     },
     "st_geomfromtext": {
-        1: "__wkt_ewkb(CAST({0} AS STRING), NULL, true)",
-        2: "__wkt_ewkb(CAST({0} AS STRING), {1}, true)",
+        1: "__geo_parse(hex({0}), NULL, false)",
+        2: "__geo_parse(hex({0}), CAST({1} AS BIGINT), false)",
     },
     "st_geometryfromtext": {
-        1: "__wkt_ewkb(CAST({0} AS STRING), NULL, true)",
-        2: "__wkt_ewkb(CAST({0} AS STRING), {1}, true)",
+        1: "__geo_parse(hex({0}), NULL, false)",
+        2: "__geo_parse(hex({0}), CAST({1} AS BIGINT), false)",
     },
     "st_geographyfromewkt": {
         1: "__wkt_ewkb(CAST({0} AS STRING), NULL, false)",
@@ -1628,28 +1628,93 @@ SQL_MACROS.update(
         "point_in_polygon": _geo_pip,
         "geohash_encode": _geohash_encode_macro,
         "geohash_decode": _geohash_decode_macro,
-        # geometry constructors on the struct<x,y> model (geometry.rs:116+)
-        "st_makegeompoint": (
-            "named_struct('x', CAST({0} AS DOUBLE), 'y', CAST({1} AS DOUBLE))"
-        ),
-        "st_geom_point": (
-            "named_struct('x', CAST({0} AS DOUBLE), 'y', CAST({1} AS DOUBLE))"
-        ),
-        "st_x": "({0}).x",
-        "st_y": "({0}).y",
-        "st_distance": (
-            "sqrt(pow(({0}).x - ({1}).x, 2) + pow(({0}).y - ({1}).y, 2))"
-        ),
-        "st_astext": (
-            "concat('POINT(', CAST(({0}).x AS STRING), ' ',"
-            " CAST(({0}).y AS STRING), ')')"
-        ),
-        "st_aswkt": (
-            "concat('POINT(', CAST(({0}).x AS STRING), ' ',"
-            " CAST(({0}).y AS STRING), ')')"
-        ),
-        "st_npoints": "size({0})",
-        "st_makeline": "array({0}, {1})",
+        # geometry surface on the EWKB binary model (geom_kernel.py;
+        # reference scalars/geographic/src/geometry.rs)
+        "st_makegeompoint": "__geo_makepoint(CAST({0} AS DOUBLE), CAST({1} AS DOUBLE))",
+        "st_geom_point": "__geo_makepoint(CAST({0} AS DOUBLE), CAST({1} AS DOUBLE))",
+        "st_x": "__geo_num('x', {0}, NULL, NULL)",
+        "st_y": "__geo_num('y', {0}, NULL, NULL)",
+        "st_xmin": "__geo_num('xmin', {0}, NULL, NULL)",
+        "st_xmax": "__geo_num('xmax', {0}, NULL, NULL)",
+        "st_ymin": "__geo_num('ymin', {0}, NULL, NULL)",
+        "st_ymax": "__geo_num('ymax', {0}, NULL, NULL)",
+        "st_area": "__geo_num('area', {0}, NULL, NULL)",
+        "st_perimeter": "__geo_num('perimeter', {0}, NULL, NULL)",
+        "st_length": "__geo_num('length', {0}, NULL, NULL)",
+        "st_distance": "__geo_num('distance', {0}, {1}, NULL)",
+        "st_hausdorffdistance": "__geo_num('hausdorff', {0}, {1}, NULL)",
+        "st_azimuth": "__geo_num('azimuth', {0}, {1}, NULL)",
+        "st_contains": "__geo_bool('contains', {0}, {1}, NULL)",
+        "st_covers": "__geo_bool('covers', {0}, {1}, NULL)",
+        "st_coveredby": "__geo_bool('coveredby', {0}, {1}, NULL)",
+        "st_within": "__geo_bool('within', {0}, {1}, NULL)",
+        "st_intersects": "__geo_bool('intersects', {0}, {1}, NULL)",
+        "st_disjoint": "__geo_bool('disjoint', {0}, {1}, NULL)",
+        "st_equals": "__geo_bool('equals', {0}, {1}, NULL)",
+        "st_dwithin": "__geo_bool('dwithin', {0}, {1}, CAST({2} AS DOUBLE))",
+        "st_isvalid": "__geo_bool('isvalid', {0}, NULL, NULL)",
+        "st_srid": "__geo_int('srid', {0})",
+        "st_npoints": "__geo_int('npoints', {0})",
+        "st_dimension": "__geo_int('dimension', {0})",
+        "st_hilbert": {
+            1: "__geo_int('hilbert', {0})",
+            2: "__geo_hilbert_b({0}, array_join({1}, ','))",
+        },
+        "st_centroid": "__geo_g1('centroid', {0})",
+        "st_envelope": "__geo_g1('envelope', {0})",
+        "st_convexhull": "__geo_g1('convexhull', {0})",
+        "st_startpoint": "__geo_g1('startpoint', {0})",
+        "st_endpoint": "__geo_g1('endpoint', {0})",
+        "st_makepolygon": "__geo_g1('makepolygon', {0})",
+        "st_makepolygonoriented": "__geo_g1('makepolygonoriented', {0})",
+        "st_union": "__geo_g2('union', {0}, {1})",
+        "st_intersection": "__geo_g2('intersection', {0}, {1})",
+        "st_difference": "__geo_g2('difference', {0}, {1})",
+        "st_symdifference": "__geo_g2('symdifference', {0}, {1})",
+        "st_makeline": "__geo_g2('makeline', {0}, {1})",
+        "st_buffer": "__geo_gd('buffer', {0}, CAST({1} AS DOUBLE))",
+        "st_simplify": "__geo_gd('simplify', {0}, CAST({1} AS DOUBLE))",
+        "st_pointn": "__geo_gd('pointn', {0}, CAST({1} AS DOUBLE))",
+        "st_setsrid": "__geo_gd('setsrid', {0}, CAST({1} AS DOUBLE))",
+        "st_aswkt": "__geo_str('wkt', {0}, NULL)",
+        "st_astext": "__geo_str('wkt', {0}, NULL)",
+        "st_asewkt": "__geo_str('ewkt', {0}, NULL)",
+        "st_asgeojson": "__geo_str('asgeojson', {0}, NULL)",
+        "st_geohash": {
+            1: "__geo_str('geohash', {0}, NULL)",
+            2: "__geo_str('geohash', {0}, CAST({1} AS STRING))",
+        },
+        "st_aswkb": "__geo_wkb('wkb', {0})",
+        "st_asbinary": "__geo_wkb('wkb', {0})",
+        "st_asewkb": "__geo_wkb('ewkb', {0})",
+        "st_transform": {
+            2: "__geo_transform({0}, NULL, CAST({1} AS BIGINT))",
+            3: "__geo_transform({0}, CAST({1} AS BIGINT), CAST({2} AS BIGINT))",
+        },
+        "st_geompointfromgeohash": "__geo_fromgeohash({0}, 'point')",
+        "st_geomfromgeohash": "__geo_fromgeohash({0}, 'cell')",
+        "st_union_agg": "__geo_agg('union_agg', collect_list({0}))",
+        "st_intersection_agg": "__geo_agg('intersection_agg', collect_list({0}))",
+        "st_envelope_agg": "__geo_agg('envelope_agg', collect_list({0}))",
+        "st_collect": "__geo_agg('collect', collect_list({0}))",
+        "to_geometry": {
+            1: "__geo_parse(hex({0}), NULL, false)",
+            2: "__geo_parse(hex({0}), CAST({1} AS BIGINT), false)",
+        },
+        "try_to_geometry": {
+            1: "__geo_parse(hex({0}), NULL, true)",
+            2: "__geo_parse(hex({0}), CAST({1} AS BIGINT), true)",
+        },
+        "st_geometryfromwkb": {
+            1: "__geo_parse(hex({0}), NULL, false)",
+            2: "__geo_parse(hex({0}), CAST({1} AS BIGINT), false)",
+        },
+        "st_geomfromwkb": {
+            1: "__geo_parse(hex({0}), NULL, false)",
+            2: "__geo_parse(hex({0}), CAST({1} AS BIGINT), false)",
+        },
+        "st_geometryfromewkb": "__geo_parse(hex({0}), NULL, false)",
+        "st_geomfromewkb": "__geo_parse(hex({0}), NULL, false)",
         # MySQL conv(): a negative from_base means |base| with signed
         # interpretation — Spark returns NULL there; take the magnitude
         "conv": {3: "c\x03onv({0}, CAST(abs({1}) AS INT), {2})"},

@@ -2480,6 +2480,9 @@ def register_variant_udfs(spark: SparkSession) -> None:
         lambda t, srid=None, ws=True: wkt_to_ewkb(t, srid, ws),
         _BT(),
     )
+    from databend_spark.functions.geom_runtime import register_geometry_udfs
+
+    register_geometry_udfs(spark)
     spark.udf.register("__regexp_substr", regexp_substr_eval, StringType())
     spark.udf.register("__regexp_replace", regexp_replace_eval, StringType())
     spark.udf.register("__time_slice", time_slice, StringType())

@@ -226,6 +226,9 @@ _TYPE_ALIASES = [
     (re.compile(r"(?<![`.\w])VARIANT\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "STRING"),
     # JSON as a declared type (not the json_* function family)
     (re.compile(r"\bJSON\b(?!\s*\()", re.I), "STRING"),
+    # GEOMETRY/GEOGRAPHY columns hold EWKB bytes (functions/geom_kernel.py)
+    (re.compile(r"(?<![`.\w])GEOMETRY\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "BINARY"),
+    (re.compile(r"(?<![`.\w])GEOGRAPHY\b(?!\s*`)(?!\s+(?!NOT\b|NULL\b|DEFAULT\b|COMMENT\b|UNSIGNED\b|AS\b)[A-Za-z_])", re.I), "BINARY"),
     # Vector(N) → float array (reference types/vector.rs)
     (re.compile(r"\bVECTOR\s*\(\s*\d+\s*\)", re.I), "ARRAY<FLOAT>"),
     # bitmap model: sorted array of distinct int64 (functions/bitmap.py)

@@ -622,10 +622,112 @@ _SETTINGS_BASE = [
     ("error_on_nondeterministic_update", "1", "[0, 1]",
      "Whether to return an error when updating a multi-joined row.",
      "UInt64"),
+    ("geometry_output_format", "GeoJSON", "None",
+     "Display format for GEOMETRY values.", "String"),
 ]
 
 
 _SETTING_NAMES = {n for n, *_ in _SETTINGS_BASE}
+
+# geometry-RETURNING functions: TO_STRING(expr) / expr::String over these
+# must render via the session's geometry_output_format instead of a
+# binary->string cast (reference geometry_format, geometry.rs)
+_GEOM_RETURNING_FUNCS = frozenset({
+    "to_geometry", "try_to_geometry", "st_geometryfromwkt",
+    "st_geomfromwkt", "st_geomfromtext", "st_geometryfromtext",
+    "st_geometryfromwkb", "st_geomfromwkb", "st_geometryfromewkb",
+    "st_geomfromewkb", "st_setsrid", "st_transform", "st_makeline",
+    "st_makepolygon", "st_makepolygonoriented", "st_makegeompoint",
+    "st_geom_point", "st_buffer", "st_simplify", "st_centroid",
+    "st_envelope", "st_convexhull", "st_collect", "st_union",
+    "st_intersection", "st_difference", "st_symdifference",
+    "st_union_agg", "st_intersection_agg", "st_envelope_agg",
+    "st_geompointfromgeohash", "st_geomfromgeohash", "st_pointn",
+    "st_startpoint", "st_endpoint",
+})
+
+
+def _is_geom_expr(arg: str, geom_cols: set[str]) -> bool:
+    m = re.match(r"^([A-Za-z_]\w*)\s*\(", arg.strip())
+    if m:
+        return m.group(1).lower() in _GEOM_RETURNING_FUNCS
+    if re.fullmatch(r"[\w.`]+", arg.strip()):
+        return arg.strip().strip("`").split(".")[-1].lower() in geom_cols
+    return False
+
+
+def _geo_tostring_prepass(sql: str, fmt: str, geom_cols: set[str]) -> str:
+    """Rewrite TO_STRING(geom) and geom::String into
+    __geo_str('to_string', geom, '<fmt>') — the output format is a
+    session setting that must be bound at SQL-generation time (executor
+    UDFs can't see driver-side session state)."""
+    # --- to_string( balanced-arg ) ---------------------------------
+    pat = re.compile(r"\bto_string\s*\(", re.I)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            break
+        i, depth = m.end(), 1
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "'":
+                i += 1
+                while i < len(sql) and sql[i] != "'":
+                    i += 1
+            i += 1
+        arg = sql[m.end(): i - 1].strip()
+        if _is_geom_expr(arg, geom_cols):
+            repl = f"__geo_str('to_string', {arg}, '{fmt}')"
+            sql = sql[: m.start()] + repl + sql[i:]
+            pos = m.start() + len(repl)
+        else:
+            pos = i
+    # --- expr::String ----------------------------------------------
+    pat2 = re.compile(r"::\s*(?:string|varchar|text)\b", re.I)
+    pos = 0
+    while True:
+        m = pat2.search(sql, pos)
+        if not m:
+            break
+        j = m.start() - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j >= 0 and sql[j] == ")":
+            depth, k = 1, j - 1
+            while k >= 0 and depth:
+                if sql[k] == ")":
+                    depth += 1
+                elif sql[k] == "(":
+                    depth -= 1
+                k -= 1
+            # scan back over the callee name
+            e = k
+            while e >= 0 and (sql[e].isalnum() or sql[e] == "_"):
+                e -= 1
+            expr = sql[e + 1: j + 1]
+        else:
+            e = j
+            while e >= 0 and (sql[e].isalnum() or sql[e] in "_.`"):
+                e -= 1
+            expr = sql[e + 1: j + 1]
+        if expr and _is_geom_expr(expr, geom_cols):
+            repl = f"__geo_str('to_string', {expr}, '{fmt}')"
+            sql = sql[: e + 1] + repl + sql[m.end():]
+            pos = e + 1 + len(repl)
+        else:
+            pos = m.end()
+    # --- bare geometry display: SELECT st_xxx(...) with no cast ------
+    mb = re.match(r"^\s*SELECT\s+([A-Za-z_]\w*\s*\(.*\))\s*;?\s*$", sql, re.S)
+    if mb and _is_geom_expr(mb.group(1), geom_cols):
+        body = mb.group(1)
+        if body.count("(") == body.count(")"):
+            sql = f"SELECT __geo_str('to_string', {body}, '{fmt}')"
+    return sql
 
 
 def _settings_view_sql(overrides: dict[str, str]) -> str:
@@ -3473,6 +3575,25 @@ def run_slt_file(
             # CTAS-without-the-column + rename (data preserved)
             _dt = mdc.group(1)
             _dc = mdc.group(3).strip("`").lower()
+            # dependency guards BEFORE the emulation (reference rejects a
+            # drop that would invalidate a CHECK constraint or an
+            # aggregating index — round-6 regression: the emulation
+            # returned before reaching the generic guards further down)
+            _dtk = _dt.strip("`").split(".")[-1].lower()
+            for _cname, _cexpr in table_checks.get(_dtk, {}).items():
+                if re.search(rf"\b{re.escape(_dc)}\b", _cexpr, re.I):
+                    raise ValueError(
+                        f"Constraint '{_cname}' is incompatible with the "
+                        "target schema"
+                    )
+            for _iname, (_itbl, _ibody) in agg_indexes.items():
+                if _itbl == _dtk and re.search(
+                    rf"\b{re.escape(_dc)}\b", _ibody, re.I
+                ):
+                    raise ValueError(
+                        f"[1601] AGGREGATING index '{_iname}' references"
+                        f" column '{_dc}'"
+                    )
             _dcols = [f.name for f in spark.table(_dt).schema.fields]
             if _dc not in [c.lower() for c in _dcols]:
                 if mdc.group(2):
@@ -3957,6 +4078,91 @@ def run_slt_file(
                     f"SELECT {exprs} FROM (VALUES {vals}) "
                     f"AS __vi({alias})"
                 )
+        # geometry-typed columns accept WKT/EWKT/GeoJSON/hex-WKB strings in
+        # INSERT VALUES (reference: implicit string->geometry coercion);
+        # wrap each geometry position with the parse UDF. Re-parsing an
+        # already-EWKB expression value is lossless.
+        mgi = re.match(
+            r"^\s*INSERT\s+INTO\s+([\w.`]+)\s*(\([^)]*\))?\s*"
+            r"VALUES\s*(.*)$",
+            sql,
+            re.I | re.S,
+        )
+        if mgi:
+            _gtk = mgi.group(1).strip("`").split(".")[-1].lower()
+            _gdecl = ddl_decl_types.get(_gtk, {})
+            _ggeo = {
+                c
+                for c, ty in _gdecl.items()
+                if ty.lower().split("(")[0].strip()
+                in ("geometry", "geography")
+            }
+            if _ggeo:
+                try:
+                    _gschema = [f.name for f in spark.table(mgi.group(1)).schema.fields]
+                except Exception:  # noqa: BLE001
+                    _gschema = list(_gdecl.keys())
+                _gc = (
+                    [c.strip().strip("`") for c in mgi.group(2)[1:-1].split(",")]
+                    if mgi.group(2)
+                    else _gschema
+                )
+                # UNION ALL of SELECTs, not FROM (VALUES ...): the values
+                # may contain UDF calls (ST_GEOMFROMWKT …) which Spark's
+                # inline tables reject
+                from databend_spark.sqlgen import _mask_strings, _unmask_strings
+
+                _gvals = mgi.group(3).rstrip().rstrip(";")
+                _gm, _glits = _mask_strings(_gvals)
+                _grows: list[list[str]] = []
+                _depth, _buf, _fields = 0, "", []
+                for _ch in _gm:
+                    if _ch == "(":
+                        if _depth == 0:
+                            _depth = 1
+                            continue
+                        _depth += 1
+                    elif _ch == ")":
+                        _depth -= 1
+                        if _depth == 0:
+                            _fields.append(_buf)
+                            _grows.append(_fields)
+                            _buf, _fields = "", []
+                            continue
+                    elif _ch == "," and _depth == 1:
+                        _fields.append(_buf)
+                        _buf = ""
+                        continue
+                    if _depth >= 1:
+                        _buf += _ch
+                _gsel = []
+                for _ri, _row in enumerate(_grows):
+                    _items = []
+                    for _i, _v in enumerate(_row):
+                        _cn = _gc[_i].lower() if _i < len(_gc) else ""
+                        _vv = _unmask_strings(_v.strip(), _glits)
+                        if _cn in _ggeo:
+                            _items.append(
+                                f"__geo_parse(hex({_vv}), NULL, false)"
+                                f" AS c{_i}"
+                            )
+                        else:
+                            _items.append(f"{_vv} AS c{_i}")
+                    _gsel.append(
+                        "SELECT "
+                        + ", ".join(_items)
+                        + f", {_ri} AS __geo_ord"
+                    )
+                if _gsel:
+                    # single sorted partition so collect_list-backed
+                    # geometry aggregates see insertion order
+                    _gproj = ", ".join(f"c{_i}" for _i in range(len(_gc)))
+                    sql = (
+                        f"INSERT INTO {mgi.group(1)} {mgi.group(2) or ''} "
+                        f"SELECT /*+ REPARTITION(1) */ {_gproj} FROM ("
+                        + " UNION ALL ".join(_gsel)
+                        + ") __gi ORDER BY __geo_ord"
+                    )
         if bin_input[0] in ("hex", "base64"):
             mi = re.match(
                 r"^\s*INSERT\s+INTO\s+([\w.`]+)\s*(\([^)]*\))?\s*"
@@ -6803,24 +7009,42 @@ def run_slt_file(
                     )
         # VECTOR-typed columns compute distances in float32 — flag the
         # registry macros when a referenced table declares Vector(N)
+        from databend_spark.functions.registry import VECTOR_F32_MODE
+
+        _vec_mode = False
         if vector_cols and re.search(
             r"\b(cosine_distance|l[12]_distance|inner_product"
             r"|vector_norm)\s*\(",
             sql,
             re.I,
         ):
-            from databend_spark.functions.registry import VECTOR_F32_MODE
-
             VECTOR_F32_MODE[0] = any(
                 vector_cols.get(t.split(".")[-1].strip("`").lower())
                 for t in re.findall(r"\bfrom\s+([\w.`]+)", sql, re.I)
             )
-            try:
-                rewritten = rewrite_databend_sql(sql)
-            finally:
-                VECTOR_F32_MODE[0] = False
-        else:
+            _vec_mode = True
+        if re.search(
+            r"\bto_string\s*\(|::\s*string\b"
+            r"|\b(?:st_\w+|to_geometry|try_to_geometry)\s*\(",
+            sql,
+            re.I,
+        ):
+            _gcols = {
+                c
+                for d in ddl_decl_types.values()
+                for c, ty in d.items()
+                if ty.lower().split("(")[0].strip()
+                in ("geometry", "geography")
+            }
+            _gfmt = setting_overrides.get(
+                "geometry_output_format", "GeoJSON"
+            ).strip("'")
+            sql = _geo_tostring_prepass(sql, _gfmt, _gcols)
+        try:
             rewritten = rewrite_databend_sql(sql)
+        finally:
+            if _vec_mode:
+                VECTOR_F32_MODE[0] = False
         wcommit = ins or re.match(
             r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.`]+)", sql, re.I
         )
