@@ -2483,6 +2483,23 @@ def register_variant_udfs(spark: SparkSession) -> None:
     from databend_spark.functions.geom_runtime import register_geometry_udfs
 
     register_geometry_udfs(spark)
+
+    def _dec_sum_wide(arr):
+        # exact sum of decimal strings beyond Spark's 38-digit cap
+        # (reference decimal256 sums, enable_decimal_sum_widening)
+        from decimal import Decimal as _D
+
+        if arr is None:
+            return None
+        tot = None
+        for x in arr:
+            if x is None:
+                continue
+            v = _D(x)
+            tot = v if tot is None else tot + v
+        return None if tot is None else str(tot)
+
+    spark.udf.register("__dec_sum_wide", _dec_sum_wide, StringType())
     spark.udf.register("__regexp_substr", regexp_substr_eval, StringType())
     spark.udf.register("__regexp_replace", regexp_replace_eval, StringType())
     spark.udf.register("__time_slice", time_slice, StringType())

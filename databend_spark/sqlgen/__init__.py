@@ -804,11 +804,13 @@ def _rewrite_lateral_flatten(s: str, literals: list[str] | None = None) -> str:
             s,
             flags=re.I,
         )
-        # variant-vs-string-literal comparison: unquote the variant side
+        # variant-vs-string-literal comparison: compare JSON text — keep
+        # the variant side QUOTED (false); _rewrite_variant_equality
+        # json-quotes the literal side to match
         s = re.sub(
             rf"(\b{re.escape(alias)}\.value)\s*(=|<>|!=)\s*(\x00\d+\x00)",
             rf"__variant_access(\1, {lit(chr(39) * 2)},"
-            rf" {lit(chr(39) * 2)}, true) \2 \3",
+            rf" {lit(chr(39) * 2)}, false) \2 \3",
             s,
         )
     return s
@@ -2680,6 +2682,19 @@ def _rewrite_wide_decimal_postfix(s: str) -> str:
         expr = s[i : m.start()]
         if not expr.strip():
             return s
+        sc = int(m.group(2) or 0)
+        # a plain numeric literal that fits native decimal keeps the
+        # native type (stays foldable for inline tables; list()/array
+        # display shows a number, not a quoted string)
+        if re.fullmatch(r"\s*-?\d+(?:\.\d+)?\s*", expr) and sc <= 37:
+            digits = len(expr.strip().lstrip("-").replace(".", ""))
+            if digits + sc <= 38:
+                s = (
+                    s[:i]
+                    + f"CAST({expr} AS DECIMAL(38, {sc}))"
+                    + s[m.end():]
+                )
+                continue
         s = (
             s[:i]
             + f"__wide_decimal_cast(CAST(({expr}) AS STRING), "
@@ -4713,10 +4728,34 @@ def inline_select_aliases(sql: str) -> str:
     lateral alias inside an aggregate — used as an error-driven retry for
     LATERAL_COLUMN_ALIAS_IN_AGGREGATE_FUNC."""
     masked, literals = _mask_strings(sql)
-    sel = re.search(r"\bSELECT\b", masked, re.I)
+    # skip a WITH prefix — the aliases to inline live in the MAIN select,
+    # not the first CTE body
+    scan_from = 0
+    mw = re.match(r"\s*WITH\b", masked, re.I)
+    if mw:
+        i = mw.end()
+        cte_head = re.compile(
+            r"\s*,?\s*(?:RECURSIVE\s+)?[A-Za-z_]\w*\s*(?:\([^)]*\))?"
+            r"\s*AS\s*(?:NOT\s+)?(?:MATERIALIZED\s+)?\(",
+            re.I,
+        )
+        while True:
+            mc = cte_head.match(masked, i)
+            if not mc:
+                break
+            depth, j = 1, mc.end()
+            while j < len(masked) and depth:
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                j += 1
+            i = j
+        scan_from = i
+    sel = re.compile(r"\bSELECT\b", re.I).search(masked, scan_from)
     if not sel:
         return sql
-    f = _find_depth0(masked, "FROM")
+    f = _find_depth0(masked, "FROM", sel.end())
     if f == -1:
         f = len(masked)  # SELECT with no FROM still resolves aliases
     head, body, tail = masked[: sel.end()], masked[sel.end() : f], masked[f:]
@@ -4741,6 +4780,22 @@ def inline_select_aliases(sql: str) -> str:
             aliases[m.group(2)] = m.group(1).strip()
     if not aliases:
         return sql
+    # resolve alias-in-alias (e.g. window alias d referencing alias
+    # score): expand until stable so substituted text carries no alias
+    for _ in range(4):
+        changed = False
+        for name in aliases:
+            for other, repl in aliases.items():
+                if other == name:
+                    continue
+                new = re.sub(
+                    rf"\b{re.escape(other)}\b", f"({repl})", aliases[name]
+                )
+                if new != aliases[name]:
+                    aliases[name] = new
+                    changed = True
+        if not changed:
+            break
     new_items = []
     for it in items:
         m = re.match(r"^(.*?)(\s+AS\s+[A-Za-z_]\w*\s*)$", it, re.I | re.S)
