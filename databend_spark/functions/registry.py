@@ -378,7 +378,16 @@ SQL_MACROS: dict[str, str] = {
     "bit_length": "octet_length({0}) * 8",
     "json_get_string": "get_json_object({0}, {1})",
     "add_years": "timestampadd(YEAR, {1}, {0})",
-    "add_months": "timestampadd(MONTH, {1}, {0})",
+    # ADD_MONTHS is last-day-sticky (reference datetime.rs:1458-1460:
+    # "if the original day is the last day of the month, the result day
+    # of month will be the last day of the result month")
+    "add_months": (
+        "CASE WHEN day({0}) = day(last_day(CAST({0} AS DATE))) THEN"
+        " timestampadd(DAY, datediff(last_day(CAST(timestampadd(MONTH,"
+        " {1}, {0}) AS DATE)), CAST(timestampadd(MONTH, {1}, {0}) AS"
+        " DATE)), timestampadd(MONTH, {1}, {0}))"
+        " ELSE timestampadd(MONTH, {1}, {0}) END"
+    ),
     "add_days": "timestampadd(DAY, {1}, {0})",
     "add_hours": "timestampadd(HOUR, {1}, {0})",
     "add_minutes": "timestampadd(MINUTE, {1}, {0})",
@@ -1387,10 +1396,13 @@ SQL_MACROS["trunc"] = _trunc_bare_unit
 
 
 def _slot(seconds: int) -> str:
+    # slot boundaries are LOCAL wall time (reference to_start_of_*):
+    # flooring the UTC epoch misplaces boundaries in :30/:45-offset
+    # session timezones (Kathmandu 11:54 must slot to 11:50, not 11:45)
     return (
-        "timestamp_seconds(CAST(floor(CAST(unix_micros(CAST({0} AS"
-        f" TIMESTAMP)) AS DOUBLE) / 1e6 / {seconds}) * {seconds}"
-        " AS BIGINT))"
+        "timestampadd(SECOND, -CAST((hour({0}) * 3600 + minute({0}) * 60"
+        " + second({0})) % " + str(seconds) + " AS BIGINT),"
+        " date_trunc('second', CAST({0} AS TIMESTAMP)))"
     )
 
 
@@ -2172,6 +2184,38 @@ def _to_decimal_sql(args: list[str], cast_kw: str) -> str | None:
     return f"{cast_kw}({args[0]} AS DECIMAL({args[1]}, {args[2]}))"
 
 
+def _age_sql(args: list[str]) -> str | None:
+    def unwrap(a: str) -> str:
+        m = re.match(
+            r"^\s*__ts_tz_text\(CAST\(to_utc_timestamp\("
+            r"(CAST\(.*? AS TIMESTAMP\)), current_timezone\(\)\)"
+            r" AS STRING\), current_timezone\(\)\)\s*$",
+            a,
+            re.S,
+        )
+        if m:
+            return m.group(1)
+        m = re.match(
+            r"^\s*(?:try_)?to_timestamp_tz\s*\((.*)\)\s*$", a, re.S
+        )
+        if m and not m.group(1).strip().startswith("'"):
+            return m.group(1)
+        return a
+
+    args = [unwrap(a) for a in args]
+    if len(args) == 1:
+        return (
+            "__age(CAST(current_date() AS STRING),"
+            f" CAST({args[0]} AS STRING))"
+        )
+    if len(args) == 2:
+        return (
+            f"__age(CAST({args[0]} AS STRING),"
+            f" CAST({args[1]} AS STRING))"
+        )
+    return None
+
+
 def _to_timestamp_tz_sql(args: list[str], fallback: str) -> str | None:
     """to_timestamp_tz(x): a literal with an explicit utc offset keeps
     its zone in the canonical TIMESTAMP_TZ text (reference timestamp_tz
@@ -2181,13 +2225,17 @@ def _to_timestamp_tz_sql(args: list[str], fallback: str) -> str | None:
     if len(args) != 1:
         return None
     lit = _literal_text(args[0]).strip()
-    if (
-        lit.startswith("'")
-        and lit.endswith("'")
-        and re.search(r"([+-]\d{2}:?\d{2}|Z)\s*'$", lit)
-    ):
+    if lit.startswith("'") and lit.endswith("'"):
+        # literal text keeps its wall time; a missing offset binds the
+        # session zone's offset at that wall (interval_type._parse_ts_tz)
         return f"__ts_tz_text(CAST({args[0]} AS STRING), current_timezone())"
-    return f"{fallback}({args[0]})"
+    # TIMESTAMP value: the reference displays the UTC wall clock with
+    # the session offset attached (timestamp_tz from timestamp keeps the
+    # stored utc micros as the wall; 02_0002_function_cast.test:228-238)
+    return (
+        f"__ts_tz_text(CAST(to_utc_timestamp(CAST({args[0]} AS TIMESTAMP),"
+        f" current_timezone()) AS STRING), current_timezone())"
+    )
 
 
 def _as_decimal_sql(args: list[str]) -> str | None:
@@ -2660,12 +2708,11 @@ SQL_MACROS.update(
         "to_milliseconds": "__interval_make({0}, 'millisecond')",
         "to_microseconds": "__interval_make({0}, 'microsecond')",
         # PostgreSQL age(): calendar-component interval between two
-        # timestamps (1-arg form anchors at current_date)
-        "age": {
-            1: "__age(CAST(current_date() AS STRING), "
-               "CAST({0} AS STRING))",
-            2: "__age(CAST({0} AS STRING), CAST({1} AS STRING))",
-        },
+        # timestamps (1-arg form anchors at current_date). A
+        # timestamp->timestamp_tz conversion is unwrapped back to the
+        # timestamp: the reference's tz DISPLAY is lossy (utc wall +
+        # session offset) but age() works on the preserved instant.
+        "age": lambda a: _age_sql(a),
         "to_timestamp_tz": lambda a: _to_timestamp_tz_sql(a, "to_timestamp"),
         "try_to_timestamp_tz": lambda a: _to_timestamp_tz_sql(
             a, "try_to_timestamp"
@@ -2673,6 +2720,27 @@ SQL_MACROS.update(
         "as_timestamp_tz": (
             "__ts_tz_text(CAST({0} AS STRING), current_timezone())"
         ),
+        # session-tz -> target-tz wall time; Python-side so historical
+        # zone transitions match the reference's chrono-tz data
+        # the source stays TEXT end-to-end: Spark's own timestamp parse
+        # would resolve DST-gap wall times forward, losing the
+        # enable_dst_hour_fix distinction the Python side implements
+        "convert_timezone": {
+            2: (
+                "CAST(__convert_tz(CAST({0} AS STRING),"
+                " CAST({1} AS STRING),"
+                " concat(current_timezone(),"
+                " coalesce((SELECT CASE WHEN s.value = '1' THEN '|dstfix'"
+                " ELSE '' END FROM system.settings s"
+                " WHERE s.name = 'enable_dst_hour_fix'), '')))"
+                " AS TIMESTAMP)"
+            ),
+            3: (
+                "CAST(__convert_tz(CAST({1} AS STRING),"
+                " CAST({2} AS STRING),"
+                " CAST({0} AS STRING)) AS TIMESTAMP)"
+            ),
+        },
         "as_decimal": _as_decimal_sql,
         "is_array": "(ltrim({0}) LIKE '[%')",
         "is_object": "(ltrim({0}) LIKE '{{%')",

@@ -2500,6 +2500,13 @@ def register_variant_udfs(spark: SparkSession) -> None:
         return None if tot is None else str(tot)
 
     spark.udf.register("__dec_sum_wide", _dec_sum_wide, StringType())
+    from databend_spark.functions.dt_parse import (
+        convert_tz_eval,
+        dt_parse_eval,
+    )
+
+    spark.udf.register("__dt_parse", dt_parse_eval, StringType())
+    spark.udf.register("__convert_tz", convert_tz_eval, StringType())
     spark.udf.register("__regexp_substr", regexp_substr_eval, StringType())
     spark.udf.register("__regexp_replace", regexp_replace_eval, StringType())
     spark.udf.register("__time_slice", time_slice, StringType())

@@ -384,7 +384,8 @@ def convert_dt_format(fmt: str) -> str:
 
 _DT_FMT_CALL = re.compile(
     r"\b(to_string|to_char|str_to_date|str_to_timestamp|to_date"
-    r"|to_timestamp|try_to_timestamp|try_to_date|date_format)"
+    r"|to_timestamp|try_to_timestamp|try_to_date|date_format"
+    r"|to_datetime|try_to_datetime)"
     r"\s*\(((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*?),\s*'((?:[^']|'')*)'\s*\)",
     re.I,
 )
@@ -392,6 +393,20 @@ _DT_FMT_CALL = re.compile(
 
 def _dt_fmt_repl(m: re.Match) -> str:
     fn, fmt = m.group(1).lower(), m.group(3)
+    # %-code PARSING goes through the chrono-semantics Python parser
+    # (partial formats, %z-to-session-tz, %s, ISO week dates — Java's
+    # DateTimeFormatter can express none of these; see dt_parse.py)
+    if "%" in fmt and fn in (
+        "to_timestamp", "try_to_timestamp", "str_to_timestamp",
+        "to_date", "try_to_date", "to_datetime", "try_to_datetime",
+    ):
+        tryf = "true" if fn.startswith("try_") else "false"
+        fl = fmt.replace("'", "''")
+        out = "DATE" if fn.endswith("to_date") else "TIMESTAMP"
+        return (
+            f"CAST(__dt_parse(CAST({m.group(2)} AS STRING), '{fl}',"
+            f" current_timezone(), {tryf}) AS {out})"
+        )
     # convert only when the literal is clearly Databend-style: %-codes,
     # UPPERCASE Oracle tokens, non-ASCII literal text, or a to_char /
     # to_string call (those never take Java patterns). A Java pattern
@@ -1471,7 +1486,8 @@ def _rewrite_values_relation_alias(s: str) -> str:
 
 
 _INSERT_VALUES = re.compile(
-    r"^(\s*INSERT\s+INTO\s+[\w.`]+\s*(?:\([^)]*\))?\s*)VALUES\s*(.+)$",
+    r"^(\s*INSERT\s+INTO\s+(?:TABLE\s+)?[\w.`]+\s*(?:\([^)]*\))?\s*)"
+    r"VALUES\s*(.+)$",
     re.I | re.S,
 )
 _HAS_CALL = re.compile(r"[A-Za-z_]\w*\s*\(")
@@ -2992,14 +3008,19 @@ _EXT_UNQUOTE = re.compile(
 )
 
 
+_TSTZ_RECV = (
+    r"(?:\x00\d+\x00)|'[^']*'"
+    r"|[A-Za-z_]\w*\s*\((?:[^()]|\([^()]*\))*\)"  # fn call receiver
+    r"|[\w.`]+|\([^()]*\)"
+)
 _TSTZ_CAST = re.compile(
-    r"((?:\x00\d+\x00)|'[^']*'|[\w.`]+|\([^()]*\))\s*::\s*timestamp_tz\b",
+    rf"({_TSTZ_RECV})\s*::\s*timestamp_tz\b",
     re.I,
 )
 _TSTZ_CMP = re.compile(
-    r"((?:\x00\d+\x00)|'[^']*'|[\w.`]+|\([^()]*\))\s*::\s*timestamp_tz"
+    rf"({_TSTZ_RECV})\s*::\s*timestamp_tz"
     r"\s*(=|<>|!=|<=|>=|<|>)\s*"
-    r"((?:\x00\d+\x00)|'[^']*'|[\w.`]+|\([^()]*\))\s*::\s*timestamp_tz\b",
+    rf"({_TSTZ_RECV})\s*::\s*timestamp_tz\b",
     re.I,
 )
 
@@ -3039,17 +3060,27 @@ def _rewrite_variant_ext(s: str) -> str:
     #    (epoch micros — equal instants at different offsets are equal,
     #    reference timestamp_tz comparison); remaining casts render the
     #    canonical display text with the ORIGINAL offset preserved
+    def _tstz_recv(r: str) -> str:
+        # variant receivers unquote their JSON text first; a JSON null
+        # becomes SQL NULL
+        if re.match(r"^\s*(?:try_)?(?:parse_json|to_variant)\s*\(", r, re.I):
+            return (
+                f"NULLIF(__variant_access(CAST({r} AS STRING), '', '',"
+                " true), 'null')"
+            )
+        return f"CAST({r} AS STRING)"
+
     out = _TSTZ_CMP.sub(
         lambda m: (
-            f"__ts_tz_us(CAST({m.group(1)} AS STRING), current_timezone())"
+            f"__ts_tz_us({_tstz_recv(m.group(1))}, current_timezone())"
             f" {m.group(2)} "
-            f"__ts_tz_us(CAST({m.group(3)} AS STRING), current_timezone())"
+            f"__ts_tz_us({_tstz_recv(m.group(3))}, current_timezone())"
         ),
         s,
     )
     out = _TSTZ_CAST.sub(
         lambda m: (
-            f"__ts_tz_text(CAST({m.group(1)} AS STRING),"
+            f"__ts_tz_text({_tstz_recv(m.group(1))},"
             " current_timezone())"
         ),
         out,
@@ -3651,6 +3682,47 @@ def rewrite_databend_sql(sql: str) -> str:
     # Databend format literals (%-codes / Oracle tokens) in temporal
     # format args → Java patterns with quoted literal text (pre-masking)
     sql = _DT_FMT_CALL.sub(_dt_fmt_repl, sql)
+    # auto-detected date literal layouts (reference to_date parser
+    # accepts yyyy/mm/dd and yyyymmdd besides ISO)
+    sql = re.sub(
+        r"\bto_date\s*\(\s*'(\d{4})/(\d{1,2})/(\d{1,2})'\s*\)",
+        lambda m: "DATE'%s-%02d-%02d'"
+        % (m.group(1), int(m.group(2)), int(m.group(3))),
+        sql,
+        flags=re.I,
+    )
+    sql = re.sub(
+        r"\bto_date\s*\(\s*'(\d{4})(\d{2})(\d{2})'\s*\)",
+        r"DATE'\1-\2-\3'",
+        sql,
+        flags=re.I,
+    )
+    # to_date over the numbers() column = epoch days (int-typed input)
+    sql = re.sub(
+        r"\bto_date\s*\(\s*(number)\s*\)",
+        r"date_add(DATE'1970-01-01', CAST(\1 AS INT))",
+        sql,
+        flags=re.I,
+    )
+    # to_varchar/to_string over a timestamp renders 6-digit micros
+    # (reference timestamp Display always pads the fraction)
+    sql = re.sub(
+        r"\b(?:to_varchar|to_string|to_char)\s*\(\s*"
+        r"((?:try_)?to_timestamp\s*\((?:[^()]|\([^()]*\))*\))\s*\)",
+        r"date_format(\1, 'yyyy-MM-dd HH:mm:ss.SSSSSS')",
+        sql,
+        flags=re.I,
+    )
+    # timestamp ± integer = microsecond arithmetic (reference
+    # datetime.rs: Timestamp + Int64 adds micros; Spark would try an
+    # ANSI day addition / cast error)
+    sql = re.sub(
+        r"\b((?:try_)?to_(?:timestamp|datetime)\s*\("
+        r"(?:[^()]|\([^()]*\))*\))\s*([+-])\s*(\d+)(?![\w.])",
+        r"timestampadd(MICROSECOND, \g<2>\g<3>, \g<1>)",
+        sql,
+        flags=re.I,
+    )
     # strftime %-patterns in temporal format args → Java patterns
     # (runs pre-masking to edit the literal)
     sql = _STRFTIME_FN.sub(_strftime_repl, sql)
@@ -3687,6 +3759,12 @@ def rewrite_databend_sql(sql: str) -> str:
         r"\bEXTRACT\s*\(\s*(EPOCH|DOW|ISODOW|YEARWEEK|MILLENNIUM|WEEK)"
         r"\s+FROM\s+((?:[^()]|\([^()]*\))*)\)",
         lambda m: f"{m.group(1).lower()}({m.group(2)})",
+        sql,
+        flags=re.I,
+    )
+    sql = re.sub(
+        r"\bEXTRACT\s*\(\s*ISOYEAR\s+FROM\s+((?:[^()]|\([^()]*\))*)\)",
+        r"to_iso_year(\1)",
         sql,
         flags=re.I,
     )
@@ -3733,6 +3811,86 @@ def rewrite_databend_sql(sql: str) -> str:
         sql,
         flags=re.I,
     )
+    # variant -> scalar postfix casts (reference scalars/variant.rs):
+    # quoted strings unquote first, floats ROUND to ints, booleans accept
+    # only true/false/null (an int variant -> boolean is an error)
+    def _variant_scalar_cast(m: re.Match) -> str:
+        src = f"{m.group(1)}({m.group(2)})"
+        vu = (
+            f"NULLIF(__variant_access(CAST({src} AS STRING), '', '',"
+            " true), 'null')"
+        )
+        tgt = m.group(3).lower()
+        if tgt == "boolean":
+            return (
+                f"(CASE WHEN {vu} IN ('true', 'false') THEN"
+                f" CAST({vu} AS BOOLEAN) WHEN {vu} IS"
+                f" NULL THEN NULL ELSE CAST(raise_error(concat('unable"
+                f" to cast variant ', {vu}, ' to BOOLEAN')) AS BOOLEAN)"
+                " END)"
+            )
+        if tgt in ("float32", "float", "float4"):
+            return f"CAST({vu} AS FLOAT)"
+        if tgt in ("float64", "double", "float8"):
+            return f"CAST({vu} AS DOUBLE)"
+        if tgt in ("date",):
+            return f"CAST({vu} AS DATE)"
+        if tgt in ("datetime", "timestamp"):
+            return f"CAST({vu} AS TIMESTAMP)"
+        spark_t = {
+            "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT",
+            "int64": "BIGINT", "int": "INT", "integer": "INT",
+            "tinyint": "TINYINT", "smallint": "SMALLINT",
+            "bigint": "BIGINT", "uint8": "SMALLINT", "uint16": "INT",
+            "uint32": "BIGINT", "uint64": "DECIMAL(20,0)",
+        }.get(tgt, "BIGINT")
+        return (
+            f"(CASE WHEN {vu} rlike '^\\\\s*-?\\\\d+\\\\s*$' THEN"
+            f" CAST({vu} AS {spark_t}) ELSE"
+            f" CAST(round(CAST({vu} AS DOUBLE)) AS {spark_t}) END)"
+        )
+
+    sql = re.sub(
+        r"\b((?:try_)?parse_json|to_variant)\s*\("
+        r"((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*)\)\s*::\s*"
+        r"(u?int\d*|tinyint|smallint|integer|bigint|boolean"
+        r"|float\d*|double|date|datetime|timestamp(?!_tz))\b",
+        _variant_scalar_cast,
+        sql,
+        flags=re.I,
+    )
+    # variant -> Array(Variant)/Map(...) casts keep the JSON text: the
+    # display is the same json and casting back to variant is identity
+    # (02_0002_function_cast.test:592-606)
+    sql = re.sub(
+        r"([\w.`]+)\s*::\s*Array\s*\(\s*Variant\s*\)",
+        r"\1",
+        sql,
+        flags=re.I,
+    )
+    sql = re.sub(
+        r"([\w.`]+)\s*::\s*Map\s*\(\s*String\s*,\s*\w+\s*\)",
+        r"\1",
+        sql,
+        flags=re.I,
+    )
+    # a malformed json literal cast to VARIANT is a bind-time error in
+    # the reference
+    for _mv in re.finditer(
+        r"'((?:[^']|'')*)'\s*::\s*(?:variant|json)\b", sql, re.I
+    ):
+        _txt = _mv.group(1).replace("''", "'")
+        try:
+            json.loads(_txt)
+        except Exception:  # noqa: BLE001
+            sql = (
+                sql[: _mv.start()]
+                + "CAST(raise_error('unable to parse json: "
+                + _txt.replace("'", "''")
+                + "') AS STRING)"
+                + sql[_mv.end():]
+            )
+            break
     masked, literals = _mask_strings(sql)
     # line comments (safe post-masking; `--` can't appear in a literal)
     masked = re.sub(r"--[^\n]*", "", masked)

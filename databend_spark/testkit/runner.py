@@ -624,6 +624,8 @@ _SETTINGS_BASE = [
      "UInt64"),
     ("geometry_output_format", "GeoJSON", "None",
      "Display format for GEOMETRY values.", "String"),
+    ("enable_dst_hour_fix", "0", "[0, 1]",
+     "Resolve nonexistent DST-gap wall times forward.", "UInt64"),
 ]
 
 
@@ -3405,6 +3407,37 @@ def run_slt_file(
             re.I,
         ):
             sql = _decimal_agg_prepass(sql)
+        if re.search(r"\bunsigned\b|uint\d+", sql, re.I):
+            # negative literal -> unsigned must error (reference range
+            # check; Spark's UNSIGNED maps to BIGINT and would succeed)
+            if re.search(
+                r"(?<!try_)CAST\s*\(\s*'-\d+(?:\.\d+)?'\s+AS\s+"
+                r"(?:UNSIGNED|UINT\d+)\b",
+                sql,
+                re.I,
+            ) or re.search(r"'-\d+(?:\.\d+)?'\s*::\s*UINT\d+\b", sql, re.I):
+                raise ValueError(
+                    "[1006] unable to cast a negative value to UNSIGNED"
+                )
+            # typeof(<unsigned cast>) -> reference label (the Spark type
+            # loses the signedness distinction)
+            _ulab = {
+                "8": "TINYINT UNSIGNED", "16": "SMALLINT UNSIGNED",
+                "32": "INT UNSIGNED", "64": "BIGINT UNSIGNED",
+            }
+            sql = re.sub(
+                r"\btypeof\s*\(\s*(CAST\s*\((?:[^()]|\([^()]*\))*\s+AS\s+"
+                r"(?:UNSIGNED|UINT(\d+))\s*\)|to_uint(\d+)\s*\("
+                r"(?:[^()]|\([^()]*\))*\)|[\w.`]+\s*::\s*UINT(\d+))\s*\)",
+                lambda m: "'"
+                + _ulab.get(
+                    m.group(2) or m.group(3) or m.group(4) or "64",
+                    "BIGINT UNSIGNED",
+                )
+                + "'",
+                sql,
+                flags=re.I,
+            )
         if (
             re.search(r"\bUNION\b", sql, re.I)
             and re.search(r"'\d+(?:\.\d+)?'\s+as\s+(\w+)\b", sql, re.I)
@@ -7754,11 +7787,28 @@ def run_slt_file(
                 "geometry_output_format", "GeoJSON"
             ).strip("'")
             sql = _geo_tostring_prepass(sql, _gfmt, _gcols)
+        # statement-prefix settings: timezone must bind this statement's
+        # current_timezone() references (the reference scopes settings()
+        # to the statement; our macros read the session value otherwise)
+        _stmt_tz = None
+        _mstz = re.match(
+            r"^\s*settings\s*\(([^)]*)\)", sql, re.I
+        )
+        if _mstz:
+            _mt = re.search(
+                r"timezone\s*=\s*'([^']+)'", _mstz.group(1), re.I
+            )
+            if _mt:
+                _stmt_tz = _mt.group(1)
         try:
             rewritten = rewrite_databend_sql(sql)
         finally:
             if _vec_mode:
                 VECTOR_F32_MODE[0] = False
+        if _stmt_tz and "current_timezone()" in rewritten:
+            rewritten = rewritten.replace(
+                "current_timezone()", f"'{_stmt_tz}'"
+            )
         wcommit = ins or re.match(
             r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.`]+)", sql, re.I
         )
