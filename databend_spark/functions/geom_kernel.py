@@ -1248,6 +1248,108 @@ def _as_point_set(kind, coords):
 
 
 # --------------------------------------------------------------------------
+# Geography (lon/lat, SRID 4326): haversine distance, geodesic length,
+# spherical area — reference scalars/geographic geography functions
+# --------------------------------------------------------------------------
+
+_EARTH_MEAN_R = 6371008.7714150598  # geo crate MEAN_EARTH_RADIUS
+
+
+def _haversine_m(a, b) -> float:
+    la1, lo1 = math.radians(a[1]), math.radians(a[0])
+    la2, lo2 = math.radians(b[1]), math.radians(b[0])
+    h = (
+        math.sin((la2 - la1) / 2) ** 2
+        + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+    )
+    return 2 * _EARTH_MEAN_R * math.asin(min(1.0, math.sqrt(h)))
+
+
+def _vincenty_m(a, b) -> float:
+    """WGS84 geodesic segment length (Vincenty inverse)."""
+    f = _WGS84_F
+    a_ax = _WGS84_A
+    b_ax = a_ax * (1 - f)
+    L = math.radians(b[0] - a[0])
+    u1 = math.atan((1 - f) * math.tan(math.radians(a[1])))
+    u2 = math.atan((1 - f) * math.tan(math.radians(b[1])))
+    su1, cu1 = math.sin(u1), math.cos(u1)
+    su2, cu2 = math.sin(u2), math.cos(u2)
+    lam = L
+    for _ in range(100):
+        sl, cl = math.sin(lam), math.cos(lam)
+        s_sig = math.hypot(cu2 * sl, cu1 * su2 - su1 * cu2 * cl)
+        if s_sig == 0:
+            return 0.0
+        c_sig = su1 * su2 + cu1 * cu2 * cl
+        sig = math.atan2(s_sig, c_sig)
+        sa = cu1 * cu2 * sl / s_sig
+        c2a = 1 - sa * sa
+        c2sm = c_sig - 2 * su1 * su2 / c2a if c2a else 0.0
+        C = f / 16 * c2a * (4 + f * (4 - 3 * c2a))
+        lam_prev = lam
+        lam = L + (1 - C) * f * sa * (
+            sig + C * s_sig * (c2sm + C * c_sig * (-1 + 2 * c2sm * c2sm))
+        )
+        if abs(lam - lam_prev) < 1e-12:
+            break
+    u_sq = c2a * (a_ax**2 - b_ax**2) / b_ax**2
+    A = 1 + u_sq / 16384 * (4096 + u_sq * (-768 + u_sq * (320 - 175 * u_sq)))
+    B = u_sq / 1024 * (256 + u_sq * (-128 + u_sq * (74 - 47 * u_sq)))
+    d_sig = B * s_sig * (
+        c2sm
+        + B / 4 * (
+            c_sig * (-1 + 2 * c2sm**2)
+            - B / 6 * c2sm * (-3 + 4 * s_sig**2) * (-3 + 4 * c2sm**2)
+        )
+    )
+    return b_ax * A * (sig - d_sig)
+
+
+def geog_distance(k1, c1, k2, c2) -> float:
+    best = math.inf
+    for p in _all_points(k1, c1):
+        for q in _all_points(k2, c2):
+            best = min(best, _haversine_m(p, q))
+    return _round9(best if best < math.inf else float("nan"))
+
+
+def geog_length(kind, coords) -> float:
+    total = 0.0
+    for a, b in _segments(kind, coords):
+        total += _vincenty_m(a, b)
+    if kind in ("POLYGON", "MULTIPOLYGON"):
+        return 0.0
+    return _round9(total)
+
+
+def geog_area(kind, coords) -> float:
+    """Spherical polygon area (l'Huilier excess) on the mean radius."""
+    total = 0.0
+    for poly in _polygons(kind, coords):
+        if not poly:
+            continue
+        for i, ring in enumerate(poly):
+            pts = [
+                (math.radians(p[0]), math.radians(p[1]))
+                for p in ring[:-1]
+            ]
+            n = len(pts)
+            if n < 3:
+                continue
+            s = 0.0
+            for j in range(n):
+                lo1, la1 = pts[j]
+                lo2, la2 = pts[(j + 1) % n]
+                s += (lo2 - lo1) * (
+                    2 + math.sin(la1) + math.sin(la2)
+                )
+            area = abs(s) / 2 * _EARTH_MEAN_R**2
+            total += area if i == 0 else -area
+    return _round9(abs(total))
+
+
+# --------------------------------------------------------------------------
 # Geohash
 # --------------------------------------------------------------------------
 

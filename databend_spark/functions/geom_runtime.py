@@ -154,17 +154,20 @@ def _geo_num(name, b1, b2, d):
         return float(
             {"xmin": bb[0], "ymin": bb[1], "xmax": bb[2], "ymax": bb[3]}[name]
         )
+    geog = s1 == 4326  # SRID 4326 values use spherical semantics
     if name == "area":
-        return K.area(k1, c1)
+        return K.geog_area(k1, c1) if geog else K.area(k1, c1)
     if name == "perimeter":
         return K.perimeter(k1, c1)
     if name == "length":
-        return K.length(k1, c1)
+        return K.geog_length(k1, c1) if geog else K.length(k1, c1)
     g2 = _load(b2)
     if g2 is None:
         return None
     _, k2, c2 = g2
     if name == "distance":
+        if geog:
+            return K.geog_distance(k1, c1, k2, c2)
         return K.distance(k1, c1, k2, c2)
     if name == "hausdorff":
         return K.hausdorff(k1, c1, k2, c2)
@@ -217,6 +220,10 @@ def _geo_int(name, b):
     if name == "dimension":
         return K.dimension(k, c)
     if name == "hilbert":
+        # geography (SRID 4326) maps onto world bounds; plain geometry
+        # uses the f32 bit mapping (reference geography.rs vs spatial.rs)
+        if s == 4326:
+            return K.hilbert_index(k, c, [-180.0, -90.0, 180.0, 90.0])
         return K.hilbert_index(k, c)
     raise K.GeometryError(f"unknown int op {name}")
 
@@ -300,6 +307,37 @@ def _geo_makepoint(x, y):
     return K.to_ewkb(None, "POINT", [float(x), float(y)])
 
 
+def _geo_point_geog(lon, lat):
+    """st_point(lon, lat): GEOGRAPHY point, SRID 4326, range-checked
+    (reference geography.rs: error 1090 outside lon/lat bounds)."""
+    if lon is None or lat is None:
+        return None
+    if not (-180.0 <= float(lon) <= 180.0 and -90.0 <= float(lat) <= 90.0):
+        raise K.GeometryError(
+            f"[1090] geography point ({lon}, {lat}) is out of range"
+        )
+    return K.to_ewkb(4326, "POINT", [float(lon), float(lat)])
+
+
+def _geo_parse_geog(hexed, tryf):
+    """GEOGRAPHY constructors: parse any input, bind SRID 4326."""
+    try:
+        g = _decode_hexed(hexed)
+        if g is None:
+            return None
+        _, k, c = g
+        for p in K._all_points(k, c):
+            if not (-180.0 <= p[0] <= 180.0 and -90.0 <= p[1] <= 90.0):
+                raise K.GeometryError(
+                    f"[1090] geography point ({p[0]}, {p[1]}) out of range"
+                )
+        return K.to_ewkb(4326, k, c)
+    except Exception:
+        if tryf:
+            return None
+        raise
+
+
 def _geo_agg(name, arr):
     if arr is None:
         return None
@@ -353,4 +391,6 @@ def register_geometry_udfs(spark: SparkSession) -> None:
     spark.udf.register("__geo_transform", _geo_transform, B)
     spark.udf.register("__geo_fromgeohash", _geo_fromgeohash, B)
     spark.udf.register("__geo_makepoint", _geo_makepoint, B)
+    spark.udf.register("__geo_point_geog", _geo_point_geog, B)
+    spark.udf.register("__geo_parse_geog", _geo_parse_geog, B)
     spark.udf.register("__geo_agg", _geo_agg, B)

@@ -593,12 +593,17 @@ SQL_MACROS: dict[str, str] = {
         1: "__geo_parse(hex({0}), NULL, false)",
         2: "__geo_parse(hex({0}), CAST({1} AS BIGINT), false)",
     },
-    "st_geographyfromewkt": {
-        1: "__wkt_ewkb(CAST({0} AS STRING), NULL, false)",
-    },
-    "st_geogfromwkt": {
-        1: "__wkt_ewkb(CAST({0} AS STRING), NULL, false)",
-    },
+    # geography constructors bind SRID 4326 and range-check coordinates
+    "st_geographyfromewkt": "__geo_parse_geog(hex({0}), false)",
+    "st_geogfromwkt": "__geo_parse_geog(hex({0}), false)",
+    "st_geographyfromwkt": "__geo_parse_geog(hex({0}), false)",
+    "st_geographyfromwkb": "__geo_parse_geog(hex({0}), false)",
+    "st_geogfromwkb": "__geo_parse_geog(hex({0}), false)",
+    "to_geography": "__geo_parse_geog(hex({0}), false)",
+    "try_to_geography": "__geo_parse_geog(hex({0}), true)",
+    "st_point": "__geo_point_geog(CAST({0} AS DOUBLE), CAST({1} AS DOUBLE))",
+    "st_geogpointfromgeohash": "__geo_fromgeohash({0}, 'point')",
+    "st_geogfromgeohash": "__geo_fromgeohash({0}, 'cell')",
     # numeric truncate-toward-zero (Spark's trunc is date-only); BIGINT
     # cast truncates toward zero for both signs
     # truncate-toward-zero; the modulo form avoids BIGINT overflow on
@@ -1546,7 +1551,50 @@ def _hav_angle(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
 
 def _geo_pip(args: list[str]) -> str | None:
     """point_in_polygon (geo.rs:383): 3-arg (px, py, ring[x/y structs]) or
-    2-arg (tuple point, array of tuples) — codegen'd ray-cast HOF."""
+    2-arg (tuple point, array of tuples) — codegen'd ray-cast HOF.
+    All-literal multi-ring forms (holes as nested arrays or extra ring
+    args) constant-fold here with even-odd semantics; a 1-tuple point
+    is a bind error 1065 like the reference."""
+    _num = r"-?\d+(?:\.\d*)?"
+    _tup = rf"\(\s*{_num}\s*(?:,\s*{_num}\s*)*,?\s*\)"
+    # brackets are already lowered to array(...) by the time macros run
+    _litform = re.compile(r"^[\sarray(),.\d+-]+$", re.I)
+    if (
+        len(args) >= 2
+        and re.fullmatch(rf"\s*{_tup}\s*", args[0])
+        and all(_litform.fullmatch(a) for a in args[1:])
+    ):
+        def tup(t: str) -> list[float]:
+            return [float(x) for x in re.findall(_num, t)]
+
+        pt = tup(args[0])
+        if len(pt) != 2:
+            raise ValueError("[1065] point_in_polygon point needs (x, y)")
+        rings: list[list[list[float]]] = []
+        for a in args[1:]:
+            s = a.strip()
+            if re.match(r"^array\s*\(\s*array\s*\(", s, re.I):
+                body = re.sub(r"^array\s*\(", "", s, flags=re.I)[:-1]
+                for rm in re.finditer(
+                    r"array\s*\(((?:\([^()]*\)|[^()])*)\)", body, re.I
+                ):
+                    rings.append(
+                        [tup(t) for t in re.findall(_tup, rm.group(1))]
+                    )
+            else:
+                rings.append([tup(t) for t in re.findall(_tup, s)])
+        inside = False
+        x, y = pt
+        for ring in rings:
+            n = len(ring)
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                if (y1 > y) != (y2 > y) and x < (x2 - x1) * (y - y1) / (
+                    y2 - y1
+                ) + x1:
+                    inside = not inside
+        return "1" if inside else "0"
     if len(args) == 3:
         px, py, poly, fx, fy = args[0], args[1], args[2], "x", "y"
     elif len(args) == 2:

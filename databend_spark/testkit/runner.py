@@ -646,6 +646,9 @@ _GEOM_RETURNING_FUNCS = frozenset({
     "st_union_agg", "st_intersection_agg", "st_envelope_agg",
     "st_geompointfromgeohash", "st_geomfromgeohash", "st_pointn",
     "st_startpoint", "st_endpoint",
+    "st_point", "to_geography", "try_to_geography", "st_geogfromwkt",
+    "st_geographyfromwkt", "st_geographyfromewkt", "st_geographyfromwkb",
+    "st_geogfromwkb", "st_geogpointfromgeohash", "st_geogfromgeohash",
 })
 
 
@@ -723,12 +726,67 @@ def _geo_tostring_prepass(sql: str, fmt: str, geom_cols: set[str]) -> str:
             pos = e + 1 + len(repl)
         else:
             pos = m.end()
-    # --- bare geometry display: SELECT st_xxx(...) with no cast ------
-    mb = re.match(r"^\s*SELECT\s+([A-Za-z_]\w*\s*\(.*\))\s*;?\s*$", sql, re.S)
-    if mb and _is_geom_expr(mb.group(1), geom_cols):
-        body = mb.group(1)
-        if body.count("(") == body.count(")"):
-            sql = f"SELECT __geo_str('to_string', {body}, '{fmt}')"
+    # --- bare geometry display: top-level SELECT-list items that ARE
+    # geometry values (fn call or declared geo column) render through
+    # the session output format, like the reference's result encoder
+    mb = re.match(r"^(\s*SELECT\s+)(.*?);?\s*$", sql, re.I | re.S)
+    if mb and not re.match(r"^\s*(INSERT|CREATE|COPY)\b", sql, re.I):
+        head, rest = mb.group(1), mb.group(2)
+        # find depth-0 FROM (or end)
+        depth, i, fend = 0, 0, len(rest)
+        while i < len(rest):
+            ch = rest[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "'":
+                i += 1
+                while i < len(rest) and rest[i] != "'":
+                    i += 1
+            elif depth == 0 and re.match(r"\bFROM\b", rest[i:], re.I):
+                fend = i
+                break
+            i += 1
+        sel, tail = rest[:fend], rest[fend:]
+        items, depth, start = [], 0, 0
+        for j, ch in enumerate(sel):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append(sel[start:j])
+                start = j + 1
+        items.append(sel[start:])
+        changed = False
+        out_items = []
+        for it in items:
+            t = it.strip()
+            ma = re.match(
+                r"^([A-Za-z_]\w*\s*\(.*\))(\s+(?:AS\s+)?[A-Za-z_]\w*)?\s*$",
+                t,
+                re.S,
+            )
+            if (
+                ma
+                and ma.group(1).count("(") == ma.group(1).count(")")
+                and _is_geom_expr(ma.group(1), geom_cols)
+            ):
+                out_items.append(
+                    f"__geo_str('to_string', {ma.group(1)}, '{fmt}')"
+                    + (ma.group(2) or "")
+                )
+                changed = True
+            elif re.fullmatch(r"[\w.`]+", t) and _is_geom_expr(
+                t, geom_cols
+            ):
+                out_items.append(f"__geo_str('to_string', {t}, '{fmt}')")
+                changed = True
+            else:
+                out_items.append(it)
+        if changed:
+            sql = head + ", ".join(out_items) + " " + tail
     return sql
 
 
@@ -5033,7 +5091,7 @@ def run_slt_file(
             _gtk = mgi.group(1).strip("`").split(".")[-1].lower()
             _gdecl = ddl_decl_types.get(_gtk, {})
             _ggeo = {
-                c
+                c: ty.lower().split("(")[0].strip()
                 for c, ty in _gdecl.items()
                 if ty.lower().split("(")[0].strip()
                 in ("geometry", "geography")
@@ -5083,10 +5141,12 @@ def run_slt_file(
                         _cn = _gc[_i].lower() if _i < len(_gc) else ""
                         _vv = _unmask_strings(_v.strip(), _glits)
                         if _cn in _ggeo:
-                            _items.append(
-                                f"__geo_parse(hex({_vv}), NULL, false)"
-                                f" AS c{_i}"
-                            )
+                            _fn = (
+                                "__geo_parse_geog(hex(%s), false)"
+                                if _ggeo[_cn] == "geography"
+                                else "__geo_parse(hex(%s), NULL, false)"
+                            ) % _vv
+                            _items.append(f"{_fn} AS c{_i}")
                         else:
                             _items.append(f"{_vv} AS c{_i}")
                     _gsel.append(
@@ -7964,19 +8024,22 @@ def run_slt_file(
                 for t in re.findall(r"\bfrom\s+([\w.`]+)", sql, re.I)
             )
             _vec_mode = True
+        _gcols = {
+            c
+            for d in ddl_decl_types.values()
+            for c, ty in d.items()
+            if ty.lower().split("(")[0].strip()
+            in ("geometry", "geography")
+        }
         if re.search(
             r"\bto_string\s*\(|::\s*string\b"
-            r"|\b(?:st_\w+|to_geometry|try_to_geometry)\s*\(",
+            r"|\b(?:st_\w+|to_geometry|try_to_geometry|to_geography"
+            r"|try_to_geography)\s*\(",
             sql,
             re.I,
+        ) or any(
+            re.search(rf"\b{re.escape(c)}\b", sql, re.I) for c in _gcols
         ):
-            _gcols = {
-                c
-                for d in ddl_decl_types.values()
-                for c, ty in d.items()
-                if ty.lower().split("(")[0].strip()
-                in ("geometry", "geography")
-            }
             _gfmt = setting_overrides.get(
                 "geometry_output_format", "GeoJSON"
             ).strip("'")
