@@ -197,7 +197,7 @@ SQL_MACROS: dict[str, str] = {
     },
     "to_char": {
         1: "CAST({0} AS STRING)",
-        2: "date_format(CAST({0} AS TIMESTAMP), {1})",
+        2: lambda args: _to_char_dispatch(args),
     },
     "to_varchar": "CAST({0} AS STRING)",
     "to_text": "CAST({0} AS STRING)",
@@ -1828,6 +1828,20 @@ def _literal_text(arg: str) -> str:
     return arg
 
 
+def _to_char_dispatch(args: list[str]) -> str:
+    """to_char(x, fmt): PG numeric templates contain digit positions
+    (9/0) outside quoted literals; date templates (YYYY-MM-DD…) never do
+    (reference dispatches on the argument type; the corpus' patterns are
+    literal so the template text decides)."""
+    raw = _literal_text(args[1]).strip()
+    if raw.startswith("'") and raw.endswith("'"):
+        raw = raw[1:-1]
+    unquoted = re.sub(r'"(?:[^"\\]|\\.)*"', "", raw)
+    if re.search(r"[90]", unquoted):
+        return f"__pg_to_char(CAST({args[0]} AS STRING), {args[1]})"
+    return f"date_format(CAST({args[0]} AS TIMESTAMP), {args[1]})"
+
+
 def _array_reduce(args: list[str]) -> str | None:
     """Left fold seeded by the first element (reference array_reduce).
     aggregate() needs merge-result type == init type, so numeric folds
@@ -2842,13 +2856,40 @@ SQL_MACROS.update(
     }
 )
 
+# CREATE FUNCTION `Name` (quoted, mixed-case) registers a CASE-SENSITIVE
+# macro: only the exact backticked spelling resolves, like the reference
+# (05_0010_ddl_create_udf.test error-1008 cases)
+CASE_SENSITIVE_MACROS: set[str] = set()
+
+
 def _build_macro_re() -> re.Pattern:
-    return re.compile(
-        r"\b("
-        + "|".join(sorted(SQL_MACROS, key=len, reverse=True))
-        + r")\s*\(",
-        re.IGNORECASE,
+    low = sorted(
+        (n for n in SQL_MACROS if n not in CASE_SENSITIVE_MACROS),
+        key=len,
+        reverse=True,
     )
+    parts = []
+    if CASE_SENSITIVE_MACROS:
+        exact = sorted(CASE_SENSITIVE_MACROS, key=len, reverse=True)
+        parts.append(
+            "`(?-i:(?P<xname>"
+            + "|".join(re.escape(n) for n in exact)
+            + "))`"
+        )
+    # tolerate backtick-quoted calls (`some_name`(..)) — quoting passes
+    # upstream may wrap identifiers
+    parts.append(r"`?\b(?P<lname>" + "|".join(low) + r")\b`?")
+    return re.compile("(?:" + "|".join(parts) + r")\s*\(", re.IGNORECASE)
+
+
+def _macro_key(m: re.Match) -> str:
+    """Macro-table key for a _MACRO_CALL_RE match: the exact spelling
+    only when the backticked exact-case branch matched, else lowercase."""
+    try:
+        x = m.group("xname")
+    except IndexError:  # pattern built without an exact-case branch
+        x = None
+    return x if x is not None else m.group("lname").lower()
 
 
 _MACRO_CALL_RE = _build_macro_re()
@@ -2858,23 +2899,29 @@ _MACRO_CALL_RE = _build_macro_re()
 USER_MACROS: set[str] = set()
 
 
-def register_sql_macro(name: str, template) -> None:
+def register_sql_macro(name: str, template, exact_case: bool = False) -> None:
     """Runtime registration for Databend ``CREATE FUNCTION f AS (p) ->
     expr`` lambda UDFs (reference: src/query/users/src/user_udf.rs) —
     they become expression macros expanded exactly like the built-in
-    alias layer."""
+    alias layer. ``exact_case`` keys the macro by its quoted spelling;
+    only the exact backticked reference resolves."""
     global _MACRO_CALL_RE
-    SQL_MACROS[name.lower()] = template
-    USER_MACROS.add(name.lower())
+    key = name if exact_case else name.lower()
+    SQL_MACROS[key] = template
+    USER_MACROS.add(key)
+    if exact_case:
+        CASE_SENSITIVE_MACROS.add(key)
     _MACRO_CALL_RE = _build_macro_re()
 
 
-def unregister_sql_macro(name: str) -> bool:
+def unregister_sql_macro(name: str, exact_case: bool = False) -> bool:
     global _MACRO_CALL_RE
-    if name.lower() not in USER_MACROS:
+    key = name if exact_case else name.lower()
+    if key not in USER_MACROS:
         return False
-    USER_MACROS.discard(name.lower())
-    SQL_MACROS.pop(name.lower(), None)
+    USER_MACROS.discard(key)
+    SQL_MACROS.pop(key, None)
+    CASE_SENSITIVE_MACROS.discard(key)
     _MACRO_CALL_RE = _build_macro_re()
     return True
 
@@ -2975,7 +3022,7 @@ def expand_sql_macros(sql: str) -> str:
                 pos = m.end()
                 continue
             args, after = parsed
-            template = SQL_MACROS[m.group(1).lower()]
+            template = SQL_MACROS[_macro_key(m)]
             if isinstance(template, dict):  # arity-dispatched templates
                 template = template.get(len(args))
             try:
@@ -3006,9 +3053,10 @@ def expand_sql_macros(sql: str) -> str:
 # --- SQL-text rename pass (used by sqlgen for the dialect surface) ----------
 # Explicit whitelist: only renames that are (a) not valid identifiers in
 # common SQL text with different meanings, and (b) signature-identical.
-# (e.g. `range`, `position`, `locate`, `contains`, `any`, `len`, `insert`
-# must NOT be text-rewritten — they collide with standard SQL or differ
-# in argument order; use databend_fn() from Python for those.)
+# (e.g. `range`, `position`, `locate`, `any`, `len`, `insert` must NOT
+# be text-rewritten — they collide with standard SQL or differ in
+# argument order; use databend_fn() from Python for those. `contains`
+# IS safe: Databend only defines the array membership form.)
 _SQL_SAFE_RENAMES = {
     "from_base64": "unbase64",
     "char_length": "length",
@@ -3033,6 +3081,9 @@ _SQL_SAFE_RENAMES = {
     "arg_min": "min_by",
     "group_concat": "listagg",
     "array_length": "size",
+    # Databend's contains is the array membership fn (array.rs aliases
+    # array_contains to it); it has no string contains
+    "contains": "array_contains",
 }
 _SQL_RENAME_RE = re.compile(
     r"\b(" + "|".join(sorted(_SQL_SAFE_RENAMES, key=len, reverse=True)) + r")\s*\(",

@@ -2483,6 +2483,9 @@ def register_variant_udfs(spark: SparkSession) -> None:
     from databend_spark.functions.geom_runtime import register_geometry_udfs
 
     register_geometry_udfs(spark)
+    from databend_spark.functions.pg_numfmt import pg_format_number
+
+    spark.udf.register("__pg_to_char", pg_format_number, StringType())
 
     def _dec_sum_wide(arr):
         # exact sum of decimal strings beyond Spark's 38-digit cap
@@ -2526,6 +2529,18 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__va_prepend", va_prepend, StringType())
     spark.udf.register("__va_compact", va_compact, StringType())
     spark.udf.register("__va_contains", va_contains, BooleanType())
+    def va_elems(s):
+        # variant array → canonical jsonb text per element (unnest over
+        # variants; non-arrays produce no rows like the reference)
+        if s is None:
+            return []
+        try:
+            v = json.loads(s)
+        except (ValueError, TypeError):
+            return []
+        return [_canon(x) for x in v] if isinstance(v, list) else []
+
+    spark.udf.register("__va_elems", va_elems, ArrayType(StringType()))
     spark.udf.register("__va_flatten", va_flatten, StringType())
     spark.udf.register("__va_indexof", va_indexof, LongType())
     spark.udf.register("__va_remove", va_remove, StringType())

@@ -407,6 +407,13 @@ def _dt_fmt_repl(m: re.Match) -> str:
             f"CAST(__dt_parse(CAST({m.group(2)} AS STRING), '{fl}',"
             f" current_timezone(), {tryf}) AS {out})"
         )
+    # PG NUMERIC templates (digit positions 9/0 outside quotes, no
+    # %-codes) are not datetime formats at all — leave the call intact
+    # for the to_char macro's __pg_to_char dispatch
+    if fn in ("to_char", "to_string") and "%" not in fmt and re.search(
+        r"[90]", re.sub(r'"(?:[^"\\]|\\.)*"', "", fmt)
+    ):
+        return m.group(0)
     # convert only when the literal is clearly Databend-style: %-codes,
     # UPPERCASE Oracle tokens, non-ASCII literal text, or a to_char /
     # to_string call (those never take Java patterns). A Java pattern
@@ -1702,30 +1709,45 @@ def _rewrite_srf_post(s: str) -> str:
             items.append(body[start:j])
             start = j + 1
     items.append(body[start:])
-    srf_args = []
-    for it in items:
+    srf_args: list[tuple[int, str, str]] = []  # (item idx, arg, alias)
+    for idx, it in enumerate(items):
         m = re.match(
             r"^\s*explode\s*(\()", it, re.I
         )
         if not m:
-            return s
+            continue
         end = _balanced_call(it, m.start(1))
-        if end == -1 or (
-            it[end:].strip()
-            and not re.match(r"^\s*(AS\s+)?[A-Za-z_]\w*\s*$", it[end:], re.I)
-        ):
-            return s
-        srf_args.append(it[m.start(1) + 1 : end - 1])
+        if end == -1:
+            continue
+        rest = it[end:].strip()
+        ma = re.match(r"^(?:AS\s+)?([A-Za-z_]\w*)?\s*$", rest, re.I)
+        if not ma:
+            continue
+        alias = ma.group(1) or f"c{len(srf_args)}"
+        srf_args.append((idx, it[m.start(1) + 1 : end - 1], alias))
     if len(srf_args) < 2:
         return s
-    zipped = f"transform(({srf_args[0]}), __z0 -> struct(__z0 AS c0))"
-    for k, arg in enumerate(srf_args[1:], start=1):
-        fields = ", ".join(f"__zs.c{j} AS c{j}" for j in range(k))
+    # zip the SRFs positionally into one struct array; non-SRF items
+    # stay scalar (per-row) like the reference's ProjectSet
+    a0 = srf_args[0][2]
+    zipped = f"transform(({srf_args[0][1]}), __z0 -> struct(__z0 AS {a0}))"
+    for k, (_, arg, alias) in enumerate(srf_args[1:], start=1):
+        fields = ", ".join(
+            f"__zs.{al} AS {al}" for _, _, al in srf_args[:k]
+        )
         zipped = (
             f"zip_with({zipped}, ({arg}),"
-            f" (__zs, __z{k}) -> struct({fields}, __z{k} AS c{k}))"
+            f" (__zs, __z{k}) -> struct({fields}, __z{k} AS {alias}))"
         )
-    new_body = f"inline({zipped}) "
+    first = srf_args[0][0]
+    srf_idx = {i for i, _, _ in srf_args}
+    new_items = []
+    for idx, it in enumerate(items):
+        if idx == first:
+            new_items.append(f" inline({zipped})")
+        elif idx not in srf_idx:
+            new_items.append(it)
+    new_body = ",".join(new_items) + " "
     return s[: sel.end()] + new_body + (s[f:] if f != -1 else "")
 
 
@@ -4218,6 +4240,12 @@ def rewrite_databend_sql(sql: str) -> str:
     # range() with non-foldable bounds (Spark requires literals):
     # exclusive-end sequence explode
     def _range_tvf(mm: re.Match) -> str:
+        # idempotence: a second rewrite pass (mutation CTAS re-runs the
+        # dialect rewriter over already-rewritten text) must not re-wrap
+        # its own `(SELECT id AS … FROM range(N))` output
+        before = mm.string[max(0, mm.start() - 16) : mm.start()].lower()
+        if before.endswith("as number ") or before.endswith("as `range` "):
+            return mm.group(0)
         args = mm.group(2)
         parts, depth, start = [], 0, 0
         for k, ch in enumerate(args):
@@ -4684,10 +4712,15 @@ def _rewrite_variant_equality(masked: str, lits: list[str]) -> str:
     return masked
 
 
-def _ordered_agg(x_text: str, keys_text: str) -> str:
+def _ordered_agg(x_text: str, keys_text: str, over: str = "") -> str:
     """array_agg(x ORDER BY keys) → sorted-struct transform (Spark's
     collect_list has no WITHIN GROUP). Null ordering defaults follow
-    the reference: NULLS FIRST for ASC, NULLS LAST for DESC."""
+    the reference: NULLS FIRST for ASC, NULLS LAST for DESC.
+
+    With `over`, the OVER clause binds to the inner collect_list so the
+    WITHIN GROUP sort applies per window frame; Spark's array_sort is a
+    stable TimSort, so ties keep the frame (OVER ORDER BY) order the
+    reference produces (within_group_window.test)."""
     keys = []
     for part in _split_top_commas(keys_text):
         mm = re.match(
@@ -4718,21 +4751,51 @@ def _ordered_agg(x_text: str, keys_text: str) -> str:
             f" WHEN {rv} IS NULL THEN {pnc}"
             f" WHEN {lv} < {rv} THEN {lt} ELSE {gt} END"
         )
+    ov = f" {over}" if over else ""
     return (
         f"transform(array_sort(collect_list(struct({fields},"
-        f" ({x_text}) AS __v)), (l, r) -> {cmp}), s -> s.__v)"
+        f" ({x_text}) AS __v)){ov}, (l, r) -> {cmp}), s -> s.__v)"
     )
 
 
 def _rewrite_ordered_aggs(masked: str) -> str:
     """ORDER BY inside aggregate calls: listagg-family inline orders
     become WITHIN GROUP (Spark-native); array_agg orders become
-    sorted-struct transforms."""
+    sorted-struct transforms. In WINDOW position Spark rejects
+    WITHIN GROUP outright, so both families desugar to a frame-bound
+    collect_list + stable struct sort (+ array_join for listagg)."""
+    paren = r"(?:[^()]|\([^()]*\))*"
+
+    def win_listagg(m: re.Match) -> str:
+        args = _split_top_commas(m.group(2))
+        x = args[0].strip()
+        sep = args[1].strip() if len(args) > 1 else "''"
+        arr = _ordered_agg(x, m.group(3), over=f"OVER ({m.group(4)})")
+        return f"array_join({arr}, {sep})"
+
     masked = re.sub(
         r"\b(listagg|string_agg|group_concat)\s*"
         r"\(((?:[^()]|\([^()]*\))*?)\s+ORDER\s+BY\s+"
         r"((?:[^()]|\([^()]*\))*)\)",
         r"\1(\2) WITHIN GROUP (ORDER BY \3)",
+        masked,
+        flags=re.I,
+    )
+    masked = re.sub(
+        rf"\b(listagg|string_agg|group_concat)\s*\(({paren})\)\s*"
+        rf"WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+({paren})\)\s*"
+        rf"OVER\s*\(({paren})\)",
+        win_listagg,
+        masked,
+        flags=re.I,
+    )
+    masked = re.sub(
+        rf"\b(?:array_agg|list)\s*\(({paren})\)\s*"
+        rf"WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+({paren})\)\s*"
+        rf"OVER\s*\(({paren})\)",
+        lambda m: _ordered_agg(
+            m.group(1), m.group(2), over=f"OVER ({m.group(3)})"
+        ),
         masked,
         flags=re.I,
     )

@@ -24,7 +24,7 @@ import re
 
 _MERGE = re.compile(
     r"^\s*MERGE\s+INTO\s+([\w.`]+)(?:\s+AS\s+(\w+)|\s+(?!USING)(\w+))?"
-    r"\s+USING\s+",
+    r"\s+USING\s*",
     re.I,
 )
 _WHEN = re.compile(r"\bWHEN\b", re.I)
@@ -254,8 +254,10 @@ def merge_to_select(spark, sql: str, rewrite) -> tuple[str, str]:
     schema = spark.table(t).schema
     tcols = [f.name for f in schema]
     ttypes = {f.name: f.dataType.simpleString() for f in schema}
+    # src_ref already went through rewrite() above — re-applying would
+    # double-expand TVF subqueries (numbers() → range() → re-aliased)
     scols = p["scols"] or spark.sql(
-        rewrite(f"SELECT * FROM {src_ref} LIMIT 0")
+        f"SELECT * FROM {src_ref} LIMIT 0"
     ).columns
     star_actions = any(
         re.match(r"(UPDATE|INSERT)\s*\*", c["action"], re.I)

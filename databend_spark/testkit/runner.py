@@ -1269,6 +1269,10 @@ def run_slt_file(
     session_vars: dict[str, object] = {}
     procedures: dict[tuple[str, tuple], dict] = {}
     dedup_labels: set[str] = set()
+    # LANGUAGE javascript UDFs/UDAFs + SQL-body typed UDFs/UDTFs
+    # (reference 03_0013_select_udf.test / 03_0047_select_udaf.test)
+    js_udfs: dict[str, dict] = {}
+    sql_udtfs: dict[str, dict] = {}
 
     def _ptype_display(t: str) -> str:
         base = re.sub(r"\(.*", "", t.strip()).lower()
@@ -2175,8 +2179,7 @@ def run_slt_file(
                 "VIEW" if typ == "VIEW" else "BASE TABLE",
                 ddl_tbl_comments.get(n.lower(), ""),
             )
-            for (n, d, _tid, _e, _ts, _nr, _ds, _cs, _i, _o, _op, _x)
-            in trows
+            for (n, d, _tid, _e, *_rest) in trows
             for typ in [_e]
         ]
         _IS_VIEWS = [
@@ -3630,6 +3633,85 @@ def run_slt_file(
                 raise ValueError(
                     "[1005] PRQL parse error: expected a pipeline"
                 )
+        if (js_udfs or sql_udtfs) and not re.match(
+            r"^\s*(?:CREATE|DROP|ALTER)\s", sql, re.I
+        ):
+            for _nm, _info in js_udfs.items():
+                if _info.get("kind") != "udaf":
+                    continue
+                if re.search(
+                    rf"\b{_nm}\s*\((?:[^()]|\([^()]*\))*\)\s*FILTER\s*\(",
+                    sql,
+                    re.I,
+                ):
+                    raise RuntimeError(
+                        "FILTER clause is not supported for aggregate "
+                        "UDFs yet"
+                    )
+                sql = re.sub(
+                    rf"\b{_nm}\s*\(((?:[^()]|\([^()]*\))*)\)",
+                    lambda m, n=_nm: (
+                        f"__udaf_{n}(collect_list(struct({m.group(1)})))"
+                    ),
+                    sql,
+                    flags=re.I,
+                )
+            for _nm, _info in sql_udtfs.items():
+                _pat = re.compile(
+                    rf"\b{_nm}\s*\(((?:[^()]|\([^()]*\))*)\)", re.I
+                )
+
+                def _udtf_sub(m, _info=_info, _nm=_nm):
+                    from databend_spark.testkit.js_udf_shim import (
+                        spark_type_of,
+                    )
+
+                    args = [
+                        a.strip()
+                        for a in _split_args(m.group(1))
+                        if a.strip()
+                    ]
+                    if len(args) != len(_info["params"]):
+                        raise ValueError(
+                            f"[1006] table function {_nm} expects "
+                            f"{len(_info['params'])} arguments, got "
+                            f"{len(args)}"
+                        )
+                    body = _info["body"]
+                    for (pn, _pt), av in zip(_info["params"], args):
+                        body = re.sub(rf"\b{re.escape(pn)}\b", av, body)
+                    names = ", ".join(c for c, _ in _info["cols"])
+                    sel = ", ".join(
+                        f"CAST({c} AS {spark_type_of(t)}) AS {c}"
+                        for c, t in _info["cols"]
+                    )
+                    return (
+                        f"(SELECT {sel} FROM ({body}) AS __udtf({names}))"
+                    )
+
+                sql = _pat.sub(_udtf_sub, sql)
+        if re.search(r"\b(?:unnest|explode)\s*\(", sql, re.I) and re.match(
+            r"^\s*SELECT\b", sql.lstrip(), re.I
+        ):
+            from databend_spark.testkit.srf_prepass import (
+                rewrite_select_srfs,
+            )
+
+            def _srf_probe(arg: str, from_seg: str):
+                try:
+                    return (
+                        spark.sql(
+                            rewrite_databend_sql(
+                                f"SELECT ({arg}) AS __p {from_seg} LIMIT 0"
+                            )
+                        )
+                        .schema[0]
+                        .dataType.simpleString()
+                    )
+                except Exception:  # noqa: BLE001 — leave sql untouched
+                    return None
+
+            sql = rewrite_select_srfs(sql, _srf_probe)
         if re.match(
             r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?DICTIONARY\b", sql, re.I
         ):
@@ -4297,6 +4379,65 @@ def run_slt_file(
                     raise ValueError(
                         "[1005] window function in window specification"
                     )
+            # a select-alias bound to a window expression, referenced
+            # inside another window function's arguments, is also a
+            # nested window in the reference — Spark's lateral column
+            # aliases would happily compute it
+            _selm = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+)?", _g, re.I)
+            if _selm and re.search(r"\bOVER\b", _g, re.I):
+                _sf = next(
+                    (
+                        mm.start()
+                        for mm in re.finditer(r"\bFROM\b", _g, re.I)
+                        if _g.count("(", 0, mm.start())
+                        == _g.count(")", 0, mm.start())
+                    ),
+                    len(_g),
+                )
+                _items, _d, _st = [], 0, _selm.end()
+                for _j in range(_selm.end(), _sf):
+                    if _g[_j] == "(":
+                        _d += 1
+                    elif _g[_j] == ")":
+                        _d -= 1
+                    elif _g[_j] == "," and _d == 0:
+                        _items.append(_g[_st:_j])
+                        _st = _j + 1
+                _items.append(_g[_st:_sf])
+                _aliased = {}
+                for _it in _items:
+                    _ma = re.match(
+                        r"^(.*?)\s+(?:AS\s+)?([A-Za-z_]\w*)\s*$",
+                        _it.strip(),
+                        re.I | re.S,
+                    )
+                    if _ma and not re.fullmatch(
+                        r"[\w.`]+", _ma.group(1).strip()
+                    ):
+                        _aliased[_ma.group(2).lower()] = _ma.group(1)
+                _windowed = {
+                    a
+                    for a, e in _aliased.items()
+                    if re.search(r"\bOVER\b", e, re.I)
+                }
+                for _ in range(len(_aliased)):
+                    for a, e in _aliased.items():
+                        if a not in _windowed and any(
+                            re.search(rf"\b{w}\b", e, re.I)
+                            for w in _windowed
+                        ):
+                            _windowed.add(a)
+                for w in _windowed:
+                    if re.search(
+                        rf"\b\w+\s*\((?:[^()]|\([^()]*\))*\b{w}\b"
+                        rf"(?:[^()]|\([^()]*\))*\)\s*OVER\b",
+                        _g,
+                        re.I,
+                    ):
+                        raise ValueError(
+                            "[1005] window function calls cannot be "
+                            "nested"
+                        )
             # a CTE name shadows same-name tables (even db-qualified);
             # referencing the own name inside the body without RECURSIVE
             # is the reference's recursion error
@@ -5281,7 +5422,9 @@ def run_slt_file(
             try:
                 _refresh_system_catalog()
             except Exception:
-                pass
+                import traceback
+                if os.environ.get("SLT_DEBUG_REFRESH"):
+                    traceback.print_exc()
         if setop_limit[0]:
             depth, nops = 0, 0
             for mm in re.finditer(
@@ -6332,7 +6475,9 @@ def run_slt_file(
         if m:
             from databend_spark.functions import registry as _reg
 
-            name = m.group(1).strip("`").lower()
+            raw = m.group(1)
+            exact = "`" in raw and raw.strip("`") != raw.strip("`").lower()
+            name = raw.strip("`") if exact else raw.strip("`").lower()
             if name not in _reg.USER_MACROS:
                 # 2602 unknown function / 2603 builtin — both errors
                 raise RuntimeError(f"cannot ALTER function {name}")
@@ -6340,13 +6485,123 @@ def run_slt_file(
             body = m.group(3).replace("{", "{{").replace("}", "}}")
             for idx, p in enumerate(params):
                 body = re.sub(rf"\b{re.escape(p)}\b", "{" + str(idx) + "}", body)
-            _reg.register_sql_macro(name, f"({body})")
+            _reg.register_sql_macro(name, f"({body})", exact_case=exact)
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        _mjs = re.match(
+            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?([\w`]+)\s*"
+            r"\(((?:[^()]|\([^()]*\))*)\)\s*"
+            r"(?:STATE\s*\{([^}]*)\}\s*)?"
+            r"RETURNS\s+(TABLE\s*\([^)]*\)|\w+(?:\s*\([^)]*\))?)"
+            r"(?:\s+NOT\s+NULL)?\s*"
+            r"(?:LANGUAGE\s+(\w+)\s*)?"
+            r"(?:IMMUTABLE\s+|DETERMINISTIC\s+)?"
+            r"(?:HANDLER\s*=\s*'([^']+)'\s*)?"
+            r"(?:COMMENT\s*=\s*'(?:[^']|'')*'\s*)?"
+            r"AS\s+(?:\$\$(.*)\$\$|'((?:[^']|'')*)')\s*;?\s*$",
+            sql,
+            re.I | re.S,
+        )
+        if _mjs:
+            from databend_spark.testkit import js_udf_shim as _jshim
+
+            fname = _mjs.group(3).strip("`").lower()
+            lang = (_mjs.group(7) or "sql").lower()
+            exists = fname in js_udfs or fname in sql_udtfs
+            if exists and not _mjs.group(1) and not _mjs.group(2):
+                raise RuntimeError(
+                    f"[2603] function {fname} already exists"
+                )
+            if exists and _mjs.group(2) and not _mjs.group(1):
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            # params: "INT, INT" (types only) or "s STRING" (named)
+            pairs = []
+            for p in _split_args(_mjs.group(4)):
+                if not p.strip():
+                    continue
+                bits = p.strip().rsplit(None, 1)
+                if len(bits) == 2 and re.match(r"^[\w`]+$", bits[0]):
+                    pairs.append((bits[0].strip("`"), bits[1]))
+                else:
+                    pairs.append((None, p.strip()))
+            arg_types = [t for _, t in pairs]
+            ret = _mjs.group(6).strip()
+            body = _mjs.group(9)
+            if body is None:
+                ref = (_mjs.group(10) or "").strip()
+                if ref.startswith("@"):
+                    # AS '@stage/path.js' — body lives in a stage file
+                    stg, sub = stage_mgr.resolve_location(ref)
+                    with open(os.path.join(stg.dir, sub)) as fh:
+                        body = fh.read()
+                else:
+                    body = ref
+            if lang in ("javascript", "js"):
+                if _mjs.group(5):  # STATE {...} → aggregate
+                    _jshim.register_udaf(
+                        spark, fname, body, arg_types, ret
+                    )
+                    js_udfs[fname] = {"kind": "udaf"}
+                else:
+                    _jshim.register_scalar(
+                        spark, fname, body, _mjs.group(8) or fname,
+                        arg_types, ret,
+                    )
+                    js_udfs[fname] = {"kind": "scalar"}
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            if lang in ("wasm", "python"):
+                # wasm needs a runtime, python an isolated venv — neither
+                # ships in this environment; error clearly
+                raise RuntimeError(
+                    f"[1006] LANGUAGE {lang} UDFs are not supported in "
+                    "this environment"
+                )
+            # SQL-body function
+            if ret.upper().startswith("TABLE"):
+                cols_txt = re.match(
+                    r"^TABLE\s*\((.*)\)$", ret, re.I | re.S
+                ).group(1)
+                cols = []
+                for c in _split_args(cols_txt):
+                    cn, ct = c.strip().rsplit(None, 1)
+                    cols.append((cn.strip("`"), ct))
+                sql_udtfs[fname] = {
+                    "params": [(n or f"__p{i}", t)
+                               for i, (n, t) in enumerate(pairs)],
+                    "cols": cols,
+                    "body": body.strip().rstrip(";"),
+                }
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            # typed scalar SQL expression → macro with a RETURNS cast
+            from databend_spark.functions import registry as _reg
+
+            expr = body.strip().rstrip(";")
+            expr = expr.replace("{", "{{").replace("}", "}}")
+            for idx, (pn, _pt) in enumerate(pairs):
+                if pn:
+                    expr = re.sub(
+                        rf"\b{re.escape(pn)}\b", "{" + str(idx) + "}", expr
+                    )
+            _reg.register_sql_macro(
+                fname,
+                f"(CAST(({expr}) AS {_jshim.spark_type_of(ret)}))",
+            )
+            js_udfs[fname] = {"kind": "macro"}
             return spark.sql("SELECT 1 AS ok WHERE false")
         m = _create_fn.match(sql)
         if m:
             from databend_spark.functions import registry as _reg
 
-            name = m.group(3).strip("`").lower()
+            if m.group(1) and m.group(2):
+                raise ValueError(
+                    "[1005] OR REPLACE and IF NOT EXISTS cannot be "
+                    "combined"
+                )
+            raw = m.group(3)
+            # a quoted mixed-case name is case-sensitive like the
+            # reference binder (05_0010 error-1008 cases)
+            exact = "`" in raw and raw.strip("`") != raw.strip("`").lower()
+            name = raw.strip("`") if exact else raw.strip("`").lower()
             if (
                 not m.group(1)
                 and not m.group(2)
@@ -6366,16 +6621,28 @@ def run_slt_file(
 
                 _bk, _bl = _mask_strings(body)
                 body = _unmask_strings(_rewrite_brackets(_bk), _bl)
+            # alias layer must apply to the stored body — macro expansion
+            # runs after the query-level rename pass (contains →
+            # array_contains etc. would otherwise never fire)
+            body = _reg.rewrite_function_names(body)
             body = body.replace("{", "{{").replace("}", "}}")
             for idx, p in enumerate(params):
                 body = re.sub(rf"\b{re.escape(p)}\b", "{" + str(idx) + "}", body)
-            _reg.register_sql_macro(name, f"({body})")
+            _reg.register_sql_macro(name, f"({body})", exact_case=exact)
             return spark.sql("SELECT 1 AS ok WHERE false")
         m = _drop_fn.match(sql)
         if m:
             from databend_spark.functions import registry as _reg
 
-            if not _reg.unregister_sql_macro(m.group(2).strip("`")) and not m.group(1):
+            raw = m.group(2)
+            exact = "`" in raw and raw.strip("`") != raw.strip("`").lower()
+            nm = raw.strip("`") if exact else raw.strip("`").lower()
+            if nm in js_udfs or nm in sql_udtfs:
+                js_udfs.pop(nm, None)
+                sql_udtfs.pop(nm, None)
+                _reg.unregister_sql_macro(nm)
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            if not _reg.unregister_sql_macro(nm, exact_case=exact) and not m.group(1):
                 raise RuntimeError(f"unknown function {m.group(2)}")
             return spark.sql("SELECT 1 AS ok WHERE false")
         # SHOW TABLES / DATABASES — Databend prints a single name column
