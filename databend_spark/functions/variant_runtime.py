@@ -2529,18 +2529,84 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__va_prepend", va_prepend, StringType())
     spark.udf.register("__va_compact", va_compact, StringType())
     spark.udf.register("__va_contains", va_contains, BooleanType())
-    def va_elems(s):
-        # variant array → canonical jsonb text per element (unnest over
-        # variants; non-arrays produce no rows like the reference)
+    def _va_list(s):
         if s is None:
-            return []
+            return None
         try:
             v = json.loads(s)
         except (ValueError, TypeError):
-            return []
-        return [_canon(x) for x in v] if isinstance(v, list) else []
+            return None
+        return v if isinstance(v, list) else None
+
+    def va_elems(s):
+        # variant array → canonical jsonb text per element (unnest over
+        # variants; non-arrays produce no rows like the reference)
+        v = _va_list(s)
+        return [_canon(x) for x in v] if v is not None else []
+
+    def va_join(arr):
+        # element texts (jsonb or plain SQL strings) → canonical jsonb
+        # array text; SQL NULL elements become JSON nulls
+        if arr is None:
+            return None
+        out = []
+        for x in arr:
+            if x is None:
+                out.append("null")
+            else:
+                try:
+                    out.append(_canon(json.loads(x)))
+                except (ValueError, TypeError):
+                    out.append(_canon(x))
+        return "[" + ",".join(out) + "]"
+
+    def va_scalar(s):
+        # jsonb text → SQL-castable text: strings unquote, json null →
+        # SQL NULL, everything else keeps its json spelling
+        if s is None:
+            return None
+        try:
+            v = json.loads(s)
+        except (ValueError, TypeError):
+            return s
+        if v is None:
+            return None
+        if isinstance(v, str):
+            return v
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return s
+
+    def va_sort(s):
+        v = _va_list(s)
+        if v is None:
+            return None
+        return _canon(sorted(v, key=_jsonb_rank))
+
+    def va_count(s):
+        v = _va_list(s)
+        return len(v) if v is not None else None
+
+    def va_max(s):
+        v = _va_list(s)
+        return _canon(max(v, key=_jsonb_rank)) if v else None
+
+    def va_min(s):
+        v = _va_list(s)
+        return _canon(min(v, key=_jsonb_rank)) if v else None
+
+    def va_acd(s):
+        v = _va_list(s)
+        return len({_canon(x) for x in v}) if v is not None else None
 
     spark.udf.register("__va_elems", va_elems, ArrayType(StringType()))
+    spark.udf.register("__va_join", va_join, StringType())
+    spark.udf.register("__va_scalar", va_scalar, StringType())
+    spark.udf.register("__va_sort", va_sort, StringType())
+    spark.udf.register("__va_count", va_count, LongType())
+    spark.udf.register("__va_max", va_max, StringType())
+    spark.udf.register("__va_min", va_min, StringType())
+    spark.udf.register("__va_acd", va_acd, LongType())
     spark.udf.register("__va_flatten", va_flatten, StringType())
     spark.udf.register("__va_indexof", va_indexof, LongType())
     spark.udf.register("__va_remove", va_remove, StringType())

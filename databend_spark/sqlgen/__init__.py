@@ -2418,6 +2418,11 @@ def _rewrite_json_arrows(s: str) -> str:
         if not recv:
             pos = m.end()
             continue
+        if re.fullmatch(r"\(\s*\w+(\s*,\s*\w+)*\s*\)", recv):
+            # a bare parameter tuple: `(x, y) -> …` is a lambda, not a
+            # jsonb arrow access
+            pos = m.end()
+            continue
         recv = _strip_variant_cast(recv)
         mode = "pg" if op.startswith("#") else "a"
         text = "true" if op in ("->>", "#>>") else "false"

@@ -3587,6 +3587,52 @@ def run_slt_file(
         )
         return out
 
+    def _arrays_zip_broadcast(sql: str) -> str | None:
+        """Probe arrays_zip argument types; scalar columns broadcast
+        along the first array argument, NULL arrays act as [NULL]."""
+        m = re.search(r"\barrays_zip\s*(\()", sql, re.I)
+        if not m:
+            return None
+        depth, j = 0, m.start(1)
+        while j < len(sql):
+            depth += {"(": 1, ")": -1}.get(sql[j], 0)
+            j += 1
+            if depth == 0:
+                break
+        argtext = sql[m.start(1) + 1 : j - 1]
+        args = _split_args(argtext)
+        mf = re.search(r"\bFROM\b.*$", sql, re.I | re.S)
+        fseg = mf.group(0).rstrip("; \n") if mf else ""
+        kinds = []
+        for a in args:
+            try:
+                dt = (
+                    spark.sql(
+                        rewrite_databend_sql(
+                            f"SELECT ({a}) AS __p {fseg} LIMIT 0"
+                        )
+                    )
+                    .schema[0]
+                    .dataType.simpleString()
+                )
+            except Exception:  # noqa: BLE001
+                return None
+            kinds.append("arr" if dt.startswith("array<") else "scalar")
+        if "arr" not in kinds:
+            return None
+        ref = f"coalesce({args[kinds.index('arr')]}, array(NULL))"
+        prep = [
+            f"coalesce(({a}), array(NULL))"
+            if k == "arr"
+            else f"transform({ref}, __bc -> ({a}))"
+            for a, k in zip(args, kinds)
+        ]
+        return (
+            sql[: m.start()]
+            + f"arrays_zip({', '.join(prep)})"
+            + sql[j:]
+        )
+
     def run_sql(sql: str):
         sql = _preserve_unknown_escapes(sql)
         if '"' in sql and re.search(r'"[^"\n]* [^"\n]*"', sql):
@@ -3690,6 +3736,32 @@ def run_slt_file(
                     )
 
                 sql = _pat.sub(_udtf_sub, sql)
+        m_afa = re.search(
+            r"\barray_filter\s*\(\s*array_agg\s*\(\s*([\w.`]+)\s*\)\s*,",
+            sql,
+            re.I,
+        )
+        if m_afa:
+            cname = m_afa.group(1).split(".")[-1].strip("`").lower()
+            if any(
+                d.get(cname, "").lower().startswith("variant")
+                for d in ddl_decl_types.values()
+            ):
+                # aggregated VARIANT elements: render as one jsonb array
+                # (element order = jsonb text order, like the reference's
+                # stable scan order on this corpus)
+                j = m_afa.end()
+                depth = 1
+                while j < len(sql) and depth:
+                    depth += {"(": 1, ")": -1}.get(sql[j], 0)
+                    j += 1
+                lam = sql[m_afa.end() : j - 1]
+                sql = (
+                    sql[: m_afa.start()]
+                    + f"__va_join(filter(sort_array(collect_list("
+                    f"{m_afa.group(1)})), {lam}))"
+                    + sql[j:]
+                )
         if re.search(r"\b(?:unnest|explode)\s*\(", sql, re.I) and re.match(
             r"^\s*SELECT\b", sql.lstrip(), re.I
         ):
@@ -8913,6 +8985,57 @@ def run_slt_file(
                         return spark.sql(forced)
                     except Exception:  # noqa: BLE001
                         continue
+            if (
+                "DATATYPE_MISMATCH" in msg or "UNEXPECTED_INPUT_TYPE" in msg
+            ) and re.search(
+                r"\b(?:array_\w+|contains|json_array_\w+)\s*\(", sql, re.I
+            ):
+                # array function over a VARIANT column (textually an
+                # array) — re-rewrite with every array fn forced onto
+                # the __va_* jsonb path
+                from databend_spark.functions.registry import (
+                    VARIANT_ARRAY_MODE,
+                )
+
+                VARIANT_ARRAY_MODE[0] = True
+                try:
+                    forced = rewrite_databend_sql(sql)
+                finally:
+                    VARIANT_ARRAY_MODE[0] = False
+                if forced != rewritten:
+                    try:
+                        return spark.sql(forced)
+                    except Exception:  # noqa: BLE001
+                        pass
+            if (
+                "UNEXPECTED_INPUT_TYPE" in msg
+                and 'Cannot resolve "length(' in msg
+                and re.search(r"\blength\s*\(", sql, re.I)
+            ):
+                # Databend's length() also counts array/map elements
+                try:
+                    return spark.sql(
+                        rewrite_databend_sql(
+                            re.sub(
+                                r"\blength\s*\(", "size(", sql, flags=re.I
+                            )
+                        )
+                    )
+                except Exception:  # noqa: BLE001
+                    pass
+            if (
+                "DATATYPE_MISMATCH" in msg
+                and re.search(r"\barrays_zip\s*\(", sql, re.I)
+            ):
+                # arrays_zip broadcasts scalar COLUMNS along the array
+                # argument (reference array.rs); probe each argument's
+                # type and wrap scalars
+                alt = _arrays_zip_broadcast(sql)
+                if alt:
+                    try:
+                        return spark.sql(rewrite_databend_sql(alt))
+                    except Exception:  # noqa: BLE001
+                        pass
             if (
                 ("DATATYPE_MISMATCH" in msg or "UNEXPECTED_INPUT_TYPE" in msg)
                 and re.search(r"\bget\s*\(", sql, re.I)
