@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 
 # --- pure renames: databend name -> spark SQL function name ----------------
 # (sources: function_list.txt aliases block; scalars/{string,timestamp,…})
+# forced by the testkit when Spark rejects a Python UDF inside a lambda
+# body — macros re-expand with JVM-only templates
+LAMBDA_SAFE_MODE: list[bool] = [False]
+
 RENAME: dict[str, str] = {
     # type conversion
     "to_string": "cast_to_string",  # handled in COMPOSED (needs type arg)
@@ -334,7 +338,25 @@ SQL_MACROS: dict[str, str] = {
     },
     # Databend split/split_part use a LITERAL separator (string.rs:987)
     # — Spark's split is regex-based
-    "split": {2: "__split(CAST({0} AS STRING), CAST({1} AS STRING))"},
+    # JVM fallback inside lambdas (Spark bans Python UDFs there): a
+    # literal separator becomes a \Q…\E-quoted regex for native split
+    "split": lambda args: (
+        None
+        if len(args) != 2
+        else (
+            (
+                "spl\x03it(CAST({0} AS STRING), '\\\\Q{sep}\\\\E')".format(
+                    args[0],
+                    sep=_literal_text(args[1])[1:-1].replace("'", "''"),
+                )
+            )
+            if LAMBDA_SAFE_MODE[0]
+            and _literal_text(args[1]).startswith("'")
+            else "__split(CAST({0} AS STRING), CAST({1} AS STRING))".format(
+                *args
+            )
+        )
+    ),
     "split_part": {
         3: "__split_part(CAST({0} AS STRING), CAST({1} AS STRING), {2})"
     },
@@ -3147,6 +3169,23 @@ SQL_MACROS.update(
         # match null elements
         "contains": "exists({0}, __ct -> __ct <=> ({1}))",
         "arrays_zip": _arrays_zip_macro,
+        # arithmetic-by-name (reference arithmetic.rs registers these;
+        # the experimental dialect's method calls desugar onto them)
+        "add": {2: "(({0}) + ({1}))"},
+        "plus": {2: "(({0}) + ({1}))"},
+        "subtract": {2: "(({0}) - ({1}))"},
+        "multiply": {2: "(({0}) * ({1}))"},
+        "divide": {2: "(({0}) / ({1}))"},
+        "like_any": lambda args: (
+            f"({args[0]} LIKE {args[1]})"
+            if len(args) == 2
+            or (len(args) == 3 and _literal_text(args[2]) == "''")
+            else (
+                f"like({args[0]}, {args[1]}, {args[2]})"
+                if len(args) == 3
+                else None
+            )
+        ),
         # sample (adjusted) higher moments — matches the reference's
         # skewness/kurtosis aggregates (verified against the SLT goldens)
         "array_skewness": _array_moment_tpl("skew"),

@@ -3921,6 +3921,18 @@ def rewrite_databend_sql(sql: str) -> str:
     masked, literals = _mask_strings(sql)
     # line comments (safe post-masking; `--` can't appear in a literal)
     masked = re.sub(r"--[^\n]*", "", masked)
+    if re.search(r"[^\x00-\x7f]", masked):
+        # bare unicode identifiers (alias/unicode_ident.test): Spark's
+        # parser wants them backtick-quoted
+        masked = re.sub(
+            r"(?<![`\w])([A-Za-z_-￿][\w-￿]*)(?![`\w])",
+            lambda m: (
+                f"`{m.group(1)}`"
+                if re.search(r"[^\x00-\x7f]", m.group(1))
+                else m.group(0)
+            ),
+            masked,
+        )
     masked = masked.rstrip()
     while masked.endswith(";"):
         masked = masked[:-1].rstrip()
@@ -4398,6 +4410,33 @@ def rewrite_databend_sql(sql: str) -> str:
         masked = _rewrite_jsonb_ops(masked)
     if "->" in masked or "#>" in masked:
         masked = _rewrite_json_arrows(masked)
+    if re.search(r"\bLIKE\s+ANY\s*\(\s*SELECT\b", masked, re.I):
+        # LIKE ANY (<subquery>) — Spark only takes pattern lists;
+        # desugar to EXISTS over the subquery's single column
+        masked = re.sub(
+            r"([\w.`]+|\x00\d+\x00)\s+LIKE\s+ANY\s*"
+            r"\(\s*(SELECT\b(?:[^()]|\([^()]*\))*)\)"
+            r"(\s*ESCAPE\s*\x00\d+\x00)?",
+            lambda m: (
+                f"EXISTS (SELECT 1 FROM ({m.group(2)}) AS __la(__p) "
+                f"WHERE {m.group(1)} LIKE __p{m.group(3) or ''})"
+            ),
+            masked,
+            flags=re.I,
+        )
+    if re.search(r"\bESCAPE\b", masked, re.I):
+        # ESCAPE '' disables escaping in the reference; Spark demands a
+        # 1-char escape — substitute one that can't occur in patterns
+        def _esc_fix(m: re.Match) -> str:
+            mm = re.fullmatch("\x00(\\d+)\x00", m.group(1))
+            if mm and literals[int(mm.group(1))] == "''":
+                literals.append("'\x01'")
+                return f"ESCAPE \x00{len(literals) - 1}\x00"
+            return m.group(0)
+
+        masked = re.sub(
+            r"ESCAPE\s*(\x00\d+\x00)", _esc_fix, masked, flags=re.I
+        )
     if re.search(r"\bESCAPE\b|\bILIKE\s+(ANY|ALL)\b", masked, re.I):
         masked = _rewrite_like_escape(masked, literals)
     if re.search(r"\bUNPIVOT\s*\(", masked, re.I):

@@ -1267,6 +1267,39 @@ def run_slt_file(
     # -- SQL scripting: session variables + stored procedures
     # (reference parser/script.rs, query/script/) --------------------
     session_vars: dict[str, object] = {}
+    session_var_types: dict[str, str] = {}
+
+    def _var_type_name(v) -> str:
+        """Databend's inferred literal type for SHOW VARIABLES."""
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "Boolean"
+        if isinstance(v, int):
+            if 0 <= v <= 255:
+                return "UInt8"
+            if 0 <= v <= 65535:
+                return "UInt16"
+            if 0 <= v <= 4294967295:
+                return "UInt32"
+            return "UInt64" if v >= 0 else "Int64"
+        if isinstance(v, float):
+            return "Float64"
+        return "String"
+
+    def _variables_df():
+        rows = [
+            (
+                n,
+                f"'{v}'" if isinstance(v, str) else str(v),
+                session_var_types.get(n, _var_type_name(v)),
+            )
+            for n, v in sorted(session_vars.items())
+        ]
+        return spark.createDataFrame(
+            rows or [("", "", "")], "name string, value string, type string"
+        ).filter("name <> ''")
+
     procedures: dict[tuple[str, tuple], dict] = {}
     dedup_labels: set[str] = set()
     # LANGUAGE javascript UDFs/UDAFs + SQL-body typed UDFs/UDTFs
@@ -3635,6 +3668,32 @@ def run_slt_file(
 
     def run_sql(sql: str):
         sql = _preserve_unknown_escapes(sql)
+        if re.search(r"[^\x00-\x7f]", sql):
+            # bare unicode identifiers: quote before ANY handler parses
+            # or re-emits them (Spark requires backticks)
+            from databend_spark.sqlgen import (
+                _mask_strings as _msk_u,
+                _unmask_strings as _unm_u,
+            )
+
+            def _uni_mangle(m: re.Match) -> str:
+                t = m.group(1)
+                if not re.search(r"[^\x00-\x7f]", t):
+                    return t
+                # Spark's catalog only accepts ASCII relation names —
+                # deterministic mangling keeps every reference aligned
+                return "__uni_" + "".join(
+                    c if ord(c) < 128 else f"{ord(c):04x}" for c in t
+                )
+
+            _gu, _lu = _msk_u(sql)
+            _gu = re.sub(
+                "(?<![`\\w])([A-Za-z_\u0080-\uffff][\\w\u0080-\uffff]*)"
+                "(?![`\\w])",
+                _uni_mangle,
+                _gu,
+            )
+            sql = _unm_u(_gu, _lu)
         if '"' in sql and re.search(r'"[^"\n]* [^"\n]*"', sql):
             # Spark schemas reject spaces — mangle db-position quoted
             # names consistently ("a b".t and CREATE/DROP DATABASE "a b")
@@ -3679,6 +3738,16 @@ def run_slt_file(
                 raise ValueError(
                     "[1005] PRQL parse error: expected a pipeline"
                 )
+        if (
+            setting_overrides.get("sql_dialect", "").strip("'\"").lower()
+            == "experimental"
+            and re.match(r"^\s*(SELECT|WITH)\b", sql, re.I)
+        ):
+            from databend_spark.sqlgen.experimental import (
+                rewrite_experimental,
+            )
+
+            sql = rewrite_experimental(sql)
         if (js_udfs or sql_udtfs) and not re.match(
             r"^\s*(?:CREATE|DROP|ALTER)\s", sql, re.I
         ):
@@ -3906,16 +3975,74 @@ def run_slt_file(
             dedup_labels.add(_mlbl.group(1))
         # -- SQL scripting surface (EXECUTE IMMEDIATE, procedures,
         # session variables) — before any rewriting mangles $$ bodies
+        _msvm = re.match(
+            r"^\s*SET\s+VARIABLE\s+(?:\(([\w\s,]+)\)|(\w+))\s*=\s*"
+            r"\(\s*(SELECT\b.+)\)\s*;?\s*$",
+            sql,
+            re.I | re.S,
+        )
+        if _msvm:
+            names = [
+                n.strip().lower()
+                for n in (_msvm.group(1) or _msvm.group(2)).split(",")
+                if n.strip()
+            ]
+            res = run_sql(_msvm.group(3))
+            if len(res.columns) != len(names):
+                raise ValueError(
+                    f"Expect {len(names)} column in set query result, "
+                    f"but got {len(res.columns)} columns"
+                )
+            rows = res.collect()
+            vals = list(rows[0]) if rows else [None] * len(names)
+            for n, v in zip(names, vals):
+                session_vars[n] = v
+                session_var_types[n] = _var_type_name(v)
+            return spark.sql("SELECT 1 AS ok WHERE false")
         _msv = re.match(
             r"^\s*SET\s+VARIABLE\s+(\w+)\s*=\s*(.+?);?\s*$", sql, re.I | re.S
         )
         if _msv:
             from databend_spark.operators.script import ScriptRunner
 
-            session_vars[_msv.group(1).lower()] = ScriptRunner(
-                run_sql
-            )._eval(_msv.group(2))
+            _vv = ScriptRunner(run_sql)._eval(_msv.group(2))
+            session_vars[_msv.group(1).lower()] = _vv
+            session_var_types[_msv.group(1).lower()] = _var_type_name(_vv)
             return spark.sql("SELECT 1 AS ok WHERE false")
+        _msw = re.match(
+            r"^\s*SHOW\s+VARIABLES"
+            r"(?:\s+LIKE\s+'((?:[^']|'')*)')?(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+            sql,
+            re.I | re.S,
+        )
+        if _msw:
+            df = _variables_df()
+            if _msw.group(1):
+                df = df.filter(f"name LIKE '{_msw.group(1)}'")
+            if _msw.group(2):
+                df = df.filter(_msw.group(2).rstrip("; \n"))
+            return df.orderBy("name")
+        if re.search(r"\bshow_variables\s*\(\s*\)", sql, re.I):
+            _variables_df().createOrReplaceTempView("__show_variables")
+            sql = re.sub(
+                r"\bshow_variables\s*\(\s*\)",
+                "__show_variables",
+                sql,
+                flags=re.I,
+            )
+        if session_vars and re.search(r"\bgetvariable\s*\(", sql, re.I):
+            from databend_spark.operators.script import _sql_literal
+
+            sql = re.sub(
+                r"\bgetvariable\s*\(\s*'(\w+)'\s*\)",
+                lambda m: _sql_literal(
+                    session_vars.get(m.group(1).lower())
+                )
+                if session_vars.get(m.group(1).lower()) is not None
+                else "NULL",
+                sql,
+                flags=re.I,
+            )
         if session_vars and re.search(r"\$[A-Za-z_]\w*", sql) and not re.match(
             r"^\s*EXECUTE\s+IMMEDIATE", sql, re.I
         ):
@@ -9002,6 +9129,23 @@ def run_slt_file(
                     forced = rewrite_databend_sql(sql)
                 finally:
                     VARIANT_ARRAY_MODE[0] = False
+                if forced != rewritten:
+                    try:
+                        return spark.sql(forced)
+                    except Exception:  # noqa: BLE001
+                        pass
+            if "LAMBDA_FUNCTION_WITH_PYTHON_UDF" in msg:
+                # a macro expanded to a Python UDF inside a lambda body —
+                # re-rewrite with JVM-only templates
+                from databend_spark.functions.registry import (
+                    LAMBDA_SAFE_MODE,
+                )
+
+                LAMBDA_SAFE_MODE[0] = True
+                try:
+                    forced = rewrite_databend_sql(sql)
+                finally:
+                    LAMBDA_SAFE_MODE[0] = False
                 if forced != rewritten:
                     try:
                         return spark.sql(forced)
