@@ -7483,6 +7483,47 @@ def run_slt_file(
                     _replace_table(t, new_sql)
                     _bump_commit(t, analyze=True)
                 return spark.createDataFrame([(n_u,)], "count bigint")
+        if re.match(r"^\s*WITH\b", sql, re.I) and re.search(
+            r"\b(UPDATE\s+[\w.`]+\s+SET|DELETE\s+FROM)\b", sql, re.I
+        ):
+            # CTE-prefixed mutation (reference update_cte.test): expose
+            # each CTE as a temp view and run the bare statement
+            pos = re.match(r"^\s*WITH\s+", sql, re.I).end()
+            ctes_m: list[tuple[str, str]] = []
+            while True:
+                mn = re.match(r"\s*([\w`]+)\s+AS\s*\(", sql[pos:], re.I)
+                if not mn:
+                    break
+                op = pos + mn.end() - 1
+                depth, j = 0, op
+                while j < len(sql):
+                    depth += {"(": 1, ")": -1}.get(sql[j], 0)
+                    j += 1
+                    if depth == 0:
+                        break
+                ctes_m.append(
+                    (mn.group(1).strip("`"), sql[op + 1 : j - 1])
+                )
+                pos = j
+                mc = re.match(r"\s*,", sql[pos:])
+                if mc:
+                    pos += mc.end()
+                    continue
+                break
+            tail = sql[pos:].strip()
+            if ctes_m and re.match(r"^(UPDATE|DELETE)\b", tail, re.I):
+                created = []
+                try:
+                    for nm, body in ctes_m:
+                        run_sql(body).createOrReplaceTempView(nm)
+                        created.append(nm)
+                    return run_sql(tail)
+                finally:
+                    for nm in created:
+                        try:
+                            spark.catalog.dropTempView(nm)
+                        except Exception:  # noqa: BLE001
+                            pass
         m = _update_stmt.match(sql)
         if m and re.match(r"^\s*UPDATE\b", sql, re.I):
             t, body, cond = m.group(1), m.group(2), m.group(3)
