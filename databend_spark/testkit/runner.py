@@ -1287,6 +1287,17 @@ def run_slt_file(
             return "Float64"
         return "String"
 
+    def _mv_check_sources(nm: str, mv: dict) -> None:
+        """A dropped-and-recreated source table has a new identity — the
+        persisted MV definition must not silently read the replacement
+        (reference error 2328)."""
+        for s, g in mv["gens"].items():
+            if table_gen.get(s, 0) != g:
+                raise RuntimeError(
+                    f"[2328] materialized view {nm}: source table "
+                    "changed since creation"
+                )
+
     def _variables_df():
         rows = [
             (
@@ -1306,6 +1317,10 @@ def run_slt_file(
     # (reference 03_0013_select_udf.test / 03_0047_select_udaf.test)
     js_udfs: dict[str, dict] = {}
     sql_udtfs: dict[str, dict] = {}
+    # materialized views (reference query/materialized_view.test):
+    # definition + pinned source-table generations
+    materialized_views: dict[str, dict] = {}
+    table_gen: dict[str, int] = {}
 
     def _ptype_display(t: str) -> str:
         base = re.sub(r"\(.*", "", t.strip()).lower()
@@ -1480,6 +1495,10 @@ def run_slt_file(
                     )
         ddl_decl_types[tbl] = decl
         ddl_defaults[tbl] = dflt
+        # table identity generation: CREATE (or re-CREATE after DROP)
+        # gives a fresh identity — materialized views pin their source's
+        # generation and refuse to read a replaced table (error 2328)
+        table_gen[tbl] = table_gen.get(tbl, 0) + 1
         comments = {}
         for c in cols:
             toks = c.strip().split()
@@ -2081,6 +2100,11 @@ def run_slt_file(
                         ddl_options.get(t.name.lower(), {}).items()
                     )
                 )
+                ttype = (
+                    "MATERIALIZED VIEW"
+                    if t.name.lower() in materialized_views
+                    else ("VIEW" if t.tableType == "VIEW" else "BASE TABLE")
+                )
                 trows.append(
                     (
                         t.name, dbname,
@@ -2088,7 +2112,7 @@ def run_slt_file(
                         "VIEW" if t.tableType == "VIEW" else "FUSE",
                         now, nrows, dsize, csize, 0,
                         "account_admin", opt, 0,
-                        nfiles, 1 if nfiles else 0,
+                        nfiles, 1 if nfiles else 0, ttype,
                     )
                 )
         _DBT = {
@@ -2099,7 +2123,8 @@ def run_slt_file(
         for name in _SYSTEM_VIRTUAL:
             trows.append(
                 (name, "system", zlib.crc32(name.encode()), "SystemTable",
-                 now, 0, 0, 0, 0, "account_admin", "", 0, 0, 0)
+                 now, 0, 0, 0, 0, "account_admin", "", 0, 0, 0,
+                 "SYSTEM TABLE")
             )
             try:
                 for f in spark.table(f"system.`{name}`").schema.fields:
@@ -2121,8 +2146,8 @@ def run_slt_file(
         tvals = ", ".join(
             f"({q(n)}, {q(d)}, {tid}L, {q(e)}, TIMESTAMP{q(ts)}, {nr}L,"
             f" {ds}L, {cs}L, {isz}L, {q(ow)}, {q(op)}, {ext},"
-            f" 'default', {nb}L, {ns}L)"
-            for (n, d, tid, e, ts, nr, ds, cs, isz, ow, op, ext, nb, ns)
+            f" 'default', {nb}L, {ns}L, {q(tt)})"
+            for (n, d, tid, e, ts, nr, ds, cs, isz, ow, op, ext, nb, ns, tt)
             in trows
         )
         spark.sql("CREATE DATABASE IF NOT EXISTS system")
@@ -2132,7 +2157,7 @@ def run_slt_file(
             + " AS t(name, database, table_id, engine, created_on,"
             " num_rows, data_size, data_compressed_size, index_size,"
             " owner, table_option, is_external, catalog,"
-            " number_of_blocks, number_of_segments)"
+            " number_of_blocks, number_of_segments, table_type)"
         )
         cvals = ", ".join(
             f"({q(n)}, {q(d)}, {q(t)}, {q(ty)}, {q(dk)}, {q(de)}, '')"
@@ -2146,7 +2171,7 @@ def run_slt_file(
         )
         _tbl_nrows = {
             (d, n): nr
-            for (n, d, _tid, _e, _ts, nr, _ds, _cs, _i, _o, _op, _x, _b, _s)
+            for (n, d, _tid, _e, _ts, nr, *_rest14)
             in trows
         }
         stat_rows = ", ".join(
@@ -3853,6 +3878,72 @@ def run_slt_file(
                     return None
 
             sql = rewrite_select_srfs(sql, _srf_probe)
+        _mmv = re.match(
+            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*"
+            r"(?:\(([^)]*)\)\s*)?AS\s+(.+?)\s*;?\s*$",
+            sql,
+            re.I | re.S,
+        )
+        if _mmv:
+            nm = _mmv.group(3).split(".")[-1].strip("`").lower()
+            cols_mv = [
+                c.strip().strip("`")
+                for c in (_mmv.group(4) or "").split(",")
+                if c.strip()
+            ]
+            defn = _mmv.group(5).strip()
+            srcs = {
+                t.split(".")[-1].strip("`").lower()
+                for t in re.findall(
+                    r"\b(?:FROM|JOIN)\s+([\w.`]+)", defn, re.I
+                )
+            }
+            body = (
+                f"SELECT * FROM ({defn}) AS __mv({', '.join(cols_mv)})"
+                if cols_mv
+                else f"SELECT * FROM ({defn}) __mv"
+            )
+            run_sql(
+                f"CREATE {'OR REPLACE ' if _mmv.group(1) else ''}TABLE "
+                f"{_mmv.group(3)} AS {body} LIMIT 0"
+            )
+            materialized_views[nm] = {
+                "def": body,
+                "gens": {s: table_gen.get(s, 0) for s in srcs},
+            }
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        _mrf = re.match(
+            r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if _mrf:
+            nm = _mrf.group(1).split(".")[-1].strip("`").lower()
+            mv = materialized_views.get(nm)
+            if mv is None:
+                raise ValueError(f"[2318] unknown materialized view {nm}")
+            _mv_check_sources(nm, mv)
+            _replace_table(_mrf.group(1), mv["def"])
+            _bump_commit(_mrf.group(1))
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        _mdv = re.match(
+            r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?"
+            r"([\w.`]+)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if _mdv:
+            nm = _mdv.group(2).split(".")[-1].strip("`").lower()
+            if nm not in materialized_views and not _mdv.group(1):
+                raise ValueError(f"[2318] unknown materialized view {nm}")
+            materialized_views.pop(nm, None)
+            spark.sql(f"DROP TABLE IF EXISTS {_mdv.group(2)}")
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        if materialized_views and re.match(r"^\s*SELECT\b", sql, re.I):
+            for nm, mv in materialized_views.items():
+                if re.search(rf"\b{nm}\b", sql, re.I):
+                    _mv_check_sources(nm, mv)
         if re.match(
             r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?DICTIONARY\b", sql, re.I
         ):
