@@ -2128,6 +2128,60 @@ def _va_lambda(kind: str, force: bool = False):
     return build
 
 
+_VA_CAST2 = {
+    "uint8": "SMALLINT", "uint16": "INT", "uint32": "BIGINT",
+    "uint64": "DECIMAL(20,0)", "int8": "TINYINT", "int16": "SMALLINT",
+    "int32": "INT", "int64": "BIGINT", "float32": "FLOAT",
+    "float64": "DOUBLE", "varchar": "STRING", "text": "STRING",
+}
+
+
+def _date_between(args: list[str]) -> str | None:
+    """date_between(unit, start, end): COMPLETE units elapsed
+    (anniversary-based, truncating toward zero; reference
+    timestamp/src/datetime.rs eval_*_between). months_between can't be
+    used — Spark ignores time-of-day on equal days-of-month."""
+    if len(args) != 3:
+        return None
+    unit = _literal_text(args[0]).strip().strip("'").lower()
+    s = f"CAST({args[1]} AS TIMESTAMP)"
+    e = f"CAST({args[2]} AS TIMESTAMP)"
+    if unit in (
+        "year", "isoyear", "quarter", "month", "millennium", "century",
+        "decade",
+    ):
+        off_s = f"(unix_micros({s}) - unix_micros(date_trunc('MONTH', {s})))"
+        off_e = f"(unix_micros({e}) - unix_micros(date_trunc('MONTH', {e})))"
+        base = (
+            f"((year({e}) * 12 + month({e}))"
+            f" - (year({s}) * 12 + month({s})))"
+        )
+        m = (
+            f"({base} - (CASE WHEN {base} > 0 AND {off_e} < {off_s} THEN 1"
+            f" WHEN {base} < 0 AND {off_e} > {off_s} THEN -1 ELSE 0 END))"
+        )
+        div = {
+            "year": 12, "isoyear": 12, "quarter": 3, "month": 1,
+            "decade": 120, "century": 1200, "millennium": 12000,
+        }[unit]
+        return f"CAST(({m}) / {div} AS BIGINT)"
+    per = {
+        "yearweek": 7 * 86400 * 1_000_000,
+        "week": 7 * 86400 * 1_000_000,
+        "day": 86400 * 1_000_000,
+        "hour": 3600 * 1_000_000,
+        "minute": 60 * 1_000_000,
+        "second": 1_000_000,
+        "millisecond": 1000,
+        "microsecond": 1,
+    }.get(unit)
+    if per is None:
+        return None
+    return (
+        f"CAST((unix_micros({e}) - unix_micros({s})) / {per} AS BIGINT)"
+    )
+
+
 def _arrays_zip_macro(args: list[str]) -> str | None:
     """arrays_zip over literals: scalars broadcast along the first array
     (length 1 when every argument is scalar); unequal literal arrays are
@@ -3168,6 +3222,29 @@ SQL_MACROS.update(
         # coercion (contains(date_arr, '2021-01-01')); NULL needles
         # match null elements
         "contains": "exists({0}, __ct -> __ct <=> ({1}))",
+        "date_between": _date_between,
+        "datebetween": _date_between,
+        # ClickHouse-style two-argument cast: cast(x, TYPE)
+        "cast": lambda args: (
+            f"CAST({args[0]} AS "
+            f"{_VA_CAST2.get(args[1].strip().lower(), args[1])})"
+            if len(args) == 2
+            and re.fullmatch(
+                r"[A-Za-z_]\w*(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?",
+                args[1].strip(),
+            )
+            else None
+        ),
+        "try_cast": lambda args: (
+            f"TRY_CAST({args[0]} AS "
+            f"{_VA_CAST2.get(args[1].strip().lower(), args[1])})"
+            if len(args) == 2
+            and re.fullmatch(
+                r"[A-Za-z_]\w*(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?",
+                args[1].strip(),
+            )
+            else None
+        ),
         "arrays_zip": _arrays_zip_macro,
         # arithmetic-by-name (reference arithmetic.rs registers these;
         # the experimental dialect's method calls desugar onto them)
