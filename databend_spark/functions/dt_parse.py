@@ -72,7 +72,11 @@ def parse_dt(text: str, fmt: str):
             if i < n and text[i] in "+-":
                 neg = text[i] == "-"
                 i += 1
-            v, i = _digits(text, i, 6)
+            # compact formats (%Y%m%d over '20240501'): the year must
+            # leave digits for the following directives — fixed width 4
+            # when more digit-consuming specs follow, like chrono
+            cap = 4 if re.search(r"%[mdeHkMSIVuljyfC]", fmt[k:]) else 6
+            v, i = _digits(text, i, cap)
             f["Y" if spec == "Y" else "G"] = -v if neg else v
         elif spec == "y":
             v, i = _digits(text, i, 2)

@@ -759,6 +759,9 @@ def _to_binary_macro(args: list[str], cast: str) -> str | None:
     a = args[0]
     if re.search(r"to_bitmap\s*\(|build_bitmap\s*\(|sort_array\s*\(", a, re.I):
         return f"__bitmap_binary({a})"
+    if re.search(r"st_geography\w*\s*\(|__geo_parse_geog\s*\(", a, re.I):
+        # geography → plain WKB (reference casts drop the SRID header)
+        return f"__geo_wkb('wkb', {a})"
     if re.search(r"__wkt_ewkb\s*\(|st_ge\w*from\w*\s*\(", a, re.I):
         return f"({a})"
     return f"{cast}({a} AS BINARY)"

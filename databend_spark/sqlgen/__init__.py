@@ -400,12 +400,24 @@ def _dt_fmt_repl(m: re.Match) -> str:
         "to_timestamp", "try_to_timestamp", "str_to_timestamp",
         "to_date", "try_to_date", "to_datetime", "try_to_datetime",
     ):
-        tryf = "true" if fn.startswith("try_") else "false"
         fl = fmt.replace("'", "''")
         out = "DATE" if fn.endswith("to_date") else "TIMESTAMP"
+        # the UDF itself NEVER raises (Spark extracts Python UDFs into a
+        # pre-filter projection, so it sees rows other conjuncts would
+        # have guarded away — query/filter.test); non-try forms raise
+        # JVM-side, which stays inside the short-circuiting Filter
+        parse = (
+            f"__dt_parse(CAST({m.group(2)} AS STRING), '{fl}',"
+            f" current_timezone(), true)"
+        )
+        if fn.startswith("try_"):
+            return f"CAST({parse} AS {out})"
         return (
-            f"CAST(__dt_parse(CAST({m.group(2)} AS STRING), '{fl}',"
-            f" current_timezone(), {tryf}) AS {out})"
+            f"CAST((CASE WHEN ({m.group(2)}) IS NOT NULL AND"
+            f" {parse} IS NULL THEN"
+            f" raise_error(concat('cannot parse ',"
+            f" CAST({m.group(2)} AS STRING), ' with format {fl}'))"
+            f" ELSE {parse} END) AS {out})"
         )
     # PG NUMERIC templates (digit positions 9/0 outside quotes, no
     # %-codes) are not datetime formats at all — leave the call intact
@@ -3921,18 +3933,6 @@ def rewrite_databend_sql(sql: str) -> str:
     masked, literals = _mask_strings(sql)
     # line comments (safe post-masking; `--` can't appear in a literal)
     masked = re.sub(r"--[^\n]*", "", masked)
-    if re.search(r"[^\x00-\x7f]", masked):
-        # bare unicode identifiers (alias/unicode_ident.test): Spark's
-        # parser wants them backtick-quoted
-        masked = re.sub(
-            r"(?<![`\w])([A-Za-z_-￿][\w-￿]*)(?![`\w])",
-            lambda m: (
-                f"`{m.group(1)}`"
-                if re.search(r"[^\x00-\x7f]", m.group(1))
-                else m.group(0)
-            ),
-            masked,
-        )
     masked = masked.rstrip()
     while masked.endswith(";"):
         masked = masked[:-1].rstrip()

@@ -3695,11 +3695,22 @@ def run_slt_file(
         sql = _preserve_unknown_escapes(sql)
         if re.search(r"[^\x00-\x7f]", sql):
             # bare unicode identifiers: quote before ANY handler parses
-            # or re-emits them (Spark requires backticks)
-            from databend_spark.sqlgen import (
-                _mask_strings as _msk_u,
-                _unmask_strings as _unm_u,
-            )
+            # or re-emits them (Spark requires backticks). Mask with the
+            # backslash-aware literal pattern — sqlgen's masker doesn't
+            # know \' escapes and would leave literal content exposed
+            def _msk_u(s: str):
+                lits: list[str] = []
+
+                def stash(mm: re.Match) -> str:
+                    lits.append(mm.group(0))
+                    return f"\x00{len(lits) - 1}\x00"
+
+                return _SQUOTE_LIT.sub(stash, s), lits
+
+            def _unm_u(s: str, lits: list[str]) -> str:
+                for _i, _lit in enumerate(lits):
+                    s = s.replace(f"\x00{_i}\x00", _lit)
+                return s
 
             def _uni_mangle(m: re.Match) -> str:
                 t = m.group(1)
