@@ -210,10 +210,18 @@ def rewrite_select_srfs(sql: str, probe) -> str:
         )
 
     new_items = []
+    ucols = ", ".join(f"__u{k}" for k in range(len(calls)))
     for it in items:
         for text, k in pos_of.items():
             it = it.replace(text, f"__u{k}")
-        new_items.append(it.strip())
+        it = it.strip()
+        # a star item would re-expand the generated __uK columns from
+        # the subquery — extend its exclusion list
+        ms = re.match(r"^\*\s*(?:exclude\s*\(([^)]*)\))?\s*$", it, re.I)
+        if ms:
+            prev = (ms.group(1) or "").strip()
+            it = f"* exclude({prev + ', ' if prev else ''}{ucols})"
+        new_items.append(it)
 
     inner = "SELECT " + ("*, " if from_seg else "") + f"inline({zipped})"
     if from_seg:
