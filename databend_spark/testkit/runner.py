@@ -3973,7 +3973,13 @@ def run_slt_file(
             sql = _dict_prepass(sql)
         if re.search(r"\bPIVOT\s*\(", sql, re.I):
             sql = _pivot_prepass(sql)
-        if "$$" not in sql and re.search(r"(?<![\w$])\$\d", sql):
+        if (
+            "$$" not in sql
+            and re.search(r"(?<![\w$])\$\d", sql)
+            and not re.search(r"(?:FROM|JOIN)\s+\(?\s*'?@", sql, re.I)
+        ):
+            # stage scans keep their positional $N — the stage shim
+            # resolves them against the file schema
             sql = _dollar_prepass(sql)
         if re.search(
             r"\btypeof\s*\(\s*(?:sum|avg)\s*\("
