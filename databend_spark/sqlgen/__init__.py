@@ -278,7 +278,7 @@ _DDL_OPTIONS = [
         r"data_retention_period_in_hours|change_tracking|"
         r"data_retention_num_snapshots_to_keep|enable_auto_analyze|"
         r"approx_distinct_columns|analyze_frequency_columns|"
-        r"analyze_top_n_size|"
+        r"analyze_top_n_size|segment_format|row_per_page|"
         r"enable_auto_vacuum)"
         r"\s*=\s*('[^']*'|\x00\d+\x00|\d+|\w+)",
         re.I,

@@ -589,6 +589,16 @@ def _rewrite_nextval(sql: str, sequences: dict, spark) -> str:
 _SETTINGS_BASE = [
     ("script_max_steps", "10000", "None",
      "Maximum steps a SQL script may execute.", "UInt64"),
+    ("proxy_routing_model", "prefix", "None",
+     "Routing model for PROXY-engine tables.", "String"),
+    ("enable_prune_pipeline", "0", "None",
+     "Enable the pipelined pruner.", "UInt64"),
+    ("enable_distributed_pruning", "1", "None",
+     "Distribute block pruning across the cluster.", "UInt64"),
+    ("enable_prune_cache", "0", "None",
+     "Cache pruning results.", "UInt64"),
+    ("enable_proxy_bloom_pruning", "0", "None",
+     "Consult bloom pruning stats when routing PROXY tables.", "UInt64"),
     ("enable_auto_detect_datetime_format", "0", "None",
      "Lenient (non-padded) date/time parsing in loads.", "UInt64"),
     ("stage_path_traversal_policy", "disable", "None",
@@ -1321,6 +1331,9 @@ def run_slt_file(
     # definition + pinned source-table generations
     materialized_views: dict[str, dict] = {}
     table_gen: dict[str, int] = {}
+    # PROXY-engine tables (query/proxy_table.test): queries route to the
+    # target whose cluster key appears in the predicate, else default
+    proxy_tables: dict[str, dict] = {}
 
     def _ptype_display(t: str) -> str:
         base = re.sub(r"\(.*", "", t.strip()).lower()
@@ -3889,6 +3902,91 @@ def run_slt_file(
                     return None
 
             sql = rewrite_select_srfs(sql, _srf_probe)
+        _mpx = re.match(
+            r"^\s*CREATE\s+TABLE\s+([\w.`]+)\s*\([^)]*\)\s*"
+            r"engine\s*=\s*proxy\s+targets\s*=\s*'([^']+)'\s*"
+            r"(?:default\s*=\s*'([^']+)')?\s*;?\s*$",
+            sql,
+            re.I | re.S,
+        )
+        if _mpx:
+            nm = _mpx.group(1).split(".")[-1].strip("`").lower()
+            tgts = [t.strip().lower() for t in _mpx.group(2).split(",")]
+            proxy_tables[nm] = {
+                "targets": tgts,
+                "default": (_mpx.group(3) or tgts[0]).strip().lower(),
+            }
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        if proxy_tables:
+            _mpd = re.match(
+                r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$",
+                sql,
+                re.I,
+            )
+            if _mpd and _mpd.group(1).split(".")[-1].strip(
+                "`"
+            ).lower() in proxy_tables:
+                proxy_tables.pop(
+                    _mpd.group(1).split(".")[-1].strip("`").lower()
+                )
+                return spark.sql("SELECT 1 AS ok WHERE false")
+            for nm, info in list(proxy_tables.items()):
+                if not re.search(
+                    rf"\b(?:FROM|JOIN)\s+{nm}\b", sql, re.I
+                ):
+                    continue
+                model = str(
+                    setting_overrides.get("proxy_routing_model", "prefix")
+                ).strip("'\"").lower()
+                if model == "statistics":
+                    for t in info["targets"]:
+                        if (
+                            ddl_options.get(t, {}).get(
+                                "SEGMENT_FORMAT", ""
+                            ).lower()
+                            == "column_oriented"
+                        ):
+                            raise RuntimeError(
+                                "PROXY statistics routing currently does "
+                                f"not support column-oriented target '{t}'"
+                            )
+                target = info["default"]
+                mwh = re.search(r"\bWHERE\b(.*)$", sql, re.I | re.S)
+                if model == "statistics" and mwh and str(
+                    setting_overrides.get("enable_proxy_bloom_pruning", "0")
+                ).strip("'\"") == "1":
+                    # route to the target whose bloom stats prune to the
+                    # fewest blocks (block ≈ parquet file per insert)
+                    best = None
+                    order = [info["default"]] + [
+                        t for t in info["targets"] if t != info["default"]
+                    ]
+                    for t in order:
+                        try:
+                            nfiles = spark.sql(
+                                rewrite_databend_sql(
+                                    "SELECT count(*) AS n FROM"
+                                    " (SELECT input_file_name() AS __f"
+                                    f" FROM {t}"
+                                    f" WHERE {mwh.group(1).rstrip('; ')}"
+                                    " GROUP BY 1)"
+                                )
+                            ).first()["n"]
+                        except Exception:  # noqa: BLE001
+                            continue
+                        if best is None or nfiles < best[0]:
+                            best = (nfiles, t)
+                    if best:
+                        target = best[1]
+                elif mwh:
+                    for t in info["targets"]:
+                        if any(
+                            re.search(rf"\b{k}\b", mwh.group(1), re.I)
+                            for k in cluster_keys.get(t, [])
+                        ):
+                            target = t
+                            break
+                sql = re.sub(rf"\b{nm}\b", target, sql, flags=re.I)
         _mmv = re.match(
             r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
             r"(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*"
