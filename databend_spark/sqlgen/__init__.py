@@ -4639,6 +4639,30 @@ def rewrite_databend_sql(sql: str) -> str:
         rewrite_function_names,
     )
 
+    if re.search(r"\bWITH\b", masked, re.I) and re.search(
+        r"\b(?:FROM|JOIN)\s+\w+\.\w+", masked, re.I
+    ):
+        # the reference resolves a db-qualified name to a same-named CTE
+        # (CTEs shadow tables even under a qualifier —
+        # cte/auto_materialized_cte_unique_name.test)
+        _cte_names = {
+            mm.group(1).lower()
+            for mm in re.finditer(
+                r"\b(\w+)\s+AS\s*(?:MATERIALIZED\s*)?\(\s*SELECT\b",
+                masked,
+                re.I,
+            )
+        }
+        if _cte_names:
+            masked = re.sub(
+                r"(\b(?:FROM|JOIN)\s+)\w+\.(\w+)\b(?!\s*\()",
+                lambda mm: (
+                    mm.group(1) + mm.group(2)
+                    if mm.group(2).lower() in _cte_names
+                    else mm.group(0)
+                ),
+                masked,
+            )
     masked = _rewrite_order_by_nulls(masked)
     # json aggregates in WINDOW position: OVER must bind to the inner
     # collect, not the to_json wrapper the macro would produce
