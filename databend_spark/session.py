@@ -54,6 +54,10 @@ def get_spark(app_name: str = "databend_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
+        # recursive CTEs: the reference iterates far past Spark's
+        # 100-level default (cte/basic_r_cte.test runs 1000+ levels)
+        .config("spark.sql.cteRecursionLevelLimit", "100000")
+        .config("spark.sql.cteRecursionRowLimit", "10000000")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata stores events.ts as parquet TIMESTAMP(NANOS) which

@@ -4663,6 +4663,17 @@ def rewrite_databend_sql(sql: str) -> str:
                 ),
                 masked,
             )
+    if re.search(r"\bover\s*\(\s*\)", masked, re.I):
+        # ranking functions over an empty window: the reference orders
+        # by arrival; Spark demands an ORDER BY (a constant keeps the
+        # arbitrary-order semantics without adding a frame)
+        masked = re.sub(
+            r"\b(row_number|rank|dense_rank|percent_rank|cume_dist|ntile)"
+            r"(\s*\((?:[^()]|\([^()]*\))*\))\s*over\s*\(\s*\)",
+            r"\1\2 OVER (ORDER BY 1)",
+            masked,
+            flags=re.I,
+        )
     masked = _rewrite_order_by_nulls(masked)
     # json aggregates in WINDOW position: OVER must bind to the inner
     # collect, not the to_json wrapper the macro would produce

@@ -9381,6 +9381,25 @@ def run_slt_file(
                         return spark.sql(forced)
                     except Exception:  # noqa: BLE001
                         pass
+            if "INVALID_EXTRACT_BASE_FIELD_TYPE" in msg:
+                # a relation alias equal to one of its column names makes
+                # Spark parse `z.z` as field extraction of the COLUMN —
+                # rename the relation alias and its qualified references
+                _mex2 = re.search(r'value from "(\w+)"', msg)
+                if _mex2 and re.search(
+                    rf"\bAS\s+{_mex2.group(1)}\b", sql, re.I
+                ):
+                    a = _mex2.group(1)
+                    alt = re.sub(
+                        rf"\bAS\s+{a}\b", f"AS __rel_{a}", sql, flags=re.I
+                    )
+                    alt = re.sub(
+                        rf"\b{a}\s*\.", f"__rel_{a}.", alt, flags=re.I
+                    )
+                    try:
+                        return spark.sql(rewrite_databend_sql(alt))
+                    except Exception:  # noqa: BLE001
+                        pass
             if "LAMBDA_FUNCTION_WITH_PYTHON_UDF" in msg:
                 # a macro expanded to a Python UDF inside a lambda body —
                 # re-rewrite with JVM-only templates
