@@ -80,7 +80,7 @@ def parse_dt(text: str, fmt: str):
             f["Y" if spec == "Y" else "G"] = -v if neg else v
         elif spec == "y":
             v, i = _digits(text, i, 2)
-            f["Y"] = 2000 + v if v < 70 else 1900 + v
+            f["Y"] = 2000 + v if v <= 68 else 1900 + v
         elif spec == "C":
             v, i = _digits(text, i, 2)
             f["Y"] = v * 100

@@ -2095,7 +2095,9 @@ def _va_lambda(kind: str, force: bool = False):
         # an aggregate inside a lambda is a binder error (1065) in the
         # reference; Spark would quietly compute it
         if kind != "reduce" and re.search(
-            r"\b(?:count|sum|avg|min|max)\s*\(\s*(?:\*\s*)?\)", body, re.I
+            r"\b(?:count|sum|avg|min|max)\s*\((?:[^()]|\([^()]*\))*\)",
+            body,
+            re.I,
         ):
             return "__error_aggregate_function_in_lambda()"
         if not (force or _any_variantish([v])):

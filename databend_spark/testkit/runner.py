@@ -3137,7 +3137,7 @@ def run_slt_file(
         """Positional column refs ``$N`` / ``alias.$N`` (reference
         bind_select: SELECT $1 = first column of the FROM relation) —
         resolve against the relation's schema and substitute names."""
-        from databend_spark.sqlgen import _mask_strings
+        from databend_spark.sqlgen import _mask_strings, _unmask_strings
         from databend_spark.sqlgen import rewrite_databend_sql as _rwd
 
         masked, _lits = _mask_strings(sql)
@@ -3215,7 +3215,11 @@ def run_slt_file(
             name = f"`{cols[n - 1]}`"
             return f"{alias}.{name}" if alias else name
 
-        return re.sub(r"(?:([A-Za-z_]\w*)\.)?\$(\d+)", repl, sql)
+        # substitute on the masked text so a `$1` inside a string
+        # literal is never rewritten, then restore the literals
+        return _unmask_strings(
+            re.sub(r"(?:([A-Za-z_]\w*)\.)?\$(\d+)", repl, masked), _lits
+        )
 
     def _decorrelate_join_on(sql: str) -> str | None:
         """Correlated subqueries inside JOIN ON (reference decorrelates;
@@ -3308,8 +3312,10 @@ def run_slt_file(
                 return m.group(0)
             outer_t = e2 if l1 else e1
             local_t = e1 if l1 else e2
+            # count(local) not count(*): sum(a+x) skips rows where x is
+            # NULL, and an empty/all-NULL t must yield NULL (0*a + NULL).
             return (
-                f"((SELECT count(*) FROM {tbl}) * {outer_t}"
+                f"((SELECT count({local_t}) FROM {tbl}) * {outer_t}"
                 f" + (SELECT sum({local_t}) FROM {tbl}))"
             )
 
@@ -3986,7 +3992,22 @@ def run_slt_file(
                         ):
                             target = t
                             break
-                sql = re.sub(rf"\b{nm}\b", target, sql, flags=re.I)
+                # swap the proxy name only in table-reference position
+                # (after FROM/JOIN), on masked text so string literals
+                # and same-named column identifiers are untouched
+                from databend_spark.sqlgen import (
+                    _mask_strings as _pms,
+                    _unmask_strings as _pums,
+                )
+
+                _pm, _pl = _pms(sql)
+                _pm = re.sub(
+                    rf"(\b(?:FROM|JOIN)\s+)`?{nm}`?(?![\w`.])",
+                    rf"\g<1>{target}",
+                    _pm,
+                    flags=re.I,
+                )
+                sql = _pums(_pm, _pl)
         _mmv = re.match(
             r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
             r"(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*"
