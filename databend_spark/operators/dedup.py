@@ -42,15 +42,63 @@ def _bind(expr, fn):
 
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin the input across the cluster when it arrives in fewer
-    partitions than cores (e.g. one small parquet file = one scan task):
+    file splits than cores (e.g. one small parquet file = one scan task):
     shingling is CPU-bound, so a single-task scan serializes the whole
     tokenize+shingle pipeline. No-op (returns df unchanged) when the
-    input already has enough partitions — at warehouse scale inputs
-    arrive in thousands of file splits and must NOT be re-shuffled."""
+    input already has enough splits — at warehouse scale inputs arrive
+    in thousands of file splits and must NOT be re-shuffled.
+
+    The probe is ``inputFiles()`` (driver-side scan metadata), NOT
+    ``df.rdd.getNumPartitions()`` — the RDD probe forces a full
+    plan-to-RDD conversion on every call (cost grows with plan size and
+    defeats analyzed-plan reuse). Non-file sources (no input files)
+    keep their upstream partitioning untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file-backed plan
+        nfiles = 0
+    if 0 < nfiles < target:
         return df.repartition(target)
     return df
+
+
+def _footer_row_count(df: DataFrame, max_exact_files: int = 256) -> int | None:
+    """Driver-side row count of a file-backed DataFrame from parquet
+    footers — no Spark job. Returns None when the plan isn't backed by
+    local parquet files (caller falls back to ``df.count()``).
+
+    Counts the base files, so it's an upper bound if ``df`` carries
+    filters — acceptable for heuristics like the stop-shingle DF cap.
+    Beyond ``max_exact_files`` files, samples footers and extrapolates
+    by byte size so the driver never reads tens of thousands of footers."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        return None
+    if not files:
+        return None
+    import os as _os
+    from urllib.parse import urlparse
+
+    paths = []
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None  # remote FS: let Spark count with its own readers
+        paths.append(u.path or f)
+    try:
+        import pyarrow.parquet as _pq
+
+        if len(paths) <= max_exact_files:
+            return sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+        sample = paths[:: max(1, len(paths) // max_exact_files)][:max_exact_files]
+        srows = sum(_pq.ParquetFile(p).metadata.num_rows for p in sample)
+        sbytes = sum(_os.path.getsize(p) for p in sample)
+        tbytes = sum(_os.path.getsize(p) for p in paths)
+        return int(srows * tbytes / sbytes) if sbytes else None
+    except Exception:  # noqa: BLE001 — not parquet / unreadable
+        return None
 
 
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -143,46 +191,80 @@ def ngram_jaccard_pairs(
         "doc", F.explode("shingles").alias("sh_text")
     ).select("doc", F.xxhash64("sh_text").alias("sh"))
     if max_shingle_df == "auto":
-        # one count() job (cheap vs the dedup shuffle itself; parquet
-        # row-count comes from footers, not a data scan)
-        n_docs = df.count()
+        # footer metadata first (no Spark job — the r7 count() job cost
+        # ~0.3s of fixed overhead per call); count() only for non-file
+        # sources
+        n_docs = _footer_row_count(df)
+        if n_docs is None:
+            n_docs = df.count()
         max_shingle_df = max(1000, int(20 * n_docs**0.5))
-    if max_shingle_df is not None:
-        hot = (
-            ex.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
+    # the exploded shingle stream feeds the stop-shingle tally, both join
+    # sides AND the set sizes — lazily localCheckpoint it so
+    # tokenize+shingle runs once (first job materializes the blocks, the
+    # other branches read them).  Unlike persist(), a local checkpoint
+    # never enters the SQL CacheManager, so there is nothing to unpersist:
+    # the context cleaner frees the blocks when the returned DataFrame is
+    # garbage-collected — repeated calls cannot leak executor storage, and
+    # the result is not double-materialized through an eager checkpoint.
+    ex = ex.localCheckpoint(eager=False)
+    # Sizes come from the capped stream, so Jaccard is computed over the
+    # capped shingle universe: stop-shingles leave both |A∩B| and |A∪B| —
+    # true near-dup pairs keep their high Jaccard instead of being dragged
+    # under the threshold by a dropped shared stop-shingle.
+    return _ngram_pair_plan(ex, threshold, max_shingle_df)
+
+
+def _ngram_pair_plan(
+    ex: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
+    """Pair plan over the exploded (doc, sh) shingle stream (factored out
+    so plan tests can pin its shape pre-checkpoint).
+
+    Shape: ONE exchange of the slim (doc, sh) stream hash-partitioned on
+    the shingle; the stop-shingle DF cap is a count-only window over that
+    partitioning (no separate tally job, no driver-side broadcast); pair
+    generation is ``collect_list`` per shingle + an in-partition nested
+    transform emitting C(d,2) (least, greatest) structs — replacing the
+    r7 self-equi-join, whose build/probe machinery dominated small-scale
+    latency while shuffling the same 1-row-per-shared-shingle volume.
+    The window cap runs BEFORE collect_list, so a 10⁷-document
+    stop-shingle is counted (sort-based, spillable) but never collected
+    into one giant array row."""
+    from pyspark.sql import Window
+
+    if max_df is not None:
+        ex = (
+            ex.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("sh"))
+            )
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
         )
-        ex = ex.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
-    # the exploded shingle stream feeds both join sides AND the set sizes
-    # — persist so tokenize+shingle runs once, not 3×, then eagerly
-    # materialize the (small) pair result and unpersist in a finally so
-    # repeated calls never leak executor storage.  Sizes come from the
-    # capped stream, so Jaccard is computed over the capped shingle
-    # universe: stop-shingles leave both |A∩B| and |A∪B| — true near-dup
-    # pairs keep their high Jaccard instead of being dragged under the
-    # threshold by a dropped shared stop-shingle.
-    ex = ex.persist()
-    try:
-        # eager localCheckpoint: runs the job now, truncates lineage so the
-        # result no longer references the persisted stream; blocks are
-        # reference-counted and freed by the context cleaner when the
-        # returned DataFrame is dropped
-        return _ngram_pair_plan(ex, threshold).localCheckpoint(eager=True)
-    finally:
-        ex.unpersist()
+    # groupBy on sh reuses the window's hash partitioning — no 2nd
+    # exchange of the shingle stream
+    lists = ex.groupBy("sh").agg(F.collect_list("doc").alias("ds"))
+    n = F.size(F.col("ds"))
 
+    def tail_pairs(i):
+        x = F.element_at(F.col("ds"), i)
+        return F.transform(
+            F.slice(F.col("ds"), i + 1, n - i),
+            lambda y: F.struct(
+                F.least(x, y).alias("da"), F.greatest(x, y).alias("db")
+            ),
+        )
 
-def _ngram_pair_plan(ex: DataFrame, threshold: float) -> DataFrame:
-    """Pair-join plan over the exploded (doc, sh) shingle stream
-    (factored out so plan tests can pin its shape pre-checkpoint)."""
-    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    a = ex.select(F.col("doc").alias("da"), "sh")
-    b = ex.select(F.col("doc").alias("db"), "sh")
+    pairs_expr = F.when(
+        n >= 2,
+        F.flatten(F.transform(F.sequence(F.lit(1), n - 1), tail_pairs)),
+    )  # otherwise NULL → explode() emits no row
     inter = (
-        a.join(b, "sh")
-        .filter(F.col("da") < F.col("db"))
+        lists.select(F.explode(pairs_expr).alias("p"))
+        .select("p.da", "p.db")
         .groupBy("da", "db")
         .agg(F.count("*").alias("inter"))
     )
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
     # plain shuffle joins for the per-doc sizes: an explicit broadcast
     # of an O(n_docs) relation is a driver OOM at corpus scale — AQE
     # converts to broadcast at runtime only when the sizes side is
@@ -246,16 +328,14 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     # both the band join (twice) and the verify back-join read this —
-    # persist so tokenize+shingle+minhash computes once; eagerly
-    # materialize the pair result and unpersist in a finally so repeated
-    # calls never leak executor storage
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
-    try:
-        return _minhash_lsh_pairs_inner(
-            sigs, bands, r, verify_threshold
-        ).localCheckpoint(eager=True)
-    finally:
-        sigs.unpersist()
+    # lazily localCheckpoint so tokenize+shingle+minhash computes once.
+    # No CacheManager entry, nothing to unpersist: the context cleaner
+    # frees the blocks when the result is garbage-collected, and the
+    # result itself is not double-materialized (see ngram_jaccard_pairs).
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=False)
+    return _minhash_lsh_pairs_inner(sigs, bands, r, verify_threshold)
 
 
 def _minhash_lsh_pairs_inner(
