@@ -2349,6 +2349,176 @@ def _rewrite_asof_join(s: str) -> str:
         s = s[: m.start()] + repl + s[end:]
 
 
+_ANY_JOIN = re.compile(r"\b(?:(INNER|LEFT|RIGHT)\s+)?ANY\s+JOIN\b", re.I)
+
+
+def _rewrite_any_join(s: str) -> str:
+    """``ANY JOIN`` (reference planner plans/join.rs:51-55 — InnerAny /
+    LeftAny / RightAny; SLT suites/query/join/any_join.test): the
+    "any" side(s) contribute at most ONE row per join key.
+
+    Desugar: dedup the any-side relation to one row per key in a
+    derived table — ``min(struct(t.*)) GROUP BY keys`` (the reference
+    keeps an engine-arbitrary row; we pick the lexicographically least
+    row, deterministic). LEFT ANY dedups the build side, RIGHT ANY the
+    probe side, INNER ANY both. Single-side residual ON predicates
+    filter the side BEFORE the pick (matches the reference: ``ON a.id =
+    b.id AND b.v = 'x2'`` picks among rows where v = 'x2')."""
+    while True:
+        m = _ANY_JOIN.search(s)
+        if not m:
+            return s
+        kind = (m.group(1) or "INNER").upper()
+        i = m.end()
+        while i < len(s) and s[i] in " \t\n":
+            i += 1
+        rel_start = i
+        if i < len(s) and s[i] == "(":
+            depth = 0
+            for i in range(i, len(s)):
+                depth += (s[i] == "(") - (s[i] == ")")
+                if depth == 0:
+                    break
+            i += 1
+        else:
+            while i < len(s) and (s[i].isalnum() or s[i] in "._`"):
+                i += 1
+        rel = s[rel_start:i]
+        am = re.match(
+            r"\s*(?:AS\s+)?([A-Za-z_]\w*)", s[i:], re.I
+        )
+        alias = None
+        if am and am.group(1).upper() not in ("ON", "USING", "WHERE"):
+            alias = am.group(1)
+            i += am.end()
+        bname = (alias or rel).strip().strip("`").split(".")[-1]
+        pm = re.search(r"([A-Za-z_][\w.`]*)\s*$", s[: m.start()])
+        if not pm:
+            raise UnsupportedSQL("ANY JOIN: probe relation not found")
+        probe_txt = pm.group(1)
+        pname = probe_txt.strip().strip("`").split(".")[-1]
+        um = re.match(r"\s*USING\s*\(([^)]*)\)", s[i:], re.I)
+        on = re.match(r"\s*ON\b", s[i:], re.I)
+
+        def dedup(rel_txt: str, name: str, keys: list[str], where: list[str]) -> str:
+            w = f" WHERE {' AND '.join(where)}" if where else ""
+            inner_rel = rel_txt if rel_txt.strip().strip("`").split(".")[-1] == name else f"{rel_txt} {name}"
+            return (
+                f"(SELECT __s.* FROM (SELECT min(struct({name}.*)) AS __s "
+                f"FROM {inner_rel}{w} GROUP BY {', '.join(keys)}))"
+            )
+
+        if um:
+            cols = [c.strip().strip("`") for c in um.group(1).split(",")]
+            tail = s[i + um.end():]
+            bkeys = [f"{bname}.`{c}`" for c in cols]
+            pkeys = [f"{pname}.`{c}`" for c in cols]
+            build_txt = (
+                dedup(rel, bname, bkeys, []) + f" {bname}"
+                if kind in ("INNER", "LEFT")
+                else rel + (f" {alias}" if alias else "")
+            )
+            head = s[: pm.start()]
+            probe_out = (
+                dedup(probe_txt, pname, pkeys, []) + f" {pname}"
+                if kind in ("INNER", "RIGHT")
+                else probe_txt
+            )
+            jw = {"INNER": "JOIN", "LEFT": "LEFT JOIN", "RIGHT": "RIGHT JOIN"}[kind]
+            s = (
+                head + probe_out + f" {jw} " + build_txt
+                + f" USING ({um.group(1)})" + tail
+            )
+            continue
+        if not on:
+            raise ValueError("[1065] ANY JOIN requires an ON or USING clause")
+        cond_start = i + on.end()
+        depth, end = 0, len(s)
+        k = cond_start
+        while k < len(s):
+            ch = s[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = k
+                    break
+                depth -= 1
+            elif depth == 0:
+                if ch in ",;":
+                    end = k
+                    break
+                cm = _CLAUSE_END.match(s, k)
+                if cm and not (s[k - 1].isalnum() or s[k - 1] in "_`"):
+                    end = k
+                    break
+            k += 1
+        cond = s[cond_start:end].strip()
+        terms = re.split(r"\bAND\b", cond, flags=re.I)
+        fixed, buf = [], ""
+        for t in terms:
+            buf = t if not buf else buf + " AND " + t
+            if buf.count("(") == buf.count(")"):
+                fixed.append(buf.strip())
+                buf = ""
+
+        def _aliases(txt: str) -> set[str]:
+            return {
+                a.lower()
+                for a in re.findall(r"\b([A-Za-z_]\w*)\s*\.", txt)
+            }
+
+        pkeys: list[str] = []
+        bkeys: list[str] = []
+        equis: list[str] = []
+        pwhere: list[str] = []
+        bwhere: list[str] = []
+        for t in fixed:
+            em = re.match(r"^([^<>!=]+)=([^<>!=]+)$", t, re.S)
+            la = _aliases(t)
+            if em:
+                lhs, rhs = em.group(1).strip(), em.group(2).strip()
+                al, ar = _aliases(lhs), _aliases(rhs)
+                if al == {pname.lower()} and ar == {bname.lower()}:
+                    pkeys.append(lhs)
+                    bkeys.append(rhs)
+                    equis.append(t)
+                    continue
+                if al == {bname.lower()} and ar == {pname.lower()}:
+                    pkeys.append(rhs)
+                    bkeys.append(lhs)
+                    equis.append(t)
+                    continue
+            if la <= {bname.lower()}:
+                bwhere.append(t)
+            elif la <= {pname.lower()}:
+                pwhere.append(t)
+            else:
+                raise UnsupportedSQL(f"ANY JOIN: unsupported ON term {t!r}")
+        if not equis:
+            raise ValueError("[1065] ANY JOIN requires an equi condition")
+        build_txt = (
+            dedup(rel, bname, bkeys, bwhere) + f" {bname}"
+            if kind in ("INNER", "LEFT")
+            else rel + (f" {alias}" if alias else "")
+        )
+        probe_out = (
+            dedup(probe_txt, pname, pkeys, pwhere) + f" {pname}"
+            if kind in ("INNER", "RIGHT")
+            else probe_txt
+        )
+        residual = []
+        if kind in ("RIGHT",) and bwhere:
+            residual += bwhere
+        if kind in ("LEFT",) and pwhere:
+            residual += pwhere
+        jw = {"INNER": "JOIN", "LEFT": "LEFT JOIN", "RIGHT": "RIGHT JOIN"}[kind]
+        s = (
+            s[: pm.start()] + probe_out + f" {jw} " + build_txt
+            + " ON " + " AND ".join(equis + residual) + " " + s[end:]
+        )
+
+
 _ARROW_OP = re.compile(r"(->>|->|#>>|#>)")
 _ARROW_RHS = re.compile(r"(\x00\d+\x00|-?\d+|NULL\b)", re.I)
 _OPERAND_CHARS = frozenset(
@@ -4393,6 +4563,8 @@ def rewrite_databend_sql(sql: str) -> str:
     masked = _rewrite_projected_in_subquery(masked)
     if _ASOF_JOIN.search(masked):
         masked = _rewrite_asof_join(masked)
+    if _ANY_JOIN.search(masked):
+        masked = _rewrite_any_join(masked)
     if re.search(r"\bRIGHT\s+(SEMI|ANTI)\s+JOIN\b", masked, re.I):
         masked = _rewrite_right_semi_anti(masked)
     if re.search(r"\bFLATTEN\s*\(", masked, re.I):

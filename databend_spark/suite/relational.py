@@ -289,6 +289,70 @@ sql_query(
     """,
 )
 
+@register(
+    "join_any_left",
+    # LEFT ANY JOIN = all left rows, ONE right row per key. Our pick is
+    # deterministic (lexicographically least right row = min o_orderkey
+    # here), so the oracle models it with min().
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.n_orders
+    FROM customer c LEFT JOIN (
+        SELECT o_custkey, min(o_orderkey) AS o_orderkey,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_any_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANY JOIN (reference planner plans/join.rs:53 LeftAny; SLT
+    suites/query/join/any_join.test): every left row joined to at most
+    one right row per key — sqlgen desugars the ANY side to a
+    min(struct(*)) GROUP BY key derived table."""
+    from databend_spark.sqlgen import rewrite_databend_sql
+
+    return spark.sql(
+        rewrite_databend_sql(
+            """
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.n_orders
+            FROM customer c LEFT ANY JOIN (
+                SELECT o_custkey, o_orderkey,
+                       count(*) OVER (PARTITION BY o_custkey) AS n_orders
+                FROM orders
+            ) o ON c.c_custkey = o.o_custkey
+            """
+        )
+    )
+
+
+@register(
+    "join_any_inner",
+    # INNER ANY JOIN = ONE row per key from BOTH sides (reference
+    # InnerAny, plans/join.rs:51). orders dedups to its least row per
+    # customer (min o_orderkey — first struct field); customer keys are
+    # unique so its dedup is identity.
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name
+    FROM (SELECT o_custkey, min(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY o_custkey) o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_any_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INNER ANY JOIN: one output row per matching key pair."""
+    from databend_spark.sqlgen import rewrite_databend_sql
+
+    return spark.sql(
+        rewrite_databend_sql(
+            """
+            SELECT orders.o_orderkey, c.c_custkey, c.c_name
+            FROM orders INNER ANY JOIN (
+                SELECT c_custkey, c_name FROM customer
+            ) c ON orders.o_custkey = c.c_custkey
+            """
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operators (binder/select.rs:554-567)
 # ---------------------------------------------------------------------------

@@ -122,3 +122,42 @@ def test_auto_alias_view_body():
 def test_date_add_unit_form():
     out = R("SELECT date_add(HOUR, 12, ts) FROM t")
     assert "timestampadd(HOUR" in out
+
+
+def test_any_join_left_dedups_build_side():
+    out = R("SELECT t1.id, t2.v FROM t1 LEFT ANY JOIN t2 ON t1.id = t2.id")
+    assert "ANY" not in out.upper()
+    assert "LEFT JOIN" in out.upper()
+    assert "min(struct(t2.*))" in out
+    assert "min(struct(t1.*))" not in out
+
+
+def test_any_join_inner_dedups_both_sides():
+    out = R("SELECT * FROM t1 INNER ANY JOIN t2 USING(id)")
+    assert "min(struct(t1.*))" in out
+    assert "min(struct(t2.*))" in out
+    assert "USING (id)" in out
+
+
+def test_any_join_right_dedups_probe_side():
+    out = R("SELECT * FROM t1 RIGHT ANY JOIN t2 ON t1.id = t2.id")
+    assert "min(struct(t1.*))" in out
+    assert "min(struct(t2.*))" not in out
+    assert "RIGHT JOIN" in out.upper()
+
+
+def test_any_join_build_residual_filters_before_pick():
+    out = R(
+        "SELECT * FROM t1 INNER ANY JOIN t2 "
+        "ON t1.id = t2.id AND t2.v = 'x2'"
+    )
+    # the one-sided predicate lands inside the dedup subquery (pick
+    # among filtered rows), not in the outer ON
+    assert "WHERE t2.v =" in out
+
+
+def test_any_join_without_condition_is_binder_error():
+    import pytest
+
+    with pytest.raises(Exception, match=r"\[1065\]"):
+        R("SELECT * FROM t1 INNER ANY JOIN t2")
