@@ -279,7 +279,7 @@ _DDL_OPTIONS = [
         r"data_retention_num_snapshots_to_keep|enable_auto_analyze|"
         r"approx_distinct_columns|analyze_frequency_columns|"
         r"analyze_top_n_size|segment_format|row_per_page|"
-        r"enable_auto_vacuum)"
+        r"enable_auto_vacuum|enable_virtual_column|row_avg_depth_threshold)"
         r"\s*=\s*('[^']*'|\x00\d+\x00|\d+|\w+)",
         re.I,
     ),
@@ -4778,6 +4778,22 @@ def rewrite_databend_sql(sql: str) -> str:
                 masked,
                 flags=re.I,
             )
+        if _CREATE_TABLE.match(masked):
+            # inline external-location string after the column list
+            # (reference `CREATE TABLE t (…) 'fs:///path/'`): no Spark
+            # analog — strip it; the runner records the location from
+            # the original text for sidecar-file emulation
+            def _strip_loc(m: re.Match) -> str:
+                lit = literals[int(m.group(1))]
+                return (
+                    ")"
+                    if re.match(
+                        r"^'(?:fs|s3|azblob|gcs|oss|cos|obs)://", lit, re.I
+                    )
+                    else m.group(0)
+                )
+
+            masked = re.sub(r"\)\s*\x00(\d+)\x00", _strip_loc, masked)
         for pat in _DDL_OPTIONS:
             masked = pat.sub("", masked)
         if not _is_ctas:

@@ -800,13 +800,25 @@ class StageManager:
                 )
             if url_m:
                 u = url_m.group(1)
-                mfs0 = re.match(r"^(?:fs|file)://(/?.*)$", u, re.I)
-                if mfs0 and mfs0.group(1).strip("/"):
-                    # named stages may not point at arbitrary local
-                    # paths (reference storage allow-list; prefix.test)
+                # reference stage/prefix.test rules: bare /path/ and
+                # file:// are rejected with a hint to use fs:///; an
+                # fs:/// url must end with '/'; fs:///path/ is a valid
+                # named local-fs stage (EE vacuum/virtual-column files)
+                if re.match(r"^/", u):
                     raise RuntimeError(
-                        "[2501] local file path is not allowed for "
-                        "CREATE STAGE"
+                        "[2501] local filesystem paths must use "
+                        f"fs:///path/ instead of {u}"
+                    )
+                if re.match(r"^file://", u, re.I):
+                    raise RuntimeError(
+                        "[2501] local filesystem paths must use "
+                        f"fs:///path/ instead of {u}"
+                    )
+                mfs0 = re.match(r"^fs://(/.*)$", u, re.I)
+                if mfs0 and not u.endswith("/"):
+                    raise RuntimeError(
+                        "[2501] path in URL must end with '/' when "
+                        f"CREATE STAGE. Got '{mfs0.group(1)}'."
                     )
                 u2 = u.rstrip("/")
                 if "://" not in u2:
