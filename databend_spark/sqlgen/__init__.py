@@ -288,6 +288,16 @@ _DDL_OPTIONS = [
         r"\bCOMMENT\s*=\s*('[^']*'|\x00\d+\x00)",
         re.I,
     ),
+    re.compile(
+        # computed (generated) column clause — Spark v1 tables have no
+        # generated columns; the runner records the expression and
+        # recomputes on every write (reference ee computed_column).
+        # A preceding bare NULL goes too (Spark rejects `col t NULL ,`)
+        r"(?:\bNULL\s+)?\bAS\s*"
+        r"\((?:[^()]|\([^()]*\)|\((?:[^()]|\([^()]*\))*\))*\)\s*"
+        r"(?:STORED|VIRTUAL)\b",
+        re.I,
+    ),
 ]
 # `settings (k = v[, ...])` statement prefix (per-query session settings)
 _SETTINGS_PREFIX = re.compile(r"^\s*settings\s*\([^)]*\)\s*", re.I)
@@ -3463,11 +3473,18 @@ def _rewrite_variant_subscripts(s: str) -> str:
             pos = i + 1
             continue
         recv = _strip_variant_cast(recv)
+        # an explicit ::STRING cast right after the subscript means
+        # string semantics — unquote (reference variant.rs as_string)
+        # and fold the cast into the accessor's text mode
+        cm = re.match(
+            r"\s*::\s*(?:STRING|VARCHAR|TEXT)\b", s[j + 1 :], re.I
+        )
         repl = (
             f"__variant_access(CAST(({recv}) AS STRING), 'a', "
-            f"CAST(({inner}) AS STRING), false)"
+            f"CAST(({inner}) AS STRING), {'true' if cm else 'false'})"
         )
-        s = s[:start] + repl + s[j + 1 :]
+        end = j + 1 + (cm.end() if cm else 0)
+        s = s[:start] + repl + s[end:]
         pos = start
     return s
 

@@ -167,12 +167,21 @@ def merge_counts(spark, sql: str, rewrite):
 
     # error 4001: a target row matched by >1 source row makes UPDATE
     # non-deterministic — the reference refuses (merge_into unstable)
-    if any(re.match(r"UPDATE\b", c["action"], re.I) for c in matched):
+    _upd_conds = [
+        cc(c) for c in matched if re.match(r"UPDATE\b", c["action"], re.I)
+    ]
+    if _upd_conds:
+        # only matches that can actually fire an UPDATE count toward
+        # non-determinism — a `WHEN MATCHED AND cond` that filters the
+        # duplicates out keeps the merge legal (reference checks the
+        # appended update rows, not the raw join)
+        _guard = " OR ".join(f"({c})" for c in _upd_conds)
         amb = spark.sql(
             f"SELECT count(*) AS n FROM ("
             f"SELECT __ts, count(*) AS c FROM ("
             f"SELECT struct({ta}.*) AS __ts FROM {t} {ta} "
-            f"JOIN {src_ref} ON {on}) __j GROUP BY __ts) j JOIN ("
+            f"JOIN {src_ref} ON ({on}) AND ({_guard})) __j "
+            f"GROUP BY __ts) j JOIN ("
             f"SELECT __ts, count(*) AS c FROM ("
             f"SELECT struct({ta}.*) AS __ts FROM {t} {ta}) __b "
             f"GROUP BY __ts) b ON j.__ts = b.__ts WHERE j.c > b.c"

@@ -1405,6 +1405,27 @@ def run_slt_file(
     ddl_decl_types: dict[str, dict[str, str]] = {}
     # bare-table-name -> local dir of an explicit 'fs:///…' location
     tbl_fs_locations: dict[str, str] = {}
+    # computed (generated) columns (reference ee computed_column:
+    # `col type AS (expr) STORED|VIRTUAL`): bare-table ->
+    # {col: {"expr", "kind", "spark_expr"?}} — recomputed from the base
+    # columns after every write commit
+    computed_cols: dict[str, dict[str, dict]] = {}
+
+    def _validate_bloom_cols(tbl: str, blm) -> None:
+        """bloom_index_columns may not reference VIRTUAL computed
+        columns or VARIANT columns (reference 1301)."""
+        if not blm:
+            return
+        comp = computed_cols.get(tbl, {})
+        decl = ddl_decl_types.get(tbl, {})
+        for bc in str(blm).strip("'\"").split(","):
+            bc = bc.strip().lower()
+            if comp.get(bc, {}).get("kind") == "virtual" or str(
+                decl.get(bc, "")
+            ).lower().startswith(("variant", "json")):
+                raise ValueError(
+                    f"[1301] Invalid bloom filter index column: {bc}"
+                )
     ddl_defaults: dict[str, dict[str, str]] = {}
     ddl_options: dict[str, dict[str, str]] = {}
     ddl_col_comments: dict[str, dict[str, str]] = {}
@@ -1521,6 +1542,24 @@ def run_slt_file(
                     )
         ddl_decl_types[tbl] = decl
         ddl_defaults[tbl] = dflt
+        _comp: dict[str, dict] = {}
+        for c in cols:
+            mcc = re.search(
+                r"^\s*(`?\w+`?)\s+.*?\bAS\s*"
+                r"(\((?:[^()]|\([^()]*\)|\((?:[^()]|\([^()]*\))*\))*\))"
+                r"\s*(STORED|VIRTUAL)\b",
+                c,
+                re.I | re.S,
+            )
+            if mcc:
+                _comp[mcc.group(1).strip("`").lower()] = {
+                    "expr": mcc.group(2)[1:-1].strip(),
+                    "kind": mcc.group(3).lower(),
+                }
+        if _comp:
+            computed_cols[tbl] = _comp
+        else:
+            computed_cols.pop(tbl, None)
         # table identity generation: CREATE (or re-CREATE after DROP)
         # gives a fresh identity — materialized views pin their source's
         # generation and refuse to read a replaced table (error 2328)
@@ -1561,6 +1600,7 @@ def run_slt_file(
         mloc = re.search(r"'fs://(/[^']*)'", sql[end + 1 :])
         if mloc:
             tbl_fs_locations[tbl] = mloc.group(1)
+        _validate_bloom_cols(tbl, opts.get("BLOOM_INDEX_COLUMNS"))
         # a (re)created table starts a fresh snapshot chain
         for k in [k for k in tbl_commits if k[1] == tbl]:
             tbl_commits.pop(k, None)
@@ -2503,6 +2543,11 @@ def run_slt_file(
         tbl_segments[k] = tbl_segments.get(k, 0) + 1
         tbl_commit_times.setdefault(k, []).append(time.time())
         try:
+            _cc_on_write(tbl)  # computed-column recompute (no-op
+            # unless the table declares generated columns)
+        except Exception:  # noqa: BLE001
+            pass
+        try:
             _vc_on_write(tbl)  # virtual-column auto-derive (no-op
             # unless the table has enable_virtual_column)
         except Exception:  # noqa: BLE001
@@ -2681,6 +2726,66 @@ def run_slt_file(
             del before
         except Exception:  # noqa: BLE001
             pass
+
+    def _cc_spark_expr(tbl_bare: str, expr: str) -> str:
+        """Databend computed-column expression → Spark SQL expression
+        (variant brackets/`:` paths through jsonb access, `::type`
+        casts through the dialect rewriter)."""
+        e = expr
+        decl = ddl_decl_types.get(tbl_bare, {})
+        vcols = [
+            c
+            for c, t in decl.items()
+            if str(t).lower().startswith(("variant", "json"))
+        ]
+        for vc in vcols:
+            e = re.sub(
+                rf"(?<![\w`:'])((?:[\w`]+\.)?{vc})\s*\[",
+                r"\1::json[",
+                e,
+                flags=re.I,
+            )
+            e = re.sub(
+                rf"(?<![\w`:'.]){vc}((?::\w+)+)(?!:)",
+                lambda m, c=vc: c
+                + "".join(
+                    f"::json['{p}']" for p in m.group(1)[1:].split(":")
+                ),
+                e,
+                flags=re.I,
+            )
+        out = rewrite_databend_sql(f"SELECT ({e}) AS __cc FROM __cct")
+        m = re.match(r"^\s*SELECT\s*\((.*)\)\s*AS\s+__cc\s+FROM\s+__cct", out, re.S | re.I)
+        return m.group(1) if m else e
+
+    def _cc_on_write(tbl: str) -> None:
+        """Recompute generated columns from the base columns after a
+        write (reference computes STORED at write / VIRTUAL at read —
+        both observable behaviors equal this full recompute)."""
+        k = _commit_key(tbl)
+        comp = computed_cols.get(k[1])
+        if not comp:
+            return
+        full = f"`{k[0]}`.`{k[1]}`"
+        try:
+            cols_order = spark.table(full).columns
+            if not spark.table(full).head(1):
+                return
+        except Exception:  # noqa: BLE001
+            return
+        sel = []
+        for c in cols_order:
+            cc = comp.get(c.lower())
+            # the expression stays in Databend dialect — run_sql's full
+            # rewrite/retry machinery (variant brackets, `:` paths,
+            # `::type` unquoting casts) evaluates it exactly like a
+            # user SELECT would
+            sel.append(
+                f"({cc['expr']}) AS `{c}`" if cc else f"`{c}`"
+            )
+        df = run_sql(f"SELECT {', '.join(sel)} FROM {full}")
+        df.createOrReplaceTempView("__cc_recompute")
+        _replace_table(full, "SELECT * FROM __cc_recompute")
 
     from databend_spark.testkit.rbac import RBAC
 
@@ -3970,6 +4075,32 @@ def run_slt_file(
             # the table part of a qualified name must be backticked in
             # the same pass (name regexes downstream stop at a ")
             sql = re.sub(r'\.\s*"([^"\n]+)"', r".`\1`", sql)
+        if re.search(r"\bAUTOINCREMENT\b", sql, re.I) and re.match(
+            r"^\s*CREATE\b", sql, re.I
+        ):
+            # `col int AUTOINCREMENT` (reference ee/02_computed_column
+            # issue_19203) = implicit 0-based sequence DEFAULT
+            _mct = re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TRANSIENT\s+)?"
+                r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)",
+                sql,
+                re.I,
+            )
+            if _mct:
+                _ait = _mct.group(1).strip("`").split(".")[-1].lower()
+
+                def _ai_sub(m: re.Match) -> str:
+                    seq = f"__ai_{_ait}_{m.group(1).strip('`').lower()}"
+                    sequences[seq] = [0, 1]
+                    return f"{m.group(1)}{m.group(2)} DEFAULT nextval({seq})"
+
+                sql = re.sub(
+                    r"([\w`]+)(\s+\w+(?:\(\d+(?:,\s*\d+)?\))?)\s+"
+                    r"AUTOINCREMENT\b",
+                    _ai_sub,
+                    sql,
+                    flags=re.I,
+                )
         mvshow = re.match(
             r"^\s*SHOW\s+VIRTUAL\s+COLUMNS\s*"
             r"(?:FROM\s+([\w.`]+))?\s*"
@@ -6216,7 +6347,22 @@ def run_slt_file(
                 )
             tk = mseto.group(1).strip("`").split(".")[-1].lower()
             kv = dict(
-                re.findall(r"(\w+)\s*=\s*'?([\w.]+)'?", mseto.group(2))
+                re.findall(r"(\w+)\s*=\s*'([^']*)'", mseto.group(2))
+            )
+            for k3, v3 in re.findall(
+                r"(\w+)\s*=\s*([\w.]+)", mseto.group(2)
+            ):
+                kv.setdefault(k3, v3)
+            _validate_bloom_cols(
+                tk,
+                next(
+                    (
+                        v
+                        for k, v in kv.items()
+                        if k.upper() == "BLOOM_INDEX_COLUMNS"
+                    ),
+                    None,
+                ),
             )
             opts0 = ddl_options.setdefault(tk, {})
             for k3, v3 in kv.items():
@@ -7243,6 +7389,25 @@ def run_slt_file(
         )
 
         if is_merge(sql):
+            _mtgt = re.match(
+                r"^\s*MERGE\s+INTO\s+([\w.`]+)", sql, re.I
+            )
+            _mcc = computed_cols.get(
+                _mtgt.group(1).strip("`").split(".")[-1].lower(), {}
+            ) if _mtgt else {}
+            if _mcc:
+                for _ccn in _mcc:
+                    if re.search(
+                        rf"\bSET\s+[\w`]+\.\`?{_ccn}\`?\s*=", sql, re.I
+                    ) or re.search(
+                        rf"\bINSERT\s*\(([^)]*\b{_ccn}\b[^)]*)\)",
+                        sql,
+                        re.I,
+                    ):
+                        raise ValueError(
+                            "[1006] computed columns cannot be merge "
+                            "targets"
+                        )
             # double-quoted identifiers (DuckDB style) → bare — on
             # masked text, so `"id"` inside a '{"id":13}' JSON literal
             # keeps its quotes
@@ -7268,6 +7433,10 @@ def run_slt_file(
                 spark, sql, rewrite_databend_sql
             )
             _replace_table(tgt, select_sql)
+            try:
+                _cc_on_write(tgt)  # generated columns recompute
+            except Exception:  # noqa: BLE001
+                pass
             return counts
         m = _analyze.match(sql)
         if m:  # Databend ANALYZE TABLE t → Spark needs the verb phrase
@@ -8149,6 +8318,13 @@ def run_slt_file(
             assigns = {
                 k.strip("`").lower(): v for k, v in pairs
             }
+            _ucc = computed_cols.get(
+                t.strip("`").split(".")[-1].lower(), {}
+            )
+            if any(c in _ucc for c in assigns):
+                raise ValueError(
+                    "[1006] computed columns cannot be UPDATEd"
+                )
             schema = {f.name: f.dataType.simpleString() for f in spark.table(t).schema}
             unknown_u = set(assigns) - {c.lower() for c in schema}
             if unknown_u:
@@ -8156,6 +8332,22 @@ def run_slt_file(
                     f"[1065] unknown column {sorted(unknown_u)[0]} "
                     "in UPDATE"
                 )
+            # assignments to VARIANT columns canonicalize through the
+            # strict JSON parser, exactly like INSERT does — raw text
+            # like '{"id":3, "name":"jack"}' must store the canonical
+            # jsonb form (no spaces, sorted keys)
+            _udecl = ddl_decl_types.get(
+                t.strip("`").split(".")[-1].lower(), {}
+            )
+            for _uc in list(assigns):
+                if str(_udecl.get(_uc, "")).lower().startswith(
+                    ("variant", "json")
+                ):
+                    assigns[_uc] = (
+                        "__parse_json_strict(CAST(("
+                        + assigns[_uc]
+                        + ") AS STRING))"
+                    )
             hit = f"coalesce(({cond}), false)" if cond else "true"
             if cond and re.search(r"\b(any|all|some)\s*\(", cond, re.I):
                 # quantified subqueries in the predicate need the
@@ -8885,6 +9077,59 @@ def run_slt_file(
             before = None
             before_files: set[str] = set()
             tkey_ins = ins.group(2).strip("`").split(".")[-1].lower()
+            _cc = computed_cols.get(tkey_ins)
+            if _cc:
+                mlist = re.match(
+                    r"^\s*INSERT\s+(?:OVERWRITE\s+)?(?:INTO\s+)?"
+                    r"(?:TABLE\s+)?[\w.`]+\s*\(([^)]*)\)",
+                    sql,
+                    re.I,
+                )
+                if mlist:
+                    listed = [
+                        x.strip().strip("`").lower()
+                        for x in mlist.group(1).split(",")
+                    ]
+                    if any(c in _cc for c in listed):
+                        raise ValueError(
+                            "[1006] values for computed columns are "
+                            "not allowed in INSERT"
+                        )
+                elif re.search(r"\bVALUES\s*\(", sql, re.I):
+                    writable = [
+                        c
+                        for c in spark.table(ins.group(2)).columns
+                        if c.lower() not in _cc
+                    ]
+                    mv = re.search(r"\bVALUES\s*\(", sql, re.I)
+                    from databend_spark.sqlgen import _mask_strings as _cms
+
+                    msql, _ = _cms(sql[mv.end() - 1 :])
+                    depth, nvals = 0, 1
+                    for ch in msql:
+                        if ch == "(":
+                            depth += 1
+                        elif ch == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        elif ch == "," and depth == 1:
+                            nvals += 1
+                    if nvals != len(writable):
+                        raise ValueError(
+                            f"[1303] table {tkey_ins} has "
+                            f"{len(writable)} writable columns, but "
+                            f"{nvals} values were provided"
+                        )
+                    cols_txt = ", ".join(f"`{c}`" for c in writable)
+                    sql = re.sub(
+                        r"(\bINSERT\s+(?:OVERWRITE\s+)?(?:INTO\s+)?"
+                        r"(?:TABLE\s+)?[\w.`]+)\s*(?=VALUES\b)",
+                        rf"\1 ({cols_txt}) ",
+                        sql,
+                        count=1,
+                        flags=re.I,
+                    )
             if not ins.group(1):
                 try:
                     before = spark.table(ins.group(2)).count()
