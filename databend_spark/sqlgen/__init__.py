@@ -293,7 +293,7 @@ _DDL_OPTIONS = [
         # generated columns; the runner records the expression and
         # recomputes on every write (reference ee computed_column).
         # A preceding bare NULL goes too (Spark rejects `col t NULL ,`)
-        r"(?:\bNULL\s+)?\bAS\s*"
+        r"(?:\bNULL\s+)?(?:\bGENERATED\s+ALWAYS\s+)?\bAS\s*"
         r"\((?:[^()]|\([^()]*\)|\((?:[^()]|\([^()]*\))*\))*\)\s*"
         r"(?:STORED|VIRTUAL)\b",
         re.I,

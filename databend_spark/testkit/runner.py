@@ -1560,6 +1560,7 @@ def run_slt_file(
             computed_cols[tbl] = _comp
         else:
             computed_cols.pop(tbl, None)
+        policy_mgr.on_table_recreated(tbl)
         # table identity generation: CREATE (or re-CREATE after DROP)
         # gives a fresh identity — materialized views pin their source's
         # generation and refuse to read a replaced table (error 2328)
@@ -2786,6 +2787,22 @@ def run_slt_file(
         df = run_sql(f"SELECT {', '.join(sel)} FROM {full}")
         df.createOrReplaceTempView("__cc_recompute")
         _replace_table(full, "SELECT * FROM __cc_recompute")
+
+    from databend_spark.testkit.policies import PolicyManager
+
+    policy_mgr = PolicyManager()
+    # SET SECONDARY ROLES state: "all" (session default) | "none" | list
+    secondary_roles: list = ["all"]
+
+    def _active_roles() -> set:
+        sec = secondary_roles[0]
+        if sec == "none":
+            extra = set()
+        elif sec == "all":
+            extra = set(rbac.roles)
+        else:
+            extra = set(sec)
+        return {r.lower() for r in extra}
 
     from databend_spark.testkit.rbac import RBAC
 
@@ -4101,6 +4118,216 @@ def run_slt_file(
                     sql,
                     flags=re.I,
                 )
+        _mac = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+COLUMN\s+([\w`]+)\s+"
+            r"(\w+(?:\(\d+(?:,\s*\d+)?\))?)\s*(?:NULL\s+|NOT\s+NULL\s+)?"
+            r"(?:GENERATED\s+ALWAYS\s+)?AS\s*(\(.*\))\s*"
+            r"(STORED|VIRTUAL)\s*;?\s*$",
+            sql,
+            re.I | re.S,
+        )
+        if _mac:
+            _act = _mac.group(1).strip("`").split(".")[-1].lower()
+            _acc = _mac.group(2).strip("`").lower()
+            _expr = _mac.group(4)[1:-1].strip()
+            comp = computed_cols.setdefault(_act, {})
+            for cn in comp:
+                if re.search(rf"\b{cn}\b", _expr, re.I):
+                    raise ValueError(
+                        "[1065] a computed column expression cannot "
+                        f"reference computed column {cn}"
+                    )
+            res = run_sql(
+                f"ALTER TABLE {_mac.group(1)} ADD COLUMN "
+                f"{_mac.group(2)} {_mac.group(3)}"
+            )
+            comp[_acc] = {
+                "expr": _expr,
+                "kind": _mac.group(5).lower(),
+            }
+            try:
+                _cc_on_write(_mac.group(1))
+            except Exception:  # noqa: BLE001
+                pass
+            return res
+        _mds = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+MODIFY\s+COLUMN\s+"
+            r"([\w`]+)\s+DROP\s+STORED\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if _mds:
+            _dst = _mds.group(1).strip("`").split(".")[-1].lower()
+            _dsc = _mds.group(2).strip("`").lower()
+            cc = computed_cols.get(_dst, {}).get(_dsc)
+            if not cc or cc["kind"] != "stored":
+                raise ValueError(
+                    f"[1058] column {_dsc} is not a STORED computed "
+                    "column"
+                )
+            computed_cols[_dst].pop(_dsc, None)
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        _mdrc = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+"
+            r"(?:DROP\s+COLUMN\s+([\w`]+)|RENAME\s+COLUMN\s+([\w`]+)"
+            r"\s+TO\s+[\w`]+)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if _mdrc:
+            _dct = _mdrc.group(1).strip("`").split(".")[-1].lower()
+            _dcc = (_mdrc.group(2) or _mdrc.group(3)).strip("`").lower()
+            comp = computed_cols.get(_dct, {})
+            if _mdrc.group(2) and _dcc in comp:
+                comp.pop(_dcc, None)  # dropping the computed col itself
+            else:
+                deps = [
+                    c
+                    for c, cc in comp.items()
+                    if re.search(rf"\b{_dcc}\b", cc["expr"], re.I)
+                ]
+                if deps:
+                    raise ValueError(
+                        f"[1117] column {_dcc} is referenced by "
+                        f"computed column {deps[0]}"
+                    )
+            # fall through to the generic ALTER handlers
+        _mcl = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+(?:MODIFY|DROP)\s+COLUMN\s+"
+            r"(`?\w+`?)\b(?!.*\bMASKING\s+POLICY\b)",
+            sql,
+            re.I | re.S,
+        )
+        if _mcl and policy_mgr.column_locked(
+            _mcl.group(1).strip("`").split(".")[-1].lower(),
+            _mcl.group(2).strip("`").lower(),
+        ):
+            raise ValueError(
+                f"[1132] column {_mcl.group(2)} is referenced by an "
+                "attached policy"
+            )
+        _msr = re.match(
+            r"^\s*SET\s+SECONDARY\s+ROLES\s+(ALL|NONE|[\w`,\s]+?)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if _msr:
+            v = _msr.group(1).strip()
+            if v.upper() == "ALL":
+                secondary_roles[0] = "all"
+            elif v.upper() == "NONE":
+                secondary_roles[0] = "none"
+            else:
+                secondary_roles[0] = [
+                    r.strip().strip("`").lower()
+                    for r in v.split(",")
+                    if r.strip()
+                ]
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        if re.search(r"\bPOLICY\b|\bPOLICIES\b", sql, re.I):
+            _pres = policy_mgr.try_handle(
+                sql,
+                spark,
+                lambda t: ddl_decl_types.get(t, {}),
+                lambda t: spark.catalog.tableExists(t),
+            )
+            if _pres is not None:
+                return _pres
+        if re.search(r"\bpolicy_references\s*\(", sql, re.I):
+            mpr = re.search(
+                r"\bpolicy_references\s*\(([^)]*)\)", sql, re.I
+            )
+            kw = dict(
+                (k.upper(), v)
+                for k, v in re.findall(
+                    r"(\w+)\s*=>\s*'([^']*)'", mpr.group(1)
+                )
+            )
+            keys = set(kw)
+            ok = keys == {"POLICY_NAME"} or keys == {
+                "REF_ENTITY_NAME",
+                "REF_ENTITY_DOMAIN",
+            }
+            if ok and kw.get("REF_ENTITY_DOMAIN", "TABLE").upper() != "TABLE":
+                ok = False
+            if not ok:
+                raise ValueError(
+                    "[1006] policy_references requires POLICY_NAME or "
+                    "REF_ENTITY_NAME together with REF_ENTITY_DOMAIN "
+                    "= TABLE"
+                )
+            rows = policy_mgr.references_rows(
+                kw.get("POLICY_NAME"), kw.get("REF_ENTITY_NAME")
+            )
+            vals = ", ".join(
+                "("
+                + ", ".join(
+                    "NULL" if v is None else "'" + str(v) + "'"
+                    for v in r
+                )
+                + ")"
+                for r in rows
+            ) or "(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)"
+            body = (
+                f"(SELECT * FROM VALUES {vals} AS __pr(policy_name, "
+                "policy_kind, ref_database_name, ref_entity_name, "
+                "ref_entity_domain, ref_column_name, "
+                "ref_arg_column_names, policy_status)"
+                + (" WHERE false" if not rows else "")
+                + ")"
+            )
+            sql = re.sub(
+                r"\bpolicy_references\s*\([^)]*\)", body, sql, flags=re.I
+            )
+        if policy_mgr.governed() and re.search(
+            r"\b(FROM|JOIN)\b", sql, re.I
+        ) and not re.match(
+            r"^\s*(ALTER|CREATE|DROP|UNDROP|SHOW|DESC|UPDATE|DELETE|"
+            r"MERGE|COPY|REPLACE|TRUNCATE|OPTIMIZE|VACUUM|ANALYZE|"
+            r"GRANT|REVOKE)\b",
+            sql,
+            re.I,
+        ):
+            # wrap every FROM/JOIN reference of a governed table in the
+            # policy derived table (row predicate + masking projection)
+            from databend_spark.sqlgen import (
+                _mask_strings as _pms2,
+                _unmask_strings as _pus2,
+            )
+
+            _gm, _gl = _pms2(sql)
+            _kw_stop = (
+                r"ON|WHERE|GROUP|ORDER|LIMIT|OFFSET|HAVING|UNION|"
+                r"EXCEPT|INTERSECT|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|"
+                r"NATURAL|SEMI|ANTI|USING|LATERAL|WINDOW|QUALIFY|"
+                r"SETTINGS|VALUES|SELECT|SET|AT|IGNORE_RESULT"
+            )
+            for _gt in sorted(policy_mgr.governed()):
+                if not re.search(rf"\b{_gt}\b", _gm, re.I):
+                    continue
+                try:
+                    _gcols = spark.table(_gt).columns
+                except Exception:  # noqa: BLE001
+                    continue
+                _wrap = policy_mgr.wrapper_sql(
+                    _gt, _gcols, rbac.current_role, _active_roles()
+                )
+                if not _wrap:
+                    continue
+
+                def _gsub(m, w=_wrap, t=_gt):
+                    alias = m.group(2) or t
+                    return f"{m.group(1)}{w} {alias}"
+
+                _gm = re.sub(
+                    rf"(\b(?:FROM|JOIN)\s+)(?:[\w`]+\.)?`?{_gt}`?"
+                    rf"(?:\s+(?:AS\s+)?(?!(?:{_kw_stop})\b)"
+                    rf"([A-Za-z_]\w*))?(?![\w`.])",
+                    _gsub,
+                    _gm,
+                    flags=re.I,
+                )
+            sql = _pus2(_gm, _gl)
         mvshow = re.match(
             r"^\s*SHOW\s+VIRTUAL\s+COLUMNS\s*"
             r"(?:FROM\s+([\w.`]+))?\s*"
@@ -7408,6 +7635,30 @@ def run_slt_file(
                             "[1006] computed columns cannot be merge "
                             "targets"
                         )
+            if _mtgt:
+                _mtb = _mtgt.group(1).strip("`").split(".")[-1].lower()
+                _mal = re.match(
+                    r"^\s*MERGE\s+INTO\s+[\w.`]+\s+(?:AS\s+)?"
+                    r"([A-Za-z_]\w*)",
+                    sql,
+                    re.I,
+                )
+                _mq = _mal.group(1) if _mal and _mal.group(1).upper() != "USING" else _mtb
+                _mpred = policy_mgr.row_predicate(
+                    _mtb, rbac.current_role, _active_roles(), qualifier=_mq
+                )
+                if _mpred:
+                    # the merge only sees policy-visible target rows
+                    # (reference 05_0012: MERGE must not touch
+                    # invisible rows)
+                    sql = re.sub(
+                        r"\bON\b(.*?)(\bWHEN\b)",
+                        lambda m: "ON (" + m.group(1).strip() + ") AND "
+                        f"coalesce(({_mpred}), false) " + m.group(2),
+                        sql,
+                        count=1,
+                        flags=re.I | re.S,
+                    )
             # double-quoted identifiers (DuckDB style) → bare — on
             # masked text, so `"id"` inside a '{"id":13}' JSON literal
             # keeps its quotes
@@ -8075,6 +8326,15 @@ def run_slt_file(
                         flags=re.I,
                     )
             hit = f"coalesce(({cond}), false)" if cond else "true"
+            _dpol = policy_mgr.row_predicate(
+                t.strip("`").split(".")[-1].lower(),
+                rbac.current_role,
+                _active_roles(),
+            )
+            if _dpol:
+                # deletes only touch policy-visible rows (reference
+                # ee/05_ee_ddl/05_0012_row_policy_dml_coverage)
+                hit = f"({hit}) AND coalesce(({_dpol}), false)"
             # Databend DELETE returns the affected-row count; the cond
             # may use dialect constructs (numbers(), ::casts) — route
             # through the rewriter
@@ -8349,6 +8609,15 @@ def run_slt_file(
                         + ") AS STRING))"
                     )
             hit = f"coalesce(({cond}), false)" if cond else "true"
+            _upol = policy_mgr.row_predicate(
+                t.strip("`").split(".")[-1].lower(),
+                rbac.current_role,
+                _active_roles(),
+            )
+            if _upol:
+                # mutations only touch policy-visible rows (reference
+                # ee/05_ee_ddl/05_0012_row_policy_dml_coverage)
+                hit = f"({hit}) AND coalesce(({_upol}), false)"
             if cond and re.search(r"\b(any|all|some)\s*\(", cond, re.I):
                 # quantified subqueries in the predicate need the
                 # dialect rewrite (Spark has no op ANY/ALL)
