@@ -587,6 +587,8 @@ def _rewrite_nextval(sql: str, sequences: dict, spark) -> str:
 
 
 _SETTINGS_BASE = [
+    ("stream_consume_batch_size_hint", "0", "None",
+     "Default max_batch_size for stream reads (0 disables).", "UInt64"),
     ("script_max_steps", "10000", "None",
      "Maximum steps a SQL script may execute.", "UInt64"),
     ("proxy_routing_model", "prefix", "None",
@@ -1099,7 +1101,7 @@ def run_slt_file(
             col, expr = p.split("=", 1)
             out.append(
                 (
-                    col.strip().strip("`"),
+                    col.strip().strip("`").strip('"'),
                     _unmask_strings(expr.strip(), lits),
                 )
             )
@@ -1728,6 +1730,31 @@ def run_slt_file(
     # table + a content snapshot at the stream's offset; reads diff the
     # live table against the snapshot (row-level, exceptAll both ways)
     sql_streams: dict[str, dict] = {}
+    # per-table insert-batch log for stream-watched tables: block
+    # boundaries must survive the copy-on-write rollback/mutation
+    # machinery (files merge, batches don't) — feeds max_batch_size
+    from collections import Counter as _Counter
+
+    stream_tbl_batches: dict[str, list] = {}
+    stream_tbl_rows: dict[str, object] = {}
+
+    def _stream_note_batch(tbl: str) -> None:
+        tkey = tbl.strip("`").split(".")[-1].lower()
+        if not any(
+            st["table"].strip("`").split(".")[-1].lower() == tkey
+            for st in sql_streams.values()
+        ):
+            return
+        rows = _Counter(
+            tuple(r) for r in spark.table(tbl).collect()
+        )
+        prev = stream_tbl_rows.get(tkey) or _Counter()
+        new = rows - prev
+        if new:
+            stream_tbl_batches.setdefault(tkey, []).append(
+                list(new.elements())
+            )
+        stream_tbl_rows[tkey] = rows
 
     def _stream_snapshot(name: str) -> None:
         st = sql_streams[name]
@@ -1765,23 +1792,64 @@ def run_slt_file(
             new_df = prev[1].unionByName(new_df, allowMissingColumns=True)
         upd_marks[tk] = (old_df, new_df)
 
-    def _stream_delta(name: str, mode: str | None = None):
+    def _stream_delta(
+        name: str,
+        mode: str | None = None,
+        consuming: bool = False,
+        as_consumed: bool = False,
+        batch: int | None = None,
+    ):
         from pyspark.sql import functions as F
 
         st = sql_streams[name]
         cur = spark.table(st["table"])
-        # inside a txn, the FIRST consuming DML advances the stream for
-        # every later in-txn read (reference stream txn semantics:
-        # consume-once); the durable offset still moves only at COMMIT.
-        # The pending snapshot captured at that first consume becomes
-        # the base for subsequent in-txn reads, so they see an empty
-        # delta (plus any in-txn writes made after the consume).
-        pend_snap = (
-            txn_state.get("consumed", {}).get(name)
-            if txn_state["active"]
-            else None
-        )
-        base = spark.table(f"`{pend_snap or st['snap']}`")
+        # inside a txn, the stream's view PINS at its first consuming
+        # read (reference stream txn semantics): that read's snapshot
+        # becomes the txn-local "current", so every later in-txn read
+        # returns the SAME delta (original base → pinned state) even
+        # after further in-txn writes; the durable offset moves only at
+        # COMMIT (ee/06_ee_stream/06_0003 multi-table insert).
+        if txn_state["active"]:
+            # the stream's view PINS at its first in-txn read: later
+            # reads see the SAME delta (base -> pin) even after further
+            # in-txn writes — until an explicit WITH CONSUME flips the
+            # stream to its consumed view (pin -> current). The durable
+            # offset advances at COMMIT for streams marked by a
+            # consuming statement (06_0002 / 06_0003 matrix).
+            pend = txn_state.setdefault("consumed", {}).get(name)
+            if pend is None:
+                pend = f"__stream_pend_{name}"
+                spark.sql(f"DROP TABLE IF EXISTS `{pend}`")
+                if batch is not None:
+                    # pin-with-hint: the pinned state is base ∪ first
+                    # batch, so the pinned delta IS the batch and the
+                    # COMMIT advance is partial
+                    _stream_batch_rows(name, batch).createOrReplaceTempView(
+                        "__stream_batch_pin"
+                    )
+                    spark.sql(
+                        f"CREATE TABLE `{pend}` AS SELECT * FROM "
+                        f"`{st['snap']}` UNION ALL "
+                        "SELECT * FROM __stream_batch_pin"
+                    )
+                else:
+                    spark.sql(
+                        f"CREATE TABLE `{pend}` AS SELECT * FROM "
+                        f"{st['table']}"
+                    )
+                txn_state["consumed"][name] = pend
+                txn_state.setdefault("stream_hint", {})[name] = batch
+            if as_consumed or name in txn_state.setdefault(
+                "explicit_consumed", set()
+            ):
+                base = spark.table(f"`{pend}`")
+            else:
+                cur = spark.table(f"`{pend}`")
+                base = spark.table(f"`{st['snap']}`")
+        else:
+            base = spark.table(f"`{st['snap']}`")
+            if batch is not None:
+                cur = base.unionByName(_stream_batch_rows(name, batch))
         if [f.dataType for f in cur.schema.fields] != [
             f.dataType for f in base.schema.fields
         ]:
@@ -1839,6 +1907,55 @@ def run_slt_file(
         # caller's lazily-collected result
         return out.localCheckpoint(eager=True)
 
+    def _stream_batch_rows(name: str, batch: int):
+        """First insert blocks of the stream's pending delta, whole
+        blocks until `batch` rows are reached (reference max_batch_size
+        hint, ee/06_ee_stream/06_0006). Blocks come from the runner's
+        insert-batch log — file layout is not authoritative here because
+        copy-on-write mutations/rollbacks merge files."""
+        st = sql_streams[name]
+        tkey = st["table"].strip("`").split(".")[-1].lower()
+        base_rows = _Counter(
+            tuple(r) for r in spark.table(f"`{st['snap']}`").collect()
+        )
+        pending = []
+        seen = _Counter(base_rows)
+        cur_rows = _Counter(
+            tuple(r) for r in spark.table(st["table"]).collect()
+        )
+        for b in stream_tbl_batches.get(tkey, []):
+            bc = _Counter(b)
+            rem = bc & (cur_rows - seen)  # rows of b still pending
+            if rem:
+                pending.append(list(rem.elements()))
+                seen.update(rem)
+        picked, tot = [], 0
+        for b in pending:
+            if tot >= batch:
+                break
+            picked += b
+            tot += len(b)
+        schema = spark.table(st["table"]).schema
+        df = spark.createDataFrame(picked, schema)
+        return df.localCheckpoint(eager=True)
+
+    def _stream_partial_advance(name: str, batch: int) -> None:
+        """Advance the stream offset past only the consumed batch:
+        new base = old base ∪ batch rows."""
+        st = sql_streams[name]
+        _stream_batch_rows(name, batch).createOrReplaceTempView(
+            "__stream_batch_adv"
+        )
+        snap = st["snap"]
+        tmp = f"__stream_nsnap_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+        spark.sql(
+            f"CREATE TABLE `{tmp}` AS SELECT * FROM `{snap}` "
+            "UNION ALL SELECT * FROM __stream_batch_adv"
+        )
+        spark.sql(f"DROP TABLE IF EXISTS `{snap}`")
+        spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{snap}`")
+
     def _txn_begin() -> None:
         import copy as _copy
 
@@ -1886,6 +2003,8 @@ def run_slt_file(
                 _copy.deepcopy(tbl_commits),
                 _copy.deepcopy(tbl_segments),
                 _copy.deepcopy(cluster_blocks),
+                _copy.deepcopy(stream_tbl_batches),
+                _copy.deepcopy(stream_tbl_rows),
             ),
         )
 
@@ -1940,6 +2059,11 @@ def run_slt_file(
                     tbl_segments.update(saved[1])
                     cluster_blocks.clear()
                     cluster_blocks.update(saved[2])
+                    if len(saved) > 4:
+                        stream_tbl_batches.clear()
+                        stream_tbl_batches.update(saved[3])
+                        stream_tbl_rows.clear()
+                        stream_tbl_rows.update(saved[4])
                 # COPY file-history recorded in this txn rolls back, and
                 # deferred purges are skipped (copy_into_txn.test)
                 for tkey, key, old in reversed(
@@ -1962,7 +2086,9 @@ def run_slt_file(
                     except OSError:
                         pass
                 for sname, pt in txn_state.get("consumed", {}).items():
-                    if sname in sql_streams:
+                    if sname in sql_streams and sname in txn_state.get(
+                        "stream_marked", set()
+                    ):
                         st2 = sql_streams[sname]
                         snap2 = f"__stream_base_{sname}"
                         spark.sql(f"DROP TABLE IF EXISTS `{snap2}`")
@@ -1984,6 +2110,7 @@ def run_slt_file(
                 tbl_commit_times.setdefault(k, []).append(time.time())
         txn_state.update(
             active=False, backups={}, saved=None, consumed={},
+            stream_marked=set(), explicit_consumed=set(),
             analyze=set(), bumped=set(),
         )
 
@@ -2134,7 +2261,10 @@ def run_slt_file(
             # uses (its queries filter on database='default')
             dbname = "default" if db.name == _iso_db else db.name
             for t in tbls:
-                if t.isTemporary or t.name.startswith("__dropped_"):
+                if t.isTemporary or t.name.startswith(
+                    ("__dropped_", "__stream_base_", "__stream_pend_",
+                     "__txn_bak_", "__mutation_", "__cr_tmp_")
+                ):
                     continue
                 fq = f"`{db.name}`.`{t.name}`"
                 try:
@@ -2232,6 +2362,17 @@ def run_slt_file(
             " num_rows, data_size, data_compressed_size, index_size,"
             " owner, table_option, is_external, catalog,"
             " number_of_blocks, number_of_segments, table_type)"
+        )
+        vvals = ", ".join(
+            f"({q(n)}, {q(d)}, 'VIEW', TIMESTAMP{q(ts)})"
+            for (n, d, _tid, e, ts, *_rest) in trows
+            if e == "VIEW"
+        ) or "('', '', '', TIMESTAMP'2000-01-01 00:00:00')"
+        spark.sql(
+            "CREATE OR REPLACE VIEW system.views AS SELECT * FROM ("
+            "SELECT * FROM VALUES " + vvals
+            + " AS v(name, database, engine, created_on)"
+            ") WHERE name <> ''"
         )
         cvals = ", ".join(
             f"({q(n)}, {q(d)}, {q(t)}, {q(ty)}, {q(dk)}, {q(de)}, '')"
@@ -2551,6 +2692,11 @@ def run_slt_file(
         try:
             _vc_on_write(tbl)  # virtual-column auto-derive (no-op
             # unless the table has enable_virtual_column)
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            _stream_note_batch(tbl)  # block log for stream-watched
+            # tables (max_batch_size hint)
         except Exception:  # noqa: BLE001
             pass
 
@@ -5606,6 +5752,21 @@ def run_slt_file(
                 sql,
                 flags=re.I,
             )
+        if re.match(r"^\s*EXPLAIN\b", sql, re.I) and re.search(
+            r"\bWITH\s+CONSUME\b", sql, re.I
+        ):
+            # EXPLAIN never consumes a stream (06_0002)
+            sql = re.sub(r"\bWITH\s+CONSUME\b", "", sql, flags=re.I)
+        if re.match(r"^\s*(SELECT|WITH|INSERT)\b", sql, re.I):
+            from databend_spark.sqlgen import _mask_strings as _dzm
+
+            _dz, _ = _dzm(sql)
+            if re.search(r"/\s*0(?![\d.\w])", _dz) and not re.search(
+                r"\bdiv0|divnull|/\s*0\s*\x00", _dz, re.I
+            ):
+                # integer division by a literal zero errors in the
+                # reference (Spark non-ANSI yields NULL)
+                raise ValueError("[1006] divided by zero")
         mep = re.match(
             r"^\s*EXPLAIN\s+(PIPELINE|FRAGMENTS|GRAPH|RAW|MEMO|AST|"
             r"DECORRELATED)\s+(.*)$",
@@ -7604,8 +7765,48 @@ def run_slt_file(
                     "Field string, Type string, Null string, "
                     "Default string, Extra string",
                 )
+        if sql_streams and re.match(r"^\s*COPY\s+INTO\s+[@']", sql, re.I):
+            _mch = re.match(
+                r"^(\s*COPY\s+INTO\s+\S+\s+FROM\s+)(`?\w+`?)\s+"
+                r"(WITH\s*\(\s*(?:consume|max_batch_size)[^)]*\))"
+                r"(.*)$",
+                sql,
+                re.I | re.S,
+            )
+            if _mch and _mch.group(2).strip("`").lower() in sql_streams:
+                sql = (
+                    _mch.group(1)
+                    + f"(SELECT * FROM {_mch.group(2)} {_mch.group(3)})"
+                    + _mch.group(4)
+                )
         _stage_res = stage_mgr.try_handle(sql, run_sql)
         if _stage_res is not None:
+            if sql_streams and re.match(
+                r"^\s*COPY\s+INTO\s+[@']", sql, re.I
+            ):
+                # COPY INTO <location> FROM <stream> consumes the
+                # stream — immediately in auto-commit, at COMMIT inside
+                # a txn (ee/06_ee_stream/06_0005)
+                for _sn in list(sql_streams):
+                    if re.search(
+                        rf"(?i:\bFROM\b[^;]*\b){re.escape(_sn)}\b", sql
+                    ):
+                        _hb = re.search(
+                            rf"(?i:\b){re.escape(_sn)}\b[^;]*?"
+                            r"max_batch_size\s*=\s*(\d+)",
+                            sql,
+                            re.I,
+                        )
+                        if txn_state["active"]:
+                            txn_state.setdefault(
+                                "stream_marked", set()
+                            ).add(_sn)
+                        elif _hb:
+                            _stream_partial_advance(
+                                _sn, int(_hb.group(1))
+                            )
+                        else:
+                            _stream_snapshot(_sn)
             return _stage_res
         if stage_mgr.has_ref(sql):
             sql = stage_mgr.resolve_refs(sql)
@@ -7616,6 +7817,39 @@ def run_slt_file(
         )
 
         if is_merge(sql):
+            _merge_stream_consume: list = []
+            if sql_streams:
+                for _sn in list(sql_streams):
+                    _mp = re.search(
+                        rf"(?i)(\bUSING\s+)`?{re.escape(_sn)}`?"
+                        rf"(\s+WITH\s*\(([^)]*)\))?"
+                        rf"(\s+(?:AS\s+)?(?!ON\b)\w+)?",
+                        sql,
+                    )
+                    if not _mp:
+                        continue
+                    _kv = dict(
+                        re.findall(
+                            r"(\w+)\s*=\s*(\w+)", _mp.group(3) or ""
+                        )
+                    )
+                    _bn = (
+                        int(_kv["max_batch_size"])
+                        if "max_batch_size" in _kv
+                        else None
+                    )
+                    _stream_delta(
+                        _sn, consuming=True, batch=_bn
+                    ).createOrReplaceTempView(f"__sqlstream_m_{_sn}")
+                    _alias = (_mp.group(4) or f" AS {_sn}")
+                    sql = (
+                        sql[: _mp.start()]
+                        + _mp.group(1)
+                        + f"__sqlstream_m_{_sn}"
+                        + _alias
+                        + sql[_mp.end() :]
+                    )
+                    _merge_stream_consume.append((_sn, _bn))
             _mtgt = re.match(
                 r"^\s*MERGE\s+INTO\s+([\w.`]+)", sql, re.I
             )
@@ -7688,6 +7922,15 @@ def run_slt_file(
                 _cc_on_write(tgt)  # generated columns recompute
             except Exception:  # noqa: BLE001
                 pass
+            for _sn, _bn in _merge_stream_consume:
+                # MERGE from a stream consumes it (partially with a
+                # max_batch_size hint)
+                if txn_state["active"]:
+                    txn_state.setdefault("stream_marked", set()).add(_sn)
+                elif _bn is not None:
+                    _stream_partial_advance(_sn, _bn)
+                else:
+                    _stream_snapshot(_sn)
             return counts
         m = _analyze.match(sql)
         if m:  # Databend ANALYZE TABLE t → Spark needs the verb phrase
@@ -8566,7 +8809,7 @@ def run_slt_file(
         if m and re.match(r"^\s*UPDATE\b", sql, re.I):
             t, body, cond = m.group(1), m.group(2), m.group(3)
             pairs = _split_assignments(body)
-            keys_u = [k.strip("`").lower() for k, _ in pairs]
+            keys_u = [k.strip('`"').lower() for k, _ in pairs]
             if len(keys_u) != len(set(keys_u)):
                 raise ValueError(
                     "[1006] the same column cannot be updated twice"
@@ -8576,7 +8819,7 @@ def run_slt_file(
                     "[1006] window functions are not allowed in UPDATE"
                 )
             assigns = {
-                k.strip("`").lower(): v for k, v in pairs
+                k.strip('`"').lower(): v for k, v in pairs
             }
             _ucc = computed_cols.get(
                 t.strip("`").split(".")[-1].lower(), {}
@@ -8930,6 +9173,17 @@ def run_slt_file(
                 "snap": None,
             }
             _stream_snapshot(sname)
+            try:
+                # start the block log at the current state: existing
+                # rows are not a pending batch
+                _sb_tk = mcs.group(4).strip("`").split(".")[-1].lower()
+                if _sb_tk not in stream_tbl_rows:
+                    stream_tbl_rows[_sb_tk] = _Counter(
+                        tuple(r)
+                        for r in spark.table(mcs.group(4)).collect()
+                    )
+            except Exception:  # noqa: BLE001
+                pass
             return spark.sql("SELECT 1 AS ok WHERE false")
         msct = re.match(
             r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.`]+)\s*;?\s*$", sql, re.I
@@ -8978,10 +9232,131 @@ def run_slt_file(
             # DML reading a stream consumes it implicitly (Snowflake-
             # style semantics, reference stream txn consumption); plain
             # SELECT needs an explicit WITH CONSUME
-            consume = bool(
-                re.search(r"\bWITH\s+CONSUME\b", sql, re.I)
-            ) or bool(re.match(r"^\s*(INSERT|CREATE|COPY)\b", sql, re.I))
+            consume_all = bool(
+                re.match(r"^\s*(INSERT|CREATE|COPY)\b", sql, re.I)
+            )
+            if consume_all and re.search(
+                r"\bWITH\s+CONSUME\b", sql, re.I
+            ):
+                raise ValueError(
+                    "[1005] WITH CONSUME is not allowed inside DML"
+                )
+            # WITH CONSUME binds to the stream reference it follows
+            # (`FROM s1 ... JOIN s2 WITH CONSUME` consumes only s2 —
+            # reference 06_0002 union case)
+            per_consume: set[str] = set()
+            for _sn in sql_streams:
+                if re.search(
+                    rf"(?i:\b(?:FROM|JOIN)\s+)`?{re.escape(_sn)}`?\s+"
+                    rf"(?i:WITH\s+CONSUME\b)",
+                    sql,
+                ):
+                    per_consume.add(_sn)
+            consume = consume_all or bool(per_consume)
             q = re.sub(r"\bWITH\s+CONSUME\b", "", sql, flags=re.I)
+            # WITH (consume = bool, max_batch_size = N) hints
+            # (reference 06_0006): stream-only, consistent across
+            # every reference of the same stream
+            hints: dict[str, list] = {}
+            _hint_pat = (
+                r"(?i)\b(?:FROM|JOIN)\s+`?(\w+)`?"
+                r"(?:\s+(?:AS\s+)?\w+)?\s+WITH\s*\("
+                r"((?:\s*(?:consume|max_batch_size)\s*=\s*\w+\s*,?)+)"
+                r"\)"
+            )
+            for hm in re.finditer(_hint_pat, q):
+                nm = hm.group(1).lower()
+                if nm not in sql_streams:
+                    raise ValueError(
+                        "[3902] stream hints are only allowed on "
+                        "streams"
+                    )
+                kv = dict(
+                    re.findall(r"(\w+)\s*=\s*(\w+)", hm.group(2))
+                )
+                if str(kv.get("consume", "")).lower() == "true":
+                    per_consume.add(nm)
+                    consume = True
+                if "max_batch_size" in kv:
+                    hints.setdefault(nm, []).append(
+                        int(kv["max_batch_size"])
+                    )
+            if re.search(_hint_pat, q):
+                q = re.sub(
+                    r"(?i)\s+WITH\s*\("
+                    r"(?:\s*(?:consume|max_batch_size)\s*=\s*\w+\s*,?)+"
+                    r"\)",
+                    "",
+                    q,
+                )
+            # unknown hint keys -> 2735 (reference 06_0006)
+            for hm in re.finditer(
+                r"(?i)\b(?:FROM|JOIN)\s+`?(\w+)`?"
+                r"(?:\s+(?:AS\s+)?\w+)?\s+WITH\s*\(([^)]*=[^)]*)\)",
+                q,
+            ):
+                if hm.group(1).lower() in sql_streams:
+                    bad_keys = [
+                        k
+                        for k, _v in re.findall(
+                            r"(\w+)\s*=\s*(\w+)", hm.group(2)
+                        )
+                        if k.lower() not in ("consume", "max_batch_size")
+                    ]
+                    if bad_keys:
+                        raise ValueError(
+                            f"[2735] unknown stream hint {bad_keys[0]}"
+                        )
+            # session default: SET stream_consume_batch_size_hint = N
+            # (0 disables); an explicit query hint wins
+            _dflt_hint = 0
+            try:
+                _dflt_hint = int(
+                    str(
+                        setting_overrides.get(
+                            "stream_consume_batch_size_hint", "0"
+                        )
+                    ).strip("'\"")
+                )
+            except Exception:  # noqa: BLE001
+                _dflt_hint = 0
+            if _dflt_hint > 0:
+                for _sn in sql_streams:
+                    if _sn not in hints and re.search(
+                        rf"(?i)\b(?:FROM|JOIN)\s+`?{re.escape(_sn)}`?"
+                        rf"(?![\w.`])",
+                        q,
+                    ):
+                        hints[_sn] = [_dflt_hint]
+            for nm, hs in hints.items():
+                nrefs = len(
+                    re.findall(
+                        rf"(?i)\b(?:FROM|JOIN)\s+`?{re.escape(nm)}`?"
+                        rf"(?![\w.`])",
+                        q,
+                    )
+                )
+                if len(set(hs)) > 1 or nrefs > len(hs):
+                    raise ValueError(
+                        "[3902] inconsistent MAX_BATCH_SIZE hints for "
+                        f"stream {nm}"
+                    )
+            if txn_state["active"]:
+                _sh = txn_state.setdefault("stream_hint", {})
+                for nm in sql_streams:
+                    if nm not in _sh:
+                        continue
+                    if re.search(
+                        rf"(?i)\b(?:FROM|JOIN)\s+`?{re.escape(nm)}`?"
+                        rf"(?![\w.`])",
+                        q,
+                    ) and _sh[nm] != (
+                        hints[nm][0] if nm in hints else None
+                    ):
+                        raise ValueError(
+                            "[3902] inconsistent MAX_BATCH_SIZE hint "
+                            f"for pinned stream {nm}"
+                        )
             # CHANGES(information => mode) AT(stream => s): the stream's
             # offset with an explicit information mode (changes.rs)
             if re.search(r"\bchanges\s*\(", q, re.I):
@@ -9020,7 +9395,22 @@ def run_slt_file(
                 if re.search(
                     rf"(?i:\b(?:FROM|JOIN)\s+){name_pat}(?![\w.`])", q
                 ):
-                    _stream_delta(sname).createOrReplaceTempView(
+                    _stream_delta(
+                        sname,
+                        consuming=consume_all or sname in per_consume,
+                        # DDL inside a txn runs past an implicit commit
+                        # boundary in the reference: a CTAS sees a
+                        # previously-marked stream as consumed (06_0007)
+                        as_consumed=(
+                            txn_state["active"]
+                            and bool(re.match(r"^\s*CREATE\b", sql, re.I))
+                            and sname
+                            in txn_state.get("stream_marked", set())
+                        ),
+                        batch=(
+                            hints[sname][0] if sname in hints else None
+                        ),
+                    ).createOrReplaceTempView(
                         f"__sqlstream_{len(touched)}"
                     )
                     q = re.sub(
@@ -9034,26 +9424,28 @@ def run_slt_file(
                 if consume:
                     res = res.localCheckpoint(eager=True)
                     if txn_state["active"]:
-                        # txn semantics: the offset advances at COMMIT;
-                        # every read inside the txn sees the same range
-                        # and a ROLLBACK leaves the stream unconsumed.
-                        # The advance point is captured NOW (pending
-                        # snapshot) so later in-txn writes stay visible
-                        # to the stream after commit.
-                        pend = txn_state.setdefault("consumed", {})
+                        # offsets advance at COMMIT for marked streams;
+                        # WITH CONSUME additionally flips the in-txn
+                        # view to "consumed" for later reads
+                        marked = txn_state.setdefault(
+                            "stream_marked", set()
+                        )
                         for sname in touched:
-                            if sname in pend:
-                                continue
-                            pt = f"__stream_pend_{sname}"
-                            spark.sql(f"DROP TABLE IF EXISTS `{pt}`")
-                            spark.sql(
-                                f"CREATE TABLE `{pt}` AS SELECT * FROM "
-                                f"{sql_streams[sname]['table']}"
-                            )
-                            pend[sname] = pt
+                            if consume_all or sname in per_consume:
+                                marked.add(sname)
+                            if sname in per_consume:
+                                txn_state.setdefault(
+                                    "explicit_consumed", set()
+                                ).add(sname)
                     else:
                         for sname in touched:
-                            _stream_snapshot(sname)
+                            if consume_all or sname in per_consume:
+                                if sname in hints:
+                                    _stream_partial_advance(
+                                        sname, hints[sname][0]
+                                    )
+                                else:
+                                    _stream_snapshot(sname)
                 return res
         mrand = re.match(
             r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"

@@ -1595,6 +1595,12 @@ class StageManager:
         specs = build_colspecs(df.schema.fields, {}, {}, {})
         single = _tflag(opts.get("single"))
         detailed = _tflag(opts.get("detailed_output"))
+        if not rows:
+            # a zero-row unload writes NO file (reference
+            # copy_into_location: ee/06_ee_stream/06_0005 empty case)
+            if detailed:
+                return spark.createDataFrame([], _DETAILED_SCHEMA)
+            return spark.createDataFrame([(0, 0, 0)], _UNLOAD_SCHEMA)
         overwrite = _tflag(opts.get("overwrite"))
         raw_path = _tflag(opts.get("use_raw_path")) or (
             single and bool(sub) and not sub.endswith("/")
