@@ -640,8 +640,19 @@ class StageManager:
                     if not os.path.isdir(root):
                         continue
                     for dirp, _dirs, fs in os.walk(root, followlinks=True):
+                        _dirs[:] = [
+                            d
+                            for d in _dirs
+                            if not d.startswith((".", "_temporary"))
+                        ]
                         for f in fs:
-                            if f.startswith((".", "_")):
+                            # skip Spark/Hadoop writer artifacts but NOT
+                            # every _-prefixed object: the reference
+                            # lists its _v_… verification key
+                            # (ee/03_ee_vacuum/03_0000_vacuum_ctas)
+                            if f.startswith(".") or f == "_SUCCESS" or f.startswith(
+                                ("_committed", "_started", "_temporary")
+                            ):
                                 continue
                             p = os.path.join(dirp, f)
                             if pfx is not None:
