@@ -214,12 +214,77 @@ _TS_RE = re.compile(
 )
 
 
-def _parse_ts_tz(s: str, session_tz: str) -> tuple[datetime, int] | None:
+def _parse_ts_tz_auto(s: str):
+    """Auto-detect fallback shapes (reference
+    enable_auto_detect_datetime_format; 02_0012): RFC 2822, Unix date,
+    DD-MON-YYYY. → (naive datetime, offset minutes or None)."""
+    txt = s.strip()
+    try:
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(txt)
+        off = dt.utcoffset()
+        off_min = (
+            int(off.total_seconds() // 60) if off is not None else None
+        )
+        return dt.replace(tzinfo=None), off_min
+    except Exception:  # noqa: BLE001
+        pass
+    import re as _re
+
+    m = _re.match(
+        r"^(\d{1,2})-([A-Za-z]{3})-(\d{4})"
+        r"(?:[ T](\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d+))?)?)?$",
+        txt,
+    )
+    if m:
+        months = {
+            "jan": 1, "feb": 2, "mar": 3, "apr": 4, "may": 5,
+            "jun": 6, "jul": 7, "aug": 8, "sep": 9, "oct": 10,
+            "nov": 11, "dec": 12,
+        }
+        mo = months.get(m.group(2).lower())
+        if mo:
+            frac = (m.group(7) or "")[:6].ljust(6, "0")
+            try:
+                return (
+                    datetime(
+                        int(m.group(3)), mo, int(m.group(1)),
+                        int(m.group(4) or 0), int(m.group(5) or 0),
+                        int(m.group(6) or 0), int(frac) if frac else 0,
+                    ),
+                    None,
+                )
+            except ValueError:
+                return None
+    return None
+
+
+def _parse_ts_tz(s: str, session_tz: str, auto: bool = False) -> tuple[datetime, int] | None:
     """→ (aware datetime, original offset minutes). Missing offset →
     the session zone's offset at that local time (reference: TIMESTAMP_TZ
     binds the settings timezone at parse)."""
     m = _TS_RE.match(s)
     if not m:
+        if auto:
+            got = _parse_ts_tz_auto(s)
+            if got is None:
+                return None
+            naive, off_min = got
+            if off_min is None:
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    zone = ZoneInfo(session_tz or "UTC")
+                except Exception:  # noqa: BLE001
+                    zone = timezone.utc
+                localized = naive.replace(tzinfo=zone)
+                off = localized.utcoffset() or timedelta(0)
+                off_min = int(off.total_seconds() // 60)
+            aware = naive.replace(
+                tzinfo=timezone(timedelta(minutes=off_min))
+            )
+            return aware, off_min
         return None
     y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
     hh = int(m.group(4) or 0)
@@ -251,14 +316,23 @@ def _parse_ts_tz(s: str, session_tz: str) -> tuple[datetime, int] | None:
     return aware, off_min
 
 
-def timestamp_tz_text(s: str | None, session_tz: str | None = "UTC") -> str | None:
+def timestamp_tz_text(
+    s: str | None,
+    session_tz: str | None = "UTC",
+    auto: bool = False,
+    soft: bool = False,
+) -> str | None:
     """to_timestamp_tz / ::TIMESTAMP_TZ display:
     ``yyyy-MM-dd HH:mm:ss.ffffff ±HHMM`` preserving the written offset
-    (reference timestamp_tz display format)."""
+    (reference timestamp_tz display format). ``auto`` adds the
+    detection fallbacks; ``soft`` returns NULL instead of raising
+    (try_to_timestamp_tz)."""
     if s is None:
         return None
-    parsed = _parse_ts_tz(s, session_tz or "UTC")
+    parsed = _parse_ts_tz(s, session_tz or "UTC", auto=auto)
     if parsed is None:
+        if soft:
+            return None
         raise ValueError(f"cannot parse '{s}' as TIMESTAMP_TZ")
     aware, off_min = parsed
     sign = "+" if off_min >= 0 else "-"

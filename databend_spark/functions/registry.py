@@ -1473,6 +1473,11 @@ def _last_day(args: list[str]) -> str | None:
 
 SQL_MACROS["last_day"] = _last_day
 
+# datetime parse mode, bound per statement by the SLT runner from
+# enable_strict_datetime_parser / enable_auto_detect_datetime_format
+# (reference settings; query/functions/02_0012 auto-detect suite)
+DT_PARSE_MODE = {"strict": False, "auto": False}
+
 # auto-detect datetime parsing (reference enable_auto_detect_datetime_
 # format): try a curated format chain, then epoch-number fallback
 _DATE_FMTS = ["yyyy-M-d", "M/d/yyyy", "dd-MMM-yyyy", "MMM d, yyyy",
@@ -1483,7 +1488,7 @@ _TS_FMTS = [
     "dd-MMM-yyyy H:m:s[.SSSSSS]",
     "EEE MMM dd HH:mm:ss xx yyyy",
     "EEE, d MMM yyyy hh:mm:ss[.SSSSSS] a[ xx]",
-    "EEE, d MMM yyyy HH:mm:ss[ xx]",
+    "EEE, d MMM yyyy HH:mm:ss[.SSSSSS][ xx]",
     "yyyyMMddHHmmss",
 ]
 
@@ -1492,6 +1497,24 @@ def _try_to_date(args: list[str]) -> str | None:
     if len(args) != 1:
         return None
     x = args[0]
+    if DT_PARSE_MODE["strict"] and not DT_PARSE_MODE["auto"]:
+        # strict parser without auto-detect: zero-padded ISO only
+        return f"try_to_d\x03ate({x}, 'yyyy-MM-dd')"
+    if DT_PARSE_MODE["auto"]:
+        # Snowflake-style detection: pure-numeric text is epoch DAYS
+        # (saturating to 0001-01-01 outside the date domain), tried
+        # BEFORE compact formats so '20240305' stays epoch-based
+        num = (
+            f"CASE WHEN try_cast({x} AS BIGINT) IS NOT NULL THEN"
+            f" CASE WHEN try_cast({x} AS BIGINT) BETWEEN -719162 AND"
+            f" 2932896 THEN date_add(DATE'1970-01-01',"
+            f" CAST({x} AS INT)) ELSE DATE'0001-01-01' END END"
+        )
+        tries = [num]
+        tries += [f"try_to_d\x03ate({x}, '{f}')" for f in _DATE_FMTS]
+        tries.append(f"try_to_d\x03ate({x}, 'd/M/yyyy')")
+        tries.append(f"try_to_d\x03ate({x})")
+        return "coalesce(" + ", ".join(tries) + ")"
     tries = [f"try_to_d\x03ate({x}, '{f}')" for f in _DATE_FMTS]
     tries.append(
         f"CASE WHEN length({x}) != 8 AND try_cast({x} AS BIGINT) IS NOT"
@@ -1507,6 +1530,14 @@ def _try_to_timestamp(args: list[str]) -> str | None:
     if len(args) != 1:
         return None
     x = args[0]
+    if DT_PARSE_MODE["strict"] and not DT_PARSE_MODE["auto"]:
+        # strict parser without auto-detect: zero-padded ISO only
+        return (
+            f"try_to_t\x03imestamp({x},"
+            " 'yyyy-MM-dd HH:mm:ss[.SSSSSS]')"
+        )
+    if DT_PARSE_MODE["auto"]:
+        return _try_to_timestamp_auto(x)
     # Spark ≥3 rejects day-name patterns when parsing — strip the weekday
     # prefix textually and parse the remainder instead of using EEE
     tries = []
@@ -1525,6 +1556,7 @@ def _try_to_timestamp(args: list[str]) -> str | None:
     tries.append(
         f"try_to_t\x03imestamp({x}, 'd/M/yyyy[ H:m:s[.SSSSSS]]')"
     )
+    tries.append(f"try_to_t\x03imestamp({x}, 'yyyyMMdd')")
     tries.append(
         f"CASE WHEN length({x}) NOT IN (8, 14) AND try_cast({x} AS"
         " BIGINT) IS NOT NULL THEN CASE"
@@ -1540,6 +1572,73 @@ def _try_to_timestamp(args: list[str]) -> str | None:
     return "coalesce(" + ", ".join(tries) + ")"
 
 
+def _try_to_timestamp_auto(x: str) -> str:
+    """Snowflake-style auto-detection (reference 02_0012): pure-numeric
+    text is an epoch (magnitude decides the unit) BEFORE any compact
+    format; fractional seconds beyond micros truncate; RFC 2822 / Unix
+    date / DD-MON / M-D-Y families all parse."""
+    # Snowflake epoch-unit boundaries: <31536000000 s, then ms, µs
+    num = (
+        f"CASE WHEN try_cast({x} AS BIGINT) IS NOT NULL THEN CASE"
+        f" WHEN abs(try_cast({x} AS BIGINT)) >= 31536000000000000"
+        f" THEN timestamp_micros(try_cast({x} AS BIGINT))"
+        f" WHEN abs(try_cast({x} AS BIGINT)) >= 31536000000000"
+        f" THEN timestamp_millis(try_cast({x} AS BIGINT))"
+        f" WHEN abs(try_cast({x} AS BIGINT)) >= 31536000000"
+        f" THEN timestamp_millis(try_cast({x} AS BIGINT))"
+        f" ELSE timestamp_seconds(try_cast({x} AS BIGINT)) END END"
+    )
+    # cut fractional digits beyond micros (Spark patterns stop at SSSSSS)
+    src0 = (
+        f"regexp_replace({x},"
+        " '(\\\\.\\\\d{6})\\\\d+', '$1')"
+    )
+    tries = [num]
+    for f in _TS_FMTS:
+        if f.startswith("EEE, "):
+            src = f"regexp_replace({src0}, '^[A-Za-z]+,\\\\s*', '')"
+            tries.append(f"try_to_t\x03imestamp({src}, '{f[5:]}')")
+        elif f.startswith("EEE "):
+            src = (
+                f"regexp_replace({src0},"
+                " '^[A-Za-z]{3}\\\\s+(?=[A-Za-z]{3}\\\\s)', '')"
+            )
+            tries.append(f"try_to_t\x03imestamp({src}, '{f[4:]}')")
+        else:
+            tries.append(f"try_to_t\x03imestamp({src0}, '{f}')")
+    tries.append(
+        f"try_to_t\x03imestamp({src0}, 'd/M/yyyy[ H:m:s[.SSSSSS]]')"
+    )
+    tries.append(f"try_to_t\x03imestamp({src0})")
+    tries.append(f"CAST(try_to_d\x03ate({x}, 'MMM d, yyyy') AS TIMESTAMP)")
+    tries.append(f"CAST(try_to_d\x03ate({x}, 'dd-MMM-yyyy') AS TIMESTAMP)")
+    return "coalesce(" + ", ".join(tries) + ")"
+
+
+def _quote_sql(args: list[str]) -> str | None:
+    """quote(s): MySQL-style escaping of special characters (reference
+    scalars/string.rs quote; suites/query/functions/02_0023)."""
+    if len(args) != 1:
+        return None
+    e = args[0]
+    bs = "char(92)"
+    # order matters: escape the backslash itself first
+    pairs = [
+        (bs, f"concat({bs}, {bs})"),
+        ("char(0)", f"concat({bs}, '0')"),
+        ("char(39)", f"concat({bs}, char(39))"),
+        ("char(34)", f"concat({bs}, char(34))"),
+        ("char(8)", f"concat({bs}, 'b')"),
+        ("char(10)", f"concat({bs}, 'n')"),
+        ("char(13)", f"concat({bs}, 'r')"),
+        ("char(9)", f"concat({bs}, 't')"),
+    ]
+    for raw, esc in pairs:
+        e = f"replace({e}, {raw}, {esc})"
+    return e
+
+
+SQL_MACROS["quote"] = _quote_sql
 SQL_MACROS["try_to_date"] = _try_to_date
 SQL_MACROS["try_to_timestamp"] = _try_to_timestamp
 SQL_MACROS["try_to_datetime"] = _try_to_timestamp
@@ -2646,10 +2745,15 @@ def _to_timestamp_tz_sql(args: list[str], fallback: str) -> str | None:
     if len(args) != 1:
         return None
     lit = _literal_text(args[0]).strip()
+    fn = "__ts_tz_text"
+    if "try" in fallback:
+        fn += "_try"
+    if DT_PARSE_MODE["auto"]:
+        fn += "_auto"
     if lit.startswith("'") and lit.endswith("'"):
         # literal text keeps its wall time; a missing offset binds the
         # session zone's offset at that wall (interval_type._parse_ts_tz)
-        return f"__ts_tz_text(CAST({args[0]} AS STRING), current_timezone())"
+        return f"{fn}(CAST({args[0]} AS STRING), current_timezone())"
     # TIMESTAMP value: the reference displays the UTC wall clock with
     # the session offset attached (timestamp_tz from timestamp keeps the
     # stored utc micros as the wall; 02_0002_function_cast.test:228-238)

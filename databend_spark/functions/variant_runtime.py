@@ -2631,6 +2631,21 @@ def register_variant_udfs(spark: SparkSession) -> None:
     spark.udf.register("__interval_text", interval_text, StringType())
     spark.udf.register("__interval_key", interval_compare_key, LongType())
     spark.udf.register("__ts_tz_text", timestamp_tz_text, StringType())
+    spark.udf.register(
+        "__ts_tz_text_auto",
+        lambda v, tz: timestamp_tz_text(v, tz, auto=True),
+        StringType(),
+    )
+    spark.udf.register(
+        "__ts_tz_text_try",
+        lambda v, tz: timestamp_tz_text(v, tz, soft=True),
+        StringType(),
+    )
+    spark.udf.register(
+        "__ts_tz_text_try_auto",
+        lambda v, tz: timestamp_tz_text(v, tz, auto=True, soft=True),
+        StringType(),
+    )
     spark.udf.register("__ts_tz_us", timestamp_tz_micros, LongType())
     spark.udf.register(
         "__ts_tz_add",

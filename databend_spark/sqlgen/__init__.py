@@ -3297,9 +3297,12 @@ def _rewrite_variant_ext(s: str) -> str:
         ),
         s,
     )
+    from databend_spark.functions.registry import DT_PARSE_MODE as _dtm0
+
+    _tstz_fn = "__ts_tz_text_auto" if _dtm0["auto"] else "__ts_tz_text"
     out = _TSTZ_CAST.sub(
         lambda m: (
-            f"__ts_tz_text({_tstz_recv(m.group(1))},"
+            f"{_tstz_fn}({_tstz_recv(m.group(1))},"
             " current_timezone())"
         ),
         out,
@@ -4060,8 +4063,22 @@ def rewrite_databend_sql(sql: str) -> str:
         if tgt in ("float64", "double", "float8"):
             return f"CAST({vu} AS DOUBLE)"
         if tgt in ("date",):
+            from databend_spark.functions.registry import (
+                DT_PARSE_MODE as _dtm,
+                _try_to_date as _ttd,
+            )
+
+            if _dtm["auto"]:
+                return _ttd([f"({vu})"])
             return f"CAST({vu} AS DATE)"
         if tgt in ("datetime", "timestamp"):
+            from databend_spark.functions.registry import (
+                DT_PARSE_MODE as _dtm,
+                _try_to_timestamp_auto as _tta,
+            )
+
+            if _dtm["auto"]:
+                return _tta(f"({vu})")
             return f"CAST({vu} AS TIMESTAMP)"
         spark_t = {
             "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT",

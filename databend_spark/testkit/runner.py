@@ -615,6 +615,9 @@ _SETTINGS_BASE = [
      "Cache pruning results.", "UInt64"),
     ("enable_proxy_bloom_pruning", "0", "None",
      "Consult bloom pruning stats when routing PROXY tables.", "UInt64"),
+    ("enable_strict_datetime_parser", "1", "None",
+     "Reject non-padded datetime text in to_date/to_timestamp.",
+     "UInt64"),
     ("enable_auto_detect_datetime_format", "0", "None",
      "Lenient (non-padded) date/time parsing in loads.", "UInt64"),
     ("stage_path_traversal_policy", "disable", "None",
@@ -10441,15 +10444,64 @@ def run_slt_file(
             )
             if _mt:
                 _stmt_tz = _mt.group(1)
+        from databend_spark.functions.registry import DT_PARSE_MODE
+
+        _dt_strict = str(
+            setting_overrides.get("enable_strict_datetime_parser", "0")
+        ).strip("'\"") == "1"
+        _dt_auto = str(
+            setting_overrides.get(
+                "enable_auto_detect_datetime_format", "0"
+            )
+        ).strip("'\"") == "1"
+        if _mstz:
+            for _dk, _dv in re.findall(
+                r"(\w+)\s*=\s*'?(\w+)'?", _mstz.group(1)
+            ):
+                if _dk.lower() == "enable_strict_datetime_parser":
+                    _dt_strict = _dv == "1"
+                elif _dk.lower() == "enable_auto_detect_datetime_format":
+                    _dt_auto = _dv == "1"
+        DT_PARSE_MODE["strict"] = _dt_strict
+        DT_PARSE_MODE["auto"] = _dt_auto
         try:
             rewritten = rewrite_databend_sql(sql)
         finally:
             if _vec_mode:
                 VECTOR_F32_MODE[0] = False
+            DT_PARSE_MODE["strict"] = False
+            DT_PARSE_MODE["auto"] = False
         if _stmt_tz and "current_timezone()" in rewritten:
             rewritten = rewritten.replace(
                 "current_timezone()", f"'{_stmt_tz}'"
             )
+        if _stmt_tz and re.match(
+            r"^\s*(settings\s*\([^)]*\)\s*)?(SELECT|WITH)\b", sql, re.I
+        ):
+            # statement-scoped timezone: parse under the zone, then
+            # shift timestamp outputs so the harness (which renders in
+            # the pinned UTC session) shows the zone's wall clock
+            _old_tz = spark.conf.get("spark.sql.session.timeZone")
+            try:
+                spark.conf.set("spark.sql.session.timeZone", _stmt_tz)
+                _res_tz = spark.sql(rewritten)
+                from pyspark.sql import functions as _Ftz
+
+                _res_tz = _res_tz.select(
+                    *[
+                        _Ftz.from_utc_timestamp(
+                            _Ftz.col(f"`{f.name}`"), _stmt_tz
+                        ).alias(f.name)
+                        if f.dataType.simpleString().startswith(
+                            "timestamp"
+                        )
+                        else _Ftz.col(f"`{f.name}`")
+                        for f in _res_tz.schema.fields
+                    ]
+                ).localCheckpoint(eager=True)
+            finally:
+                spark.conf.set("spark.sql.session.timeZone", _old_tz)
+            return _res_tz
         wcommit = ins or re.match(
             r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.`]+)", sql, re.I
         )
@@ -11008,6 +11060,39 @@ def run_slt_file(
                     return spark.sql(forced)
                 except Exception as e2:  # noqa: BLE001
                     msg = str(e2)
+            if "INVALID_EXTRACT_BASE_FIELD_TYPE" in msg:
+                # `z.z` inside a correlated subquery: Spark prefers an
+                # inner relation's COLUMN z (field-extract on a scalar,
+                # hence this error) where the reference resolves the
+                # OUTER table alias z. Rename the table-position alias
+                # so the qualified refs resolve unambiguously
+                # (query/cte/basic_r_cte.test sudoku shapes).
+                msh = re.search(
+                    r"""Can't extract a value from "(\w+)\"""", msg
+                )
+                if msh and re.search(
+                    rf"(\bFROM\s+[\w.`()]+\s+AS\s+|\bJOIN\s+[\w.`()]+"
+                    rf"\s+AS\s+|,\s*[\w.`()]+\s+AS\s+)"
+                    rf"{re.escape(msh.group(1))}\b",
+                    sql,
+                    re.I,
+                ):
+                    _al = msh.group(1)
+                    _new = f"__sa_{_al}"
+                    s2 = re.sub(
+                        rf"(\bFROM\s+[\w.`()]+\s+AS\s+|\bJOIN\s+"
+                        rf"[\w.`()]+\s+AS\s+|,\s*[\w.`()]+\s+AS\s+)"
+                        rf"{re.escape(_al)}\b",
+                        rf"\g<1>{_new}",
+                        sql,
+                        flags=re.I,
+                    )
+                    s2 = re.sub(rf"\b{re.escape(_al)}\s*\.", f"{_new}.", s2)
+                    if s2 != sql:
+                        try:
+                            return run_sql(s2)
+                        except Exception:  # noqa: BLE001
+                            pass
             if "COLUMN_IS_NOT_VARIANT_TYPE" in msg:
                 # Databend `col:path` reads named tuples AND json — Spark's
                 # native `:` needs true VARIANT. Retry as struct access,
