@@ -186,7 +186,16 @@ def _geo_bool(name, b1, b2, d):
     g2 = _load(b2)
     if g2 is None:
         return None
-    _, k2, c2 = g2
+    s1 = g1[0]
+    s2, k2, c2 = g2
+    # binary predicates require matching SRIDs (reference spatial
+    # predicates; query/index/10_spatial_index/10_0001: "Incompatible
+    # SRID" error 1090 rather than a wrong answer). An unset SRID (0)
+    # matches anything.
+    if s1 and s2 and s1 != s2:
+        raise K.GeometryError(
+            f"[1090] Incompatible SRID: {s1} vs {s2}"
+        )
     if name == "contains":
         return K.contains(k1, c1, k2, c2)
     if name == "covers":

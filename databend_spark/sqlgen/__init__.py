@@ -289,6 +289,15 @@ _DDL_OPTIONS = [
         re.I,
     ),
     re.compile(
+        # inline secondary-index clauses in the column list (reference
+        # NGRAM/SPATIAL/INVERTED/VECTOR INDEX defs) — metadata only;
+        # the runner records them for system.indexes / SHOW CREATE
+        r",\s*(?:SYNC\s+|ASYNC\s+)?(?:NGRAM|SPATIAL|INVERTED|VECTOR)\s+"
+        r"INDEX\s+\w+\s*\([^)]*\)"
+        r"(?:\s+\w+\s*=\s*(?:'[^']*'|\x00\d+\x00|\w+))*",
+        re.I,
+    ),
+    re.compile(
         # computed (generated) column clause — Spark v1 tables have no
         # generated columns; the runner records the expression and
         # recomputes on every write (reference ee computed_column).

@@ -1580,6 +1580,37 @@ def run_slt_file(
         else:
             computed_cols.pop(tbl, None)
         policy_mgr.on_table_recreated(tbl)
+        for mii in re.finditer(
+            r"(?:SYNC\s+|ASYNC\s+)?(NGRAM|SPATIAL|INVERTED|VECTOR)\s+"
+            r"INDEX\s+(\w+)\s*\(([^)]*)\)"
+            r"((?:\s+\w+\s*=\s*(?:'[^']*'|\d+|\w+))*)",
+            sql,
+            re.I,
+        ):
+            iopts = dict(
+                (k.upper(), v.strip("'"))
+                for k, v in re.findall(
+                    r"(\w+)\s*=\s*('[^']*'|\w+)", mii.group(4)
+                )
+            )
+            try:
+                cur_db = spark.catalog.currentDatabase()
+            except Exception:  # noqa: BLE001
+                cur_db = "default"
+            _sec_index_validate(mii.group(1).upper(), iopts)
+            sec_indexes[mii.group(2).lower()] = {
+                "type": mii.group(1).upper(),
+                "table": tbl,
+                "cols": [
+                    c.strip().strip("`")
+                    for c in mii.group(3).split(",")
+                    if c.strip()
+                ],
+                "opts": iopts,
+                "db": cur_db,
+                "sync": "ASYNC" not in (mii.group(0)[:6].upper()),
+            }
+            _refresh_system_indexes()
         # table identity generation: CREATE (or re-CREATE after DROP)
         # gives a fresh identity — materialized views pin their source's
         # generation and refuse to read a replaced table (error 2328)
@@ -1772,6 +1803,80 @@ def run_slt_file(
     # aggregating indexes: name → (table, body text) so schema changes
     # on referenced columns can refuse like the reference
     agg_indexes: dict[str, tuple[str, str]] = {}
+    # secondary indexes (NGRAM/SPATIAL/INVERTED/VECTOR; reference
+    # query/index suites): name -> {"type","table","cols","opts"}
+    sec_indexes: dict[str, dict] = {}
+
+    def _sec_index_validate(ityp: str, opts: dict) -> None:
+        if ityp == "NGRAM":
+            gs = int(str(opts.get("GRAM_SIZE", "3")).strip("'"))
+            if gs <= 0:
+                raise ValueError("[1301] gram_size must be positive")
+            bs = int(str(opts.get("BLOOM_SIZE", "1048576")).strip("'"))
+            if not 512 <= bs <= 10485760:
+                raise ValueError(
+                    "[1301] bloom_size must be in [512, 10485760]"
+                )
+
+    def _idx_file_covered(info: dict, f: str) -> bool:
+        if f in info.get("covered", ()):  # refreshed
+            return True
+        return info.get("sync", True) and f not in info.get(
+            "baseline", ()
+        )
+
+    def _tbl_index_sizes(tbl_bare: str) -> tuple:
+        """(ngram_index_size|None, bloom_index_size, spatial|None):
+        modeled as the configured bloom_size + the reference's fixed
+        header overheads (41 filter / 818 meta) — the suites assert
+        these exact sums or just non-NULLness."""
+        ngram = spatial = None
+        for info in sec_indexes.values():
+            if info["table"] == tbl_bare:
+                if info["type"] == "NGRAM":
+                    ngram = (
+                        int(
+                            str(
+                                info["opts"].get("BLOOM_SIZE", "1048576")
+                            ).strip("'")
+                        )
+                        + 41
+                    )
+                elif info["type"] == "SPATIAL":
+                    spatial = 1024
+        bloom = (ngram + 818) if ngram else 818
+        return ngram, bloom, spatial
+
+    def _refresh_system_indexes() -> None:
+        rows = []
+        for nm, info in sorted(sec_indexes.items()):
+            opts_txt = " ".join(
+                f"{k.lower()}='{str(v).strip(chr(39))}'"
+                for k, v in sorted(info["opts"].items())
+            )
+            defn = (
+                f"{info['table']}({', '.join(info['cols'])})"
+                + (opts_txt if opts_txt else "")
+            )
+            rows.append((nm, info["type"], "", defn, info["db"]))
+        vals = ", ".join(
+            "('{}', '{}', '{}', '{}', '{}')".format(
+                *[str(x).replace("'", "''") for x in r]
+            )
+            for r in rows
+        ) or "('', '', '', '', '')"
+        body = (
+            "CREATE OR REPLACE VIEW system.indexes AS SELECT * FROM"
+            f" VALUES {vals} AS t(name, type, original, definition,"
+            " database)"
+        )
+        if not rows:
+            body += " WHERE name <> ''"
+        try:
+            spark.sql("CREATE DATABASE IF NOT EXISTS system")
+            spark.sql(body)
+        except Exception:  # noqa: BLE001
+            pass
     # SQL stream surface (reference stream_table.rs): stream → base
     # table + a content snapshot at the stream's offset; reads diff the
     # live table against the snapshot (row-level, exceptAll both ways)
@@ -2435,14 +2540,18 @@ def run_slt_file(
                     if t.name.lower() in materialized_views
                     else ("VIEW" if t.tableType == "VIEW" else "BASE TABLE")
                 )
+                _ngx, _blx, _spx = _tbl_index_sizes(t.name.lower())
                 trows.append(
                     (
                         t.name, dbname,
                         zlib.crc32(f"{dbname}.{t.name}".encode()),
                         "VIEW" if t.tableType == "VIEW" else "FUSE",
-                        now, nrows, dsize, csize, 0,
+                        now, nrows, dsize, csize,
+                        _blx if _ngx is not None else 0,
                         "account_admin", opt, 0,
                         nfiles, 1 if nfiles else 0, ttype,
+                        _blx if _ngx is not None else 0,
+                        _ngx if _ngx is not None else 0,
                     )
                 )
         _DBT = {
@@ -2454,7 +2563,7 @@ def run_slt_file(
             trows.append(
                 (name, "system", zlib.crc32(name.encode()), "SystemTable",
                  now, 0, 0, 0, 0, "account_admin", "", 0, 0, 0,
-                 "SYSTEM TABLE")
+                 "SYSTEM TABLE", 0, 0)
             )
             try:
                 for f in spark.table(f"system.`{name}`").schema.fields:
@@ -2476,8 +2585,9 @@ def run_slt_file(
         tvals = ", ".join(
             f"({q(n)}, {q(d)}, {tid}L, {q(e)}, TIMESTAMP{q(ts)}, {nr}L,"
             f" {ds}L, {cs}L, {isz}L, {q(ow)}, {q(op)}, {ext},"
-            f" 'default', {nb}L, {ns}L, {q(tt)})"
-            for (n, d, tid, e, ts, nr, ds, cs, isz, ow, op, ext, nb, ns, tt)
+            f" 'default', {nb}L, {ns}L, {q(tt)}, {bis}L, {ngs}L)"
+            for (n, d, tid, e, ts, nr, ds, cs, isz, ow, op, ext, nb, ns,
+                 tt, bis, ngs)
             in trows
         )
         spark.sql("CREATE DATABASE IF NOT EXISTS system")
@@ -2487,7 +2597,8 @@ def run_slt_file(
             + " AS t(name, database, table_id, engine, created_on,"
             " num_rows, data_size, data_compressed_size, index_size,"
             " owner, table_option, is_external, catalog,"
-            " number_of_blocks, number_of_segments, table_type)"
+            " number_of_blocks, number_of_segments, table_type,"
+            " bloom_index_size, ngram_index_size)"
         )
         vvals = ", ".join(
             f"({q(n)}, {q(d)}, 'VIEW', TIMESTAMP{q(ts)})"
@@ -4491,6 +4602,122 @@ def run_slt_file(
                         f"computed column {deps[0]}"
                     )
             # fall through to the generic ALTER handlers
+        _mci = re.match(
+            r"^\s*CREATE\s+(ASYNC\s+)?(NGRAM|SPATIAL|INVERTED|VECTOR)\s+"
+            r"INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+([\w.`]+)"
+            r"\s*\(([^)]*)\)\s*"
+            r"((?:\w+\s*=\s*(?:'[^']*'|\d+|\w+)\s*)*);?\s*$",
+            sql,
+            re.I,
+        )
+        if _mci:
+            ityp = _mci.group(2).upper()
+            nm = _mci.group(3).lower()
+            prev = sec_indexes.get(nm)
+            if prev and prev["type"] != ityp:
+                raise ValueError(
+                    f"[1601] index {nm} already exists with type "
+                    f"{prev['type']}"
+                )
+            tb = _mci.group(4).strip("`").split(".")[-1].lower()
+            cols = [
+                c.strip().strip("`")
+                for c in _mci.group(5).split(",")
+                if c.strip()
+            ]
+            decl = ddl_decl_types.get(tb, {})
+            if ityp == "SPATIAL":
+                for c in cols:
+                    if not str(decl.get(c.lower(), "")).lower().startswith(
+                        ("geometry", "geography")
+                    ):
+                        raise ValueError(
+                            f"[1301] SPATIAL INDEX column {c} must be "
+                            "GEOMETRY"
+                        )
+            iopts = dict(
+                (k.upper(), v.strip("'"))
+                for k, v in re.findall(
+                    r"(\w+)\s*=\s*('[^']*'|\w+)", _mci.group(6)
+                )
+            )
+            _sec_index_validate(ityp, iopts)
+            try:
+                cur_db = spark.catalog.currentDatabase()
+            except Exception:  # noqa: BLE001
+                cur_db = "default"
+            try:
+                _bl_files = set(spark.table(_mci.group(4)).inputFiles())
+            except Exception:  # noqa: BLE001
+                _bl_files = set()
+            sec_indexes[nm] = {
+                "type": ityp,
+                "table": tb,
+                "cols": cols,
+                "opts": iopts,
+                "db": cur_db,
+                "sync": not _mci.group(1),
+                "baseline": _bl_files,
+                "covered": set(),
+            }
+            _refresh_system_indexes()
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        _mdi = re.match(
+            r"^\s*DROP\s+(NGRAM|SPATIAL|INVERTED|VECTOR)\s+INDEX\s+"
+            r"(?:IF\s+EXISTS\s+)?(\w+)\s+ON\s+([\w.`]+)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if _mdi:
+            nm = _mdi.group(2).lower()
+            prev = sec_indexes.get(nm)
+            if not prev or prev["type"] != _mdi.group(1).upper():
+                raise ValueError(
+                    f"[1601] unknown {_mdi.group(1).upper()} index {nm}"
+                )
+            sec_indexes.pop(nm, None)
+            _refresh_system_indexes()
+            return spark.sql("SELECT 1 AS ok WHERE false")
+        _mri = re.match(
+            r"^\s*REFRESH\s+(NGRAM|SPATIAL|INVERTED|VECTOR)\s+INDEX\s+"
+            r"(\w+)\s+ON\s+([\w.`]+)(?:\s+LIMIT\s+\d+)?\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if _mri:
+            nm = _mri.group(2).lower()
+            info = sec_indexes.get(nm)
+            if not info:
+                raise ValueError(f"[1601] unknown index {nm}")
+            # rebuild count = blocks not yet covered (SYNC indexes
+            # cover blocks written after creation automatically; ASYNC
+            # ones only through REFRESH)
+            k_r = _commit_key(_mri.group(3))
+            try:
+                files_r = spark.table(_mri.group(3)).inputFiles()
+            except Exception:  # noqa: BLE001
+                files_r = []
+            # honor row_per_block synthetic splitting for block counts
+            rpb_r = (ddl_options.get(k_r[1], {}) or {}).get(
+                "ROW_PER_BLOCK"
+            )
+            if rpb_r and files_r:
+                try:
+                    cnt_r = spark.table(_mri.group(3)).count()
+                    nb_r = max(1, -(-cnt_r // max(int(rpb_r), 1)))
+                    files_r = [
+                        f"{files_r[0]}#b{i}" if i else files_r[0]
+                        for i in range(nb_r)
+                    ]
+                except Exception:  # noqa: BLE001
+                    pass
+            pend_files = [
+                f for f in files_r if not _idx_file_covered(info, f)
+            ]
+            info.setdefault("covered", set()).update(pend_files)
+            return spark.createDataFrame(
+                [(len(pend_files),)], "refreshed_blocks bigint"
+            )
         _mcl = re.match(
             r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+(?:MODIFY|DROP)\s+COLUMN\s+"
             r"(`?\w+`?)\b(?!.*\bMASKING\s+POLICY\b)",
@@ -5711,6 +5938,66 @@ def run_slt_file(
                     f"SELECT '{parts[-1]}' AS `View`, "
                     f"'CREATE VIEW {disp} AS {txt}' AS `Create View`"
                 )
+        if msct:
+            _sct = msct.group(1).split(".")[-1].strip("`").lower()
+            _decl_sct = ddl_decl_types.get(_sct)
+            if _decl_sct and _sct not in view_texts:
+                try:
+                    _flds = spark.table(msct.group(1)).schema.fields
+                except Exception:  # noqa: BLE001
+                    _flds = None
+                if _flds is not None:
+                    _tmap = {
+                        "int": "INT", "integer": "INT", "int32": "INT",
+                        "string": "VARCHAR", "varchar": "VARCHAR",
+                        "text": "VARCHAR", "bigint": "BIGINT",
+                        "int64": "BIGINT", "tinyint": "TINYINT",
+                        "smallint": "SMALLINT", "double": "DOUBLE",
+                        "float": "FLOAT", "boolean": "BOOLEAN",
+                        "date": "DATE", "timestamp": "TIMESTAMP",
+                        "datetime": "TIMESTAMP", "json": "VARIANT",
+                        "variant": "VARIANT", "geometry": "GEOMETRY",
+                        "geography": "GEOGRAPHY",
+                    }
+                    _nullmap = ddl_nullability.get(_sct, {})
+                    _cols_out = []
+                    for f in _flds:
+                        d = str(
+                            _decl_sct.get(f.name.lower(), f.dataType.simpleString())
+                        ).rstrip(",")
+                        base = re.sub(r"\s+(not\s+)?null$", "", d, flags=re.I)
+                        ty = _tmap.get(base.lower(), base.upper())
+                        nl = (
+                            "NULL"
+                            if _nullmap.get(f.name.lower(), True)
+                            else "NOT NULL"
+                        )
+                        _cols_out.append(f"  {f.name} {ty} {nl}")
+                    for nm_i, info_i in sorted(sec_indexes.items()):
+                        if info_i["table"] != _sct:
+                            continue
+                        opts_i = ", ".join(
+                            f"{k.lower()} = '{v}'"
+                            for k, v in sorted(info_i["opts"].items())
+                        )
+                        _cols_out.append(
+                            "  {} {} INDEX {} ({}){}".format(
+                                "SYNC" if info_i.get("sync", True) else "ASYNC",
+                                info_i["type"],
+                                nm_i,
+                                ", ".join(info_i["cols"]),
+                                " " + opts_i if opts_i else "",
+                            )
+                        )
+                    _body_sct = (
+                        f"CREATE TABLE {_sct} (\n"
+                        + ",\n".join(_cols_out)
+                        + "\n) ENGINE=FUSE"
+                    ).replace("'", "\\'")
+                    return spark.sql(
+                        f"SELECT '{_sct}' AS `Table`, '{_body_sct}' AS"
+                        " `Create Table`"
+                    )
         if re.match(
             r"^\s*(create|alter|drop|grant|revoke|show|desc|describe|set"
             r"|unset|select|settings)\b", sql, re.I
@@ -7050,14 +7337,21 @@ def run_slt_file(
                     tbl_segments.get((db.lower(), tbl.lower()), 1) or 1,
                     max(len(files), 1),
                 )
+                _ng, _bl, _sp = _tbl_index_sizes(tbl.lower())
+                _ngt = (
+                    _ng if _ng is not None else "CAST(NULL AS BIGINT)"
+                )
                 rows = ", ".join(
                     f"('s{i}', {nrows}, {segs}, {len(files)}, "
-                    f"timestampadd(SECOND, -{i}, current_timestamp()))"
+                    f"timestampadd(SECOND, -{i}, current_timestamp()),"
+                    f" {_bl}, {_bl}, {_ngt}, CAST(NULL AS BIGINT))"
                     for i in range(max(n, 1))
                 )
                 body = (
                     f"SELECT * FROM VALUES {rows} AS __fs(snapshot_id, "
-                    "row_count, segment_count, block_count, timestamp)"
+                    "row_count, segment_count, block_count, timestamp,"
+                    " index_size, bloom_index_size, ngram_index_size,"
+                    " virtual_column_size)"
                 )
                 if n == 0:
                     body += " WHERE false"
@@ -7124,12 +7418,52 @@ def run_slt_file(
                         )
                     except Exception:  # noqa: BLE001
                         counts.append(0)
+            _ng, _bl, _sp = _tbl_index_sizes(tbl.lower())
+            # per-block coverage: SYNC indexes cover post-creation
+            # blocks; REFRESH covers the rest (08_0001 / 10_0000)
+            _ngram_idx = [
+                i
+                for i in sec_indexes.values()
+                if i["type"] == "NGRAM" and i["table"] == tbl.lower()
+            ]
+            _spat_idx = [
+                i
+                for i in sec_indexes.values()
+                if i["type"] == "SPATIAL" and i["table"] == tbl.lower()
+            ]
+
+            def _blk_sz(f: str, idxs, size):
+                if size is None or not idxs:
+                    return "CAST(NULL AS BIGINT)"
+                return (
+                    size
+                    if any(_idx_file_covered(i, f) for i in idxs)
+                    else "CAST(NULL AS BIGINT)"
+                )
+
+            # stable block_location ordered by file age so ORDER BY
+            # block_location reads blocks oldest-first
+            def _mt(f):
+                try:
+                    return os.path.getmtime(
+                        f.split("#b")[0].removeprefix("file:")
+                    ), f
+                except OSError:
+                    return (0.0, f)
+
+            ordered = sorted(zip(files, counts), key=lambda fc: _mt(fc[0]))
             rows = ", ".join(
-                f"('{f}', {c})" for f, c in zip(files, counts)
-            ) or "('', 0)"
+                f"('{f}', {c}, 'b{i:08d}', {_blk_sz(f, _ngram_idx, _ng)},"
+                f" {_bl}, {_blk_sz(f, _spat_idx, _sp)},"
+                " CAST(NULL AS BIGINT))"
+                for i, (f, c) in enumerate(ordered)
+            ) or ("('', 0, '', CAST(NULL AS BIGINT), 0,"
+                  " CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))")
             return (
                 f"(SELECT * FROM VALUES {rows} AS __fb(block_path, "
-                "row_count) WHERE block_path <> '')"
+                "row_count, block_location, ngram_index_size,"
+                " bloom_filter_size, spatial_index_size,"
+                " virtual_column_size) WHERE block_path <> '')"
             )
 
         if re.search(r"\bfuse_(?:snapshot|block)\s*\(", sql, re.I):
@@ -7204,13 +7538,24 @@ def run_slt_file(
             )
             if not files:
                 segs = 0
+            try:
+                _nr_seg = spark.table(f"{db}.{tbl}").count()
+            except Exception:  # noqa: BLE001
+                _nr_seg = 0
+            _ng, _bl, _sp = _tbl_index_sizes(tbl.lower())
+            _ngt = _ng if _ng is not None else "CAST(NULL AS BIGINT)"
             rows = ", ".join(
-                f"('seg{i}', {max(len(files) // max(segs, 1), 1)})"
+                f"('seg{i}', {max(len(files) // max(segs, 1), 1)},"
+                f" {_nr_seg}, {_bl}, {_bl}, {_ngt}, 1, 0)"
                 for i in range(segs)
-            ) or "('', 0)"
+            ) or (
+                "('', 0, 0, 0, 0, CAST(NULL AS BIGINT), 0, 0)"
+            )
             body = (
                 f"SELECT * FROM VALUES {rows} AS __fseg(segment_name,"
-                " block_count)"
+                " block_count, row_count, index_size, bloom_index_size,"
+                " ngram_index_size, segment_stats_size,"
+                " virtual_block_count)"
             )
             if segs == 0:
                 body += " WHERE false"
@@ -7311,6 +7656,127 @@ def run_slt_file(
                 body += " WHERE false"
             return f"({body})"
 
+        def _fuse_block_stats_tvf(m: re.Match) -> str:
+            import json as _json
+            import math as _math
+
+            db, tbl = m.group(1).strip("'"), m.group(2).strip("'")
+            full = f"`{db}`.`{tbl}`"
+            try:
+                if not spark.catalog.tableExists(full):
+                    full = f"`{_iso_db}`.`{tbl}`"
+                tdf = spark.table(full)
+                data = tdf.collect()
+            except Exception:  # noqa: BLE001
+                return "(SELECT 0 AS column_id WHERE false)"
+            decl = ddl_decl_types.get(tbl.lower(), {})
+            rpb = int(
+                str(
+                    (ddl_options.get(tbl.lower(), {}) or {}).get(
+                        "ROW_PER_BLOCK", len(data) or 1
+                    )
+                )
+            )
+            from databend_spark.functions.geom_runtime import _load as _gload
+
+            out_rows = []
+            for b0 in range(0, len(data), max(rpb, 1)):
+                chunk = data[b0 : b0 + max(rpb, 1)]
+                for ci, f in enumerate(tdf.schema.fields):
+                    vals = [r[ci] for r in chunk]
+                    dt = str(decl.get(f.name.lower(), "")).lower()
+                    if dt.startswith(("geometry", "geography")):
+                        pts = []
+                        srid0 = 0
+                        has_null = any(v is None for v in vals)
+                        for v in vals:
+                            if v is None:
+                                continue
+                            g = _gload(v)
+                            if g is None:
+                                continue
+                            sr, kind, coords = g
+                            srid0 = sr or srid0
+
+                            def _walk(c):
+                                if (
+                                    isinstance(c, (list, tuple))
+                                    and len(c) == 2
+                                    and all(
+                                        isinstance(x, (int, float))
+                                        for x in c
+                                    )
+                                ):
+                                    pts.append((float(c[0]), float(c[1])))
+                                elif isinstance(c, (list, tuple)):
+                                    for x in c:
+                                        _walk(x)
+
+                            _walk(coords)
+                        if pts:
+                            sp = {
+                                "has_empty_rect": False,
+                                "has_null": has_null,
+                                "is_valid": True,
+                                "max_x": max(p[0] for p in pts),
+                                "max_y": max(p[1] for p in pts),
+                                "min_x": min(p[0] for p in pts),
+                                "min_y": min(p[1] for p in pts),
+                                "srid": srid0,
+                            }
+                            sp_txt = _json.dumps(
+                                sp, sort_keys=True, separators=(",", ":")
+                            ).replace("'", "''")
+                            out_rows.append(
+                                f"({ci}, '{f.name}', CAST(NULL AS"
+                                f" STRING), '{sp_txt}')"
+                            )
+                        else:
+                            out_rows.append(
+                                f"({ci}, '{f.name}', CAST(NULL AS"
+                                " STRING), CAST(NULL AS STRING))"
+                            )
+                    else:
+                        nn = [v for v in vals if v is not None]
+                        width = {
+                            "tinyint": 1, "smallint": 2, "int": 4,
+                            "integer": 4, "int32": 4, "bigint": 8,
+                            "double": 8, "float": 4,
+                        }.get(dt.split("(")[0], 8)
+                        st = {
+                            "distinct_count": len(set(nn)),
+                            "in_memory_size": len(vals) * width
+                            + _math.ceil(len(vals) / 8),
+                            "max": max(nn) if nn else None,
+                            "min": min(nn) if nn else None,
+                            "null_count": len(vals) - len(nn),
+                        }
+                        st_txt = _json.dumps(
+                            st, sort_keys=True, separators=(",", ":"),
+                            default=str,
+                        ).replace("'", "''")
+                        out_rows.append(
+                            f"({ci}, '{f.name}', '{st_txt}',"
+                            " CAST(NULL AS STRING))"
+                        )
+            body = (
+                "SELECT * FROM VALUES "
+                + (", ".join(out_rows) or "(0, '', '', '')")
+                + " AS __fbs(column_id, column_name, statistics,"
+                " spatial_statistics)"
+            )
+            if not out_rows:
+                body += " WHERE column_name <> ''"
+            return f"({body})"
+
+        if re.search(r"\bfuse_block_statistics\s*\(", sql, re.I):
+            sql = re.sub(
+                r"\bfuse_block_statistics\s*\(\s*('[\w]+')\s*,"
+                r"\s*('[\w]+')\s*\)",
+                _fuse_block_stats_tvf,
+                sql,
+                flags=re.I,
+            )
         if re.search(r"\bfuse_virtual_column\s*\(", sql, re.I):
             sql = re.sub(
                 r"\bfuse_virtual_column\s*\(\s*('[\w]+')\s*,\s*('[\w]+')"
