@@ -6233,7 +6233,13 @@ def run_slt_file(
 
             _dz, _ = _dzm(sql)
             if re.search(r"/\s*0(?![\d.\w])", _dz) and not re.search(
-                r"\bdiv0|divnull|/\s*0\s*\x00", _dz, re.I
+                # conditional contexts evaluate lazily in the reference
+                # — a dead `x/0` branch must NOT error
+                # (query/functions/02_0010_function_if)
+                r"\bdiv0|divnull|/\s*0\s*\x00|\bif{1,2}\s*\(|\bCASE\b"
+                r"|\bwhen\b|\bcoalesce\s*\(",
+                _dz,
+                re.I,
             ):
                 # integer division by a literal zero errors in the
                 # reference (Spark non-ANSI yields NULL)
