@@ -1638,6 +1638,26 @@ def _quote_sql(args: list[str]) -> str | None:
     return e
 
 
+def _cast2_type(t: str) -> str | None:
+    """Second argument of a two-argument cast → Spark type text, or
+    None when it is not a type (then cast() is not the comma form)."""
+    t = t.strip()
+    if re.fullmatch(
+        r"[A-Za-z_]\w*(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?", t
+    ):
+        return _VA_CAST2.get(t.lower(), t)
+    m = re.fullmatch(
+        r"(?is)ARRAY\s*\(\s*([A-Za-z_]\w*"
+        r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+        r"(?:\s+NULL)?\s*\)",
+        t,
+    )
+    if m:
+        inner = _VA_CAST2.get(m.group(1).lower(), m.group(1))
+        return f"ARRAY<{inner}>"
+    return None
+
+
 SQL_MACROS["quote"] = _quote_sql
 SQL_MACROS["try_to_date"] = _try_to_date
 SQL_MACROS["try_to_timestamp"] = _try_to_timestamp
@@ -3333,25 +3353,16 @@ SQL_MACROS.update(
         "contains": "exists({0}, __ct -> __ct <=> ({1}))",
         "date_between": _date_between,
         "datebetween": _date_between,
-        # ClickHouse-style two-argument cast: cast(x, TYPE)
+        # ClickHouse-style two-argument cast: cast(x, TYPE) — simple
+        # types plus ARRAY(T [NULL]) composites
         "cast": lambda args: (
-            f"CAST({args[0]} AS "
-            f"{_VA_CAST2.get(args[1].strip().lower(), args[1])})"
-            if len(args) == 2
-            and re.fullmatch(
-                r"[A-Za-z_]\w*(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?",
-                args[1].strip(),
-            )
+            f"CAST({args[0]} AS {_cast2_type(args[1])})"
+            if len(args) == 2 and _cast2_type(args[1])
             else None
         ),
         "try_cast": lambda args: (
-            f"TRY_CAST({args[0]} AS "
-            f"{_VA_CAST2.get(args[1].strip().lower(), args[1])})"
-            if len(args) == 2
-            and re.fullmatch(
-                r"[A-Za-z_]\w*(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?",
-                args[1].strip(),
-            )
+            f"TRY_CAST({args[0]} AS {_cast2_type(args[1])})"
+            if len(args) == 2 and _cast2_type(args[1])
             else None
         ),
         "arrays_zip": _arrays_zip_macro,
