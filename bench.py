@@ -87,9 +87,50 @@ def _table_rows(sf_dir: str) -> dict[str, int]:
     return rows
 
 
+def _machine_load() -> dict:
+    """Contention telemetry recorded with every bench run (round-8
+    postmortem: a contended sf0.1 pass read as a phantom 2× regression).
+    ``contended`` flags the run as not trustworthy for comparisons."""
+    ncpu = os.cpu_count() or 1
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:  # platform without getloadavg
+        la1 = la5 = la15 = -1.0
+    nproc = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    if fh.read().split(") ")[-1].split()[0] == "R":
+                        nproc += 1
+            except OSError:
+                continue
+    except OSError:
+        nproc = -1
+    return {
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "running_procs": nproc,
+        "ncpu": ncpu,
+        # >25% of cores already busy before we start → numbers unusable
+        "contended": bool(la1 > 0.25 * ncpu),
+    }
+
+
 def main() -> None:
     from databend_spark.session import get_spark
     from databend_spark.suite import queries
+
+    load_before = _machine_load()
+    if load_before["contended"]:
+        print(
+            f"WARNING: machine busy (loadavg {load_before['loadavg_1m']}"
+            f" on {load_before['ncpu']} cpus) — bench numbers will not be"
+            " comparable; rerun on an idle box",
+            file=sys.stderr,
+        )
 
     spark = get_spark("bench")
     qs = queries()
@@ -118,6 +159,7 @@ def main() -> None:
         ),
         "sf": float(sf),
         "table_rows": _table_rows(SF_DIR),
+        "load_before": load_before,
     }
 
     # primary scale: sf1 (facts replicated 10×, tools/gen_scale.py) —
@@ -161,6 +203,10 @@ def main() -> None:
         )
         out["sf1_table_rows"] = _table_rows(sf1_dir)
 
+    # load_after is telemetry only — the bench itself drives loadavg up,
+    # so validity is judged on the pre-run state
+    out["load_after"] = _machine_load()
+    out["valid"] = not out["load_before"]["contended"]
     print(json.dumps(out))
 
 

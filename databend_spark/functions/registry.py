@@ -1577,13 +1577,15 @@ def _try_to_timestamp_auto(x: str) -> str:
     text is an epoch (magnitude decides the unit) BEFORE any compact
     format; fractional seconds beyond micros truncate; RFC 2822 / Unix
     date / DD-MON / M-D-Y families all parse."""
-    # Snowflake epoch-unit boundaries: <31536000000 s, then ms, µs
+    # epoch-unit boundaries per reference int64_to_timestamp
+    # (expression/src/utils/auto_detect_datetime.rs:68): |n| < 31536000000
+    # → seconds, |n| < 31536000000000 → millis, else MICROS clamped to
+    # the timestamp domain [TIMESTAMP_MIN, TIMESTAMP_MAX]
     num = (
         f"CASE WHEN try_cast({x} AS BIGINT) IS NOT NULL THEN CASE"
-        f" WHEN abs(try_cast({x} AS BIGINT)) >= 31536000000000000"
-        f" THEN timestamp_micros(try_cast({x} AS BIGINT))"
         f" WHEN abs(try_cast({x} AS BIGINT)) >= 31536000000000"
-        f" THEN timestamp_millis(try_cast({x} AS BIGINT))"
+        f" THEN timestamp_micros(greatest(least(try_cast({x} AS BIGINT),"
+        " 253402300799999999), -62135596800000000))"
         f" WHEN abs(try_cast({x} AS BIGINT)) >= 31536000000"
         f" THEN timestamp_millis(try_cast({x} AS BIGINT))"
         f" ELSE timestamp_seconds(try_cast({x} AS BIGINT)) END END"

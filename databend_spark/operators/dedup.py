@@ -214,8 +214,18 @@ def ngram_jaccard_pairs(
     return _ngram_pair_plan(ex, threshold, max_shingle_df)
 
 
+#: Max docs per pair-generation block. A block-pair row materializes at
+#: most B² (da, db) structs ≈ 16 MB at 1024 — bounded regardless of how
+#: many documents share a shingle (the DF cap bounds total pair COUNT;
+#: this bounds per-row/ per-task MEMORY).
+_PAIR_BLOCK = 1024
+
+
 def _ngram_pair_plan(
-    ex: DataFrame, threshold: float, max_df: int | None = None
+    ex: DataFrame,
+    threshold: float,
+    max_df: int | None = None,
+    pair_block: int = _PAIR_BLOCK,
 ) -> DataFrame:
     """Pair plan over the exploded (doc, sh) shingle stream (factored out
     so plan tests can pin its shape pre-checkpoint).
@@ -223,13 +233,23 @@ def _ngram_pair_plan(
     Shape: ONE exchange of the slim (doc, sh) stream hash-partitioned on
     the shingle; the stop-shingle DF cap is a count-only window over that
     partitioning (no separate tally job, no driver-side broadcast); pair
-    generation is ``collect_list`` per shingle + an in-partition nested
-    transform emitting C(d,2) (least, greatest) structs — replacing the
-    r7 self-equi-join, whose build/probe machinery dominated small-scale
-    latency while shuffling the same 1-row-per-shared-shingle volume.
-    The window cap runs BEFORE collect_list, so a 10⁷-document
-    stop-shingle is counted (sort-based, spillable) but never collected
-    into one giant array row."""
+    generation is ``collect_list`` per shingle + in-partition nested
+    transforms — replacing the r7 self-equi-join, whose build/probe
+    machinery dominated small-scale latency while shuffling the same
+    1-row-per-shared-shingle volume. The window cap runs BEFORE
+    collect_list, so a 10⁷-document stop-shingle is counted (sort-based,
+    spillable) but never collected into one giant array row.
+
+    Pair emission is CHUNKED: the per-shingle doc list (size d ≤ max_df)
+    is cut into blocks of ``pair_block``; block-index pairs (bi ≤ bj)
+    explode to one row each, and each row builds only its block-pair's
+    structs — within-block C(B,2) on the diagonal, B×B cross off it. The
+    r8 single-row C(d,2) flatten put ~d²/2 structs in ONE array (at the
+    auto cap d ≈ 20·√n and n = 10⁷ docs that is ~2×10⁹ structs ≈ 32 GB
+    in one row — executor OOM); with blocks the worst row holds B² ≈ 10⁶
+    structs and the same total pair stream is pipelined through explode
+    into the partial aggregate. d ≤ pair_block (every small/capped
+    corpus) degenerates to exactly one diagonal row — the r8 fast path."""
     from pyspark.sql import Window
 
     if max_df is not None:
@@ -242,25 +262,64 @@ def _ngram_pair_plan(
         )
     # groupBy on sh reuses the window's hash partitioning — no 2nd
     # exchange of the shingle stream
-    lists = ex.groupBy("sh").agg(F.collect_list("doc").alias("ds"))
-    n = F.size(F.col("ds"))
+    lists = (
+        ex.groupBy("sh")
+        .agg(F.collect_list("doc").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    B = int(pair_block)
+    nblocks = F.ceil(F.size("ds") / F.lit(B)).cast("int")
+    blocks = (
+        lists.select(
+            "ds",
+            F.explode(F.sequence(F.lit(0), nblocks - 1)).alias("bi"),
+        )
+        .select(
+            "ds",
+            "bi",
+            F.slice("ds", F.col("bi") * B + 1, B).alias("a"),
+            F.explode(F.sequence(F.col("bi"), nblocks - 1)).alias("bj"),
+        )
+        .select(
+            "a",
+            F.slice("ds", F.col("bj") * B + 1, B).alias("b"),
+            (F.col("bi") == F.col("bj")).alias("diag"),
+        )
+    )
+    na = F.size(F.col("a"))
 
     def tail_pairs(i):
-        x = F.element_at(F.col("ds"), i)
+        x = F.element_at(F.col("a"), i)
         return F.transform(
-            F.slice(F.col("ds"), i + 1, n - i),
+            F.slice(F.col("a"), i + 1, na - i),
             lambda y: F.struct(
                 F.least(x, y).alias("da"), F.greatest(x, y).alias("db")
             ),
         )
 
-    pairs_expr = F.when(
-        n >= 2,
-        F.flatten(F.transform(F.sequence(F.lit(1), n - 1), tail_pairs)),
-    )  # otherwise NULL → explode() emits no row
+    pair = lambda x, y: F.struct(  # noqa: E731
+        F.least(x, y).alias("da"), F.greatest(x, y).alias("db")
+    )
+    within = F.when(
+        na >= 2,
+        F.flatten(F.transform(F.sequence(F.lit(1), na - 1), tail_pairs)),
+    )  # single-element diagonal block → NULL → explode() emits no row
+    cross = F.flatten(
+        F.transform(
+            F.col("a"),
+            lambda x: F.transform(F.col("b"), lambda y: pair(x, y)),
+        )
+    )
     inter = (
-        lists.select(F.explode(pairs_expr).alias("p"))
+        blocks.select(
+            F.explode(F.when(F.col("diag"), within).otherwise(cross)).alias(
+                "p"
+            )
+        )
         .select("p.da", "p.db")
+        # duplicate doc ids under one shingle (possible only via an
+        # intra-document shingle-hash collision) must not emit self-pairs
+        .filter(F.col("da") != F.col("db"))
         .groupBy("da", "db")
         .agg(F.count("*").alias("inter"))
     )

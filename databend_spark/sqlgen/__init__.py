@@ -2416,6 +2416,30 @@ def _rewrite_any_join(s: str) -> str:
             raise UnsupportedSQL("ANY JOIN: probe relation not found")
         probe_txt = pm.group(1)
         pname = probe_txt.strip().strip("`").split(".")[-1]
+        # derived-table probe — ``FROM (SELECT ...) p ANY JOIN`` — the
+        # bare token is only the alias; walk back over the matching
+        # parens so the dedup subquery references the full relation,
+        # not an unresolvable alias (r8 ADVICE)
+        probe_cut = pm.start()
+        probe_plain = probe_txt
+        before = s[: pm.start()].rstrip()
+        asym = re.search(r"(?i)\bAS$", before)
+        base = before[: asym.start()].rstrip() if asym else before
+        if base.endswith(")"):
+            depth2, j = 0, len(base) - 1
+            while j >= 0:
+                if base[j] == ")":
+                    depth2 += 1
+                elif base[j] == "(":
+                    depth2 -= 1
+                    if depth2 == 0:
+                        break
+                j -= 1
+            if j < 0:
+                raise UnsupportedSQL("ANY JOIN: unbalanced probe relation")
+            probe_cut = j
+            probe_txt = base[j:]
+            probe_plain = f"{probe_txt} {pname}"
         um = re.match(r"\s*USING\s*\(([^)]*)\)", s[i:], re.I)
         on = re.match(r"\s*ON\b", s[i:], re.I)
 
@@ -2437,11 +2461,11 @@ def _rewrite_any_join(s: str) -> str:
                 if kind in ("INNER", "LEFT")
                 else rel + (f" {alias}" if alias else "")
             )
-            head = s[: pm.start()]
+            head = s[: probe_cut]
             probe_out = (
                 dedup(probe_txt, pname, pkeys, []) + f" {pname}"
                 if kind in ("INNER", "RIGHT")
-                else probe_txt
+                else probe_plain
             )
             jw = {"INNER": "JOIN", "LEFT": "LEFT JOIN", "RIGHT": "RIGHT JOIN"}[kind]
             s = (
@@ -2524,7 +2548,7 @@ def _rewrite_any_join(s: str) -> str:
         probe_out = (
             dedup(probe_txt, pname, pkeys, pwhere) + f" {pname}"
             if kind in ("INNER", "RIGHT")
-            else probe_txt
+            else probe_plain
         )
         residual = []
         if kind in ("RIGHT",) and bwhere:
@@ -2533,7 +2557,7 @@ def _rewrite_any_join(s: str) -> str:
             residual += pwhere
         jw = {"INNER": "JOIN", "LEFT": "LEFT JOIN", "RIGHT": "RIGHT JOIN"}[kind]
         s = (
-            s[: pm.start()] + probe_out + f" {jw} " + build_txt
+            s[: probe_cut] + probe_out + f" {jw} " + build_txt
             + " ON " + " AND ".join(equis + residual) + " " + s[end:]
         )
 

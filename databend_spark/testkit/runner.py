@@ -659,6 +659,9 @@ _SETTINGS_BASE = [
 
 
 _SETTING_NAMES = {n for n, *_ in _SETTINGS_BASE}
+#: declared default per setting — behavior lookups must fall back to
+#: THIS (what SHOW SETTINGS reports), never to an ad-hoc constant
+_SETTING_DEFAULTS = {n: v for n, v, *_ in _SETTINGS_BASE}
 
 # geometry-RETURNING functions: TO_STRING(expr) / expr::String over these
 # must render via the session's geometry_output_format instead of a
@@ -1650,14 +1653,19 @@ def run_slt_file(
             ddl_options[tbl] = opts
         mloc = re.search(r"'fs://(/[^']*)'", sql[end + 1 :])
         if mloc:
+            # untrusted-corpus guard: the location is raw SQL text — it
+            # is only ever cleaned/created inside the tmp sandbox
+            from databend_spark.testkit.sandbox import ensure_sandboxed
+
+            ensure_sandboxed(mloc.group(1))
             tbl_fs_locations[tbl] = mloc.group(1)
             try:
                 # a (re)created table starts with a clean location —
                 # leftover snapshot/sidecar files from earlier runs
                 # would corrupt list_stage counts
-                import shutil as _sh2
+                from databend_spark.testkit.sandbox import safe_rmtree as _sh2_rmtree
 
-                _sh2.rmtree(mloc.group(1), ignore_errors=True)
+                _sh2_rmtree(mloc.group(1))
                 # external-location privilege probe: the reference
                 # writes a 1-byte verification key at bind time — even
                 # when the statement itself later fails (binder
@@ -1918,9 +1926,9 @@ def run_slt_file(
         except Exception as se:  # noqa: BLE001
             loc = re.search(r"location '(?:file:)?([^']+)'", str(se))
             if loc:
-                import shutil
+                from databend_spark.testkit.sandbox import safe_rmtree
 
-                shutil.rmtree(loc.group(1), ignore_errors=True)
+                safe_rmtree(loc.group(1))
                 spark.sql(
                     f"CREATE TABLE `{snap}` AS SELECT * FROM {st['table']}"
                 )
@@ -2215,9 +2223,9 @@ def run_slt_file(
                     r"location '(?:file:)?([^']+)'", str(be)
                 )
                 if loc:
-                    import shutil
+                    from databend_spark.testkit.sandbox import safe_rmtree
 
-                    shutil.rmtree(loc.group(1), ignore_errors=True)
+                    safe_rmtree(loc.group(1))
                     try:
                         spark.sql(ddl)
                     except Exception:  # noqa: BLE001
@@ -8139,9 +8147,9 @@ def run_slt_file(
                         )
                         msg_re = str(re_err)
                         if "LOCATION_ALREADY_EXISTS" in msg_re and loc:
-                            import shutil
+                            from databend_spark.testkit.sandbox import safe_rmtree
 
-                            shutil.rmtree(loc.group(1), ignore_errors=True)
+                            safe_rmtree(loc.group(1))
                             spark.sql(
                                 f"ALTER TABLE {full} RENAME TO"
                                 f" {k[0]}.{hidden}"
@@ -10919,11 +10927,17 @@ def run_slt_file(
         from databend_spark.functions.registry import DT_PARSE_MODE
 
         _dt_strict = str(
-            setting_overrides.get("enable_strict_datetime_parser", "0")
+            setting_overrides.get(
+                "enable_strict_datetime_parser",
+                _SETTING_DEFAULTS.get("enable_strict_datetime_parser", "1"),
+            )
         ).strip("'\"") == "1"
         _dt_auto = str(
             setting_overrides.get(
-                "enable_auto_detect_datetime_format", "0"
+                "enable_auto_detect_datetime_format",
+                _SETTING_DEFAULTS.get(
+                    "enable_auto_detect_datetime_format", "0"
+                ),
             )
         ).strip("'\"") == "1"
         if _mstz:
@@ -10995,9 +11009,9 @@ def run_slt_file(
             msg = str(e)
             loc = re.search(r"location 'file:([^']+)' already exists", msg)
             if "LOCATION_ALREADY_EXISTS" in msg and loc:
-                import shutil
+                from databend_spark.testkit.sandbox import safe_rmtree
 
-                shutil.rmtree(loc.group(1), ignore_errors=True)
+                safe_rmtree(loc.group(1))
                 return spark.sql(rewritten)
             if "INVALID_RECURSIVE_CTE" in msg or (
                 "RECURSIVE" in sql.upper()

@@ -570,14 +570,24 @@ class StageManager:
             return self.stages[key], (m.group(2) or "").strip()
         mfs = re.match(r"^'?(?:fs|file)://(/?[^']*?)/?'?$", ref, re.I)
         if mfs:
-            root = "/" + mfs.group(1).lstrip("/")
+            from databend_spark.testkit.sandbox import ensure_sandboxed
+
+            # untrusted-corpus guard: a raw fs:/// path from SQL text is
+            # only usable inside the tmp sandbox (harness later rmtree's
+            # stage dirs; an unguarded '/home'-style root would be fatal)
+            root = ensure_sandboxed("/" + mfs.group(1).lstrip("/"))
             os.makedirs(root, exist_ok=True)
             return Stage("_url", root, read_only=False), ""
         mu = re.match(r"^'?([a-z0-9]+)://([^/']+)/?([^']*)'?$", ref, re.I)
         if mu:
             scheme, bucket, path = mu.groups()
             if scheme.lower() in ("fs", "file"):
+                from databend_spark.testkit.sandbox import ensure_sandboxed
+
                 root = "/" + bucket
+                # validate the full target (root may legitimately be the
+                # sandbox root itself when the subpath descends into it)
+                ensure_sandboxed(os.path.join(root, path) if path else root)
                 return Stage("_url", root, read_only=False), path
             if scheme.lower() not in ("s3",):
                 # non-s3 object stores (hf/cos/gcs/azblob/...) map to an

@@ -226,3 +226,29 @@ def test_ivf_ann_recall_and_probe_fraction(spark):
         for r in ivf_search(q, centroids, assigned, k=5, nprobe=16).collect()
     }
     assert exact == brute
+
+
+def test_ngram_pair_plan_chunked_blocks_match_single_block(spark):
+    """Block-chunked pair emission (pair_block << d) must produce exactly
+    the single-block result: a shingle shared by d docs yields all
+    C(d,2) pairs once each, across the diagonal/off-diagonal block rows.
+    This pins the r9 bounded-memory rewrite — per-row pair arrays are at
+    most pair_block² regardless of d, so a corpus-scale stop-shingle can
+    no longer materialize C(d,2) structs in one row."""
+    from databend_spark.operators.dedup import _ngram_pair_plan
+
+    d = 100  # spans 7 blocks at pair_block=16 (uneven tail block of 4)
+    rows = [(i, 7777) for i in range(d)]  # hot shingle shared by all
+    rows += [(i, 10_000 + i) for i in range(d)]  # one unique shingle each
+    ex = spark.createDataFrame(rows, "doc long, sh long")
+    chunked = {
+        (r.da, r.db, r.inter)
+        for r in _ngram_pair_plan(ex, 0.0, None, pair_block=16).collect()
+    }
+    single = {
+        (r.da, r.db, r.inter)
+        for r in _ngram_pair_plan(ex, 0.0, None, pair_block=1 << 20).collect()
+    }
+    assert len(chunked) == d * (d - 1) // 2
+    assert chunked == single
+    assert all(p[0] < p[1] and p[2] == 1 for p in chunked)

@@ -153,3 +153,32 @@ def test_topn_late_materialize_equals_naive(spark, tmp_path):
     narrow = df.select("id", "score").orderBy(F.desc("score")).limit(10)
     plan = narrow._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema" not in plan or "payload00" not in plan
+
+
+def test_sandbox_guards_untrusted_paths(tmp_path):
+    """fs:/// locations parsed from SLT text are cleaned with rmtree —
+    the sandbox must refuse anything outside the temp/warehouse roots
+    (r8 ADVICE high: a corpus statement naming '/home' must be inert)."""
+    import pytest as _pytest
+
+    from databend_spark.testkit.sandbox import (
+        ensure_sandboxed,
+        is_sandboxed,
+        safe_rmtree,
+    )
+
+    assert is_sandboxed("/tmp/slt_case_dir")
+    assert is_sandboxed(str(tmp_path / "sub"))
+    for bad in ("/home", "/root", "/", "/tmp", "/tmp/../etc", "/etc/passwd", ""):
+        assert not is_sandboxed(bad), bad
+        with _pytest.raises(RuntimeError):
+            ensure_sandboxed(bad)
+    probe = tmp_path / "probe"
+    probe.mkdir()
+    safe_rmtree(str(probe))
+    assert not probe.exists()
+    # outside the sandbox: silently a no-op, target untouched
+    safe_rmtree("/root/repo/databend_spark")
+    import os
+
+    assert os.path.isdir("/root/repo/databend_spark")

@@ -161,3 +161,22 @@ def test_any_join_without_condition_is_binder_error():
 
     with pytest.raises(Exception, match=r"\[1065\]"):
         R("SELECT * FROM t1 INNER ANY JOIN t2")
+
+
+def test_any_join_derived_table_probe():
+    """r8 ADVICE: a parenthesized derived-table probe must be captured
+    whole — the dedup subquery must not reference only the alias."""
+    from databend_spark.sqlgen import _rewrite_any_join
+
+    out = _rewrite_any_join(
+        "SELECT * FROM (SELECT * FROM t0 WHERE x > 1) p "
+        "INNER ANY JOIN t2 ON p.id = t2.id"
+    )
+    assert "FROM (SELECT * FROM t0 WHERE x > 1) p GROUP BY" in out
+    # the alias-only unresolvable form must be gone
+    assert "AS __s FROM p GROUP BY" not in out
+    out2 = _rewrite_any_join(
+        "SELECT * FROM (SELECT * FROM t0) AS p RIGHT ANY JOIN t2 "
+        "ON p.id = t2.id"
+    )
+    assert "FROM (SELECT * FROM t0) p GROUP BY" in out2
