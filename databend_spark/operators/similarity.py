@@ -295,6 +295,38 @@ def _banded_keys(
 # ---------------------------------------------------------------------------
 
 
+def _ivf_sample(
+    corpus: DataFrame, ncells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """The centroid-sample subtree (pre-checkpoint), factored out so plan
+    tests can pin its shape: deterministic hash-ordered sample via
+    orderBy+limit (fuses to TakeOrderedAndProject — per-partition
+    partial top-k, no global sort), collapsed to ONE row of
+    array<struct<cell,cvec,cnorm>> by sort_array+collect_list with cell
+    ids stamped by array index (same (hash, id) order the r8 row_number
+    Window used, minus the Window and its single-partition exchange)."""
+    hk = F.xxhash64(F.col(id_col))
+    sampled = (
+        corpus.select(
+            hk.alias("_hk"),
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("cvec"),
+        )
+        .orderBy("_hk", "_cid")
+        .limit(ncells)
+    )
+    return sampled.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_hk", "_cid", "cvec"))),
+            lambda x, i: F.struct(
+                i.cast("int").alias("cell"),
+                x["cvec"].alias("cvec"),
+                F.sqrt(dot_product(x["cvec"], x["cvec"])).alias("cnorm"),
+            ),
+        ).alias("_cents")
+    )
+
+
 def ivf_build(
     corpus: DataFrame,
     ncells: int = 16,
@@ -310,41 +342,116 @@ def ivf_build(
     assigned:  corpus + cell — the inverted lists; persist partitioned/
     bucketed BY cell so a probe reads only its lists at 100 TB.
     """
-    # Deterministic hash-ordered sample via orderBy+limit, which Spark
-    # fuses to TakeOrderedAndProject (per-partition partial top-k, no
-    # global sort, no single-partition Window — the r2 verdict's
-    # scale-killer). The subsequent row_number Window runs over exactly
-    # ``ncells`` rows, so its single partition is trivially bounded.
-    sampled = (
-        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("cvec"))
-        .orderBy(F.xxhash64(F.col("_cid")), F.col("_cid"))
-        .limit(ncells)
+    # sample subtree shape: see _ivf_sample. The single row is lazily
+    # localCheckpoint'd so it materializes once per query even though
+    # both the corpus assignment and the query probes broadcast it (r8
+    # re-ran TakeOrdered once per broadcast reference).
+    cents = _ivf_sample(corpus, ncells, id_col, vec_col).localCheckpoint(
+        eager=False
     )
-    w = W.orderBy(F.xxhash64(F.col("_cid")), F.col("_cid"))
-    centroids = (
-        sampled.withColumn("_rn", F.row_number().over(w))
-        .select((F.col("_rn") - 1).alias("cell"), "cvec")
+    centroids = cents.select(F.explode("_cents").alias("_c")).select(
+        "_c.cell", "_c.cvec"
     )
-    assigned = _nearest_cell(corpus, centroids, id_col, vec_col).select(
+    # carry the single-row form so ivf_search's probe side reuses the
+    # checkpointed array directly instead of re-aggregating the exploded
+    # (cell, cvec) view back into one row (an extra agg+exchange+
+    # broadcast chain per query)
+    centroids._ivf_cents = cents
+    assigned = _nearest_cell(corpus, cents, id_col, vec_col).select(
         *corpus.columns, "cell"
     )
     return centroids, assigned
 
 
+def _bind(expr, fn):
+    """Let-binding for an expensive expression referenced inside
+    per-element lambdas (same trick as operators.dedup._bind): wrap it in
+    a single-element array and bind it as the outer transform's lambda
+    variable, forcing exactly one evaluation per row. ``fn`` must return
+    an array (flatten unwraps the singleton)."""
+    return F.flatten(F.transform(F.array(expr), fn))
+
+
+def _centroid_array(centroids: DataFrame):
+    """Collapse the (tiny) centroid table to ONE row holding a sorted
+    array<struct<cell,cvec,cnorm>> — broadcast-joined onto the corpus so
+    cell assignment is a per-row expression instead of a 16× crossJoin
+    blowup. ``cnorm`` (the centroid's L2 norm) is precomputed HERE, once
+    per centroid, so the per-row sim sweep folds each corpus vector
+    against a centroid exactly once instead of re-deriving sqrt(c·c)
+    per row (3 64-element folds → 1). A DataFrame already in single-row
+    ``_cents`` form (ivf_build's checkpointed output) passes through."""
+    if centroids.columns == ["_cents"]:
+        return centroids
+    carried = getattr(centroids, "_ivf_cents", None)
+    if carried is not None:
+        return carried
+    return centroids.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "cell",
+                    "cvec",
+                    F.sqrt(dot_product(F.col("cvec"), F.col("cvec"))).alias(
+                        "cnorm"
+                    ),
+                )
+            )
+        ).alias("_cents")
+    )
+
+
+def _cell_sims(vec_col: str):
+    """array<struct<sim, negcell>> over the attached ``_cents`` array.
+    struct ordering is lexicographic, so max/sort give sim-desc with
+    cell-asc tie-break (negcell desc == cell asc) — bit-identical to the
+    window ``ORDER BY sim DESC, cell`` it replaces. The row vector's
+    norm is let-bound (one evaluation per row, not one per centroid) and
+    centroid norms come precomputed from ``_cents``; sim stays
+    dot/(vnorm*cnorm) — the identical IEEE expression cosine_similarity
+    produces."""
+    v = F.col(vec_col)
+    return _bind(
+        F.sqrt(dot_product(v, v)),
+        lambda vnorm: F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (dot_product(v, c["cvec"]) / (vnorm * c["cnorm"])).alias(
+                    "sim"
+                ),
+                (-c["cell"]).alias("negcell"),
+            ),
+        ),
+    )
+
+
 def _nearest_cell(
     df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Attach the argmax-cosine cell id (broadcast centroid sweep;
-    row_number over the unique ``id_col``)."""
-    sims = (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine_similarity(F.col(vec_col), F.col("cvec")))
-    )
-    w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell"))
+    """Attach the argmax-cosine cell id.
+
+    r8 plan: crossJoin(broadcast(centroids)) exploded the corpus 16× and
+    a row_number Window re-shuffled + sorted all of it — the dominant
+    cost of ivf_build. Now the 16 centroids collapse to ONE broadcast
+    row (array<struct>) and the argmax is ``array_max`` over per-row
+    struct sims: zero exchange, zero sort, same assignment (ties break
+    to the smallest cell exactly as the window's ORDER BY did).
+    ``centroids`` may be a (cell, cvec) table or the single-row
+    ``_cents`` form. The cell expression is wrapped in ``coalesce(…, -1)``
+    to make it provably non-nullable: downstream equi-joins on ``cell``
+    would otherwise inject an ``isnotnull(<argmax>)`` filter that
+    re-evaluates the whole 16-cosine sweep a second time per row (seen
+    in the r9 plan audit). ``_cents`` is never empty, so the -1 branch
+    never fires."""
     return (
-        sims.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_sim", "_rn", "cvec")
+        df.join(F.broadcast(_centroid_array(centroids)))
+        .withColumn(
+            "cell",
+            F.coalesce(
+                -F.array_max(_cell_sims(vec_col))["negcell"], F.lit(-1)
+            ),
+        )
+        .drop("_cents")
     )
 
 
@@ -365,25 +472,51 @@ def ivf_search(
     cosine re-rank inside. Output: (query_id, neighbor_id, sim, rank).
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    cq = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "_csim", cosine_similarity(F.col("qv"), F.col("cvec"))
-    )
-    wq = W.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("cell"))
+    # nprobe nearest cells per query: sort the per-row struct-sim array
+    # descending and slice — replaces the r8 crossJoin + row_number
+    # Window (an exchange + sort of the query fan-out) with a pure
+    # projection; ordering/tie-break identical (see _cell_sims).
     probes = (
-        cq.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "qv", "cell")
+        q.join(F.broadcast(_centroid_array(centroids)))
+        .select(
+            "query_id",
+            "qv",
+            F.sqrt(dot_product(F.col("qv"), F.col("qv"))).alias("qnorm"),
+            F.explode(
+                F.slice(
+                    F.sort_array(_cell_sims("qv"), asc=False), 1, nprobe
+                )
+            ).alias("_probe"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qnorm",
+            (-F.col("_probe")["negcell"]).alias("cell"),
+        )
     )
+    # norms precomputed per side (once per probe row / corpus row) so the
+    # per-candidate re-rank is a single 64-element fold; dot/(qnorm*cnorm)
+    # is the identical IEEE expression cosine_similarity produces.
     c = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+        "cell",
     )
+    # probes is |Q|·nprobe rows by construction — broadcast it so the
+    # corpus-side inverted lists stream through the join un-shuffled
     scored = (
-        probes.join(c, "cell")
+        F.broadcast(probes)
+        .join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+            (
+                dot_product(F.col("qv"), F.col("cv"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))

@@ -151,22 +151,29 @@ def test_spatial_join_plan_no_cartesian(spark, sf_dir):
 def test_ivf_build_centroid_pick_is_take_ordered(spark, sf_dir):
     """ivf_build's centroid sample must fuse to TakeOrderedAndProject
     (distributed partial top-k), NOT a no-partition Window over the full
-    corpus — the r2 verdict's scale-killer. The only Window allowed over
-    an unpartitioned input is the ncells-row rank stamping AFTER the
-    limit, which TakeOrderedAndProject precedes in the plan."""
-    from databend_spark.operators.similarity import ivf_build
+    corpus — the r2 verdict's scale-killer. Since r9 the sample collapses
+    to one array row by sort_array+collect_list: no Window at all, and
+    the corpus assignment is a per-row argmax expression with zero
+    exchanges of the corpus (the r8 crossJoin+row_number shape shuffled
+    it 16×)."""
+    from databend_spark.operators.similarity import _ivf_sample, ivf_build
     from databend_spark.plans import physical_plan
     from databend_spark.session import load_table
 
     corpus = load_table(spark, f"{sf_dir}/embeddings.parquet")
-    centroids, _ = ivf_build(corpus, ncells=8)
-    plan = physical_plan(centroids)
-    assert "TakeOrderedAndProject" in plan, plan
-    # the Window must consume the take's output (tiny), not the scan:
-    # TakeOrderedAndProject has to appear below (after, in EXPLAIN
-    # formatted order) the Window's child exchange — cheap structural
-    # check: no global Sort of the corpus feeding a Window.
-    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan
+    sample_plan = physical_plan(
+        _ivf_sample(corpus, 8, "vec_id", "embedding")
+    )
+    assert "TakeOrderedAndProject" in sample_plan, sample_plan
+    assert "Window" not in sample_plan, sample_plan
+    _, assigned = ivf_build(corpus, ncells=8)
+    assigned_plan = physical_plan(assigned)
+    assert "Window" not in assigned_plan, assigned_plan
+    # corpus side must not be re-shuffled for assignment: the only
+    # allowed Exchange is the broadcast of the single centroid row
+    for line in assigned_plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            raise AssertionError(assigned_plan)
 
 
 def test_bm25_plan_broadcasts_term_stats(spark, sf_dir):
