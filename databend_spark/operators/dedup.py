@@ -137,6 +137,18 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     return df.withColumn("shingles", shingle_expr(text_col, n))
 
 
+def hashed_shingle_expr(text_col: str, n: int = 3):
+    """xxhash64'd distinct n-gram shingles (array<long>).
+
+    Hashing INSIDE the array (one transform over shingle_expr) means
+    everything downstream — explode, minhash sweeps, set intersects —
+    operates on 8-byte longs instead of multi-word strings: the explode
+    emits slim rows directly (the r8 plan exploded strings and hashed
+    per exploded row), and per-seed minhash hashes a long, not a
+    re-scanned string. Collision odds 2⁻⁶⁴ per pair — negligible."""
+    return F.transform(shingle_expr(text_col, n), lambda s: F.xxhash64(s))
+
+
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str
 ) -> DataFrame:
@@ -181,15 +193,15 @@ def ngram_jaccard_pairs(
     exercised in tests. Pass ``None`` for exact semantics regardless of
     cost, or an int to pin the cap.
     """
-    sh = shingles(_spread(df.select(id_col, text_col)), text_col, n).select(
-        F.col(id_col).alias("doc"), "shingles"
+    # ONE projection from documents to the slim (doc, sh) stream: the
+    # shingles are hashed inside the array (hashed_shingle_expr) so the
+    # explode emits 8-byte longs directly — and one DataFrame op instead
+    # of the r8 three (each op re-runs the analyzer over the accumulated
+    # tree; construction cost was ~30% of this query at bench scale)
+    ex = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"),
+        F.explode(hashed_shingle_expr(text_col, n)).alias("sh"),
     )
-    # join on the 8-byte shingle hash, not the shingle text: at corpus
-    # scale the self-join shuffle carries (doc, hash) pairs instead of
-    # multi-word strings (collision odds 2^-64 per pair — negligible)
-    ex = sh.select(
-        "doc", F.explode("shingles").alias("sh_text")
-    ).select("doc", F.xxhash64("sh_text").alias("sh"))
     if max_shingle_df == "auto":
         # footer metadata first (no Spark job — the r7 count() job cost
         # ~0.3s of fixed overhead per call); count() only for non-file
@@ -253,13 +265,11 @@ def _ngram_pair_plan(
     from pyspark.sql import Window
 
     if max_df is not None:
-        ex = (
-            ex.withColumn(
-                "_df", F.count("*").over(Window.partitionBy("sh"))
-            )
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-        )
+        ex = ex.select(
+            "doc",
+            "sh",
+            F.count("*").over(Window.partitionBy("sh")).alias("_df"),
+        ).filter(F.col("_df") <= max_df)
     # groupBy on sh reuses the window's hash partitioning — no 2nd
     # exchange of the shingle stream
     lists = (
@@ -350,22 +360,38 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: sig[s] = min over shingles of
-    xxhash64(s, shingle). Pure built-ins (nested higher-order functions),
-    entirely codegen'd — no UDF. The shingle array is let-bound (see
-    ``_bind``) so it is built once per row, not once per hash seed."""
+    """MinHash signature per document: sig[s] = min over hashed shingles
+    of xxhash64(s, h). Pure built-ins (nested higher-order functions) —
+    no UDF.
+
+    The ``shingles`` column is the HASHED shingle set (array<long>, see
+    ``hashed_shingle_expr``): per-seed sweeps hash an 8-byte long
+    instead of re-scanning a multi-word string (num_hashes× cheaper
+    bytes), and the LSH verify step intersects long sets. Both columns
+    come out of ONE packed struct bound to a single shingle evaluation —
+    the r8 projection listed ``shingle_expr`` twice (once for shingles,
+    once inside sig), tokenizing+shingling every document twice per
+    materialization."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = _bind(
-        shingle_expr(text_col, shingle_n),
-        lambda sh: F.transform(
-            seeds,
-            lambda s: F.array_min(F.transform(sh, lambda t: F.xxhash64(s, t))),
+    packed = F.element_at(
+        F.transform(
+            F.array(hashed_shingle_expr(text_col, shingle_n)),
+            lambda sh: F.struct(
+                sh.alias("shingles"),
+                F.transform(
+                    seeds,
+                    lambda s: F.array_min(
+                        F.transform(sh, lambda h: F.xxhash64(s, h))
+                    ),
+                ).alias("sig"),
+            ),
         ),
+        1,
     )
-    return _spread(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"),
-        shingle_expr(text_col, shingle_n).alias("shingles"),
-        sig.alias("sig"),
+    return (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("doc"), packed.alias("_p"))
+        .select("doc", "_p.shingles", "_p.sig")
     )
 
 
