@@ -70,7 +70,28 @@ def get_spark(app_name: str = "databend_spark") -> SparkSession:
         .config("spark.sql.storeAssignmentPolicy", "LEGACY")
         # Databend map_cat/map_insert overwrite on duplicate keys
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Join strategy (guide §3.1): the r2-r8 static 64 MB
+        # autoBroadcastJoinThreshold made the planner broadcast the
+        # column-pruned FACT table (6M-row lineitem ≈ 100 MB in-memory)
+        # in 7 of the TPC-H plans at sf1 — a single-threaded
+        # HashedRelation build per join and a driver OOM at sf10+.
+        # Static threshold stays at Spark's 10 MB default (size
+        # *estimates* are unreliable after pruning/filters); the
+        # ADAPTIVE threshold is 64 MB, applied by AQE at runtime from
+        # the join sides' REAL shuffle sizes, so small-at-runtime sides
+        # still become broadcasts. Shuffled-hash is preferred over
+        # sort-merge when a per-partition build fits (64 MB local map
+        # threshold) — no sort of fact tables.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # '${name}' in string literals stays literal (regexp templates)
         .config("spark.sql.variable.substitute", "false")
         .config("spark.ui.enabled", "false")
