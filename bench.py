@@ -87,6 +87,21 @@ def _table_rows(sf_dir: str) -> dict[str, int]:
     return rows
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(total_ticks, steal_ticks) from /proc/stat — steal is time the
+    hypervisor ran someone else while this VM wanted the CPU. A steal
+    burst mid-run is external contention no in-guest loadavg shows
+    (r9 observation: untouched 15k-row queries swinging 3× between
+    passes while the guest was otherwise idle)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError):
+        return 0, 0
+
+
 def _machine_load() -> dict:
     """Contention telemetry recorded with every bench run (round-8
     postmortem: a contended sf0.1 pass read as a phantom 2× regression).
@@ -109,7 +124,10 @@ def _machine_load() -> dict:
                 continue
     except OSError:
         nproc = -1
+    total_ticks, steal_ticks = _cpu_ticks()
     return {
+        "cpu_ticks_total": total_ticks,
+        "cpu_ticks_steal": steal_ticks,
         "loadavg_1m": round(la1, 2),
         "loadavg_5m": round(la5, 2),
         "running_procs": nproc,
@@ -204,9 +222,19 @@ def main() -> None:
         out["sf1_table_rows"] = _table_rows(sf1_dir)
 
     # load_after is telemetry only — the bench itself drives loadavg up,
-    # so validity is judged on the pre-run state
+    # so validity is judged on the pre-run state PLUS hypervisor steal
+    # during the run: steal is time the host ran someone else while this
+    # VM wanted the CPU — external contention invisible to loadavg
+    # (r9: untouched 15k-row queries swung 3× between passes from steal
+    # bursts). >2% of elapsed CPU stolen → numbers not comparable.
     out["load_after"] = _machine_load()
-    out["valid"] = not out["load_before"]["contended"]
+    dt = out["load_after"]["cpu_ticks_total"] - load_before["cpu_ticks_total"]
+    ds = out["load_after"]["cpu_ticks_steal"] - load_before["cpu_ticks_steal"]
+    out["steal_during_run_pct"] = round(100.0 * ds / dt, 2) if dt > 0 else -1.0
+    out["valid"] = (
+        not out["load_before"]["contended"]
+        and out["steal_during_run_pct"] < 2.0
+    )
     print(json.dumps(out))
 
 
