@@ -326,11 +326,10 @@ def _ngram_pair_plan(
                 "p"
             )
         )
-        .select("p.da", "p.db")
         # duplicate doc ids under one shingle (possible only via an
         # intra-document shingle-hash collision) must not emit self-pairs
-        .filter(F.col("da") != F.col("db"))
-        .groupBy("da", "db")
+        .filter(F.col("p.da") != F.col("p.db"))
+        .groupBy(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
         .agg(F.count("*").alias("inter"))
     )
     sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
@@ -343,13 +342,16 @@ def _ngram_pair_plan(
     return (
         inter.join(sa, "da")
         .join(sb, "db")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")),
+        .select(
+            "da",
+            "db",
+            "inter",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("da", "db", "inter", "jaccard")
     )
 
 
