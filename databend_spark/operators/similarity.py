@@ -62,14 +62,22 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector (broadcast the smaller
     side; queries here). Output: (query_id, neighbor_id, sim, rank)."""
+    # norms precomputed once per query/corpus row (not once per PAIR):
+    # dot/(qnorm*cnorm) is the identical IEEE expression
+    # cosine_similarity produces, at a third of the fold work
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
     )
     sim = (
-        cosine_similarity(F.col("qv"), F.col("cv"))
+        dot_product(F.col("qv"), F.col("cv"))
+        / (F.col("qnorm") * F.col("cnorm"))
         if metric == "cosine"
         else -l2_distance(F.col("qv"), F.col("cv"))
     )
@@ -151,16 +159,23 @@ def lsh_ann_topk(
     top-1 cosine ≈ 0.4 ≈ 66°) recall at 4 planes ≈ 0.5 — measured in
     tests/test_llm_ops.py. Raise probes/lower planes for recall, invert
     for speed."""
+    # norms precomputed per side (once per row, not once per candidate
+    # pair); dot/(qnorm*cnorm) is IEEE-identical to cosine_similarity
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
     ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, num_planes))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
     ).withColumn("bucket0", lsh_bucket(F.col("qv"), dim, num_planes))
     # multi-probe: original bucket + each single-bit flip
     probes = q.select(
         "query_id",
         "qv",
+        "qnorm",
         F.explode(
             F.array(
                 F.col("bucket0"),
@@ -177,7 +192,10 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+            (
+                dot_product(F.col("qv"), F.col("cv"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -241,8 +259,18 @@ def neardup_pairs(
     on a fixed corpus the output is stable. ``method="brute"`` keeps the
     exact all-pairs path for validation on small data.
     """
-    a = embeddings.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    # norms precomputed once per row (per join side), not once per
+    # candidate pair; dot/(na*nb) is IEEE-identical to cosine_similarity
+    a = embeddings.select(
+        F.col(id_col).alias("ia"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("_na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("ib"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("_nb"),
+    )
     if method == "brute":
         cand = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
     else:
@@ -267,7 +295,10 @@ def neardup_pairs(
     return cand.select(
         "ia",
         "ib",
-        cosine_similarity(F.col("va"), F.col("vb")).alias("sim"),
+        (
+            dot_product(F.col("va"), F.col("vb"))
+            / (F.col("_na") * F.col("_nb"))
+        ).alias("sim"),
     ).filter(F.col("sim") >= threshold)
 
 
