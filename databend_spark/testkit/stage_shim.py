@@ -116,6 +116,12 @@ class Stage:
     # paths are reported relative to this root (differs from `dir` for
     # URL-form copies where names are bucket-relative)
     rel_root: str = ""
+    # False when the fs root from SQL text resolves outside the tmp
+    # sandbox: the stage object EXISTS (metadata DDL — CREATE/ALTER/
+    # DESC/DROP — must succeed, base/05_ddl/05_0016 declares
+    # url='fs:///'), but any filesystem access through it raises 2501
+    # (testkit.sandbox policy)
+    sandboxed: bool = True
 
     def __post_init__(self):
         if not self.rel_root:
@@ -128,6 +134,16 @@ _STAGES_SCHEMA = (
     "storage_params string, file_format_options string, creator string, "
     "created_on timestamp, comment string, owner string"
 )
+
+
+def _require_sandboxed(st: Stage) -> None:
+    """Filesystem access through an out-of-sandbox fs:// stage is
+    refused (metadata DDL on it is fine — see Stage.sandboxed)."""
+    if not st.sandboxed:
+        raise RuntimeError(
+            f"[2501] stage location {st.dir!r} is outside the allowed "
+            "local filesystem sandbox (must be under the temp dir)"
+        )
 
 
 def _mask_secret(v: str) -> str:
@@ -570,25 +586,33 @@ class StageManager:
             return self.stages[key], (m.group(2) or "").strip()
         mfs = re.match(r"^'?(?:fs|file)://(/?[^']*?)/?'?$", ref, re.I)
         if mfs:
-            from databend_spark.testkit.sandbox import ensure_sandboxed
+            from databend_spark.testkit.sandbox import is_sandboxed
 
             # untrusted-corpus guard: a raw fs:/// path from SQL text is
-            # only usable inside the tmp sandbox (harness later rmtree's
-            # stage dirs; an unguarded '/home'-style root would be fatal)
-            root = ensure_sandboxed("/" + mfs.group(1).lstrip("/"))
-            os.makedirs(root, exist_ok=True)
-            return Stage("_url", root, read_only=False), ""
+            # only TOUCHABLE inside the tmp sandbox (the harness later
+            # rmtree's stage dirs; an unguarded '/home'-style root would
+            # be fatal). Registration itself must still succeed —
+            # metadata-only DDL on e.g. fs:/// is in the pinned corpus —
+            # so out-of-sandbox roots yield a stage with sandboxed=False
+            # and every filesystem access through it raises 2501.
+            root = "/" + mfs.group(1).lstrip("/")
+            ok = is_sandboxed(root)
+            if ok:
+                os.makedirs(root, exist_ok=True)
+            return Stage("_url", root, read_only=False, sandboxed=ok), ""
         mu = re.match(r"^'?([a-z0-9]+)://([^/']+)/?([^']*)'?$", ref, re.I)
         if mu:
             scheme, bucket, path = mu.groups()
             if scheme.lower() in ("fs", "file"):
-                from databend_spark.testkit.sandbox import ensure_sandboxed
+                from databend_spark.testkit.sandbox import is_sandboxed
 
                 root = "/" + bucket
                 # validate the full target (root may legitimately be the
                 # sandbox root itself when the subpath descends into it)
-                ensure_sandboxed(os.path.join(root, path) if path else root)
-                return Stage("_url", root, read_only=False), path
+                ok = is_sandboxed(os.path.join(root, path) if path else root)
+                return Stage(
+                    "_url", root, read_only=False, sandboxed=ok
+                ), path
             if scheme.lower() not in ("s3",):
                 # non-s3 object stores (hf/cos/gcs/azblob/...) map to an
                 # empty local dir — DDL works, data access is local-only
@@ -622,6 +646,7 @@ class StageManager:
         """-> [(rel_name, abs_path)], rel to the stage's rel_root.
         Directory / exact-file / name-prefix resolution mirrors the
         reference's list API (prefix match, recursive)."""
+        _require_sandboxed(stage)
         base = stage.dir
         out: list[tuple[str, str]] = []
         if files:
@@ -848,7 +873,7 @@ class StageManager:
                 d = os.path.join(st.dir, sub) if sub else st.dir
                 self.stages[key] = Stage(
                     key, d, read_only=st.read_only, fmt=fmt,
-                    url=url_m.group(1), conn=conn,
+                    url=url_m.group(1), conn=conn, sandboxed=st.sandboxed,
                 )
             else:
                 d = self._dir(key)
@@ -968,6 +993,7 @@ class StageManager:
                         else base_st.dir
                     )
                     st.rel_root = st.dir
+                    st.sandboxed = base_st.sandboxed
             self._refresh_system_stages()
             return empty()
 
@@ -1629,6 +1655,7 @@ class StageManager:
 
         # target path: raw-path mode writes exactly that file; any
         # other subpath is a DIRECTORY (05_0016: @s/a'b -> a'b/data_…)
+        _require_sandboxed(st)
         base, pfx, exact = st.dir, "", None
         if sub:
             if raw_path and not sub.endswith("/"):

@@ -182,3 +182,28 @@ def test_sandbox_guards_untrusted_paths(tmp_path):
     import os
 
     assert os.path.isdir("/root/repo/databend_spark")
+
+
+def test_stage_metadata_ddl_allowed_outside_sandbox_access_refused(spark):
+    """Out-of-sandbox fs:/// stages: metadata DDL (CREATE/ALTER/DESC/
+    DROP) must succeed — base/05_ddl/05_0016 declares url='fs:///' — but
+    any filesystem ACCESS through the stage raises 2501 (the r8 ADVICE
+    rmtree surface stays closed at the access chokepoints, not at
+    registration)."""
+    import pytest as _pytest
+
+    from databend_spark.testkit.stage_shim import StageManager
+
+    sm = StageManager(spark)
+    run = spark.sql
+    sm.try_handle("CREATE STAGE sbx_meta_only url='fs:///';", run)
+    st = sm.stages["sbx_meta_only"]
+    assert st.sandboxed is False
+    with _pytest.raises(RuntimeError, match="2501"):
+        sm.list_files(st)
+    sm.try_handle(
+        "ALTER STAGE sbx_meta_only SET URL = 'fs:///tmp/sbx_meta_ok/';", run
+    )
+    assert sm.stages["sbx_meta_only"].sandboxed is True
+    sm.try_handle("DROP STAGE sbx_meta_only;", run)
+    assert "sbx_meta_only" not in sm.stages
