@@ -177,9 +177,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with n-gram-shingle Jaccard ≥ threshold.
 
-    Plan shape: explode distinct shingles → stop-shingle cap (default on)
-    → self equi-join on shingle (one shuffle) → pair-count = |A∩B| →
-    broadcast-join per-doc set sizes → Jaccard filter.
+    Plan shape: explode distinct hashed shingles → stop-shingle cap
+    (default on) → per-shingle block-chunked pair emission (one shuffle)
+    → pair-count = |A∩B| → join per-doc set sizes (AQE broadcasts the
+    sizes side when it is genuinely small) → Jaccard filter.
 
     ``max_shingle_df`` guards the self-join against quadratic hot keys: a
     shingle present in d documents emits d² join rows, so one stop-shingle
@@ -479,32 +480,40 @@ def simhash_signatures(
     the packed signature positive in a signed long).
 
     Bit i of the signature = majority vote of token-hash bit i. The
-    per-bit tally uses an explode over the bit positions — a 63× row
-    blowup of the token stream, but fully parallel and shuffle-aggregated
-    (map-side combine collapses it to 63 rows per doc)."""
-    toks = tokenize(_spread(df.select(id_col, text_col)), text_col).select(
-        F.col(id_col).alias("doc"), F.explode("tokens").alias("tok")
+    votes are integer sums, so the whole signature is computable IN-ROW
+    (one projection, zero shuffles): fold the 63 bit positions, and for
+    each fold the doc's token hashes. The r8 plan exploded the token
+    stream 63× and ran two shuffle aggregations — at corpus scale that
+    is 63× the exploded rows through an exchange for a value each doc
+    can compute from its own row. Bit-identical output: the tally is an
+    order-independent integer sum, 2^i is exact in double for i ≤ 62,
+    and docs with NULL text stay absent (explicit filter — the old
+    explode dropped them implicitly)."""
+    hashed = F.transform(_tokens_expr(text_col), lambda t: F.xxhash64(t))
+    mask = lambda i: F.pow(F.lit(2.0), i).cast("long")  # noqa: E731
+
+    def pack(hs):
+        tally = lambda i: F.aggregate(  # noqa: E731
+            hs,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask(i)) != 0, 1).otherwise(-1),
+        )
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(62)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(tally(i) > 0, mask(i)).otherwise(F.lit(0).cast("long")),
+        )
+
+    # the token-hash array is let-bound (one tokenize+hash per row, not
+    # one per bit position)
+    sig = F.element_at(_bind(hashed, lambda hs: F.array(pack(hs))), 1)
+    return (
+        _spread(df.select(id_col, text_col))
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), sig.alias("simhash"))
     )
-    hashed = toks.select("doc", F.xxhash64("tok").alias("h"))
-    bits = hashed.select(
-        "doc",
-        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("i"),
-        F.col("h"),
-    ).select(
-        "doc",
-        "i",
-        # shiftright() SQL accepts a column shift amount (the Python
-        # wrapper doesn't)
-        F.expr("CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END").alias(
-            "vote"
-        ),
-    )
-    tallies = bits.groupBy("doc", "i").agg(F.sum("vote").alias("tally"))
-    # 2^i is exact in double for i ≤ 62 → exact long bit value
-    bitval = F.when(
-        F.col("tally") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long")
-    ).otherwise(F.lit(0).cast("long"))
-    return tallies.groupBy("doc").agg(F.sum(bitval).alias("simhash"))
 
 
 def simhash_pairs(
