@@ -42,16 +42,36 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: length, token stats, uniqueness ratio,
-    alpha ratio — the usual pre-training filter signals."""
+    alpha ratio — the usual pre-training filter signals.
+
+    The token array is evaluated ONCE per row through a packed struct
+    (the r8 projection inlined the split 4× — once per stat referencing
+    it — because Catalyst re-evaluates a projected alias per use); the
+    stats are unpacked in a second projection that CollapseProject keeps
+    separate (non-cheap producer, multiple references)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_tok = F.size(toks)
-    return df.select(
-        "*",
+    packed = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.struct(
+                F.size(t).alias("n_tokens"),
+                F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+            ),
+        ),
+        1,
+    )
+    with_stats = df.select("*", packed.alias("_q"))
+    return with_stats.select(
+        *df.columns,
         F.length(text_col).alias("n_chars"),
-        n_tok.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
-        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("uniq_ratio"),
-        (F.length(text_col).cast("double") / n_tok).alias("avg_token_len"),
+        F.col("_q.n_tokens").alias("n_tokens"),
+        F.col("_q.n_uniq_tokens").alias("n_uniq_tokens"),
+        (
+            F.col("_q.n_uniq_tokens").cast("double") / F.col("_q.n_tokens")
+        ).alias("uniq_ratio"),
+        (F.length(text_col).cast("double") / F.col("_q.n_tokens")).alias(
+            "avg_token_len"
+        ),
         (
             F.length(F.regexp_replace(text_col, r"[^a-zA-Z]", "")).cast("double")
             / F.length(text_col)
