@@ -97,13 +97,20 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: full-content md5 + a winnowing-style
-    min-hash of token md5 prefixes (stable under token reorder)."""
+    min-hash of token md5 prefixes (stable under token reorder).
+
+    The normalization regex runs once per row (two-projection split —
+    the single-projection form evaluated it once for the md5 and again
+    for the token split)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    toks = F.split(norm, " ")
-    return df.select(
-        "*",
-        F.md5(norm).alias("content_md5"),
-        F.array_min(F.transform(toks, lambda t: F.substring(F.md5(t), 1, 8))).alias(
-            "min_token_hash"
-        ),
+    normed = df.select("*", norm.alias("_norm"))
+    return normed.select(
+        *df.columns,
+        F.md5(F.col("_norm")).alias("content_md5"),
+        F.array_min(
+            F.transform(
+                F.split(F.col("_norm"), " "),
+                lambda t: F.substring(F.md5(t), 1, 8),
+            )
+        ).alias("min_token_hash"),
     )
