@@ -183,6 +183,22 @@ _LOADED: dict[tuple[str, str, str], DataFrame] = {}
 _VIEWED: dict[tuple[str, str], str] = {}
 
 
+def invalidate_view_memo(names: "tuple[str, ...] | None" = None) -> None:
+    """Forget that :func:`register_tables` registered temp views.
+
+    Any caller that drops temp views out from under the session (the SLT
+    runner's per-file isolation drops ALL non-``__`` temp views) must
+    invalidate this memo, or the next suite-query call would skip
+    re-registration against a now-missing view (r9 regression: 13 pytest
+    failures from ordering between runner-driven and suite-driven tests).
+    """
+    if names is None:
+        _VIEWED.clear()
+    else:
+        for k in [k for k in _VIEWED if k[1] in names]:
+            del _VIEWED[k]
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES
 ) -> None:

@@ -9625,6 +9625,14 @@ def run_slt_file(
                             spark.catalog.dropTempView(nm)
                         except Exception:  # noqa: BLE001
                             pass
+                    try:  # a CTE may have shadowed a driver view
+                        from databend_spark.session import (
+                            invalidate_view_memo,
+                        )
+
+                        invalidate_view_memo(tuple(created))
+                    except Exception:  # noqa: BLE001
+                        pass
         m = _update_stmt.match(sql)
         if m and re.match(r"^\s*UPDATE\b", sql, re.I):
             t, body, cond = m.group(1), m.group(2), m.group(3)
@@ -12499,6 +12507,12 @@ def run_slt_file(
             for t in spark.catalog.listTables():
                 if t.isTemporary and not t.name.startswith("__"):
                     spark.catalog.dropTempView(t.name)
+        except Exception:  # noqa: BLE001
+            pass
+        try:  # the drop above invalidates register_tables' view memo
+            from databend_spark.session import invalidate_view_memo
+
+            invalidate_view_memo()
         except Exception:  # noqa: BLE001
             pass
         try:  # clear SET overrides a previous file left in the view

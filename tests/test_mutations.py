@@ -130,3 +130,26 @@ SELECT id, msg FROM upd_lit ORDER BY id
     rep = run_slt_file(spark, str(slt))
     assert rep.failed == 0, rep.failures
     assert rep.passed >= 1
+
+
+def test_slt_isolation_invalidates_view_memo(spark, tmp_path):
+    """run_slt_file drops all temp views (per-file isolation); the next
+    register_tables call must re-register even though its memo said the
+    views were current (r9 regression: memoized registration + runner
+    drop left `lineitem` unresolvable for every later suite query)."""
+    from databend_spark.session import register_tables
+    from databend_spark.testkit import run_slt_file
+
+    sf_dir = "/root/testdata/sf0.001"
+    register_tables(spark, sf_dir)
+    assert spark.table("lineitem").columns  # registered
+
+    slt = tmp_path / "noop.test"
+    slt.write_text(
+        "statement ok\nSELECT 1\n"
+    )
+    rep = run_slt_file(spark, str(slt))
+    assert rep.failed == 0, rep.failures
+
+    register_tables(spark, sf_dir)
+    assert spark.table("lineitem").columns  # re-registered after drop
