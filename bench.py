@@ -157,6 +157,7 @@ def main() -> None:
     qs["tpch_q1"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sec0_ticks = _cpu_ticks()
     times: dict[str, float] = {}
     for name in HEADLINE:
         samples = []
@@ -165,6 +166,7 @@ def main() -> None:
             qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 3)
+    sec1_ticks = _cpu_ticks()
 
     total = round(sum(times.values()), 3)
     out = {
@@ -220,6 +222,15 @@ def main() -> None:
             sf1_total - sf1_times.get("ev_funnel", 0.0), 3
         )
         out["sf1_table_rows"] = _table_rows(sf1_dir)
+        # per-section steal: a burst localized to one scale's loop must
+        # not silently poison interpretation of the other (r9: one pass
+        # read 1.34% aggregate steal — under the gate — while the burst
+        # concentrated in the sf1 tail inflated its last queries 20×)
+        sf1_end = _cpu_ticks()
+        d = sf1_end[0] - sec1_ticks[0]
+        out["sf1_steal_pct"] = (
+            round(100.0 * (sf1_end[1] - sec1_ticks[1]) / d, 2) if d > 0 else -1.0
+        )
 
     # load_after is telemetry only — the bench itself drives loadavg up,
     # so validity is judged on the pre-run state PLUS hypervisor steal
@@ -231,6 +242,10 @@ def main() -> None:
     dt = out["load_after"]["cpu_ticks_total"] - load_before["cpu_ticks_total"]
     ds = out["load_after"]["cpu_ticks_steal"] - load_before["cpu_ticks_steal"]
     out["steal_during_run_pct"] = round(100.0 * ds / dt, 2) if dt > 0 else -1.0
+    d0 = sec1_ticks[0] - sec0_ticks[0]
+    out["sf_steal_pct"] = (
+        round(100.0 * (sec1_ticks[1] - sec0_ticks[1]) / d0, 2) if d0 > 0 else -1.0
+    )
     out["valid"] = (
         not out["load_before"]["contended"]
         and out["steal_during_run_pct"] < 2.0
