@@ -97,7 +97,10 @@ def _cpu_ticks() -> tuple[int, int]:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()[1:]
         vals = [int(x) for x in parts]
-        return sum(vals), vals[7] if len(vals) > 7 else 0
+        # first 8 fields only (user nice system idle iowait irq softirq
+        # steal): guest/guest_nice are already included in user/nice, so
+        # summing them double-counts guest time and understates steal%
+        return sum(vals[:8]), vals[7] if len(vals) > 7 else 0
     except (OSError, ValueError):
         return 0, 0
 
@@ -246,9 +249,11 @@ def main() -> None:
     out["sf_steal_pct"] = (
         round(100.0 * (sec1_ticks[1] - sec0_ticks[1]) / d0, 2) if d0 > 0 else -1.0
     )
+    # a run whose steal could not be measured (-1.0 sentinel) is NOT
+    # valid — unknown steal must not pass the gate (r9 ADVICE)
     out["valid"] = (
         not out["load_before"]["contended"]
-        and out["steal_during_run_pct"] < 2.0
+        and 0.0 <= out["steal_during_run_pct"] < 2.0
     )
     print(json.dumps(out))
 
