@@ -234,68 +234,39 @@ def ngram_jaccard_pairs(
 _PAIR_BLOCK = 1024
 
 
-def _ngram_pair_plan(
-    ex: DataFrame,
-    threshold: float,
-    max_df: int | None = None,
-    pair_block: int = _PAIR_BLOCK,
-) -> DataFrame:
-    """Pair plan over the exploded (doc, sh) shingle stream (factored out
-    so plan tests can pin its shape pre-checkpoint).
+def _block_pair_stream(lists: DataFrame, pair_block: int) -> DataFrame:
+    """Unordered-pair stream from a grouped doc-list table.
 
-    Shape: ONE exchange of the slim (doc, sh) stream hash-partitioned on
-    the shingle; the stop-shingle DF cap is a count-only window over that
-    partitioning (no separate tally job, no driver-side broadcast); pair
-    generation is ``collect_list`` per shingle + in-partition nested
-    transforms — replacing the r7 self-equi-join, whose build/probe
-    machinery dominated small-scale latency while shuffling the same
-    1-row-per-shared-shingle volume. The window cap runs BEFORE
-    collect_list, so a 10⁷-document stop-shingle is counted (sort-based,
-    spillable) but never collected into one giant array row.
-
-    Pair emission is CHUNKED: the per-shingle doc list (size d ≤ max_df)
-    is cut into blocks of ``pair_block``; block-index pairs (bi ≤ bj)
-    explode to one row each, and each row builds only its block-pair's
-    structs — within-block C(B,2) on the diagonal, B×B cross off it. The
-    r8 single-row C(d,2) flatten put ~d²/2 structs in ONE array (at the
-    auto cap d ≈ 20·√n and n = 10⁷ docs that is ~2×10⁹ structs ≈ 32 GB
-    in one row — executor OOM); with blocks the worst row holds B² ≈ 10⁶
-    structs and the same total pair stream is pipelined through explode
-    into the partial aggregate. d ≤ pair_block (every small/capped
-    corpus) degenerates to exactly one diagonal row — the r8 fast path."""
-    from pyspark.sql import Window
-
-    if max_df is not None:
-        ex = ex.select(
-            "doc",
-            "sh",
-            F.count("*").over(Window.partitionBy("sh")).alias("_df"),
-        ).filter(F.col("_df") <= max_df)
-    # groupBy on sh reuses the window's hash partitioning — no 2nd
-    # exchange of the shingle stream
-    lists = (
-        ex.groupBy("sh")
-        .agg(F.collect_list("doc").alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
+    ``lists`` must carry an array column ``ds`` (the ids sharing one
+    key); emits one row per pair as struct column ``p`` with fields
+    ``da < db``. Emission is block-chunked (see ``_ngram_pair_plan``)
+    so per-row memory is bounded by ``pair_block²`` structs regardless
+    of list size. Shared by the ngram intersection count and the
+    MinHash-LSH band candidate generation."""
     B = int(pair_block)
     nblocks = F.ceil(F.size("ds") / F.lit(B)).cast("int")
-    blocks = (
-        lists.select(
-            "ds",
-            F.explode(F.sequence(F.lit(0), nblocks - 1)).alias("bi"),
-        )
-        .select(
-            "ds",
-            "bi",
-            F.slice("ds", F.col("bi") * B + 1, B).alias("a"),
-            F.explode(F.sequence(F.col("bi"), nblocks - 1)).alias("bj"),
-        )
-        .select(
-            "a",
-            F.slice("ds", F.col("bj") * B + 1, B).alias("b"),
-            (F.col("bi") == F.col("bj")).alias("diag"),
-        )
+    # one explode over the flattened (bi ≤ bj) block-index pairs — the
+    # r9 shape exploded bi and bj in two separate projections (two extra
+    # analyzer passes per call for the same rows)
+    blocks = lists.select(
+        "ds",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), nblocks - 1),
+                    lambda bi: F.transform(
+                        F.sequence(bi, nblocks - 1),
+                        lambda bj: F.struct(
+                            bi.alias("bi"), bj.alias("bj")
+                        ),
+                    ),
+                )
+            )
+        ).alias("bb"),
+    ).select(
+        F.slice("ds", F.col("bb.bi") * B + 1, B).alias("a"),
+        F.slice("ds", F.col("bb.bj") * B + 1, B).alias("b"),
+        (F.col("bb.bi") == F.col("bb.bj")).alias("diag"),
     )
     na = F.size(F.col("a"))
 
@@ -321,15 +292,65 @@ def _ngram_pair_plan(
             lambda x: F.transform(F.col("b"), lambda y: pair(x, y)),
         )
     )
-    inter = (
-        blocks.select(
-            F.explode(F.when(F.col("diag"), within).otherwise(cross)).alias(
-                "p"
-            )
+    return blocks.select(
+        F.explode(F.when(F.col("diag"), within).otherwise(cross)).alias("p")
+        # duplicate ids under one key (an intra-document shingle-hash
+        # collision, or impossible by construction for LSH bands) must
+        # not emit self-pairs
+    ).filter(F.col("p.da") != F.col("p.db"))
+
+
+def _ngram_pair_plan(
+    ex: DataFrame,
+    threshold: float,
+    max_df: int | None = None,
+    pair_block: int = _PAIR_BLOCK,
+) -> DataFrame:
+    """Pair plan over the exploded (doc, sh) shingle stream (factored out
+    so plan tests can pin its shape pre-checkpoint).
+
+    Shape: ONE exchange of the slim (doc, sh) stream hash-partitioned on
+    the shingle; the stop-shingle DF cap is a hot-key ANTI-JOIN — a
+    partial (map-side) count per shingle feeds a tiny over-the-cap
+    relation that AQE broadcasts, and the stream drops matching rows
+    before anything is collected. The r9 shape computed the same cap as
+    a count-only Window, which forced a SORT of the entire exploded
+    stream (O(n log n) + spill at corpus scale) and was re-executed once
+    per consumer branch (3× in the r9 physical plan); the anti-join
+    needs no ordering at all, and a 10⁷-document stop-shingle is
+    partially counted (bounded per-task state) but never collected into
+    one giant array row. Pair generation stays ``collect_list`` per
+    shingle + in-partition nested transforms.
+
+    Pair emission is CHUNKED: the per-shingle doc list (size d ≤ max_df)
+    is cut into blocks of ``pair_block``; block-index pairs (bi ≤ bj)
+    explode to one row each, and each row builds only its block-pair's
+    structs — within-block C(B,2) on the diagonal, B×B cross off it. The
+    r8 single-row C(d,2) flatten put ~d²/2 structs in ONE array (at the
+    auto cap d ≈ 20·√n and n = 10⁷ docs that is ~2×10⁹ structs ≈ 32 GB
+    in one row — executor OOM); with blocks the worst row holds B² ≈ 10⁶
+    structs and the same total pair stream is pipelined through explode
+    into the partial aggregate. d ≤ pair_block (every small/capped
+    corpus) degenerates to exactly one diagonal row — the r8 fast path."""
+    if max_df is not None:
+        # shingles with document frequency over the cap: partial counts
+        # compress the hot keys map-side, so the tally exchange carries
+        # ~distinct-shingle rows, and the surviving relation is tiny (or
+        # empty) — no driver-side collect, no broadcast hint (AQE
+        # broadcasts it at runtime from its REAL size)
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
         )
-        # duplicate doc ids under one shingle (possible only via an
-        # intra-document shingle-hash collision) must not emit self-pairs
-        .filter(F.col("p.da") != F.col("p.db"))
+        ex = ex.join(hot, "sh", "left_anti")
+    lists = (
+        ex.groupBy("sh")
+        .agg(F.collect_list("doc").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    inter = (
+        _block_pair_stream(lists, pair_block)
         .groupBy(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
         .agg(F.count("*").alias("inter"))
     )
@@ -374,7 +395,14 @@ def minhash_signatures(
     come out of ONE packed struct bound to a single shingle evaluation —
     the r8 projection listed ``shingle_expr`` twice (once for shingles,
     once inside sig), tokenizing+shingling every document twice per
-    materialization."""
+    materialization.
+
+    .. note:: format change in r9 — ``shingles`` was array<string> (raw
+       n-grams) through r8 and signature values were
+       ``xxhash64(seed, shingle_string)``; both changed when shingles
+       became pre-hashed longs. Signatures persisted by an r8 build (or
+       any external consumer of the raw strings) are NOT comparable to
+       r9+ output; recompute rather than mixing versions."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     packed = F.element_at(
         F.transform(
@@ -429,29 +457,37 @@ def minhash_lsh_pairs(
 def _minhash_lsh_pairs_inner(
     sigs: DataFrame, bands: int, r: int, verify_threshold: float | None
 ) -> DataFrame:
-    # the band join carries ONLY (band, bh, doc): at corpus scale the
-    # LSH join's shuffle weight must not be dominated by the documents'
-    # shingle arrays (r3 shipped sha/shb through the join, pre-dedup);
-    # shingle sets re-join by doc id AFTER pair dedup — two slim
-    # equi-joins instead of one fat one
-    banded = sigs.select(
-        "doc",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bh")
-    a = banded.select(F.col("doc").alias("da"), "band", "bh")
-    b = banded.select(F.col("doc").alias("db"), "band", "bh")
+    # the band shuffle carries ONLY (band, bh, doc): at corpus scale the
+    # candidate generation's shuffle weight must not be dominated by the
+    # documents' shingle arrays (r3 shipped sha/shb through the join,
+    # pre-dedup); shingle sets re-join by doc id AFTER pair dedup.
+    # Candidates come from ONE groupBy on the (band, bh) struct +
+    # block-chunked pair emission — the r9 shape self-equi-joined the
+    # banded stream, exchanging it twice (once per join side) and paying
+    # the join build/probe machinery for rows a single aggregation
+    # produces (same pair volume either way; per-row memory stays
+    # bounded by the block chunking even on a degenerate all-identical
+    # corpus bucket).
+    lists = (
+        sigs.select(
+            "doc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .groupBy("bb")
+        .agg(F.collect_list("doc").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     cand = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
+        _block_pair_stream(lists, _PAIR_BLOCK)
+        .select("p.da", "p.db")
         .dropDuplicates(["da", "db"])
     )
     if verify_threshold is None:
