@@ -358,14 +358,36 @@ def _ivf_sample(
     )
 
 
+class IvfIndex:
+    """Result of :func:`ivf_build`. Unpacks as ``(centroids, assigned)``
+    for backward compatibility; ``cents`` is the lazily checkpointed
+    single-row ``array<struct<cell,cvec,cnorm>>`` form that
+    :func:`ivf_search` reuses directly (pass the index itself as the
+    ``centroids`` argument). Replaces the r9 ``_ivf_cents`` dynamic
+    attribute, which silently vanished after any DataFrame
+    transformation or serialization (r9 ADVICE)."""
+
+    __slots__ = ("centroids", "assigned", "cents")
+
+    def __init__(
+        self, centroids: DataFrame, assigned: DataFrame, cents: DataFrame
+    ) -> None:
+        self.centroids = centroids
+        self.assigned = assigned
+        self.cents = cents
+
+    def __iter__(self):
+        return iter((self.centroids, self.assigned))
+
+
 def ivf_build(
     corpus: DataFrame,
     ncells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """(centroids, assigned): IVF-Flat with deterministically SAMPLED
-    centroids (hash-ordered first ``ncells`` corpus vectors — the cheap,
+) -> IvfIndex:
+    """IVF-Flat index with deterministically SAMPLED centroids
+    (hash-ordered first ``ncells`` corpus vectors — the cheap,
     shared-state-free variant of k-means coarse quantization; one Lloyd
     refinement can be layered on later without changing the contract).
 
@@ -383,15 +405,10 @@ def ivf_build(
     centroids = cents.select(F.explode("_cents").alias("_c")).select(
         "_c.cell", "_c.cvec"
     )
-    # carry the single-row form so ivf_search's probe side reuses the
-    # checkpointed array directly instead of re-aggregating the exploded
-    # (cell, cvec) view back into one row (an extra agg+exchange+
-    # broadcast chain per query)
-    centroids._ivf_cents = cents
     assigned = _nearest_cell(corpus, cents, id_col, vec_col).select(
         *corpus.columns, "cell"
     )
-    return centroids, assigned
+    return IvfIndex(centroids, assigned, cents)
 
 
 def _bind(expr, fn):
@@ -410,13 +427,13 @@ def _centroid_array(centroids: DataFrame):
     blowup. ``cnorm`` (the centroid's L2 norm) is precomputed HERE, once
     per centroid, so the per-row sim sweep folds each corpus vector
     against a centroid exactly once instead of re-deriving sqrt(c·c)
-    per row (3 64-element folds → 1). A DataFrame already in single-row
-    ``_cents`` form (ivf_build's checkpointed output) passes through."""
+    per row (3 64-element folds → 1). Accepts an :class:`IvfIndex`
+    (fast path: its checkpointed ``cents``), a DataFrame already in
+    single-row ``_cents`` form, or a plain (cell, cvec) table."""
+    if isinstance(centroids, IvfIndex):
+        return centroids.cents
     if centroids.columns == ["_cents"]:
         return centroids
-    carried = getattr(centroids, "_ivf_cents", None)
-    if carried is not None:
-        return carried
     return centroids.agg(
         F.sort_array(
             F.collect_list(
@@ -488,7 +505,7 @@ def _nearest_cell(
 
 def ivf_search(
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | IvfIndex",
     assigned: DataFrame,
     k: int = 5,
     nprobe: int = 4,

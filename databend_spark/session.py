@@ -147,13 +147,13 @@ def ensure_session_confs(spark: SparkSession) -> None:
         return
     if len(_CONFS_ENSURED) > 8:
         _CONFS_ENSURED.clear()
-    _CONFS_ENSURED.add(sid)
+    ok = True
     for k, v in _SESSION_CONFS:
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
-            pass
+            ok = False
     # variant dialect accessors (->, ->>, #>, get/get_path/…) — cheap,
     # idempotent; only referenced by rewritten dialect SQL
     try:
@@ -163,7 +163,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
         register_variant_udfs(spark)
     except Exception:
-        pass
+        ok = False
+    # memoize only a FULLY applied session: a transient py4j failure
+    # mid-application must be retried on the next call, not latched as
+    # ensured for the session's lifetime (r9 ADVICE)
+    if ok:
+        _CONFS_ENSURED.add(sid)
 
 
 # (appId, table, sf_dir) → loaded DataFrame — avoids re-reading parquet

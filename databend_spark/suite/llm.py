@@ -403,7 +403,7 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databend_spark.operators.similarity import ivf_build, ivf_search
 
     emb = spark.table("embeddings")
-    centroids, assigned = ivf_build(emb, ncells=16)
+    idx = ivf_build(emb, ncells=16)
     return ivf_search(
-        emb.filter(F.col("vec_id") < 10), centroids, assigned, k=5, nprobe=4
+        emb.filter(F.col("vec_id") < 10), idx, idx.assigned, k=5, nprobe=4
     )

@@ -500,8 +500,21 @@ class StageManager:
         """read_file('@stage/path') / read_file('@stage', rel_path) ->
         BINARY (reference table function read_file). The UDF closes
         over a plain name->dir snapshot (no SparkSession reference), so
-        it pickles to workers; re-registered on stage DDL."""
-        dirs = {k: st.dir for k, st in self.stages.items()}
+        it pickles to workers; re-registered on stage DDL.
+
+        Only SANDBOXED stages enter the snapshot: an out-of-sandbox
+        stage exists as metadata (CREATE STAGE with an fs:/// URL is
+        allowed DDL) but any filesystem access through it must refuse —
+        read_file previously bypassed that chokepoint (r9 ADVICE). Path
+        resolution is also pinned lexically inside the stage dir so '..'
+        segments cannot escape it (lexical, not realpath: stage dirs are
+        symlink FARMS whose entries legitimately point at the read-only
+        fixtures — resolving them would reject every farm read)."""
+        dirs = {
+            k: os.path.normpath(st.dir)
+            for k, st in self.stages.items()
+            if st.sandboxed
+        }
 
         def _rf(loc, rel):
             import os as _os
@@ -515,7 +528,11 @@ class StageManager:
                 sub = m.group(2) or ""
                 if rel:
                     sub = _os.path.join(sub, str(rel)) if sub else str(rel)
-                return open(_os.path.join(dirs[m.group(1)], sub), "rb").read()
+                root = dirs[m.group(1)]
+                p = _os.path.normpath(_os.path.join(root, sub))
+                if p != root and not p.startswith(root + _os.sep):
+                    return None
+                return open(p, "rb").read()
             except Exception:  # noqa: BLE001
                 return None
 

@@ -203,7 +203,9 @@ def test_ivf_ann_recall_and_probe_fraction(spark):
     )
 
     emb = spark.table("embeddings")
-    centroids, assigned = ivf_build(emb, ncells=16)
+    idx = ivf_build(emb, ncells=16)
+    # backward-compat: the index still unpacks as (centroids, assigned)
+    centroids, assigned = idx
     assert centroids.count() == 16
     n = emb.count()
     cells = assigned.groupBy("cell").count().collect()
@@ -213,14 +215,16 @@ def test_ivf_ann_recall_and_probe_fraction(spark):
     brute = {
         (r.query_id, r.neighbor_id) for r in brute_force_topk(q, emb, k=5).collect()
     }
+    # fast path: pass the index itself as the centroids argument
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in ivf_search(q, centroids, assigned, k=5, nprobe=4).collect()
+        for r in ivf_search(q, idx, assigned, k=5, nprobe=4).collect()
     }
     recall = len(brute & approx) / len(brute)
     # near-uniform corpus = hard case; clustered corpora score far higher
     assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
-    # probing all cells must reproduce brute force exactly
+    # probing all cells through the plain (cell, cvec) table (slow
+    # re-aggregation fallback) must reproduce brute force exactly
     exact = {
         (r.query_id, r.neighbor_id)
         for r in ivf_search(q, centroids, assigned, k=5, nprobe=16).collect()

@@ -207,3 +207,31 @@ def test_stage_metadata_ddl_allowed_outside_sandbox_access_refused(spark):
     assert sm.stages["sbx_meta_only"].sandboxed is True
     sm.try_handle("DROP STAGE sbx_meta_only;", run)
     assert "sbx_meta_only" not in sm.stages
+
+
+def test_read_file_refuses_out_of_sandbox_stage_and_traversal(spark, tmp_path):
+    """read_file must not bypass the sandbox chokepoint (r9 ADVICE
+    medium): a metadata-only out-of-sandbox stage yields NULL, and a
+    '..' traversal out of a sandboxed stage dir yields NULL, while an
+    in-stage read still works."""
+    from databend_spark.testkit.stage_shim import StageManager
+
+    sm = StageManager(spark)
+    run = spark.sql
+    sm.try_handle("CREATE STAGE rf_escape url='fs:///';", run)
+    assert sm.stages["rf_escape"].sandboxed is False
+    inside = tmp_path / "rf_in"
+    inside.mkdir()
+    (inside / "ok.bin").write_bytes(b"payload")
+    sm.try_handle(f"CREATE STAGE rf_in url='fs://{inside}/';", run)
+    assert sm.stages["rf_in"].sandboxed is True
+    rows = spark.sql(
+        "SELECT read_file('@rf_escape/etc/passwd', NULL) AS a, "
+        "read_file('@rf_in/../../../etc/passwd', NULL) AS b, "
+        "read_file('@rf_in/ok.bin', NULL) AS c"
+    ).collect()
+    assert rows[0].a is None
+    assert rows[0].b is None
+    assert bytes(rows[0].c) == b"payload"
+    sm.try_handle("DROP STAGE rf_escape;", run)
+    sm.try_handle("DROP STAGE rf_in;", run)
