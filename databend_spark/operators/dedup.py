@@ -358,19 +358,20 @@ def _ngram_pair_plan(
     # plain shuffle joins for the per-doc sizes: an explicit broadcast
     # of an O(n_docs) relation is a driver OOM at corpus scale — AQE
     # converts to broadcast at runtime only when the sizes side is
-    # genuinely small
-    sa = sizes.select(F.col("doc").alias("da"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc").alias("db"), F.col("n_sh").alias("nb"))
+    # genuinely small. Both joins build the SAME sizes subplan (renaming
+    # in the join condition, not a per-side projection) so the planner
+    # shares one exchange/broadcast build between them.
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
     return (
-        inter.join(sa, "da")
-        .join(sb, "db")
+        inter.join(s1, F.col("da") == F.col("s1.doc"))
+        .join(s2, F.col("db") == F.col("s2.doc"))
         .select(
             "da",
             "db",
             "inter",
             (
                 F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter"))
+                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("inter"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -457,48 +458,58 @@ def minhash_lsh_pairs(
 def _minhash_lsh_pairs_inner(
     sigs: DataFrame, bands: int, r: int, verify_threshold: float | None
 ) -> DataFrame:
-    # the band shuffle carries ONLY (band, bh, doc): at corpus scale the
-    # candidate generation's shuffle weight must not be dominated by the
-    # documents' shingle arrays (r3 shipped sha/shb through the join,
-    # pre-dedup); shingle sets re-join by doc id AFTER pair dedup.
-    # Candidates come from ONE groupBy on the (band, bh) struct +
-    # block-chunked pair emission — the r9 shape self-equi-joined the
-    # banded stream, exchanging it twice (once per join side) and paying
-    # the join build/probe machinery for rows a single aggregation
-    # produces (same pair volume either way; per-row memory stays
-    # bounded by the block chunking even on a degenerate all-identical
-    # corpus bucket).
-    lists = (
-        sigs.select(
-            "doc",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
-                    ),
-                )
-            ).alias("bb"),
-        )
-        .groupBy("bb")
-        .agg(F.collect_list("doc").alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
+    # the band join carries ONLY (band, bh, doc): at corpus scale the
+    # LSH join's shuffle weight must not be dominated by the documents'
+    # shingle arrays (r3 shipped sha/shb through the join, pre-dedup);
+    # shingle sets re-join by doc id AFTER pair dedup. Both join sides
+    # are the SAME subplan (self-join via alias, doc renamed only in the
+    # post-join projection) so the physical plan shares ONE exchange of
+    # the banded stream via ReusedExchange — the r9 shape renamed doc
+    # before the join, making the sides differ and exchanging the stream
+    # twice. (A groupBy+collect_list+pair-explosion variant was measured
+    # 70% slower here — the non-codegen ObjectHashAggregate plus the
+    # block-pair expression tree cost more than the hash join machinery
+    # it saved; see OPTIMIZATION_r10.md.)
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        _block_pair_stream(lists, _PAIR_BLOCK)
-        .select("p.da", "p.db")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
         .dropDuplicates(["da", "db"])
     )
     if verify_threshold is None:
         return cand
+    # both verify joins build the SAME sets subplan — renaming happens in
+    # the join condition, not in a per-side projection, so the planner
+    # reuses one exchange/broadcast build for both sides instead of
+    # building (doc→da) and (doc→db) copies
     sets = sigs.select("doc", "shingles")
-    cand = cand.join(
-        sets.select(F.col("doc").alias("da"), F.col("shingles").alias("sha")),
-        "da",
-    ).join(
-        sets.select(F.col("doc").alias("db"), F.col("shingles").alias("shb")),
-        "db",
+    s1, s2 = sets.alias("s1"), sets.alias("s2")
+    cand = (
+        cand.join(s1, F.col("da") == F.col("s1.doc"))
+        .join(s2, F.col("db") == F.col("s2.doc"))
+        .select(
+            "da",
+            "db",
+            F.col("s1.shingles").alias("sha"),
+            F.col("s2.shingles").alias("shb"),
+        )
     )
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
