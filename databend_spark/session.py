@@ -75,14 +75,18 @@ def get_spark(app_name: str = "databend_spark") -> SparkSession:
         # column-pruned FACT table (6M-row lineitem ≈ 100 MB in-memory)
         # in 7 of the TPC-H plans at sf1 — a single-threaded
         # HashedRelation build per join and a driver OOM at sf10+.
-        # Static threshold stays at Spark's 10 MB default (size
-        # *estimates* are unreliable after pruning/filters); the
-        # ADAPTIVE threshold is 64 MB, applied by AQE at runtime from
-        # the join sides' REAL shuffle sizes, so small-at-runtime sides
-        # still become broadcasts. Shuffled-hash is preferred over
-        # sort-merge when a per-partition build fits (64 MB local map
-        # threshold) — no sort of fact tables.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # Static threshold 4 MB (r10; was Spark's 10 MB default in r9):
+        # size *estimates* are unreliable after pruning/filters — at 10
+        # MB the planner still statically broadcast 1.5M-row orders
+        # projections in q12/q13 at sf1 (estimates 4.2/6.3 MiB vs ~25 MB
+        # true, a single-threaded ~60 MB HashedRelation build). At 4 MB
+        # every dimension stays a static broadcast (largest: customer
+        # 308 KiB) while fact-derived sides fall to AQE, whose 64 MB
+        # ADAPTIVE threshold decides from the sides' REAL shuffle sizes.
+        # Shuffled-hash is preferred over sort-merge when a
+        # per-partition build fits (64 MB local map threshold) — no
+        # sort of fact tables.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(4 * 1024 * 1024))
         .config(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             str(64 * 1024 * 1024),
