@@ -110,6 +110,30 @@ def test_ngram_pair_plan_no_sizes_broadcast(spark, sf_dir):
     assert "UnresolvedHint" not in logical, logical
 
 
+def test_ngram_pair_plan_no_sort_no_window(spark, sf_dir):
+    """The stop-shingle DF cap must be the hot-key anti-join (r10), not
+    a count Window: a Window forces a full Sort of the exploded (doc,
+    sh) stream — O(n log n) + spill at corpus scale — re-executed once
+    per consumer branch. Pin: zero Sort and zero Window operators in the
+    physical pair plan (pair generation is collect_list + in-partition
+    transforms; nothing needs ordering)."""
+    from databend_spark.operators.dedup import _ngram_pair_plan, shingles
+    from databend_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = (
+        shingles(docs.select("doc_id", "text"), "text", 3)
+        .select(F.col("doc_id").alias("doc"), F.explode("shingles").alias("s"))
+        .select("doc", F.xxhash64("s").alias("sh"))
+    )
+    plan = physical_plan(_ngram_pair_plan(ex, 0.8, max_df=1000))
+    assert "Window" not in plan, plan
+    # the Sort OPERATOR renders as "Sort [ordering]" — this also catches
+    # SortMergeJoin's required child sorts without tripping on names
+    # like SortAggregate (none expected either way)
+    assert "Sort [" not in plan, plan
+
+
 def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
     """The asof union-window plan must contain zero join operators —
     that's the point of the rewrite (no per-key cross product)."""
