@@ -52,6 +52,21 @@ def get_spark(app_name: str = "databend_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Scale-adaptive partitioning (guide §2.2/§2.5): pre-coalesce
+        # shuffles start at 8× cores and AQE coalesces DOWN from real
+        # sizes. shuffle.partitions=cores alone capped every exchange at
+        # `cpus` partitions — at sf10 that is >100 MB per partition
+        # (spilling aggregations, SMJ fallback: q18 ~2× slower; measured
+        # 40.7→11.9s median) and even at sf0.1 the coarse granularity
+        # left partition-level skew AQE couldn't rebalance (ngram
+        # 3.54→1.95s, minhash 0.85→0.64s, q18 1.43→1.18s medians, no
+        # query slower). On a real cluster set SPARK_GRAFT_INITIAL_PARTITIONS
+        # (or derive from input bytes / advisory size); the AQE coalesce
+        # floor makes a high ceiling cheap at small scale.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(8 * cpus)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         # recursive CTEs: the reference iterates far past Spark's
