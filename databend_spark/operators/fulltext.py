@@ -72,6 +72,13 @@ def build_inverted_index(
     """(postings, doclens): postings = (term, doc_id, tf); doclens =
     (doc_id, dl). Persist postings via ``cluster_write(postings, path,
     ["term"])`` to get per-term parquet locality at scale."""
+    # NOTE(r10): dedup._spread on the tokenize stream was A/B'd and is a
+    # NET REGRESSION here (interleaved same-session, 6 iters: median
+    # 1.35s vs 1.18s, min 1.29 vs 0.74): Catalyst pushes the query's
+    # term filter below the postings agg, so every consumer branch pays
+    # its own round-robin exchange (no reuse) — four extra shuffle
+    # stages to parallelize a ~150 ms tokenize. Matches the two earlier
+    # negative results on restructuring this operator (r9/r10 §6).
     toks = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
     )

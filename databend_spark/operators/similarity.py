@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from databend_spark.operators.dedup import _spread
+
 
 def dot_product(a, b) -> Column:
     """Deterministic dot product of two float-array columns.
@@ -70,7 +72,10 @@ def brute_force_topk(
         F.col(vec_col).alias("qv"),
         F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
     )
-    c = corpus.select(
+    # _spread: per-candidate dot products are interpreted HOF folds —
+    # a single-split corpus scan would serialize the whole |Q|x|C| sweep
+    # on one core (no-op when the corpus arrives in >= cores splits)
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
@@ -161,7 +166,9 @@ def lsh_ann_topk(
     for speed."""
     # norms precomputed per side (once per row, not once per candidate
     # pair); dot/(qnorm*cnorm) is IEEE-identical to cosine_similarity
-    c = corpus.select(
+    # _spread: the per-row plane signature (num_planes x dim interpreted
+    # fold) serializes on a single-split scan — see brute_force_topk
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
@@ -259,6 +266,10 @@ def neardup_pairs(
     on a fixed corpus the output is stable. ``method="brute"`` keeps the
     exact all-pairs path for validation on small data.
     """
+    # _spread: banded signatures (bands x planes x dim interpreted
+    # folds per row) serialize on a single-split scan; both join sides
+    # derive from the same spread stream so the exchange is shareable
+    embeddings = _spread(embeddings)
     # norms precomputed once per row (per join side), not once per
     # candidate pair; dot/(na*nb) is IEEE-identical to cosine_similarity
     a = embeddings.select(
@@ -405,7 +416,13 @@ def ivf_build(
     centroids = cents.select(F.explode("_cents").alias("_c")).select(
         "_c.cell", "_c.cvec"
     )
-    assigned = _nearest_cell(corpus, cents, id_col, vec_col).select(
+    # _spread: the 16-cosine interpreted-HOF sweep is CPU-bound per row,
+    # and a single small parquet file arrives as ONE scan task — the
+    # whole assignment (and every downstream consumer of ``assigned``,
+    # including the search re-rank) serialized on one core (measured
+    # 601 ms single-task at bench scale). Round-robin to core count when
+    # under-split; no-op on warehouse inputs with many file splits.
+    assigned = _nearest_cell(_spread(corpus), cents, id_col, vec_col).select(
         *corpus.columns, "cell"
     )
     return IvfIndex(centroids, assigned, cents)

@@ -193,11 +193,15 @@ def test_ivf_build_centroid_pick_is_take_ordered(spark, sf_dir):
     _, assigned = ivf_build(corpus, ncells=8)
     assigned_plan = physical_plan(assigned)
     assert "Window" not in assigned_plan, assigned_plan
-    # corpus side must not be re-shuffled for assignment: the only
-    # allowed Exchange is the broadcast of the single centroid row
-    for line in assigned_plan.splitlines():
-        if "Exchange" in line and "BroadcastExchange" not in line:
-            raise AssertionError(assigned_plan)
+    # corpus side must not be DATA-shuffled for assignment (the r8 shape
+    # exchanged the corpus 16x for the crossJoin+Window argmax): allowed
+    # Exchanges are the broadcast of the single centroid row and at most
+    # ONE RoundRobinPartitioning — dedup._spread parallelizing an
+    # under-split small scan (no-op on warehouse inputs; r10)
+    low = assigned_plan.lower()
+    assert "hashpartitioning" not in low, assigned_plan
+    assert "rangepartitioning" not in low, assigned_plan
+    assert low.count("roundrobinpartitioning") <= 1, assigned_plan
 
 
 def test_bm25_plan_broadcasts_term_stats(spark, sf_dir):
