@@ -178,9 +178,10 @@ def ngram_jaccard_pairs(
     """All document pairs with n-gram-shingle Jaccard ≥ threshold.
 
     Plan shape: explode distinct hashed shingles → stop-shingle cap
-    (default on) → per-shingle block-chunked pair emission (one shuffle)
-    → pair-count = |A∩B| → join per-doc set sizes (AQE broadcasts the
-    sizes side when it is genuinely small) → Jaccard filter.
+    (default on) → slim self-equi-join on the shingle (both sides the
+    SAME subplan — one shared exchange) → pair-count = |A∩B| → join
+    per-doc set sizes (AQE broadcasts the sizes side when it is
+    genuinely small) → Jaccard filter.
 
     ``max_shingle_df`` guards the self-join against quadratic hot keys: a
     shingle present in d documents emits d² join rows, so one stop-shingle
@@ -227,111 +228,38 @@ def ngram_jaccard_pairs(
     return _ngram_pair_plan(ex, threshold, max_shingle_df)
 
 
-#: Max docs per pair-generation block. A block-pair row materializes at
-#: most B² (da, db) structs ≈ 16 MB at 1024 — bounded regardless of how
-#: many documents share a shingle (the DF cap bounds total pair COUNT;
-#: this bounds per-row/ per-task MEMORY).
-_PAIR_BLOCK = 1024
-
-
-def _block_pair_stream(lists: DataFrame, pair_block: int) -> DataFrame:
-    """Unordered-pair stream from a grouped doc-list table.
-
-    ``lists`` must carry an array column ``ds`` (the ids sharing one
-    key); emits one row per pair as struct column ``p`` with fields
-    ``da < db``. Emission is block-chunked (see ``_ngram_pair_plan``)
-    so per-row memory is bounded by ``pair_block²`` structs regardless
-    of list size. Shared by the ngram intersection count and the
-    MinHash-LSH band candidate generation."""
-    B = int(pair_block)
-    nblocks = F.ceil(F.size("ds") / F.lit(B)).cast("int")
-    # one explode over the flattened (bi ≤ bj) block-index pairs — the
-    # r9 shape exploded bi and bj in two separate projections (two extra
-    # analyzer passes per call for the same rows)
-    blocks = lists.select(
-        "ds",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), nblocks - 1),
-                    lambda bi: F.transform(
-                        F.sequence(bi, nblocks - 1),
-                        lambda bj: F.struct(
-                            bi.alias("bi"), bj.alias("bj")
-                        ),
-                    ),
-                )
-            )
-        ).alias("bb"),
-    ).select(
-        F.slice("ds", F.col("bb.bi") * B + 1, B).alias("a"),
-        F.slice("ds", F.col("bb.bj") * B + 1, B).alias("b"),
-        (F.col("bb.bi") == F.col("bb.bj")).alias("diag"),
-    )
-    na = F.size(F.col("a"))
-
-    def tail_pairs(i):
-        x = F.element_at(F.col("a"), i)
-        return F.transform(
-            F.slice(F.col("a"), i + 1, na - i),
-            lambda y: F.struct(
-                F.least(x, y).alias("da"), F.greatest(x, y).alias("db")
-            ),
-        )
-
-    pair = lambda x, y: F.struct(  # noqa: E731
-        F.least(x, y).alias("da"), F.greatest(x, y).alias("db")
-    )
-    within = F.when(
-        na >= 2,
-        F.flatten(F.transform(F.sequence(F.lit(1), na - 1), tail_pairs)),
-    )  # single-element diagonal block → NULL → explode() emits no row
-    cross = F.flatten(
-        F.transform(
-            F.col("a"),
-            lambda x: F.transform(F.col("b"), lambda y: pair(x, y)),
-        )
-    )
-    return blocks.select(
-        F.explode(F.when(F.col("diag"), within).otherwise(cross)).alias("p")
-        # duplicate ids under one key (an intra-document shingle-hash
-        # collision, or impossible by construction for LSH bands) must
-        # not emit self-pairs
-    ).filter(F.col("p.da") != F.col("p.db"))
-
-
 def _ngram_pair_plan(
     ex: DataFrame,
     threshold: float,
     max_df: int | None = None,
-    pair_block: int = _PAIR_BLOCK,
 ) -> DataFrame:
     """Pair plan over the exploded (doc, sh) shingle stream (factored out
     so plan tests can pin its shape pre-checkpoint).
 
-    Shape: ONE exchange of the slim (doc, sh) stream hash-partitioned on
-    the shingle; the stop-shingle DF cap is a hot-key ANTI-JOIN — a
-    partial (map-side) count per shingle feeds a tiny over-the-cap
-    relation that AQE broadcasts, and the stream drops matching rows
-    before anything is collected. The r9 shape computed the same cap as
-    a count-only Window, which forced a SORT of the entire exploded
-    stream (O(n log n) + spill at corpus scale) and was re-executed once
-    per consumer branch (3× in the r9 physical plan); the anti-join
-    needs no ordering at all, and a 10⁷-document stop-shingle is
-    partially counted (bounded per-task state) but never collected into
-    one giant array row. Pair generation stays ``collect_list`` per
-    shingle + in-partition nested transforms.
+    Shape: the stop-shingle DF cap is a hot-key ANTI-JOIN — a partial
+    (map-side) count per shingle feeds a tiny over-the-cap relation that
+    AQE broadcasts, and the stream drops matching rows with no ordering
+    anywhere (the r9 shape computed the cap as a count-only Window,
+    forcing a SORT of the entire exploded stream once per consumer
+    branch). Pair generation is a slim SELF-EQUI-JOIN on the shingle
+    with ``a.doc < b.doc`` — both sides are the IDENTICAL capped subplan
+    (``.alias()``, renames only in the output projection) so the planner
+    shares ONE exchange/broadcast build between them, and the matches
+    stream straight into the partial (da, db) count.
 
-    Pair emission is CHUNKED: the per-shingle doc list (size d ≤ max_df)
-    is cut into blocks of ``pair_block``; block-index pairs (bi ≤ bj)
-    explode to one row each, and each row builds only its block-pair's
-    structs — within-block C(B,2) on the diagonal, B×B cross off it. The
-    r8 single-row C(d,2) flatten put ~d²/2 structs in ONE array (at the
-    auto cap d ≈ 20·√n and n = 10⁷ docs that is ~2×10⁹ structs ≈ 32 GB
-    in one row — executor OOM); with blocks the worst row holds B² ≈ 10⁶
-    structs and the same total pair stream is pipelined through explode
-    into the partial aggregate. d ≤ pair_block (every small/capped
-    corpus) degenerates to exactly one diagonal row — the r8 fast path."""
+    The r9/r10-interim shape instead collect_list'd the per-shingle doc
+    list and exploded block-chunked pair structs from it. Measured
+    ~1.6× slower here (same-session interleaved A/B at sf0.1: median
+    2.05s vs 1.30s, min 1.75 vs 1.19, identical 256-pair output): the
+    non-codegen ObjectHashAggregate plus the nested pair-expression
+    tree cost more than the hash-join build/probe they avoided — the
+    same result the minhash band join measured (OPTIMIZATION_r10.md).
+    It is also the better shape at corpus scale: the join streams
+    build×probe matches with per-partition bounded state (SHJ under the
+    64 MB local-map threshold, SMJ beyond), whereas collect_list
+    materializes a d-element array per shingle in ONE aggregation
+    buffer. Per-key fanout stays d ≤ max_df either way (the cap bounds
+    total pair COUNT), and AQE's skew-join splits residual hot keys."""
     if max_df is not None:
         # shingles with document frequency over the cap: partial counts
         # compress the hot keys map-side, so the tally exchange carries
@@ -344,14 +272,14 @@ def _ngram_pair_plan(
             .filter(F.col("_df") > max_df)
         )
         ex = ex.join(hot, "sh", "left_anti")
-    lists = (
-        ex.groupBy("sh")
-        .agg(F.collect_list("doc").alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
+    a, b = ex.alias("a"), ex.alias("b")
     inter = (
-        _block_pair_stream(lists, pair_block)
-        .groupBy(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
         .agg(F.count("*").alias("inter"))
     )
     sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))

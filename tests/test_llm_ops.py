@@ -232,27 +232,25 @@ def test_ivf_ann_recall_and_probe_fraction(spark):
     assert exact == brute
 
 
-def test_ngram_pair_plan_chunked_blocks_match_single_block(spark):
-    """Block-chunked pair emission (pair_block << d) must produce exactly
-    the single-block result: a shingle shared by d docs yields all
-    C(d,2) pairs once each, across the diagonal/off-diagonal block rows.
-    This pins the r9 bounded-memory rewrite — per-row pair arrays are at
-    most pair_block² regardless of d, so a corpus-scale stop-shingle can
-    no longer materialize C(d,2) structs in one row."""
+def test_ngram_pair_self_join_counts(spark):
+    """Pair counting via the slim self-equi-join (r10; replaced the
+    collect_list + block-chunked emission — measured ~1.6× slower and
+    able to materialize a d-element array per shingle in one aggregation
+    buffer): a shingle shared by d docs yields all C(d,2) ordered pairs
+    exactly once, and intersection counts accumulate across shared
+    shingles."""
     from databend_spark.operators.dedup import _ngram_pair_plan
 
-    d = 100  # spans 7 blocks at pair_block=16 (uneven tail block of 4)
+    d = 100
     rows = [(i, 7777) for i in range(d)]  # hot shingle shared by all
     rows += [(i, 10_000 + i) for i in range(d)]  # one unique shingle each
+    rows += [(0, 8888), (1, 8888)]  # docs 0,1 share a SECOND shingle
     ex = spark.createDataFrame(rows, "doc long, sh long")
-    chunked = {
-        (r.da, r.db, r.inter)
-        for r in _ngram_pair_plan(ex, 0.0, None, pair_block=16).collect()
+    got = {
+        (r.da, r.db): r.inter
+        for r in _ngram_pair_plan(ex, 0.0, None).collect()
     }
-    single = {
-        (r.da, r.db, r.inter)
-        for r in _ngram_pair_plan(ex, 0.0, None, pair_block=1 << 20).collect()
-    }
-    assert len(chunked) == d * (d - 1) // 2
-    assert chunked == single
-    assert all(p[0] < p[1] and p[2] == 1 for p in chunked)
+    assert len(got) == d * (d - 1) // 2
+    assert all(da < db for (da, db) in got)
+    assert got[(0, 1)] == 2
+    assert all(v == 1 for k, v in got.items() if k != (0, 1))

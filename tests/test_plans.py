@@ -115,8 +115,8 @@ def test_ngram_pair_plan_no_sort_no_window(spark, sf_dir):
     a count Window: a Window forces a full Sort of the exploded (doc,
     sh) stream — O(n log n) + spill at corpus scale — re-executed once
     per consumer branch. Pin: zero Sort and zero Window operators in the
-    physical pair plan (pair generation is collect_list + in-partition
-    transforms; nothing needs ordering)."""
+    physical pair plan (pair generation is a hash self-equi-join on the
+    shingle; nothing needs ordering)."""
     from databend_spark.operators.dedup import _ngram_pair_plan, shingles
     from databend_spark.plans import physical_plan
 
