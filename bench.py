@@ -194,11 +194,18 @@ def main() -> None:
     )
     if not os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
         try:  # build once from the sf0.1 parquet (tools/gen_scale.py)
+            import contextlib
+
             from tools.gen_scale import main as _gen
 
             _argv, sys.argv = sys.argv, ["gen_scale", "10", SF_DIR, sf1_dir]
             try:
-                _gen()
+                # gen_scale prints per-table progress; stdout must stay
+                # reserved for the ONE bench JSON line (a fresh checkout
+                # regenerates sf1 in-run, and its prints otherwise land
+                # in the captured bench output)
+                with contextlib.redirect_stdout(sys.stderr):
+                    _gen()
             finally:
                 sys.argv = _argv
         except Exception:  # noqa: BLE001 — sf1 is optional
