@@ -40,16 +40,21 @@ def _probe_steal(seconds: float = PROBE_S) -> float:
 def main() -> int:
     prefix = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_valid"
     max_attempts = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    ncpu = os.cpu_count() or 1
     for attempt in range(1, max_attempts + 1):
-        steal = _probe_steal()
-        while steal >= PROBE_STEAL_MAX:
+        # also wait out residual loadavg from the previous attempt's JVM
+        # teardown: bench.py's own gate marks loadavg_1m > 25% of cores
+        # as contended, so starting before it decays burns an attempt
+        steal, load = _probe_steal(), os.getloadavg()[0]
+        while steal >= PROBE_STEAL_MAX or load > 0.2 * ncpu:
             print(
-                f"[attempt {attempt}] probe steal {steal:.2f}% — waiting",
+                f"[attempt {attempt}] probe steal {steal:.2f}% "
+                f"load {load:.1f} — waiting",
                 file=sys.stderr,
                 flush=True,
             )
             time.sleep(QUIET_WAIT_S)
-            steal = _probe_steal()
+            steal, load = _probe_steal(), os.getloadavg()[0]
         print(
             f"[attempt {attempt}] probe steal {steal:.2f}% — running bench",
             file=sys.stderr,
@@ -81,8 +86,17 @@ def main() -> int:
             flush=True,
         )
         if d.get("valid"):
-            print(out_path)
-            return 0
+            # bench.py's gate bounds RUN-WIDE steal; a stricter per-section
+            # bound (env SECTION_STEAL_MAX, default accept any valid pass)
+            # lets a hunt keep going for a burst-free pass while still
+            # recording every valid one
+            cap = float(os.environ.get("SECTION_STEAL_MAX", "100"))
+            if (
+                d.get("sf_steal_pct", 0.0) < cap
+                and d.get("sf1_steal_pct", 0.0) < cap
+            ):
+                print(out_path)
+                return 0
     print("no valid pass within attempt budget", file=sys.stderr)
     return 1
 
